@@ -1,0 +1,201 @@
+"""GraphCatalog: the storage layer of the engine.
+
+The reference models a property graph as row-oriented property bags behind a
+KV engine. On Spark we instead keep **one typed DataFrame per label**
+("label-partitioned storage"): each node label is a columnar table whose
+property columns are real columns, so Catalyst gets predicate pushdown,
+column pruning and partition pruning for free — the Spark-native analogue of
+the reference's per-(label, property) secondary indexes
+(helix-cli/src/config.rs:160-164).
+
+Reserved engine columns are underscore-prefixed to never collide with user
+properties:
+
+  nodes:  _id long                 (global id, unique across ALL labels)
+  edges:  _id, _src, _dst long     (edge ids in their own namespace,
+                                    dsl.rs:899-900)
+
+Global ids pack (label ordinal << ID_SHIFT) | natural key, so bulk loads
+derive ids without any shuffle or driver round-trip, and a node id is
+joinable against edges regardless of which label it belongs to.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ID_SHIFT = 44  # 2^44 rows per label; 2^19 labels
+_ID = "_id"
+_SRC = "_src"
+_DST = "_dst"
+
+RESERVED_COLS = (_ID, _SRC, _DST, "_distance", "_arrived_from", "_label")
+
+
+def global_id(ordinal: int, key_col):
+    """Deterministic global id: shuffle-free, stable across runs."""
+    return (F.lit(int(ordinal)).cast("long") * F.lit(1 << ID_SHIFT) +
+            key_col.cast("long"))
+
+
+@dataclass
+class EdgeMeta:
+    label: str
+    src_label: Optional[str] = None  # None => untyped (any label)
+    dst_label: Optional[str] = None
+
+
+@dataclass
+class IndexEntry:
+    kind: str
+    label: str
+    property: str
+    unique: bool = False
+    direction: str = "Asc"
+    tenant_property: Optional[str] = None
+
+    def key(self):
+        return (self.kind, self.label, self.property)
+
+
+class GraphCatalog:
+    """Per-label node/edge tables + index registry + id allocation."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._nodes: Dict[str, DataFrame] = {}
+        self._edges: Dict[str, DataFrame] = {}
+        self._edge_meta: Dict[str, EdgeMeta] = {}
+        self._ordinals: Dict[str, int] = {}
+        self.indexes: Dict[tuple, IndexEntry] = {}
+        # driver-side allocator for AddN/AddE (OLTP-ish small writes);
+        # bulk loads use global_id() instead.
+        self._next_local_id = 1
+        self._write_ordinal = (1 << (63 - ID_SHIFT)) - 1  # top ordinal reserved
+
+    # -- registration -----------------------------------------------------
+
+    def ordinal(self, label: str) -> int:
+        if label not in self._ordinals:
+            self._ordinals[label] = len(self._ordinals) + 1
+        return self._ordinals[label]
+
+    def add_nodes(self, label: str, df: DataFrame,
+                  key_col: Optional[str] = None) -> None:
+        """Register a node table. ``key_col`` (unique long) derives _id;
+        if absent the table must already carry _id."""
+        if key_col is not None:
+            df = df.withColumn(_ID, global_id(self.ordinal(label), F.col(key_col)))
+        elif _ID not in df.columns:
+            raise ValueError(f"nodes '{label}' need key_col or _id")
+        if label in self._nodes:
+            self._nodes[label] = self._nodes[label].unionByName(
+                df, allowMissingColumns=True)
+        else:
+            self._nodes[label] = df
+
+    def add_edges(self, label: str, df: DataFrame,
+                  src_label: Optional[str] = None,
+                  dst_label: Optional[str] = None,
+                  src_key: Optional[str] = None,
+                  dst_key: Optional[str] = None) -> None:
+        """Register an edge table. ``src_key``/``dst_key`` are natural-key
+        columns resolved through the endpoint label's ordinal; otherwise the
+        table must carry _src/_dst global ids. _id is derived if missing."""
+        if src_key is not None:
+            if src_label is None:
+                raise ValueError("src_key requires src_label")
+            df = df.withColumn(
+                _SRC, global_id(self.ordinal(src_label), F.col(src_key))
+            ).drop(src_key)
+        if dst_key is not None:
+            if dst_label is None:
+                raise ValueError("dst_key requires dst_label")
+            df = df.withColumn(
+                _DST, global_id(self.ordinal(dst_label), F.col(dst_key))
+            ).drop(dst_key)
+        if _SRC not in df.columns or _DST not in df.columns:
+            raise ValueError(f"edges '{label}' need _src/_dst")
+        if _ID not in df.columns:
+            # edge ids: own namespace == own ordinal space
+            ordinal = self.ordinal("$edge$" + label)
+            df = df.withColumn(
+                _ID,
+                global_id(ordinal, F.monotonically_increasing_id()))
+        if label in self._edges:
+            self._edges[label] = self._edges[label].unionByName(
+                df, allowMissingColumns=True)
+        else:
+            self._edges[label] = df
+        meta = self._edge_meta.get(label)
+        if meta is None:
+            self._edge_meta[label] = EdgeMeta(label, src_label, dst_label)
+        else:
+            if meta.src_label != src_label:
+                meta.src_label = None  # becomes untyped
+            if meta.dst_label != dst_label:
+                meta.dst_label = None
+
+    # -- lookup -----------------------------------------------------------
+
+    def node_labels(self) -> list:
+        return list(self._nodes)
+
+    def edge_labels(self) -> list:
+        return list(self._edges)
+
+    def nodes(self, label: Optional[str] = None) -> Dict[str, DataFrame]:
+        if label is None:
+            return dict(self._nodes)
+        if label not in self._nodes:
+            return {}
+        return {label: self._nodes[label]}
+
+    def edges(self, label: Optional[str] = None) -> Dict[str, DataFrame]:
+        if label is None:
+            return dict(self._edges)
+        if label not in self._edges:
+            return {}
+        return {label: self._edges[label]}
+
+    def edge_meta(self, label: str) -> EdgeMeta:
+        return self._edge_meta.get(label, EdgeMeta(label))
+
+    # -- writes (AddN/AddE path; small-batch OLTP semantics) ---------------
+
+    def allocate_ids(self, n: int) -> list:
+        base = self._next_local_id
+        self._next_local_id += n
+        return [
+            (self._write_ordinal << ID_SHIFT) | (base + i) for i in range(n)
+        ]
+
+    def replace_nodes(self, label: str, df: DataFrame) -> None:
+        self._nodes[label] = df
+
+    def replace_edges(self, label: str, df: DataFrame) -> None:
+        self._edges[label] = df
+
+    def drop_nodes_cascade(self, ids_df: DataFrame) -> None:
+        """Drop nodes by _id and every edge touching them (dsl.rs:3146-3147)."""
+        ids = ids_df.select(_ID).distinct()
+        for label, df in list(self._nodes.items()):
+            self._nodes[label] = df.join(ids, on=_ID, how="left_anti")
+        for label, df in list(self._edges.items()):
+            self._edges[label] = (
+                df.join(ids.withColumnRenamed(_ID, _SRC), on=_SRC, how="left_anti")
+                  .join(ids.withColumnRenamed(_ID, _DST), on=_DST, how="left_anti"))
+
+    # -- index DDL ----------------------------------------------------------
+
+    def create_index(self, entry: IndexEntry, if_not_exists: bool = False) -> None:
+        if entry.key() in self.indexes and not if_not_exists:
+            raise ValueError(f"index exists: {entry.key()}")
+        self.indexes[entry.key()] = entry
+
+    def drop_index(self, key: tuple) -> None:
+        self.indexes.pop(key, None)
