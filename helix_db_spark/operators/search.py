@@ -1,0 +1,204 @@
+"""Vector top-k and BM25 text search (reference: dsl.rs:2813-2883).
+
+Both follow the reference's hit contract: results carry ``$distance``
+(ascending = closer/better) and distance metadata survives only while on the
+hit stream (dsl.rs:150-154) — any hop off it drops ``_distance`` naturally
+because hops project fresh node frames.
+
+Scale design:
+- exact vector top-k = filter -> JVM distance expr -> TakeOrderedAndProject
+  (orderBy+limit); with a materialized norm column from the index build the
+  scan reads only (id, vec, norm). This is embarrassingly parallel — each
+  partition computes its local top-k, the driver merges k*partitions rows.
+- BM25 = precomputed postings table (term, id, tf, dl), term-filtered probe
+  (predicate pushdown on term), partial aggregation for scores. Postings are
+  bucketable by term for 100 TB corpora.
+- ANN (LSH) lives in operators/similarity.py and is exposed via
+  method='lsh' for the scale path.
+
+Tenant rules (dsl.rs:326-330): missing tenant on a multitenant index =>
+query error; unknown tenant => empty; enforced here.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..catalog import _ID
+from ..functions.text import TOKEN_SPLIT, tokens
+from ..functions.vector import cosine_distance, norm
+
+_DIST = "_distance"
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+
+def _frames(compiler, target: str, label: str):
+    cat = compiler.cat
+    return cat.nodes(label) if target == "nodes" else cat.edges(label)
+
+
+def _index_entry(compiler, kinds, label, prop):
+    for kind in kinds:
+        e = compiler.cat.indexes.get((kind, label, prop))
+        if e is not None:
+            return e
+    return None
+
+
+def _apply_tenant(compiler, df: DataFrame, entry, tenant_value):
+    if entry is not None and entry.tenant_property:
+        if tenant_value is None:
+            raise ValueError(
+                f"index ({entry.label}, {entry.property}) is multitenant; "
+                "tenant_value is required")
+        return df.filter(F.col(entry.tenant_property) == F.lit(tenant_value))
+    if tenant_value is not None and entry is None:
+        return df.filter(F.lit(False))  # unknown tenant space => empty
+    return df
+
+
+# ---------------------------------------------------------------------------
+# vector search
+# ---------------------------------------------------------------------------
+
+
+def build_vector_index(compiler, label: str, prop: str,
+                       target: str = "nodes") -> DataFrame:
+    """Materialize per-row norms (the exact path's 'index'); cached/persisted.
+    The reference's HNSW (m/ef, config.rs:148-158) is a single-node graph
+    structure — on Spark the scale path is LSH bucketing, not HNSW."""
+    cat = compiler.cat
+    key = ("vecnorm", target, label, prop)
+    cache = getattr(cat, "_materialized", None)
+    if cache is None:
+        cache = cat._materialized = {}
+    if key not in cache:
+        frames = _frames(compiler, target, label)
+        if label not in frames:
+            raise KeyError(f"unknown label {label}")
+        df = frames[label].filter(F.col(prop).isNotNull())
+        aug = df.withColumn("__vnorm", norm(F.col(prop))).persist()
+        cache[key] = aug
+    return cache[key]
+
+
+def vector_search(compiler, step):
+    """Exact top-k (default) or LSH-accelerated (method='lsh')."""
+    from ..plans.compiler import Stream
+
+    entry = _index_entry(
+        compiler,
+        ("node_vector", "edge_vector"),
+        step.label, step.property)
+    k = compiler._bound(step.k)
+    query = [float(x) for x in step.query_vector]
+
+    if step.method == "lsh":
+        from .similarity import lsh_topk
+        hits = lsh_topk(compiler, step.target, step.label, step.property,
+                        query, k)
+    else:
+        try:
+            aug = build_vector_index(compiler, step.label, step.property,
+                                     step.target)
+            dist = cosine_distance(F.col(step.property), query,
+                                   norm_col=F.col("__vnorm"))
+        except KeyError:
+            raise
+        aug = _apply_tenant(compiler, aug, entry, step.tenant_value)
+        hits = (aug.withColumn(_DIST, dist)
+                   .orderBy(F.col(_DIST).asc(), F.col(_ID).asc())
+                   .limit(k)
+                   .drop("__vnorm"))
+    kind = "node" if step.target == "nodes" else "edge"
+    return Stream(kind, {step.label: hits})
+
+
+# ---------------------------------------------------------------------------
+# BM25 text search
+# ---------------------------------------------------------------------------
+
+
+def build_text_index(compiler, label: str, prop: str,
+                     target: str = "nodes"):
+    """Postings (term, _id, tf, dl) + term doc-frequencies + corpus stats.
+
+    At 100 TB the postings table is written bucketed by term so probe joins
+    are shuffle-free; here it persists in memory.
+    """
+    cat = compiler.cat
+    cache = getattr(cat, "_materialized", None)
+    if cache is None:
+        cache = cat._materialized = {}
+    key = ("bm25", target, label, prop)
+    if key in cache:
+        return cache[key]
+    frames = _frames(compiler, target, label)
+    if label not in frames:
+        raise KeyError(f"unknown label {label}")
+    base = frames[label].filter(F.col(prop).isNotNull())
+    toks = base.select(F.col(_ID),
+                       F.explode(tokens(F.col(prop))).alias("term"))
+    tf = toks.groupBy(_ID, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy(_ID).agg(F.count(F.lit(1)).alias("dl"))
+    postings = tf.join(dl, on=_ID).persist()
+    term_df = postings.groupBy("term").agg(
+        F.countDistinct(_ID).alias("df")).persist()
+    stats_row = dl.agg(F.count(F.lit(1)).alias("n"),
+                       F.avg("dl").alias("avgdl")).head()
+    stats = {"N": stats_row["n"] or 0, "avgdl": stats_row["avgdl"] or 1.0}
+    cache[key] = (postings, term_df, stats)
+    return cache[key]
+
+
+def bm25_scores(compiler, label: str, prop: str, query_text: str,
+                target: str = "nodes") -> DataFrame:
+    """(_id, _score) for documents matching any query term."""
+    import re
+
+    postings, term_df, stats = build_text_index(compiler, label, prop, target)
+    terms = [t for t in re.split(TOKEN_SPLIT, query_text.lower()) if t]
+    if not terms:
+        return postings.select(_ID).limit(0).withColumn("_score", F.lit(0.0))
+    n, avgdl = stats["N"], stats["avgdl"]
+    probe = postings.filter(F.col("term").isin(terms)).join(
+        F.broadcast(term_df.filter(F.col("term").isin(terms))), on="term")
+    idf = F.log((F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + F.lit(1.0))
+    tf_part = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl)))
+    scored = probe.withColumn("_s", idf * tf_part)
+    return scored.groupBy(_ID).agg(F.sum("_s").alias("_score"))
+
+
+def text_search(compiler, step):
+    """Top-k BM25; _distance = -score so ascending = best-first, matching
+    the vector-search contract (parity fixture generate-fixtures.ts:478)."""
+    from ..plans.compiler import Stream
+
+    entry = _index_entry(compiler, ("node_text", "edge_text"),
+                         step.label, step.property)
+    k = compiler._bound(step.k)
+    scores = bm25_scores(compiler, step.label, step.property,
+                         step.query_text, step.target)
+    frames = _frames(compiler, step.target, step.label)
+    base = _apply_tenant(compiler, frames[step.label], entry,
+                         step.tenant_value)
+    hits = (base.join(scores, on=_ID)
+                .withColumn(_DIST, -F.col("_score"))
+                .drop("_score")
+                .orderBy(F.col(_DIST).asc(), F.col(_ID).asc())
+                .limit(k))
+    kind = "node" if step.target == "nodes" else "edge"
+    return Stream(kind, {step.label: hits})

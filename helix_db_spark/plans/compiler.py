@@ -636,6 +636,279 @@ class StepCompiler:
             out = Stream("value", {None: out.single().dropDuplicates()})
         return out
 
+    # -- branching / repetition (dsl.rs:3177-3197) ----------------------------
+
+    def _sub(self, sub: ast.SubTraversal, stream: Stream) -> Stream:
+        return self.run(ast.Traversal(sub.steps), initial=stream)
+
+    @staticmethod
+    def _merge(a: Optional[Stream], b: Stream) -> Stream:
+        if a is None:
+            return b
+        frames = dict(a.frames)
+        for l, df in b.frames.items():
+            frames[l] = (frames[l].unionByName(df, allowMissingColumns=True)
+                         if l in frames else df)
+        kind = a.kind if a.kind == b.kind else "value"
+        return Stream(kind, frames)
+
+    def _step_Union(self, step: ast.Union, stream: Stream) -> Stream:
+        out: Optional[Stream] = None
+        for sub in step.subs:
+            out = self._merge(out, self._sub(sub, stream))
+        return out if out is not None else stream
+
+    def _step_Choose(self, step: ast.Choose, stream: Stream) -> Stream:
+        then_in = self._filter(stream, step.condition)
+        out = self._sub(step.then, then_in)
+        if step.else_ is not None:
+            else_in = self._filter(stream, ast.Not(step.condition))
+            out = self._merge(out, self._sub(step.else_, else_in))
+        return out
+
+    def _step_Coalesce(self, step: ast.Coalesce, stream: Stream) -> Stream:
+        """Per-stream first-non-empty branch (observed fixture semantics)."""
+        last = None
+        for sub in step.subs:
+            last = self._sub(sub, stream)
+            if not last.is_empty():
+                return last
+        return last if last is not None else stream
+
+    def _step_Optional_(self, step: ast.Optional_, stream: Stream) -> Stream:
+        """Branch results, plus pass-through of inputs the branch produced
+        nothing for; a stream-family change drops unmatched inputs
+        (dsl.rs:4049-4057). Provenance threads through hop joins via _origin."""
+        tagged = stream.map_frames(
+            lambda l, df: df.withColumn(_ORIGIN, F.col(_ID)))
+        res = self._sub(step.sub, tagged)
+        same_family = res.kind == stream.kind
+        origins = None
+        for df in res.frames.values():
+            if _ORIGIN in df.columns:
+                part = df.select(F.col(_ORIGIN).alias(_ID))
+                origins = part if origins is None else origins.unionByName(part)
+        res = res.map_frames(
+            lambda l, df: df.drop(_ORIGIN) if _ORIGIN in df.columns else df)
+        if not same_family or origins is None:
+            return res
+        matched = origins.distinct()
+        passthrough = stream.map_frames(
+            lambda l, df: df.join(matched, on=_ID, how="left_anti"))
+        return self._merge(res, passthrough)
+
+    def _step_Repeat(self, step: ast.Repeat, stream: Stream) -> Stream:
+        """Iterative frontier loop (BFS pattern). Each round localCheckpoints
+        the frontier to cut lineage. Emit: None=final frontier only,
+        Before=frontier before each application (incl. initial),
+        After=after each application, All=both; emit_if filters emissions.
+        until(pred): satisfied elements exit the loop into the result."""
+        checkpoint = lambda s: s.map_frames(  # noqa: E731
+            lambda l, df: df.localCheckpoint(eager=True))
+        frontier = stream
+        emitted: Optional[Stream] = None
+        exited: Optional[Stream] = None
+
+        def emit(s: Stream):
+            nonlocal emitted
+            if step.emit_if is not None:
+                s = self._filter(s, step.emit_if)
+            emitted = self._merge(emitted, s)
+
+        emit_before = step.emit in ("Before", "All")
+        # emit_if forces After (dsl.py:1038-1117)
+        emit_after = step.emit in ("After", "All") or (
+            step.emit_if is not None and step.emit == "None")
+        rounds = step.times if step.times is not None else step.max_depth
+        rounds = min(rounds, step.max_depth)
+        for _ in range(rounds):
+            if step.until is not None:
+                done = self._filter(frontier, step.until)
+                exited = self._merge(exited, done)
+                frontier = self._filter(frontier, ast.Not(step.until))
+            if step.times is None and frontier.is_empty():
+                break
+            if emit_before:
+                emit(frontier)
+            frontier = checkpoint(self._sub(step.sub, frontier))
+            if emit_after:
+                emit(frontier)
+
+        if emit_before or emit_after:
+            return emitted if emitted is not None else frontier
+        result = frontier
+        if exited is not None:
+            result = self._merge(exited, result)
+        return result
+
+    # -- search (operators/search.py) -----------------------------------------
+
+    def _step_VectorSearch(self, step: ast.VectorSearch, stream) -> Stream:
+        from ..operators.search import vector_search
+        return vector_search(self, step)
+
+    def _step_TextSearch(self, step: ast.TextSearch, stream) -> Stream:
+        from ..operators.search import text_search
+        return text_search(self, step)
+
+    # -- mutations (write path; dsl.rs:3116-3167) ------------------------------
+
+    def _require_write(self):
+        if self.ctx.mode != "write":
+            raise PermissionError("mutation step in a read batch")
+
+    def _eval_props(self, properties) -> dict:
+        """Literal property values for AddN/AddE (params resolved)."""
+        out = {}
+        for name, value in properties:
+            if isinstance(value, ast.Param):
+                value = self.ctx.params[value.name]
+            elif isinstance(value, ast.Constant):
+                value = value.value
+            elif isinstance(value, ast.Expr):
+                raise UnsupportedStep("AddN/AddE property exprs must be "
+                                      "literals or params")
+            out[name] = value
+        return out
+
+    def _step_AddN(self, step: ast.AddN, stream) -> Stream:
+        self._require_write()
+        props = self._eval_props(step.properties)
+        (nid,) = self.cat.allocate_ids(1)
+        row = dict(props)
+        row[_ID] = nid
+        df = self.cat.spark.createDataFrame([row])
+        self.cat.add_nodes(step.label, df)
+        # the new node becomes the current stream (dsl.rs:3119)
+        fresh = self.cat.nodes(step.label)[step.label].filter(F.col(_ID) == nid)
+        return Stream("node", {step.label: fresh})
+
+    def _target_ids(self, ref: ast.Ref) -> List[int]:
+        if ref.kind == "var":
+            var = self.ctx.variables[ref.name]
+            return [r[_ID] for r in var.ids().distinct().collect()]
+        ids = self._resolve_ref_ids(ref)
+        if ids is None:
+            raise ValueError("AddE/DropEdge target must be ids/var/param")
+        return ids
+
+    def _step_AddE(self, step: ast.AddE, stream: Stream) -> Stream:
+        """Edges from current nodes x resolved targets (dsl.rs:3128-3138).
+        Write batches are OLTP-small by contract; endpoints enumerate
+        driver-side. Bulk edge loads use GraphCatalog.add_edges."""
+        self._require_write()
+        props = self._eval_props(step.properties)
+        src_ids = [r[_ID] for r in stream.ids().distinct().collect()]
+        dst_ids = self._target_ids(step.to)
+        pairs = [(s, d) for s in src_ids for d in dst_ids]
+        eids = self.cat.allocate_ids(len(pairs))
+        rows = [dict(props, **{_ID: e, _SRC: s, _DST: d})
+                for e, (s, d) in zip(eids, pairs)]
+        if not rows:
+            return Stream("edge", {step.label: self._empty_edges()})
+        df = self.cat.spark.createDataFrame(rows)
+        self.cat.add_edges(step.label, df)
+        fresh = self.cat.edges(step.label)[step.label].filter(
+            F.col(_ID).isin(eids))
+        return Stream("edge", {step.label: fresh})
+
+    def _apply_to_catalog(self, stream: Stream, update_fn) -> Stream:
+        """Copy-on-write update of catalog tables for the stream's elements."""
+        table = self.cat.nodes if stream.kind == "node" else self.cat.edges
+        replace = (self.cat.replace_nodes if stream.kind == "node"
+                   else self.cat.replace_edges)
+        out_frames = {}
+        ids = stream.ids().distinct()
+        for label in (stream.frames if None not in stream.frames
+                      else table(None)):
+            base = table(label).get(label) if label is not None else None
+            if base is None:
+                continue
+            marked = base.join(ids.withColumn("__hit", F.lit(True)),
+                               on=_ID, how="left")
+            updated = update_fn(label, marked).drop("__hit")
+            updated = updated.localCheckpoint(eager=False)
+            replace(label, updated)
+            out_frames[label] = updated.join(ids, on=_ID, how="left_semi")
+        return Stream(stream.kind, out_frames)
+
+    def _step_SetProperty(self, step: ast.SetProperty, stream: Stream) -> Stream:
+        self._require_write()
+
+        def update(label, df):
+            ec = self._expr_compiler(df, label, stream.kind)
+            val = (ec.expr(step.value) if isinstance(step.value, ast.Expr)
+                   else lit_value(step.value))
+            old = (F.col(step.name) if step.name in df.columns
+                   else F.lit(None))
+            return df.withColumn(
+                step.name,
+                F.when(F.col("__hit").isNotNull(), val).otherwise(old))
+        return self._apply_to_catalog(stream, update)
+
+    def _step_RemoveProperty(self, step: ast.RemoveProperty,
+                             stream: Stream) -> Stream:
+        self._require_write()
+
+        def update(label, df):
+            if step.name not in df.columns:
+                return df
+            return df.withColumn(
+                step.name,
+                F.when(F.col("__hit").isNotNull(), F.lit(None))
+                .otherwise(F.col(step.name)))
+        return self._apply_to_catalog(stream, update)
+
+    def _step_Drop(self, step: ast.Drop, stream: Stream) -> Stream:
+        self._require_write()
+        if stream.kind == "node":
+            self.cat.drop_nodes_cascade(stream.ids())
+        else:
+            ids = stream.ids().distinct()
+            for label, df in list(self.cat.edges().items()):
+                self.cat.replace_edges(
+                    label, df.join(ids, on=_ID, how="left_anti"))
+        return Stream("value", {None: self.cat.spark.range(0)})
+
+    def _step_DropEdge(self, step: ast.DropEdge, stream: Stream) -> Stream:
+        self._require_write()
+        if step.edge_ids is not None:
+            for label, df in list(self.cat.edges().items()):
+                self.cat.replace_edges(
+                    label, df.filter(~F.col(_ID).isin(list(step.edge_ids))))
+            return stream
+        src_ids = [r[_ID] for r in stream.ids().distinct().collect()]
+        dst_ids = self._target_ids(step.to)
+        for label, df in list(self.cat.edges(step.label).items()):
+            self.cat.replace_edges(
+                label,
+                df.filter(~(F.col(_SRC).isin(src_ids)
+                            & F.col(_DST).isin(dst_ids))))
+        return stream
+
+    # -- index DDL (dsl.rs:2580-2658) -------------------------------------------
+
+    def _step_CreateIndex(self, step: ast.CreateIndex, stream) -> Stream:
+        from ..catalog import IndexEntry
+        spec = step.spec
+        entry = IndexEntry(spec.kind, spec.label, spec.property, spec.unique,
+                           spec.direction, spec.tenant_property)
+        self.cat.create_index(entry, step.if_not_exists)
+        if spec.kind in ("node_text", "edge_text"):
+            from ..operators.search import build_text_index
+            build_text_index(self, spec.label, spec.property,
+                             target="nodes" if spec.kind == "node_text" else "edges")
+        if spec.kind in ("node_vector", "edge_vector"):
+            from ..operators.search import build_vector_index
+            build_vector_index(self, spec.label, spec.property,
+                               target="nodes" if spec.kind == "node_vector" else "edges")
+        return Stream("value", {None: self.cat.spark.range(0)})
+
+    def _step_DropIndex(self, step: ast.DropIndex, stream) -> Stream:
+        spec = step.spec
+        self.cat.drop_index((spec.kind, spec.label, spec.property))
+        return Stream("value", {None: self.cat.spark.range(0)})
+
     # -- reserved no-ops ---------------------------------------------------------
 
     def _step_ReservedNoop(self, step, stream):

@@ -1,0 +1,186 @@
+"""Vector/BM25 search, control flow, and write-path tests."""
+
+import duckdb
+import pytest
+
+from helix_db_spark import P, g, read_batch, write_batch
+
+from .conftest import SF_DIR, assert_same
+
+
+def _query_vec(oracle, vec_id=7):
+    return oracle.sql(
+        f"SELECT embedding FROM embeddings WHERE vec_id = {vec_id}"
+    ).fetchone()[0]
+
+
+def test_vector_topk_exact(engine, oracle):
+    q = _query_vec(oracle)
+    df = engine.run(
+        g().vector_search("embeddings", "embedding", q, 5)
+        .project(vec_id="vec_id", distance="$distance"))
+    rows = {r["vec_id"]: r["distance"] for r in df.collect()}
+    exp = oracle.sql(
+        "SELECT vec_id, 1 - list_cosine_similarity(embedding, "
+        f"(SELECT embedding FROM embeddings WHERE vec_id=7)) AS d "
+        "FROM embeddings ORDER BY d, vec_id LIMIT 5").fetchall()
+    assert set(rows) == {r[0] for r in exp}
+    for vid, d in exp:
+        assert abs(rows[vid] - d) < 1e-5
+    assert 7 in rows and abs(rows[7]) < 1e-6  # self is closest
+
+
+def test_vector_topk_lsh_recall(engine, oracle):
+    q = _query_vec(oracle)
+    exact = {r["vec_id"] for r in engine.run(
+        g().vector_search("embeddings", "embedding", q, 10)
+        .values("vec_id")).collect()}
+    approx = {r["vec_id"] for r in engine.run(
+        g().vector_search("embeddings", "embedding", q, 10, method="lsh")
+        .values("vec_id")).collect()}
+    # this synthetic data has weak neighbor similarity (cos ~0.3), where
+    # banded LSH recall is probabilistic; the planted exact match (cos=1)
+    # must always be found, plus a meaningful share of the true top-10.
+    # Deterministic: fixed-seed hyperplanes + fixed data.
+    assert 7 in approx
+    assert len(exact & approx) >= 4
+
+
+def test_bm25_topk(engine):
+    df = engine.run(
+        g().text_search("documents", "text", "spark query filter", 5)
+        .project(doc_id="doc_id", score="$distance"))
+    rows = df.collect()
+    assert len(rows) == 5
+    scores = [-r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_bm25_distance_dropped_after_hop(engine):
+    df = engine.run(
+        g().text_search("documents", "text", "spark", 3)
+        .out("has_embedding").value_map("vec_id"))
+    assert "distance" not in [c.lower() for c in df.columns]
+
+
+def test_union_subs(engine, oracle):
+    df = engine.run(
+        g().n("nation").union(
+            g().out("in_region"),
+            g().in_("in_nation"),
+        ).label_())
+    assert_same(df, oracle.sql(
+        "SELECT 'region' AS label FROM nation JOIN region "
+        "ON n_regionkey = r_regionkey "
+        "UNION ALL SELECT 'customer' FROM customer"))
+
+
+def test_choose(engine, oracle):
+    df = engine.run(
+        g().n("customer").choose(
+            P.gte("c_acctbal", 0.0),
+            g().project(key="c_custkey"),
+            g().project(key="c_custkey"),
+        ))
+    assert df.count() == oracle.sql("SELECT count(*) FROM customer").fetchone()[0]
+
+
+def test_optional_passthrough(engine, oracle):
+    # customers optionally hop to their orders; customers without orders
+    # pass through unchanged => same family (node), so count = orders rows
+    # + customers with no orders
+    df = engine.run(g().n("customer").optional(g().in_("placed_by")).count())
+    exp = oracle.sql(
+        "SELECT (SELECT count(*) FROM orders) + (SELECT count(*) FROM "
+        "customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) "
+        "AS count")
+    assert_same(df, exp)
+
+
+def test_repeat_two_hops(engine, oracle):
+    df = engine.run(
+        g().n("customer").repeat(g().out(), times=2).group_count("r_name"))
+    assert_same(df, oracle.sql(
+        "SELECT r_name, count(*) AS count FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"))
+
+
+def test_coalesce_first_nonempty(engine):
+    df = engine.run(
+        g().n("customer").coalesce_(
+            g().where(P.gt("c_acctbal", 1e15)),  # empty
+            g().where(P.gt("c_acctbal", 9000.0)),
+        ).count())
+    assert df.collect()[0]["count"] > 0
+
+
+def test_write_batch_add_and_drop(spark):
+    from helix_db_spark.catalog import GraphCatalog
+    from helix_db_spark.engine import HelixSparkEngine
+
+    cat = GraphCatalog(spark)
+    cat.add_nodes("user", spark.createDataFrame(
+        [(1, "alice"), (2, "bob")], "k long, name string"), key_col="k")
+    eng = HelixSparkEngine(cat)
+
+    out = eng.execute_batch(
+        write_batch()
+        .var_as("carol", g().add_n("user", name="carol", age=33))
+        .var_as("alice", g().n("user").where(P.eq("name", "alice")))
+        .var_as("knows", g().select("alice").add_e("knows", to="carol"))
+        .var_as("friends", g().n("user").where(P.eq("name", "alice"))
+                .out("knows").values("name"))
+        .var_as("n_users", g().n("user").count())
+        .returning("friends", "n_users"))
+    assert [r["name"] for r in out["friends"].collect()] == ["carol"]
+    assert out["n_users"].collect()[0]["count"] == 3
+
+    out2 = eng.execute_batch(
+        write_batch()
+        .var_as("gone", g().n("user").where(P.eq("name", "carol")).drop())
+        .var_as("n", g().n("user").count())
+        .var_as("e", g().e("knows").count())
+        .returning("n", "e"))
+    assert out2["n"].collect()[0]["count"] == 2
+    assert out2["e"].collect()[0]["count"] == 0  # cascade delete
+
+
+def test_set_remove_property(spark):
+    from helix_db_spark.catalog import GraphCatalog
+    from helix_db_spark.engine import HelixSparkEngine
+
+    cat = GraphCatalog(spark)
+    cat.add_nodes("item", spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k long, price double"), key_col="k")
+    eng = HelixSparkEngine(cat)
+    out = eng.execute_batch(
+        write_batch()
+        .var_as("upd", g().n("item").where(P.eq("k", 1))
+                .set_property("price", 99.0))
+        .var_as("all", g().n("item").values("k", "price"))
+        .returning("all"))
+    got = {r["k"]: r["price"] for r in out["all"].collect()}
+    assert got == {1: 99.0, 2: 20.0}
+
+
+def test_read_batch_rejects_writes(engine):
+    with pytest.raises(PermissionError):
+        engine.execute_batch(
+            read_batch().var_as("x", g().add_n("user", name="eve"))
+            .returning("x"))
+
+
+def test_batch_condition_skips(engine):
+    from helix_db_spark import Cond
+
+    out = engine.execute_batch(
+        read_batch()
+        .var_as("none", g().n("customer").where(P.gt("c_acctbal", 1e15)))
+        .var_as("fallback", g().n("customer").count())
+        .var_as_if("gated", Cond.var_not_empty("none"),
+                   g().n("customer").limit(1))
+        .returning("fallback"))
+    assert out["fallback"].collect()[0]["count"] > 0
+    # 'gated' never ran; returning it would KeyError — as designed
