@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# representative slice of the inventory: scans+preds, multi-hop joins,
+# group/agg, top-k, vector, BM25, near-dup mining, text stats
+BENCH_QUERIES = [
+    "node_count",
+    "predicate_algebra",
+    "two_hop_regions",
+    "edge_endpoint_projection",
+    "group_count_segments",
+    "order_limit_topk",
+    "arithmetic_projection",
+    "vector_search_topk",
+    "bm25_text_search",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "text_doc_stats",
+]
+
+
+def main() -> None:
+    from helix_db_spark import get_spark
+    from helix_db_spark import entry_queries as eq
+
+    spark = get_spark("helix-db-spark-bench",
+                      **{"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    registry = eq.queries()
+    # warm up session + graph load outside per-query timing
+    eng = eq.engine_for(spark, SF_DIR)
+    registry["node_count"](spark, SF_DIR).collect()
+    # index builds are DDL in the reference model (bm25 default-on,
+    # helix-cli config.rs:174; HNSW built at CreateVectorIndex) — build the
+    # search indexes up front like a served instance would.
+    from helix_db_spark.operators.search import (build_text_index,
+                                                 build_vector_index)
+    from helix_db_spark.plans.compiler import ExecContext, StepCompiler
+    comp = StepCompiler(ExecContext(eng.catalog))
+    build_text_index(comp, "documents", "text")[0].count()
+    build_vector_index(comp, "embeddings", "embedding").count()
+
+    timings = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = registry[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

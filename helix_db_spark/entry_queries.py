@@ -1,0 +1,688 @@
+"""Driver-contract query inventory: SURVEY §2 operators + pipeline ops,
+each as (spark, sf_dir) -> DataFrame with an ANSI-SQL DuckDB oracle.
+
+Column names and types are aligned on BOTH sides (the driver hash-compares
+after sorting columns by name). Float outputs that involve aggregation
+order or libm differences are rounded identically on both sides; integer
+and per-row arithmetic is bit-exact by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import dsl
+from .dsl import P, X, g
+from .engine import HelixSparkEngine
+from .sources.tpch import load_graph, read_tables
+
+# ---------------------------------------------------------------------------
+# engine cache (one graph per sf_dir per process)
+# ---------------------------------------------------------------------------
+
+_ENGINES: Dict[str, HelixSparkEngine] = {}
+
+
+def engine_for(spark: SparkSession, sf_dir: str) -> HelixSparkEngine:
+    eng = _ENGINES.get(sf_dir)
+    if eng is None or eng.spark is not spark:
+        eng = HelixSparkEngine(load_graph(spark, sf_dir))
+        _ENGINES[sf_dir] = eng
+    return eng
+
+
+# SQL fragments shared by oracles (must mirror functions/text.py exactly)
+_TOK = ("list_filter(regexp_split_to_array(lower({c}), '[^a-z0-9]+'), "
+        "x -> x <> '')")
+_H32 = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
+_H60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+_SHINGLE3 = ("list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] "
+             "for i in generate_series(1, len(ts) - 2)])")
+
+# registry: name -> (fn, oracle_sql | None)
+REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
+                          Optional[str]]] = {}
+
+
+def q(name: str, oracle: Optional[str] = None):
+    def deco(fn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# 1. sources & predicates
+# ---------------------------------------------------------------------------
+
+
+@q("node_count",
+   "SELECT count(*) AS count FROM customer")
+def node_count(spark, sf_dir):
+    return engine_for(spark, sf_dir).run(g().n("customer").count())
+
+
+@q("nwhere_source_filter",
+   "SELECT c_custkey, c_name, c_acctbal FROM customer "
+   "WHERE c_acctbal > 5000.0")
+def nwhere_source_filter(spark, sf_dir):
+    return engine_for(spark, sf_dir).run(
+        g().n_where(P.and_(P.eq("$label", "customer"),
+                           P.gt("c_acctbal", 5000.0)))
+        .values("c_custkey", "c_name", "c_acctbal"))
+
+
+@q("predicate_algebra",
+   "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O' AND "
+   "(o_totalprice > 150000.0 OR o_orderpriority LIKE '1%')")
+def predicate_algebra(spark, sf_dir):
+    pred = P.and_(P.eq("o_orderstatus", "O"),
+                  P.or_(P.gt("o_totalprice", 150000.0),
+                        P.starts_with("o_orderpriority", "1")))
+    return engine_for(spark, sf_dir).run(
+        g().n("orders").where(pred).values("o_orderkey"))
+
+
+@q("between_inclusive",
+   "SELECT p_partkey, p_size FROM part WHERE p_size BETWEEN 10 AND 20")
+def between_inclusive(spark, sf_dir):
+    return engine_for(spark, sf_dir).run(
+        g().n("part").where(P.between("p_size", 10, 20))
+        .values("p_partkey", "p_size"))
+
+
+@q("string_predicates",
+   "SELECT p_partkey, p_type FROM part WHERE p_type LIKE '%BRUSHED%' "
+   "OR p_type LIKE '%STEEL'")
+def string_predicates(spark, sf_dir):
+    return engine_for(spark, sf_dir).run(
+        g().n("part").where(P.or_(P.contains("p_type", "BRUSHED"),
+                                  P.ends_with("p_type", "STEEL")))
+        .values("p_partkey", "p_type"))
+
+
+@q("is_in_filter",
+   "SELECT n_nationkey, n_name FROM nation "
+   "WHERE n_name IN ('NATION_1', 'NATION_5', 'NATION_9')")
+def is_in_filter(spark, sf_dir):
+    return engine_for(spark, sf_dir).run(
+        g().n("nation")
+        .where(P.is_in("n_name", ["NATION_1", "NATION_5", "NATION_9"]))
+        .values("n_nationkey", "n_name"))
+
+
+@q("param_filter",
+   "SELECT c_custkey FROM customer WHERE c_acctbal > 8000.0")
+def param_filter(spark, sf_dir):
+    return engine_for(spark, sf_dir).run(
+        g().n("customer").where(P.gt("c_acctbal", X.param("floor")))
+        .values("c_custkey"), params={"floor": 8000.0})
+
+
+# ---------------------------------------------------------------------------
+# 2. graph navigation
+# ---------------------------------------------------------------------------
+
+
+@q("out_hop_group_count",
+   "SELECT n_name, count(*) AS count FROM customer "
+   "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name")
+def out_hop_group_count(spark, sf_dir):
+    return engine_for(spark, sf_dir).run(
+        g().n("customer").out("in_nation").group_count("n_name"))
+
+
+@q("two_hop_regions",
+   "SELECT r_name, count(*) AS count FROM customer "
+   "JOIN nation ON c_nationkey = n_nationkey "
+   "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name")
+def two_hop_regions(spark, sf_dir):
+    return engine_for(spark, sf_dir).run(
+        g().n("customer").out("in_nation").out("in_region")
+        .group_count("r_name"))
+
+
+@q("in_hop",
+   "SELECT c_custkey FROM customer JOIN nation ON c_nationkey = n_nationkey "
+   "WHERE n_name = 'NATION_3'")
+def in_hop(spark, sf_dir):
+    return engine_for(spark, sf_dir).run(
+        g().n("nation").where(P.eq("n_name", "NATION_3"))
+        .in_("in_nation").values("c_custkey"))
+
+
+@q("edge_endpoint_projection",
+   "SELECT o_orderkey AS okey, l_partkey AS pkey, l_quantity AS qty, "
+   "l_extendedprice * (1.0 - l_discount) AS revenue "
+   "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+   "WHERE o_orderstatus = 'F'")
+def edge_endpoint_projection(spark, sf_dir):
+    return engine_for(spark, sf_dir).run(
+        g().n("orders").where(P.eq("o_orderstatus", "F"))
+        .out_e("ordered_part")
+        .project_list([
+            ("okey", "$from.o_orderkey"),
+            ("pkey", "$to.p_partkey"),
+            ("qty", "l_quantity"),
+            ("revenue", X.mul(X.prop("l_extendedprice"),
+                              X.sub(X.const(1.0), X.prop("l_discount")))),
+        ]))
+
+
+@q("edge_to_nodes_dedup",
+   "SELECT DISTINCT l_partkey AS p_partkey FROM lineitem "
+   "JOIN orders ON l_orderkey = o_orderkey WHERE o_totalprice > 200000.0")
+def edge_to_nodes_dedup(spark, sf_dir):
+    return engine_for(spark, sf_dir).run(
+        g().n("orders").where(P.gt("o_totalprice", 200000.0))
+        .out_e("ordered_part").out_n().dedup().values("p_partkey"))
+
+
+@q("three_hop_supplier_regions",
+   "SELECT r_name, count(*) AS count FROM supplier "
+   "JOIN nation ON s_nationkey = n_nationkey "
+   "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name")
+def three_hop_supplier_regions(spark, sf_dir):
+    return engine_for(spark, sf_dir).run(
+        g().n("supplier").out("supplier_in_nation").out("in_region")
+        .group_count("r_name"))
+
+
+# ---------------------------------------------------------------------------
+# 3. shaping, aggregation, expressions
+# ---------------------------------------------------------------------------
+
+
+@q("order_limit_topk",
+   "SELECT o_orderkey, o_totalprice FROM orders "
+   "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10")
+def order_limit_topk(spark, sf_dir):
+    return engine_for(spark, sf_dir).run(
+        g().n("orders").order_by_multiple(("o_totalprice", "Desc"),
+                                          ("o_orderkey", "Asc"))
+        .limit(10).values("o_orderkey", "o_totalprice"))
+
+
+@q("skip_range",
+   "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100")
+def skip_range(spark, sf_dir):
+    return engine_for(spark, sf_dir).run(
+        g().n("orders").order_by("o_orderkey").range(100, 150)
+        .values("o_orderkey"))
+
+
+@q("dedup_distinct_values",
+   "SELECT DISTINCT c_mktsegment FROM customer")
+def dedup_distinct_values(spark, sf_dir):
+    return engine_for(spark, sf_dir).run(
+        g().n("customer").values("c_mktsegment").dedup())
+
+
+@q("aggregate_sum",
+   "SELECT round(sum(l_extendedprice), 2) AS sum FROM lineitem")
+def aggregate_sum(spark, sf_dir):
+    df = engine_for(spark, sf_dir).run(
+        g().n("lineitem").aggregate_by("Sum", "l_extendedprice"))
+    return df.select(F.round("sum", 2).alias("sum"))
+
+
+@q("aggregate_mean",
+   "SELECT round(avg(c_acctbal), 6) AS mean FROM customer")
+def aggregate_mean(spark, sf_dir):
+    df = engine_for(spark, sf_dir).run(
+        g().n("customer").aggregate_by("Mean", "c_acctbal"))
+    return df.select(F.round("mean", 6).alias("mean"))
+
+
+@q("group_count_segments",
+   "SELECT c_mktsegment, count(*) AS count FROM customer "
+   "GROUP BY c_mktsegment")
+def group_count_segments(spark, sf_dir):
+    return engine_for(spark, sf_dir).run(
+        g().n("customer").group_count("c_mktsegment"))
+
+
+@q("case_expression",
+   "SELECT c_custkey AS key, CASE WHEN c_acctbal >= 5000.0 THEN 'high' "
+   "WHEN c_acctbal >= 0.0 THEN 'mid' ELSE 'neg' END AS tier FROM customer")
+def case_expression(spark, sf_dir):
+    return engine_for(spark, sf_dir).run(
+        g().n("customer").project(
+            key="c_custkey",
+            tier=X.case([(P.gte("c_acctbal", 5000.0), "high"),
+                         (P.gte("c_acctbal", 0.0), "mid")], "neg")))
+
+
+@q("arithmetic_projection",
+   "SELECT l_orderkey AS okey, l_linenumber AS line, "
+   "l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charged "
+   "FROM lineitem")
+def arithmetic_projection(spark, sf_dir):
+    charged = X.mul(X.mul(X.prop("l_extendedprice"),
+                          X.sub(X.const(1.0), X.prop("l_discount"))),
+                    X.add(X.const(1.0), X.prop("l_tax")))
+    return engine_for(spark, sf_dir).run(
+        g().n("lineitem").project(okey="l_orderkey", line="l_linenumber",
+                                  charged=charged))
+
+
+@q("json_dotted_path",
+   "SELECT event_id, json_extract_string(props, '$.k') AS k FROM events "
+   "WHERE event_type = 'click'")
+def json_dotted_path(spark, sf_dir):
+    return engine_for(spark, sf_dir).run(
+        g().n("events").where(P.eq("event_type", "click"))
+        .project(event_id="event_id", k="props.k"))
+
+
+# ---------------------------------------------------------------------------
+# 4. vars / semi-anti joins / control flow
+# ---------------------------------------------------------------------------
+
+
+@q("within_semi_join",
+   "SELECT count(*) AS count FROM customer WHERE c_custkey IN "
+   "(SELECT o_custkey FROM orders)")
+def within_semi_join(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    out = eng.execute_batch(
+        dsl.read_batch()
+        .var_as("buyers", g().n("orders").out("placed_by").dedup())
+        .var_as("res", g().n("customer").within("buyers").count())
+        .returning("res"))
+    return out["res"]
+
+
+@q("without_anti_join",
+   "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+   "(SELECT o_custkey FROM orders)")
+def without_anti_join(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    out = eng.execute_batch(
+        dsl.read_batch()
+        .var_as("buyers", g().n("orders").out("placed_by").dedup())
+        .var_as("res", g().n("customer").without("buyers")
+                .values("c_custkey"))
+        .returning("res"))
+    return out["res"]
+
+
+@q("union_branches",
+   "SELECT n_name AS name FROM nation JOIN region "
+   "ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' "
+   "UNION ALL SELECT r_name FROM region WHERE r_name = 'ASIA'")
+def union_branches(spark, sf_dir):
+    return engine_for(spark, sf_dir).run(
+        g().n("region").where(P.eq("r_name", "ASIA")).union(
+            g().in_("in_region").project(name="n_name"),
+            g().project(name="r_name"),
+        ))
+
+
+@q("choose_conditional",
+   "SELECT o_orderkey AS okey, 'big' AS bucket FROM orders "
+   "WHERE o_totalprice >= 200000.0 UNION ALL "
+   "SELECT o_orderkey, 'small' FROM orders WHERE o_totalprice < 200000.0")
+def choose_conditional(spark, sf_dir):
+    return engine_for(spark, sf_dir).run(
+        g().n("orders").choose(
+            P.gte("o_totalprice", 200000.0),
+            g().project(okey="o_orderkey", bucket=X.const("big")),
+            g().project(okey="o_orderkey", bucket=X.const("small"))))
+
+
+@q("optional_passthrough",
+   "SELECT (SELECT count(*) FROM orders) + (SELECT count(*) FROM customer "
+   "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS count")
+def optional_passthrough(spark, sf_dir):
+    return engine_for(spark, sf_dir).run(
+        g().n("customer").optional(g().in_("placed_by")).count())
+
+
+@q("repeat_bfs",
+   "SELECT r_name, count(*) AS count FROM customer "
+   "JOIN nation ON c_nationkey = n_nationkey "
+   "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name")
+def repeat_bfs(spark, sf_dir):
+    return engine_for(spark, sf_dir).run(
+        g().n("customer").repeat(g().out(), times=2).group_count("r_name"))
+
+
+# ---------------------------------------------------------------------------
+# 5. vector / text search
+# ---------------------------------------------------------------------------
+
+
+def _query_vector(spark, sf_dir, vec_id=7):
+    row = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .filter(F.col("vec_id") == vec_id).select("embedding").head()
+    return [float(x) for x in row["embedding"]]
+
+
+@q("vector_search_topk",
+   "SELECT vec_id, round(1.0 - list_cosine_similarity(embedding, "
+   "(SELECT embedding FROM embeddings WHERE vec_id = 7)), 4) AS distance "
+   "FROM embeddings ORDER BY distance, vec_id LIMIT 5")
+def vector_search_topk(spark, sf_dir):
+    vec = _query_vector(spark, sf_dir)
+    df = engine_for(spark, sf_dir).run(
+        g().vector_search("embeddings", "embedding", vec, 5)
+        .project(vec_id="vec_id", distance="$distance"))
+    return df.select("vec_id", F.round("distance", 4).alias("distance"))
+
+
+@q("vector_search_lsh")  # approximate: rows-only check by design
+def vector_search_lsh(spark, sf_dir):
+    vec = _query_vector(spark, sf_dir)
+    return engine_for(spark, sf_dir).run(
+        g().vector_search("embeddings", "embedding", vec, 10, method="lsh")
+        .values("vec_id"))
+
+
+_BM25_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest({tok}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl),
+qterms AS (SELECT unnest(['spark', 'query', 'filter']) AS term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 +
+                0.75 * dl.dl / stats.avgdl))) AS score
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""".format(tok=_TOK.format(c="text"))
+
+
+@q("bm25_text_search", _BM25_ORACLE)
+def bm25_text_search(spark, sf_dir):
+    df = engine_for(spark, sf_dir).run(
+        g().text_search("documents", "text", "spark query filter", 10)
+        .project(doc_id="doc_id", score="$distance"))
+    return df.select("doc_id", F.round(-F.col("score"), 4).alias("score"))
+
+
+@q("text_contains",
+   "SELECT doc_id FROM documents WHERE text LIKE '%window%'")
+def text_contains(spark, sf_dir):
+    return engine_for(spark, sf_dir).run(
+        g().n("documents").where(P.contains("text", "window"))
+        .values("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# 6. deduplication (training-data pipeline)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@q("dedup_exact_groups",
+   "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
+   "AS digest, min(doc_id) AS keep_id, count(*) AS n_copies "
+   "FROM documents GROUP BY 1")
+def dedup_exact_groups(spark, sf_dir):
+    from .operators.dedup import exact_dedup_groups
+    return exact_dedup_groups(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _minhash_oracle() -> str:
+    from .operators.dedup import _PRIME, _perm_constants
+    perms = _perm_constants(64)
+    values = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(perms))
+    bands, rpb = 16, 4
+    slices = ", ".join(
+        f"array_to_string(sig[{b * rpb + 1}:{b * rpb + rpb}], '_')"
+        for b in range(bands))
+    return f"""
+WITH t AS (SELECT doc_id, {_TOK.format(c='text')} AS ts FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLE3}) AS s FROM t),
+h AS (SELECT doc_id, {_H32.format(x='s')} AS hv FROM sh),
+perms(i, a, b) AS (VALUES {values}),
+mins AS (SELECT doc_id, i, min((hv * a + b) % {_PRIME}) AS mv
+         FROM h CROSS JOIN perms GROUP BY 1, 2),
+sig AS (SELECT doc_id, list(mv ORDER BY i) AS sig FROM mins GROUP BY 1),
+banded AS (
+  SELECT doc_id, sig, unnest([{slices}]) AS bkey,
+         unnest(generate_series(0, {bands - 1})) AS band
+  FROM sig),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.bkey = r.bkey
+  WHERE l.doc_id < r.doc_id),
+est AS (
+  SELECT c.a, c.b,
+         len(list_filter([x.sig[i] = y.sig[i]
+                          for i in generate_series(1, 64)], v -> v)) / 64.0
+         AS jaccard_est
+  FROM cand c JOIN sig x ON x.doc_id = c.a JOIN sig y ON y.doc_id = c.b)
+SELECT a, b, jaccard_est FROM est WHERE jaccard_est >= 0.5
+"""
+
+
+@q("dedup_minhash_pairs", _minhash_oracle())
+def dedup_minhash_pairs(spark, sf_dir):
+    from .operators.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_docs(spark, sf_dir), "doc_id", "text",
+                             num_hashes=64, bands=16, shingle_size=3,
+                             threshold=0.5)
+
+
+_SIMHASH_ORACLE = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOK.format(c='text')}) AS term
+              FROM documents),
+h AS (SELECT doc_id, {_H60.format(x='term')} AS hv FROM toks),
+bits AS (
+  SELECT doc_id, i, sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i) ii
+  GROUP BY 1, 2)
+SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT
+       AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+@q("dedup_simhash_fingerprints", _SIMHASH_ORACLE)
+def dedup_simhash_fingerprints(spark, sf_dir):
+    from .operators.dedup import simhash64
+    return simhash64(_docs(spark, sf_dir), "doc_id", "text")
+
+
+_NGRAM_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOK.format(c='text')} AS ts FROM documents),
+sh AS (SELECT doc_id, {_SHINGLE3} AS s FROM t),
+e AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, l.n AS na, r.n AS nb,
+         count(*) AS i
+  FROM e l JOIN e r ON l.g = r.g AND l.doc_id < r.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT a, b, i / (na + nb - i) AS jaccard
+FROM inter WHERE i / (na + nb - i) >= 0.5
+"""
+
+
+@q("dedup_ngram_jaccard_pairs", _NGRAM_ORACLE)
+def dedup_ngram_jaccard_pairs(spark, sf_dir):
+    from .operators.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text",
+                               n=3, threshold=0.5)
+
+
+@q("dedup_embedding_cosine_pairs",
+   "SELECT x.vec_id AS a, y.vec_id AS b, "
+   "round(list_cosine_similarity(x.embedding, y.embedding), 6) AS cosine "
+   "FROM embeddings x JOIN embeddings y ON x.label = y.label "
+   "WHERE x.vec_id < y.vec_id "
+   "AND list_cosine_similarity(x.embedding, y.embedding) >= 0.5")
+def dedup_embedding_cosine_pairs(spark, sf_dir):
+    from .operators.similarity import cosine_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = cosine_pairs(emb, "vec_id", "embedding", threshold=0.5,
+                         block_col="label")
+    return pairs.select("a", "b", F.round("cosine", 6).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# 7. text analysis
+# ---------------------------------------------------------------------------
+
+
+_STATS_ORACLE = f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len({_TOK.format(c='text')})::BIGINT AS n_tokens,
+       round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '',
+           'g')))::DOUBLE / greatest(length(text), 1), 6) AS punct_ratio,
+       round((length(text) - length(regexp_replace(text, '[0-9]', '',
+           'g')))::DOUBLE / greatest(length(text), 1), 6) AS digit_ratio,
+       md5(array_to_string(list_sort(list_distinct(
+           {_TOK.format(c='text')})), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+@q("text_doc_stats", _STATS_ORACLE)
+def text_doc_stats(spark, sf_dir):
+    from .operators.textstats import doc_stats
+    return doc_stats(_docs(spark, sf_dir), "doc_id", "text").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "punct_ratio", "digit_ratio", "fingerprint")
+
+
+def _lang_oracle() -> str:
+    from .operators.textstats import LANG_STOPWORDS
+    hit_cols = []
+    for lang in sorted(LANG_STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        hit_cols.append(
+            f"len(list_filter(ts, t -> list_contains([{words}], t))) "
+            f"AS h_{lang}")
+    hits = ", ".join(hit_cols)
+    langs = sorted(LANG_STOPWORDS)
+    m = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    case = f"CASE WHEN {m} <= 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN h_{lang} = {m} THEN '{lang}' "
+    case += "END"
+    return f"""
+WITH t AS (SELECT doc_id, {_TOK.format(c='text')} AS ts FROM documents),
+h AS (SELECT doc_id, {hits} FROM t)
+SELECT doc_id, {case} AS lang_pred FROM h
+"""
+
+
+@q("text_language_id", _lang_oracle())
+def text_language_id(spark, sf_dir):
+    from .operators.textstats import detect_language
+    return _docs(spark, sf_dir).select(
+        "doc_id", detect_language(F.col("text")).alias("lang_pred"))
+
+
+@q("text_token_count_total",
+   f"SELECT sum(len({_TOK.format(c='text')}))::BIGINT AS total_tokens, "
+   "count(*) AS n_docs FROM documents")
+def text_token_count_total(spark, sf_dir):
+    from .operators.textstats import token_count
+    return _docs(spark, sf_dir).agg(
+        F.sum(token_count(F.col("text"))).cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# 8. multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@q("multimodal_frame_plan",
+   "SELECT doc_id AS media_id, unnest([i * 5000 for i in generate_series(0, "
+   "greatest(floor(length(text) * 100 / 5000), 1)::BIGINT - 1)])::BIGINT "
+   "AS frame_ts_ms FROM documents WHERE doc_id % 2 = 0")
+def multimodal_frame_plan(spark, sf_dir):
+    from .operators.multimodal import frame_sample_plan, synth_media_from_text
+    media = synth_media_from_text(_docs(spark, sf_dir), "doc_id", "text",
+                                  media_type="image")
+    media = media.withColumn(
+        "media_type", F.when(F.col("media_id") % 2 == 0, "video")
+        .otherwise("image"))
+    return frame_sample_plan(media, every_ms=5000)
+
+
+@q("multimodal_features")  # pandas-UDF stub features: rows-only check
+def multimodal_features(spark, sf_dir):
+    from .operators.multimodal import extract_features, synth_media_from_text
+    media = synth_media_from_text(_docs(spark, sf_dir), "doc_id", "text")
+    feats = extract_features(media)
+    return feats.select(F.col("media_id"),
+                        F.size("features").alias("dim"),
+                        F.round(F.element_at("features", 1), 6).alias("f0"))
+
+
+# ---------------------------------------------------------------------------
+# 9. write path
+# ---------------------------------------------------------------------------
+
+
+@q("write_batch_adds",
+   "SELECT CAST(3 AS BIGINT) AS n_nodes, CAST(2 AS BIGINT) AS n_edges, "
+   "CAST(2 AS BIGINT) AS n_out")
+def write_batch_adds(spark, sf_dir):
+    from .catalog import GraphCatalog
+    cat = GraphCatalog(spark)
+    cat.add_nodes("user", spark.createDataFrame(
+        [(1, "alice")], "k long, name string"), key_col="k")
+    eng = HelixSparkEngine(cat)
+    out = eng.execute_batch(
+        dsl.write_batch()
+        .var_as("bob", g().add_n("user", name="bob"))
+        .var_as("carol", g().add_n("user", name="carol", vip=True))
+        .var_as("e1", g().n("user").where(P.eq("name", "alice"))
+                .add_e("knows", to="bob"))
+        .var_as("e2", g().n("user").where(P.eq("name", "alice"))
+                .add_e("knows", to="carol"))
+        .var_as("res", g().n("user").where(P.eq("name", "alice"))
+                .out("knows").count())
+        .var_as("nn", g().n("user").count())
+        .var_as("ne", g().e("knows").count())
+        .returning("res", "nn", "ne"))
+    return (out["nn"].select(F.col("count").alias("n_nodes"))
+            .crossJoin(out["ne"].select(F.col("count").alias("n_edges")))
+            .crossJoin(out["res"].select(F.col("count").alias("n_out"))))
+
+
+# ---------------------------------------------------------------------------
+# driver contract surface
+# ---------------------------------------------------------------------------
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: 2-hop traversal + group_count on sf0.001."""
+    return two_hop_regions(spark, "/root/testdata/sf0.001")
+
+
+def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> Dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items()
+            if sql is not None}
+

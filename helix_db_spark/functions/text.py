@@ -7,7 +7,7 @@ documented so oracle SQL can reproduce it exactly
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT = "[^a-z0-9]+"
@@ -19,25 +19,71 @@ def tokens(text: Column) -> Column:
 
 
 def char_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct n-grams of the whitespace-normalized lowercase text."""
+    """Distinct n-grams of the whitespace-normalized lowercase text.
+    Texts shorter than n yield an empty array (guard: Spark's sequence()
+    DESCENDS when start > stop, so an unguarded sequence would fabricate
+    bogus indices)."""
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - F.lit(n - 1), F.lit(0)))
-    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(n))))
+    last = F.length(norm) - F.lit(n - 1)
+    idx = F.sequence(F.lit(1), last)
+    grams = F.transform(idx, lambda i: norm.substr(i, F.lit(n)))
+    return F.when(last >= 1, F.array_distinct(grams)) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+def shingles_from_tokens(toks: Column, n: int = 2) -> Column:
+    """Distinct word n-grams from an ALREADY-MATERIALIZED token array
+    column. Callers must pass a real column (not an inline tokens(text)
+    expression): higher-order functions block common-subexpression
+    elimination, so an inline expression would re-run the tokenizer regex
+    once per shingle (~50x slowdown measured)."""
+    last = F.size(toks) - F.lit(n)
+    idx = F.sequence(F.lit(0), last)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.when(last >= 0, F.array_distinct(grams)) \
+        .otherwise(F.array().cast("array<string>"))
 
 
 def token_shingles(text: Column, n: int = 2) -> Column:
-    """Distinct word n-grams."""
-    toks = tokens(text)
-    cnt = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(cnt - F.lit(n), F.lit(-1)))
-    return F.array_distinct(F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+    """Distinct word n-grams; fewer than n tokens => empty array.
+    Prefer tokens() into a materialized column + shingles_from_tokens()
+    in hot paths (see that function's note)."""
+    return shingles_from_tokens(tokens(text), n)
+
+
+def shingle_rows(df: DataFrame, id_col: str, text_col: str,
+                 n: int = 3) -> DataFrame:
+    """DISTINCT word n-gram rows (id, _s) — the hot-path shingle shape.
+
+    posexplode evaluates the tokenizer ONCE per document (generators do not
+    re-evaluate their child), then window lead() assembles n-grams. Avoids
+    higher-order functions entirely: Catalyst's CollapseProject re-inlines
+    expressions into lambda bodies, which re-ran the tokenizer regex per
+    shingle (~50x slowdown measured at sf0.1).
+    """
+    toks = df.select(F.col(id_col),
+                     F.posexplode(tokens(F.col(text_col))).alias("_p", "_t"))
+    w = Window.partitionBy(id_col).orderBy("_p")
+    parts = [F.col("_t")] + [F.lead("_t", k).over(w) for k in range(1, n)]
+    last = parts[-1]
+    sh = toks.select(F.col(id_col),
+                     F.concat_ws(" ", *parts).alias("_s"),
+                     last.isNotNull().alias("_ok"))
+    return sh.filter("_ok").drop("_ok").dropDuplicates([id_col, "_s"])
 
 
 def md5_long(col: Column) -> Column:
     """Deterministic 60-bit hash from md5 — reproducible in DuckDB as
     CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)."""
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10) \
+        .cast("long")
+
+
+def md5_long32(col: Column) -> Column:
+    """32-bit md5-derived hash: safe to multiply by 31-bit constants without
+    long overflow (ANSI mode). DuckDB: CAST(('0x' || substr(md5(x), 1, 8))
+    AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10) \
         .cast("long")
 
 

@@ -1,0 +1,290 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+Five families, all deterministic (md5-derived hashing, fixed permutation
+constants) so results are reproducible across engines and runs:
+
+- exact:       hash-groupBy on content digest. One shuffle, fully scalable.
+- MinHash+LSH: shingle -> K universal-hash minima -> banded signature ->
+               bucket self-join for candidates -> exact Jaccard verify.
+               The classic near-dup path at corpus scale (band join replaces
+               the quadratic all-pairs comparison).
+- SimHash:     64-bit weighted-bit fingerprint; near-dups = small Hamming
+               distance, blocked by 16-bit chunks (pigeonhole: hamming<=3
+               guarantees one of 4 chunks matches exactly).
+- n-gram Jaccard: exact set overlap via shingle-explode + shared-shingle
+               join (skips pairs with zero overlap entirely).
+- embedding cosine: operators/similarity.py (cosine_pairs / LSH blocks).
+
+Every shuffle here is on a derived key (digest/band/chunk) — uniformly
+distributed by construction, so no skew at 100 TB; the explode-join paths
+scale with shared-shingle counts, bounded by band/chunk blocking.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import char_shingles, md5_long, md5_long32, \
+    shingle_rows, shingles_from_tokens, token_shingles, tokens
+
+# fixed universal-hash prime: with 32-bit inputs and 31-bit multipliers,
+# a*h + b < 2^63 — no long overflow under ANSI mode, and the exact same
+# arithmetic runs in DuckDB BIGINT for oracle parity.
+_PRIME = (1 << 61) - 1
+
+
+def _perm_constants(num: int):
+    """Deterministic (a, b) pairs (31-bit, a odd) from a tiny LCG — no RNG
+    import, reproducible anywhere (incl. SQL oracles)."""
+    out = []
+    a, b = 1103515245, 12345
+    x = 1
+    for _ in range(num):
+        x = (a * x + b) % (1 << 31)
+        aa = (2 * x + 1) % (1 << 31)
+        x = (a * x + b) % (1 << 31)
+        bb = x
+        out.append((aa, bb))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def content_digest(text_col) -> "F.Column":
+    """Digest of whitespace-normalized lowercase content."""
+    norm = F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(digest, keep_id, n_copies) per distinct content; keep = min id."""
+    return (df.select(content_digest(F.col(text_col)).alias("digest"),
+                      F.col(id_col))
+              .groupBy("digest")
+              .agg(F.min(id_col).alias("keep_id"),
+                   F.count(F.lit(1)).alias("n_copies")))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Rows surviving exact dedup (min id per content digest)."""
+    keep = exact_dedup_groups(df, id_col, text_col) \
+        .select(F.col("keep_id").alias(id_col))
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str,
+                  n: int, use_tokens: bool) -> DataFrame:
+    """(id, _sh: array<string>) with the tokenizer materialized into a real
+    column first — see shingles_from_tokens() for why."""
+    if use_tokens:
+        base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+        return base.select(F.col(id_col),
+                           shingles_from_tokens(F.col("_tk"), n).alias("_sh"))
+    return df.select(F.col(id_col),
+                     char_shingles(F.col(text_col), n).alias("_sh"))
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = 64, shingle_size: int = 3,
+                       use_tokens: bool = True) -> DataFrame:
+    """(id, sig: array<long>[num_hashes]) — min over shingles of
+    (a * md5_long(shingle) + b) mod p per permutation.
+
+    One explode + one groupBy; signature aggregation is a partial-aggregable
+    min, so it map-side combines.
+    """
+    if use_tokens:
+        ex = shingle_rows(df, id_col, text_col, shingle_size)
+    else:
+        sh = _shingle_sets(df, id_col, text_col, shingle_size, use_tokens)
+        ex = sh.select(F.col(id_col), F.explode("_sh").alias("_s"))
+    # materialize the md5-derived hash ONCE per shingle — each of the
+    # num_hashes aggregates below reuses the column instead of re-hashing
+    exploded = ex.select(F.col(id_col), md5_long32(F.col("_s")).alias("_h"))
+    h = F.col("_h")
+    aggs = []
+    for i, (a, b) in enumerate(_perm_constants(num_hashes)):
+        aggs.append(F.min((h * F.lit(a) + F.lit(b)) % F.lit(_PRIME))
+                    .alias(f"_m{i}"))
+    sigs = exploded.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      num_hashes: int = 64, bands: int = 16,
+                      shingle_size: int = 3,
+                      threshold: float = 0.7) -> DataFrame:
+    """Candidate pairs via banded LSH, verified with estimated Jaccard
+    (= fraction of matching minhashes). Returns (a, b, jaccard_est)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes,
+                              shingle_size).persist()
+    # band key = joined signature slice (engine-agnostic: reproducible in
+    # any SQL dialect, unlike murmur/xxhash). Uniform by construction.
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[
+            F.concat_ws("_", *[F.col("sig")[b * rows_per_band + r]
+                               for r in range(rows_per_band)])
+            for b in range(bands)])).alias("band", "bkey"))
+    # candidate join carries only ids — the 64-long signatures join back
+    # AFTER pair dedup, so the band shuffle stays narrow.
+    left = banded.select(F.col(id_col).alias("a"), "band", "bkey")
+    right = banded.select(F.col(id_col).alias("b"), "band", "bkey")
+    cands = (left.join(right, on=["band", "bkey"])
+                 .filter(F.col("a") < F.col("b"))
+                 .select("a", "b")
+                 .dropDuplicates(["a", "b"]))
+    cands = (cands
+             .join(sigs.select(F.col(id_col).alias("a"),
+                               F.col("sig").alias("_sa")), on="a")
+             .join(sigs.select(F.col(id_col).alias("b"),
+                               F.col("sig").alias("_sb")), on="b"))
+    matches = F.size(F.filter(
+        F.zip_with(F.col("_sa"), F.col("_sb"), lambda x, y: x == y),
+        lambda m: m))
+    est = matches / F.lit(float(num_hashes))
+    return (cands.withColumn("jaccard_est", est)
+                 .filter(F.col("jaccard_est") >= threshold)
+                 .select("a", "b", "jaccard_est"))
+
+
+def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
+                  threshold: float = 0.7, **kw) -> DataFrame:
+    """Rows surviving near-dedup: connected near-dup pairs collapse to the
+    min id (single-link via one union-find pass over pairs — pairs pull to
+    their smaller endpoint iteratively; adequate for shallow dup clusters)."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, threshold=threshold, **kw)
+    # map every b to min(a) over its pairs, then drop mapped ids
+    drop = pairs.groupBy("b").agg(F.min("a").alias("_root")) \
+                .select(F.col("b").alias(id_col))
+    return df.join(drop, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) — 64-bit fingerprint: bit i = sign of sum over tokens
+    of (+1 if bit i of md5_long(token) else -1), tf-weighted.
+
+    Pure built-ins: explode tokens -> per-(doc, bit) contribution via a
+    64-element transform -> single groupBy with 64 sum aggregates.
+    """
+    from ..functions.text import tokens
+
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens(F.col(text_col))).alias("_t"))
+    h = md5_long(F.col("_t"))
+    aggs = []
+    for i in range(60):  # md5_long yields 60 usable bits
+        bit = F.shiftright(h, i).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(bit * 2 - 1).alias(f"_b{i}"))
+    sums = toks.groupBy(id_col).agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for i in range(60):
+        fp = fp + F.when(F.col(f"_b{i}") > 0,
+                         F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
+                  max_hamming: int = 3) -> DataFrame:
+    """(a, b, hamming) for pairs with hamming(simhash) <= max_hamming.
+    Blocking: split 60 bits into 4 x 15-bit chunks; hamming<=3 implies at
+    least one chunk is identical (pigeonhole), so the self-join runs per
+    chunk value instead of all-pairs."""
+    fps = simhash64(df, id_col, text_col)
+    chunks = fps.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("simhash"), i * 15).bitwiseAND(F.lit((1 << 15) - 1))
+            for i in range(4)])).alias("chunk", "ckey"))
+    left = chunks.select(F.col(id_col).alias("a"),
+                         F.col("simhash").alias("_fa"), "chunk", "ckey")
+    right = chunks.select(F.col(id_col).alias("b"),
+                          F.col("simhash").alias("_fb"), "chunk", "ckey")
+    cands = (left.join(right, on=["chunk", "ckey"])
+                 .filter(F.col("a") < F.col("b"))
+                 .dropDuplicates(["a", "b"]))
+    ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
+    return (cands.withColumn("hamming", ham.cast("int"))
+                 .filter(F.col("hamming") <= max_hamming)
+                 .select("a", "b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.5,
+                        use_tokens: bool = True) -> DataFrame:
+    """Exact Jaccard over distinct n-gram shingles, PPJoin-style.
+
+    Prefix filtering (exact, no false negatives): order each document's
+    shingles by global rarity (df asc, shingle asc); a pair with
+    J >= t must share a shingle within each side's first
+    |A| - ceil(t*|A|) + 1 shingles. Candidate pairs come from joining
+    ONLY those prefixes (tiny vs. the full explode-join), then Jaccard is
+    verified exactly with array_intersect on the full shingle sets.
+    Returns (a, b, jaccard)."""
+    if use_tokens:
+        ex = shingle_rows(df, id_col, text_col, n) \
+            .withColumnRenamed(id_col, "_doc")
+        sets = ex.groupBy("_doc").agg(
+            F.collect_list("_s").alias("_sh"),
+            F.count(F.lit(1)).alias("_size")).persist()
+        exploded = ex.join(sets.select("_doc", "_size"), on="_doc")
+    else:
+        sets = _shingle_sets(df, id_col, text_col, n, use_tokens) \
+            .withColumnRenamed(id_col, "_doc") \
+            .withColumn("_size", F.size("_sh")) \
+            .filter(F.col("_size") > 0).persist()
+        exploded = sets.select("_doc", "_size", F.explode("_sh").alias("_s"))
+    freq = exploded.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    # rank shingles within each doc by (global df, shingle); prefix length
+    # L = size - ceil(t*size) + 1
+    ranked = exploded.join(freq, on="_s").withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy("_doc").orderBy(F.col("_df").asc(),
+                                               F.col("_s").asc())))
+    prefix_len = (F.col("_size") -
+                  F.ceil(F.lit(threshold) * F.col("_size")) + 1)
+    prefix = ranked.filter(F.col("_rk") <= prefix_len).select("_doc", "_s")
+
+    left = prefix.select(F.col("_doc").alias("a"), "_s")
+    right = prefix.select(F.col("_doc").alias("b"), "_s")
+    cands = (left.join(right, on="_s")
+                 .filter(F.col("a") < F.col("b"))
+                 .select("a", "b")
+                 .dropDuplicates(["a", "b"]))
+    paired = (cands
+              .join(sets.select(F.col("_doc").alias("a"),
+                                F.col("_sh").alias("_sha"),
+                                F.col("_size").alias("_na")), on="a")
+              .join(sets.select(F.col("_doc").alias("b"),
+                                F.col("_sh").alias("_shb"),
+                                F.col("_size").alias("_nb")), on="b"))
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    jac = inter / (F.col("_na") + F.col("_nb") - inter)
+    return (paired.withColumn("jaccard", jac)
+                  .filter(F.col("jaccard") >= threshold)
+                  .select("a", "b", "jaccard"))

@@ -1,0 +1,119 @@
+"""Text analysis operators: quality scoring, language ID, token counting,
+document fingerprinting.
+
+All pure built-in column expressions (whole-stage codegen); the tokenizer
+and every ratio are defined precisely enough to reproduce in oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+# Tiny built-in stopword profiles for the n-gram/stopword-ratio language
+# heuristic. Deliberately small + documented: language ID here is a cheap
+# first-pass filter, not a model.
+LANG_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "del", "se"),
+    "de": ("der", "die", "und", "das", "ist", "von", "mit", "den", "im", "zu"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "est", "que"),
+}
+
+STOPWORDS_EN = LANG_STOPWORDS["en"] + (
+    "on", "with", "as", "was", "at", "by", "an", "be", "this", "are")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace-ish token count (the tokenizer's split)."""
+    return F.size(tokens(text))
+
+
+def punct_ratio(text: Column) -> Column:
+    total = F.greatest(F.length(text), F.lit(1))
+    punct = F.length(text) - F.length(
+        F.regexp_replace(text, r"[^\w\s]", ""))
+    return punct / total
+
+
+def digit_ratio(text: Column) -> Column:
+    total = F.greatest(F.length(text), F.lit(1))
+    digits = F.length(text) - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    return digits / total
+
+
+def _hits(toks: Column, words) -> Column:
+    """Occurrence count of tokens found in a literal word list."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def stopword_ratio(text: Column, stopwords=STOPWORDS_EN) -> Column:
+    toks = tokens(text)
+    return _hits(toks, stopwords) / F.greatest(F.size(toks), F.lit(1))
+
+
+def unique_token_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    return F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_token_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """[0, 1] heuristic quality: length sweet-spot, low punct/digit noise,
+    healthy stopword presence, low repetition. Weights documented inline."""
+    n_tok = token_count(text)
+    length_term = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    noise_term = F.lit(1.0) - F.least(
+        (punct_ratio(text) + digit_ratio(text)) * 2, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text) * 4, F.lit(1.0))
+    rep_term = unique_token_ratio(text)
+    return (length_term * 0.25 + noise_term * 0.25 +
+            stop_term * 0.25 + rep_term * 0.25)
+
+
+def detect_language(text: Column) -> Column:
+    """argmax over LANG_STOPWORDS profiles of stopword hit counts;
+    ties and zero hits -> 'und' (undetermined). Deterministic: languages
+    compared in sorted order, strict > to win."""
+    toks = tokens(text)
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in sorted(LANG_STOPWORDS):
+        hits = _hits(toks, LANG_STOPWORDS[lang])
+        take = hits > best_hits
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(take, hits).otherwise(best_hits)
+    return best_lang
+
+
+def fingerprint(text: Column) -> Column:
+    """Stable document fingerprint: md5 of the sorted distinct token set
+    (word-order / whitespace / case insensitive)."""
+    toks = F.array_join(F.array_sort(F.array_distinct(tokens(text))), " ")
+    return F.md5(toks)
+
+
+def doc_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per document with the full stats vector."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        token_count(t).alias("n_tokens"),
+        F.round(mean_token_length(t), 6).alias("mean_token_len"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(digit_ratio(t), 6).alias("digit_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(unique_token_ratio(t), 6).alias("unique_token_ratio"),
+        F.round(quality_score(t), 6).alias("quality"),
+        detect_language(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -1,0 +1,205 @@
+"""Dedup / text-analysis / multimodal / similarity operator tests."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import SF_DIR, assert_same
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _docs_with_dups(spark):
+    """Documents plus planted near/exact duplicates (ids shifted +100000)."""
+    base = _docs(spark)
+    exact = base.limit(5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.col("text"), F.col("lang"), F.col("source"), F.col("n_chars"))
+    near = base.filter(F.col("doc_id").between(10, 14)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+        F.col("lang"), F.col("source"), F.col("n_chars"))
+    return base.unionByName(exact).unionByName(near)
+
+
+def test_exact_dedup(spark, oracle):
+    from helix_db_spark.operators.dedup import exact_dedup, exact_dedup_groups
+
+    df = _docs_with_dups(spark)
+    groups = exact_dedup_groups(df, "doc_id", "text")
+    assert groups.count() == 505  # 500 distinct + 5 planted variants
+    survivors = exact_dedup(df, "doc_id", "text")
+    assert survivors.count() == 505
+    # every original doc survives; the 5 exact copies are dropped
+    assert survivors.filter(F.col("doc_id").between(100000, 100010)).count() == 0
+
+    # oracle parity for the digest itself
+    assert_same(
+        exact_dedup_groups(_docs(spark), "doc_id", "text"),
+        oracle.sql(
+            "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
+            "AS digest, min(doc_id) AS keep_id, count(*) AS n_copies "
+            "FROM documents GROUP BY 1"))
+
+
+def test_minhash_finds_planted_dups(spark):
+    from helix_db_spark.operators.dedup import minhash_lsh_pairs
+
+    df = _docs_with_dups(spark)
+    pairs = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    # each exact copy must pair with its source (jaccard 1.0)
+    for i in range(5):
+        assert any(a == i and b == i + 100000 for a, b in got), (i, got)
+    # near copies (one appended token) should also surface
+    near_hits = sum(1 for a, b in got if b == a + 200000)
+    assert near_hits >= 4
+
+
+def test_minhash_dedup_survivors(spark):
+    from helix_db_spark.operators.dedup import minhash_dedup
+
+    df = _docs_with_dups(spark)
+    kept = minhash_dedup(df, "doc_id", "text", threshold=0.9)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert all(i + 100000 not in ids for i in range(5))
+    assert all(i in ids for i in range(5))  # originals kept
+
+
+def test_simhash_hamming(spark):
+    from helix_db_spark.operators.dedup import simhash64, simhash_pairs
+
+    df = _docs_with_dups(spark)
+    fps = {r["doc_id"]: r["simhash"]
+           for r in simhash64(df, "doc_id", "text").collect()}
+    for i in range(5):  # identical text => identical simhash
+        assert fps[i] == fps[i + 100000]
+    pairs = simhash_pairs(df, "doc_id", "text", max_hamming=3)
+    got = {(r["a"], r["b"]): r["hamming"] for r in pairs.collect()}
+    for i in range(5):
+        assert got.get((i, i + 100000)) == 0
+
+
+def test_ngram_jaccard(spark):
+    from helix_db_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = _docs_with_dups(spark)
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.8)
+    got = {(r["a"], r["b"]): r["jaccard"] for r in pairs.collect()}
+    for i in range(5):
+        assert math.isclose(got[(i, i + 100000)], 1.0)
+
+
+def test_ngram_jaccard_matches_python(spark):
+    """Exact Jaccard cross-checked against a straight python computation."""
+    from helix_db_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = _docs(spark).limit(40)
+    rows = {r["doc_id"]: r["text"] for r in df.collect()}
+
+    import re
+
+    def shingles(t, n=3):
+        toks = [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+        return {" ".join(toks[i:i + n]) for i in range(max(len(toks) - n + 1, 0))}
+
+    expected = {}
+    items = sorted(rows)
+    for i, a in enumerate(items):
+        for b in items[i + 1:]:
+            sa, sb = shingles(rows[a]), shingles(rows[b])
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.2:
+                expected[(a, b)] = j
+    got = {(r["a"], r["b"]): r["jaccard"] for r in
+           ngram_jaccard_pairs(df, "doc_id", "text", n=3,
+                               threshold=0.2).collect()}
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert math.isclose(got[k], v, rel_tol=1e-9)
+
+
+def test_doc_stats_oracle(spark, oracle):
+    from helix_db_spark.operators.textstats import doc_stats
+
+    df = doc_stats(_docs(spark), "doc_id", "text") \
+        .select("doc_id", "n_chars", "n_tokens", "punct_ratio", "fingerprint")
+    assert_same(df, oracle.sql("""
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(list_filter(regexp_split_to_array(lower(text),
+                   '[^a-z0-9]+'), x -> x <> '')) AS n_tokens,
+               round((length(text) - length(regexp_replace(text,
+                   '[^\\w\\s]', '', 'g')))::DOUBLE /
+                   greatest(length(text), 1), 6) AS punct_ratio,
+               md5(array_to_string(list_sort(list_distinct(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                   x -> x <> ''))), ' ')) AS fingerprint
+        FROM documents"""))
+
+
+def test_quality_and_lang(spark):
+    from helix_db_spark.operators.textstats import doc_stats
+
+    stats = doc_stats(_docs(spark), "doc_id", "text")
+    rows = stats.collect()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in rows)
+    assert all(r["lang_pred"] in ("en", "es", "de", "fr", "und")
+               for r in rows)
+
+
+def test_multimodal_plumbing(spark):
+    from helix_db_spark.operators.multimodal import (
+        FEATURE_DIM, extract_features, frame_sample_plan, resize_meta,
+        synth_media_from_text)
+
+    media = synth_media_from_text(_docs(spark).limit(20), "doc_id", "text")
+    media = media.withColumn("media_type",
+                             F.when(F.col("media_id") % 2 == 0, "video")
+                             .otherwise("image"))
+    feats = extract_features(media)
+    rows = feats.select("media_id", "features").collect()
+    assert all(len(r["features"]) == FEATURE_DIM for r in rows)
+    # deterministic: same bytes -> same features on recompute
+    rows2 = extract_features(media).select("media_id", "features").collect()
+    assert {r["media_id"]: r["features"] for r in rows} == \
+           {r["media_id"]: r["features"] for r in rows2}
+
+    rs = resize_meta(media, max_side=128).select(
+        "media_id", "target_width", "target_height").collect()
+    assert all(max(r["target_width"], r["target_height"]) <= 128 for r in rs)
+
+    plan = frame_sample_plan(media, every_ms=5000)
+    assert plan.count() > 0
+    assert plan.columns == ["media_id", "frame_ts_ms"]
+
+
+def test_decode_stub_raises(spark):
+    from helix_db_spark.operators.multimodal import decode_image, \
+        synth_media_from_text
+
+    media = synth_media_from_text(_docs(spark).limit(1), "doc_id", "text")
+    with pytest.raises(NotImplementedError):
+        decode_image(media)
+
+
+def test_cosine_pairs_blocked(spark, oracle):
+    from helix_db_spark.operators.similarity import cosine_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pairs = cosine_pairs(emb, "vec_id", "embedding", threshold=0.5,
+                         block_col="label")
+    assert_same(
+        pairs.select("a", "b", F.round("cosine", 6).alias("cosine")),
+        oracle.sql("""
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   round(list_cosine_similarity(x.embedding, y.embedding), 6)
+                   AS cosine
+            FROM embeddings x JOIN embeddings y ON x.label = y.label
+            WHERE x.vec_id < y.vec_id
+              AND list_cosine_similarity(x.embedding, y.embedding) >= 0.5"""))
