@@ -52,8 +52,10 @@ def token_shingles(text: Column, n: int = 2) -> Column:
 
 
 def shingle_rows(df: DataFrame, id_col: str, text_col: str,
-                 n: int = 3) -> DataFrame:
-    """DISTINCT word n-gram rows (id, _s) — the hot-path shingle shape.
+                 n: int = 3, distinct: bool = True) -> DataFrame:
+    """Word n-gram rows (id, _s) — the hot-path shingle shape (DISTINCT per
+    doc unless ``distinct=False``; pass False when the consumer is
+    idempotent over duplicates, e.g. a min-aggregate, to skip a shuffle).
 
     posexplode evaluates the tokenizer ONCE per document (generators do not
     re-evaluate their child), then window lead() assembles n-grams. Avoids
@@ -69,7 +71,8 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str,
     sh = toks.select(F.col(id_col),
                      F.concat_ws(" ", *parts).alias("_s"),
                      last.isNotNull().alias("_ok"))
-    return sh.filter("_ok").drop("_ok").dropDuplicates([id_col, "_s"])
+    out = sh.filter("_ok").drop("_ok")
+    return out.dropDuplicates([id_col, "_s"]) if distinct else out
 
 
 def md5_long(col: Column) -> Column:

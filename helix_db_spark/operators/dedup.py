@@ -105,7 +105,9 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     min, so it map-side combines.
     """
     if use_tokens:
-        ex = shingle_rows(df, id_col, text_col, shingle_size)
+        # distinct=False: min() is idempotent over duplicate shingles, so
+        # the per-doc dedup shuffle would be pure waste.
+        ex = shingle_rows(df, id_col, text_col, shingle_size, distinct=False)
     else:
         sh = _shingle_sets(df, id_col, text_col, shingle_size, use_tokens)
         ex = sh.select(F.col(id_col), F.explode("_sh").alias("_s"))
@@ -251,13 +253,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         sets = ex.groupBy("_doc").agg(
             F.collect_list("_s").alias("_sh"),
             F.count(F.lit(1)).alias("_size")).persist()
-        exploded = ex.join(sets.select("_doc", "_size"), on="_doc")
     else:
         sets = _shingle_sets(df, id_col, text_col, n, use_tokens) \
             .withColumnRenamed(id_col, "_doc") \
             .withColumn("_size", F.size("_sh")) \
             .filter(F.col("_size") > 0).persist()
-        exploded = sets.select("_doc", "_size", F.explode("_sh").alias("_s"))
+    # derive the exploded view from the PERSISTED sets — re-deriving it from
+    # the raw shingle pipeline would recompute tokenization + the n-gram
+    # window for every downstream branch (freq, ranked), ~3x the work.
+    exploded = sets.select("_doc", "_size", F.explode("_sh").alias("_s"))
     freq = exploded.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
     # rank shingles within each doc by (global df, shingle); prefix length
     # L = size - ceil(t*size) + 1
@@ -268,12 +272,20 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                                                F.col("_s").asc())))
     prefix_len = (F.col("_size") -
                   F.ceil(F.lit(threshold) * F.col("_size")) + 1)
-    prefix = ranked.filter(F.col("_rk") <= prefix_len).select("_doc", "_s")
+    prefix = ranked.filter(F.col("_rk") <= prefix_len) \
+                   .select("_doc", "_s", "_size")
 
-    left = prefix.select(F.col("_doc").alias("a"), "_s")
-    right = prefix.select(F.col("_doc").alias("b"), "_s")
+    # length filter (exact): J(A,B) >= t requires |A∩B| >= t·(|A|+|B|−|A∩B|)
+    # and |A∩B| <= min(|A|,|B|), hence t·|A| <= |B| <= |A|/t. Applied inside
+    # the prefix join it prunes incompatible-size pairs before the verify.
+    left = prefix.select(F.col("_doc").alias("a"), "_s",
+                         F.col("_size").alias("_la"))
+    right = prefix.select(F.col("_doc").alias("b"), "_s",
+                          F.col("_size").alias("_lb"))
     cands = (left.join(right, on="_s")
-                 .filter(F.col("a") < F.col("b"))
+                 .filter((F.col("a") < F.col("b"))
+                         & (F.col("_lb") >= F.lit(threshold) * F.col("_la"))
+                         & (F.col("_la") >= F.lit(threshold) * F.col("_lb")))
                  .select("a", "b")
                  .dropDuplicates(["a", "b"]))
     paired = (cands

@@ -25,6 +25,10 @@ _DEFAULTS = {
     # Arrow transfer for pandas UDFs (vector math, multimodal decode).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Whole-stage-codegen methods past HotSpot's 8KB JIT cap never get
+    # JIT-compiled and run interpreted (slower than Spark's virtual-function
+    # fallback). Cap matches the JIT so huge generated methods fall back.
+    "spark.sql.codegen.hugeMethodLimit": "8000",
     # Readable timestamps across engines.
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
