@@ -95,12 +95,12 @@ def between_inclusive(spark, sf_dir):
 
 
 @q("string_predicates",
-   "SELECT p_partkey, p_type FROM part WHERE p_type LIKE '%BRUSHED%' "
-   "OR p_type LIKE '%STEEL'")
+   "SELECT p_partkey, p_type FROM part WHERE p_type LIKE '%ECO%' "
+   "OR p_type LIKE '%ALL'")
 def string_predicates(spark, sf_dir):
     return engine_for(spark, sf_dir).run(
-        g().n("part").where(P.or_(P.contains("p_type", "BRUSHED"),
-                                  P.ends_with("p_type", "STEEL")))
+        g().n("part").where(P.or_(P.contains("p_type", "ECO"),
+                                  P.ends_with("p_type", "ALL")))
         .values("p_partkey", "p_type"))
 
 
@@ -298,13 +298,15 @@ def within_semi_join(spark, sf_dir):
 
 @q("without_anti_join",
    "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
-   "(SELECT o_custkey FROM orders)")
+   "(SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)")
 def without_anti_join(spark, sf_dir):
     eng = engine_for(spark, sf_dir)
     out = eng.execute_batch(
         dsl.read_batch()
-        .var_as("buyers", g().n("orders").out("placed_by").dedup())
-        .var_as("res", g().n("customer").without("buyers")
+        .var_as("big_buyers", g().n("orders")
+                .where(P.gt("o_totalprice", 300000.0))
+                .out("placed_by").dedup())
+        .var_as("res", g().n("customer").without("big_buyers")
                 .values("c_custkey"))
         .returning("res"))
     return out["res"]
@@ -527,14 +529,16 @@ def dedup_ngram_jaccard_pairs(spark, sf_dir):
 
 @q("dedup_embedding_cosine_pairs",
    "SELECT x.vec_id AS a, y.vec_id AS b, "
-   "round(list_cosine_similarity(x.embedding, y.embedding), 6) AS cosine "
+   "round(list_cosine_similarity(x.embedding::DOUBLE[], "
+   "y.embedding::DOUBLE[]), 6) AS cosine "
    "FROM embeddings x JOIN embeddings y ON x.label = y.label "
    "WHERE x.vec_id < y.vec_id "
-   "AND list_cosine_similarity(x.embedding, y.embedding) >= 0.5")
+   "AND list_cosine_similarity(x.embedding::DOUBLE[], "
+   "y.embedding::DOUBLE[]) >= 0.35")
 def dedup_embedding_cosine_pairs(spark, sf_dir):
     from .operators.similarity import cosine_pairs
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    pairs = cosine_pairs(emb, "vec_id", "embedding", threshold=0.5,
+    pairs = cosine_pairs(emb, "vec_id", "embedding", threshold=0.35,
                          block_col="label")
     return pairs.select("a", "b", F.round("cosine", 6).alias("cosine"))
 
@@ -666,6 +670,367 @@ def write_batch_adds(spark, sf_dir):
     return (out["nn"].select(F.col("count").alias("n_nodes"))
             .crossJoin(out["ne"].select(F.col("count").alias("n_edges")))
             .crossJoin(out["res"].select(F.col("count").alias("n_out"))))
+
+
+# ---------------------------------------------------------------------------
+# 10. terminals, params-as-bounds, provenance hops
+# ---------------------------------------------------------------------------
+
+
+@q("exists_check",
+   'SELECT count(*) > 0 AS "exists" FROM customer WHERE c_acctbal > 9000.0')
+def exists_check(spark, sf_dir):
+    return engine_for(spark, sf_dir).run(
+        g().n("customer").where(P.gt("c_acctbal", 9000.0)).exists())
+
+
+# Global ids pack (label ordinal << 44) | natural key (catalog.py:39-42);
+# load_graph registers labels in TABLES order, so ordinals are stable:
+# region=1, nation=2, customer=3, ... (sources/tpch.py:30).
+_NATION_ID = "((2::BIGINT << 44) + n_nationkey)"
+_CUST_BASE = 3 << 44
+
+
+@q("group_collect",
+   f"SELECT n_regionkey, list_sort(list({_NATION_ID})) AS ids "
+   "FROM nation GROUP BY n_regionkey")
+def group_collect(spark, sf_dir):
+    return engine_for(spark, sf_dir).run(
+        g().n("nation").group("n_regionkey"))
+
+
+@q("aggregate_min_max",
+   "SELECT round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) "
+   "AS hi FROM orders")
+def aggregate_min_max(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    out = eng.execute_batch(
+        dsl.read_batch()
+        .var_as("lo", g().n("orders").aggregate_by("Min", "o_totalprice"))
+        .var_as("hi", g().n("orders").aggregate_by("Max", "o_totalprice"))
+        .returning("lo", "hi"))
+    return (out["lo"].select(F.round("min", 2).alias("lo"))
+            .crossJoin(out["hi"].select(F.round("max", 2).alias("hi"))))
+
+
+@q("limit_by_param",
+   "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 25")
+def limit_by_param(spark, sf_dir):
+    return engine_for(spark, sf_dir).run(
+        g().n("orders").order_by("o_orderkey").limit(X.param("k"))
+        .values("o_orderkey"), params={"k": 25})
+
+
+@q("other_n_provenance",
+   "SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey "
+   "WHERE c_custkey IN (1, 2, 3)")
+def other_n_provenance(spark, sf_dir):
+    return engine_for(spark, sf_dir).run(
+        g().n("customer", ids=[_CUST_BASE + k for k in (1, 2, 3)])
+        .both_e("in_nation").other_n()
+        .values("n_name"))
+
+
+@q("id_terminal",
+   f"SELECT {_NATION_ID} AS id FROM nation")
+def id_terminal(spark, sf_dir):
+    return engine_for(spark, sf_dir).run(g().n("nation").id_())
+
+
+@q("value_map_props",
+   "SELECT ((1::BIGINT << 44) + r_regionkey) AS id, r_name FROM region")
+def value_map_props(spark, sf_dir):
+    return engine_for(spark, sf_dir).run(
+        g().n("region").value_map("r_name"))
+
+
+# ---------------------------------------------------------------------------
+# 11. batch control flow: ForEach, conditions, repeat emit
+# ---------------------------------------------------------------------------
+
+
+@q("foreach_accumulate",
+   "SELECT CAST(3 AS BIGINT) AS n_events, CAST(60.0 AS DOUBLE) AS total")
+def foreach_accumulate(spark, sf_dir):
+    """Parity-fixture-014 analogue: per-element writes accumulate."""
+    from .catalog import GraphCatalog
+    eng = HelixSparkEngine(GraphCatalog(spark))
+    out = eng.execute_batch(
+        dsl.write_batch()
+        .for_each_param("evts", "made",
+                        g().add_n("ev", name=X.param("name"),
+                                  value=X.param("value")))
+        .var_as("n", g().n("ev").count())
+        .var_as("tot", g().n("ev").aggregate_by("Sum", "value"))
+        .returning("n", "tot"),
+        params={"evts": [{"name": "a", "value": 10.0},
+                         {"name": "b", "value": 20.0},
+                         {"name": "c", "value": 30.0}]})
+    return (out["n"].select(F.col("count").alias("n_events"))
+            .crossJoin(out["tot"].select(F.col("sum").alias("total"))))
+
+
+@q("batch_condition_gate",
+   "SELECT count(*) AS count FROM part WHERE p_size > 45")
+def batch_condition_gate(spark, sf_dir):
+    """var_as_if: gated query runs because the var meets VarMinSize; a
+    second entry gated on VarEmpty is skipped (fixtures 009-011)."""
+    eng = engine_for(spark, sf_dir)
+    out = eng.execute_batch(
+        dsl.read_batch()
+        .var_as("big", g().n("part").where(P.gt("p_size", 45)))
+        .var_as_if("res", dsl.Cond.var_min_size("big", 5),
+                   g().n("part").where(P.gt("p_size", 45)).count())
+        .var_as_if("skipped", dsl.Cond.var_empty("big"),
+                   g().n("part").count())
+        .returning("res"))
+    return out["res"]
+
+
+@q("repeat_emit_frontiers",
+   'SELECT \'nation\' AS "$label", count(*) AS count FROM customer '
+   "WHERE c_custkey BETWEEN 1 AND 10 UNION ALL "
+   "SELECT 'region', count(*) FROM customer "
+   "WHERE c_custkey BETWEEN 1 AND 10")
+def repeat_emit_frontiers(spark, sf_dir):
+    """emit=After: the frontier after each of 2 hops (nations, regions)."""
+    return engine_for(spark, sf_dir).run(
+        g().n("customer", ids=[_CUST_BASE + k for k in range(1, 11)])
+        .repeat(g().out(), times=2, emit="After")
+        .group_count("$label"))
+
+
+# ---------------------------------------------------------------------------
+# 12. write path: updates, cascade deletes
+# ---------------------------------------------------------------------------
+
+
+@q("set_property_update",
+   "SELECT * FROM (VALUES ('alice', 'low'), ('bob', 'high'), "
+   "('carol', 'high')) AS t(name, tier) ORDER BY name")
+def set_property_update(spark, sf_dir):
+    from .catalog import GraphCatalog
+    cat = GraphCatalog(spark)
+    cat.add_nodes("user", spark.createDataFrame(
+        [(1, "alice", 40.0), (2, "bob", 75.0), (3, "carol", 90.0)],
+        "k long, name string, score double"), key_col="k")
+    eng = HelixSparkEngine(cat)
+    out = eng.execute_batch(
+        dsl.write_batch()
+        .var_as("lo", g().n("user").where(P.lt("score", 50.0))
+                .set_property("tier", "low"))
+        .var_as("hi", g().n("user").where(P.gte("score", 50.0))
+                .set_property("tier", "high"))
+        .var_as("res", g().n("user").order_by("name")
+                .values("name", "tier"))
+        .returning("res"))
+    return out["res"]
+
+
+@q("drop_cascade_counts",
+   "SELECT CAST(2 AS BIGINT) AS n_nodes, CAST(1 AS BIGINT) AS n_edges")
+def drop_cascade_counts(spark, sf_dir):
+    """Drop removes the nodes AND their incident edges (dsl.rs:3146-3147)."""
+    from .catalog import GraphCatalog
+    cat = GraphCatalog(spark)
+    cat.add_nodes("user", spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (3, "carol")],
+        "k long, name string"), key_col="k")
+    eng = HelixSparkEngine(cat)
+    out = eng.execute_batch(
+        dsl.write_batch()
+        .var_as("e1", g().n("user").where(P.eq("name", "alice"))
+                .add_e("knows", to=[2]))
+        .var_as("e2", g().n("user").where(P.eq("name", "bob"))
+                .add_e("knows", to=[3]))
+        .var_as("gone", g().n("user").where(P.eq("name", "alice")).drop())
+        .var_as("nn", g().n("user").count())
+        .var_as("ne", g().e("knows").count())
+        .returning("nn", "ne"))
+    return (out["nn"].select(F.col("count").alias("n_nodes"))
+            .crossJoin(out["ne"].select(F.col("count").alias("n_edges"))))
+
+
+# ---------------------------------------------------------------------------
+# 13. simhash pairs, tenant + IVF vector search
+# ---------------------------------------------------------------------------
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH fp AS ({_SIMHASH_ORACLE})
+SELECT x.doc_id AS a, y.doc_id AS b,
+       bit_count(xor(x.simhash, y.simhash)) AS hamming
+FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+"""
+
+
+@q("dedup_simhash_pairs", _SIMHASH_PAIRS_ORACLE)
+def dedup_simhash_pairs(spark, sf_dir):
+    from .operators.dedup import simhash_pairs
+    return simhash_pairs(_docs(spark, sf_dir), "doc_id", "text",
+                         max_hamming=3)
+
+
+@q("tenant_vector_search",
+   "SELECT vec_id, round(1.0 - list_cosine_similarity(embedding, "
+   "(SELECT embedding FROM embeddings WHERE vec_id = 7)), 4) AS distance "
+   "FROM embeddings WHERE label = 3 ORDER BY distance, vec_id LIMIT 5")
+def tenant_vector_search(spark, sf_dir):
+    """Multitenant index: tenant_value partitions the search space
+    (dsl.rs:326-330). Separate engine so the shared engine's index stays
+    single-tenant."""
+    from .catalog import GraphCatalog, IndexEntry
+    key = (sf_dir, "tenant")
+    eng = _ENGINES.get(key)
+    if eng is None or eng.spark is not spark:
+        eng = HelixSparkEngine(load_graph(spark, sf_dir))
+        eng.catalog.create_index(
+            IndexEntry("node_vector", "embeddings", "embedding",
+                       tenant_property="label"), if_not_exists=True)
+        _ENGINES[key] = eng
+    vec = _query_vector(spark, sf_dir)
+    df = eng.run(
+        g().vector_search("embeddings", "embedding", vec, 5, tenant_value=3)
+        .project(vec_id="vec_id", distance="$distance"))
+    return df.select("vec_id", F.round("distance", 4).alias("distance"))
+
+
+_IVF_ORACLE = """
+WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+              FROM embeddings WHERE vec_id % 50 = 0),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+ranked AS (SELECT e.vec_id, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                      1.0 - list_cosine_similarity(e.embedding::DOUBLE[],
+                                                   c.cvec), c.cid) AS rn
+           FROM embeddings e CROSS JOIN cent c),
+asgn AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+probe AS (SELECT cid FROM cent CROSS JOIN q
+          ORDER BY 1.0 - list_cosine_similarity(cvec, qv), cid LIMIT 2)
+SELECT e.vec_id, round(1.0 - list_cosine_similarity(e.embedding::DOUBLE[],
+                                                    qv), 4) AS distance
+FROM embeddings e
+JOIN asgn a ON e.vec_id = a.vec_id
+JOIN probe p ON a.cell = p.cid
+CROSS JOIN q
+ORDER BY distance, e.vec_id LIMIT 5
+"""
+
+
+@q("vector_search_ivf", _IVF_ORACLE)
+def vector_search_ivf(spark, sf_dir):
+    from .operators.similarity import ivf_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vec = _query_vector(spark, sf_dir)
+    out = ivf_topk(emb, "vec_id", "embedding", vec, k=5, nprobe=2,
+                   centroid_every=50)
+    return out.select("vec_id",
+                      F.round("_distance", 4).alias("distance"))
+
+
+# ---------------------------------------------------------------------------
+# 14. event streams (batch view; streaming/ runs the same ops incremental)
+# ---------------------------------------------------------------------------
+
+
+def _events(spark, sf_dir):
+    return read_tables(spark, sf_dir)["events"]
+
+
+@q("events_window_agg",
+   "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, "
+   "event_type, count(*) AS count, round(sum(value), 4) AS total "
+   "FROM events GROUP BY 1, 2")
+def events_window_agg(spark, sf_dir):
+    """Tumbling 1-hour window aggregation (same plan Structured Streaming
+    runs incrementally with a watermark; see streaming/)."""
+    ev = _events(spark, sf_dir)
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+              .agg(F.count(F.lit(1)).alias("count"),
+                   F.round(F.sum("value"), 4).alias("total"))
+              .select(F.unix_timestamp("w.start").alias("window_start"),
+                      "event_type", "count", "total"))
+
+
+@q("events_sessionize",
+   "WITH x AS (SELECT user_id, "
+   "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+   "IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, "
+   "event_id) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events) "
+   "SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions, "
+   "count(*) AS n_events FROM x GROUP BY user_id")
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): lag + cumulative
+    break-flag sum — one shuffle on user_id, scales by key cardinality."""
+    from pyspark.sql import Window
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    brk = F.when(prev.isNull()
+                 | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > 1800),
+                 1).otherwise(0)
+    return (ev.withColumn("_brk", brk)
+              .groupBy("user_id")
+              .agg(F.sum("_brk").cast("long").alias("n_sessions"),
+                   F.count(F.lit(1)).alias("n_events")))
+
+
+# ---------------------------------------------------------------------------
+# 15. more text analysis
+# ---------------------------------------------------------------------------
+
+
+def _quality_oracle() -> str:
+    from .operators.textstats import STOPWORDS_EN
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return f"""
+WITH t AS (SELECT doc_id, text, {_TOK.format(c='text')} AS ts FROM documents),
+r AS (SELECT doc_id,
+  len(ts) AS n_tok,
+  (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+      / greatest(length(text), 1) AS punct,
+  (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+      / greatest(length(text), 1) AS dig,
+  len(list_filter(ts, x -> list_contains([{stops}], x)))::DOUBLE
+      / greatest(len(ts), 1) AS stop,
+  len(list_distinct(ts))::DOUBLE / greatest(len(ts), 1) AS uniq
+  FROM t)
+SELECT doc_id,
+       round(least(n_tok / 64.0, 1.0) * 0.25
+             + (1.0 - least((punct + dig) * 2, 1.0)) * 0.25
+             + least(stop * 4, 1.0) * 0.25 + uniq * 0.25, 6) AS quality
+FROM r
+"""
+
+
+@q("text_quality_scores", _quality_oracle())
+def text_quality_scores(spark, sf_dir):
+    from .operators.textstats import quality_score
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality"))
+
+
+def _lang_accuracy_oracle() -> str:
+    return f"""
+WITH pred AS ({_lang_oracle()})
+SELECT d.lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN p.lang_pred = d.lang THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct
+FROM documents d JOIN pred p USING (doc_id) GROUP BY d.lang
+"""
+
+
+@q("language_id_accuracy", _lang_accuracy_oracle())
+def language_id_accuracy(spark, sf_dir):
+    from .operators.textstats import detect_language
+    return (_docs(spark, sf_dir)
+            .select("lang", "doc_id",
+                    detect_language(F.col("text")).alias("pred"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("pred") == F.col("lang"), 1)
+                       .otherwise(0)).cast("long").alias("n_correct")))
 
 
 # ---------------------------------------------------------------------------

@@ -112,6 +112,53 @@ def brute_force_topk(df: DataFrame, vec_col: str, query: Sequence[float],
               .limit(k))
 
 
+def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
+               centroid_every: int = 50) -> tuple:
+    """Deterministic IVF cell assignment: centroids are the rows whose id is
+    divisible by ``centroid_every`` (reproducible in any engine — no RNG,
+    no k-means iterations), each vector joins its nearest centroid by
+    cosine distance (ties -> smallest centroid id).
+
+    Returns (assigned_df with a ``_cell`` column, centroids_df). The
+    centroid set is tiny (n/centroid_every) and broadcasts; assignment is
+    one broadcast-join + one groupBy(id) min_by — two narrow stages, no
+    quadratic work. At 100 TB the assigned table would be written
+    partitioned by ``_cell`` so probes prune to nprobe partitions.
+    """
+    cents = df.filter((F.col(id_col) % centroid_every) == 0) \
+              .select(F.col(id_col).alias("_cid"),
+                      F.col(vec_col).alias("_cvec"))
+    dist = F.lit(1.0) - cosine_similarity_cols(F.col(vec_col), F.col("_cvec"))
+    assigned = (df.join(F.broadcast(cents))
+                  .withColumn("_cdist", dist)
+                  .groupBy(id_col)
+                  .agg(F.min_by(F.struct("_cid", "_cdist"),
+                                F.struct("_cdist", "_cid"))["_cid"]
+                       .alias("_cell")))
+    return df.join(assigned, on=id_col), cents
+
+
+def ivf_topk(df: DataFrame, id_col: str, vec_col: str,
+             query: Sequence[float], k: int, nprobe: int = 2,
+             centroid_every: int = 50) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` cells whose centroids are
+    closest to the query, exact cosine re-rank inside them. The scan
+    touches ~nprobe/ncells of the data; recall depends on nprobe like any
+    IVF index."""
+    assigned, cents = ivf_assign(df, id_col, vec_col, centroid_every)
+    qdist = cosine_distance(F.col("_cvec"), query)
+    probe = (cents.withColumn("_qd", qdist)
+                  .orderBy(F.col("_qd").asc(), F.col("_cid").asc())
+                  .limit(nprobe)
+                  .select(F.col("_cid").alias("_cell")))
+    cands = assigned.join(F.broadcast(probe), on="_cell")
+    dist = cosine_distance(F.col(vec_col), query)
+    return (cands.withColumn("_distance", dist)
+                 .orderBy(F.col("_distance").asc(), F.col(id_col).asc())
+                 .limit(k)
+                 .drop("_cell"))
+
+
 def cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
                  threshold: float,
                  block_col: Optional[str] = None) -> DataFrame:
