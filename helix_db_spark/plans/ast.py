@@ -589,6 +589,9 @@ class BatchEntry:
     traversal: Traversal
     condition: Optional[BatchCondition] = None
     foreach_param: Optional[str] = None  # ForEach{param, body}
+    # wire-protocol ForEach bodies hold a full sub-batch (list of entries);
+    # builder-API ForEach uses the single ``traversal`` instead
+    foreach_body: tuple = ()
 
 
 @dataclass(frozen=True)

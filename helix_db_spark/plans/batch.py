@@ -68,12 +68,26 @@ class BatchExecutor:
             return n >= cond.min_size
         raise ValueError(f"unknown condition {cond.kind}")
 
+    @staticmethod
+    def _accumulate(acc: Optional[Stream], res: Stream) -> Stream:
+        if acc is None:
+            return res
+        frames = dict(acc.frames)
+        for l, df in res.frames.items():
+            frames[l] = (frames[l].unionByName(df, allowMissingColumns=True)
+                         if l in frames else df)
+        return Stream(acc.kind, frames)
+
     def _foreach(self, entry: ast.BatchEntry, ctx: ExecContext,
                  compiler: StepCompiler) -> Stream:
         """Run body once per element of an array param; results accumulate
-        per var name (parity fixture 014: 2 rows in => count 2)."""
+        per var name (parity fixture 014: 2 rows in => count 2). The body is
+        either a single traversal (builder API) or a sub-batch of entries
+        (wire ForEach{param, body}, dsl.py:2193-2208) — per element the
+        entries run in order, each accumulating into its own var."""
         items = ctx.params[entry.foreach_param]
         acc: Optional[Stream] = None
+        accs: dict = {}
         for item in items:
             saved = ctx.params
             ctx.params = dict(saved)
@@ -82,17 +96,18 @@ class BatchExecutor:
             else:
                 ctx.params[entry.foreach_param + "_item"] = item
             try:
-                res = compiler.run(entry.traversal)
+                if entry.foreach_body:
+                    for sub in entry.foreach_body:
+                        res = compiler.run(sub.traversal)
+                        if sub.var_name:
+                            accs[sub.var_name] = self._accumulate(
+                                accs.get(sub.var_name), res)
+                            ctx.variables[sub.var_name] = accs[sub.var_name]
+                        acc = res
+                else:
+                    acc = self._accumulate(acc, compiler.run(entry.traversal))
             finally:
                 ctx.params = saved
-            if acc is None:
-                acc = res
-            else:
-                frames = dict(acc.frames)
-                for l, df in res.frames.items():
-                    frames[l] = (frames[l].unionByName(df, allowMissingColumns=True)
-                                 if l in frames else df)
-                acc = Stream(acc.kind, frames)
         if acc is None:
             acc = Stream("value", {None: self.catalog.spark.range(0)})
         return acc

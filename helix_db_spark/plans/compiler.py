@@ -617,6 +617,15 @@ class StepCompiler:
             for alias, refs in step.projections:
                 parts = []
                 for binding, prop in refs:
+                    if binding is None:  # Current: the traverser element
+                        if prop == "$id":
+                            parts.append(F.col(_ID))
+                        elif prop == "$label":
+                            parts.append(F.lit(label))
+                        else:
+                            parts.append(ec.resolve(prop)
+                                         if prop in df.columns else F.lit(None))
+                        continue
                     bcol = _BIND + binding
                     if bcol not in df.columns:
                         parts.append(F.lit(None))
