@@ -1,0 +1,129 @@
+"""Streaming surface tests: bounded parquet source driven to completion,
+results cross-checked against the equivalent batch plans."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from helix_db_spark.sources.tpch import read_tables
+from helix_db_spark.streaming import ingest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Re-materialize events with a real timestamp column (testdata parquet
+    stores TIMESTAMP(NANOS), unreadable by the streaming schema reader)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    read_tables(spark, SF_DIR)["events"].coalesce(2).write.mode(
+        "overwrite").parquet(out)
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_windowed_counts_match_batch(spark, events_dir):
+    stream = ingest.stream_events(spark, events_dir)
+    assert stream.isStreaming
+    ingest.run_to_memory(ingest.windowed_counts(stream), "win_out")
+    got = {(r["window_start"], r["event_type"]): (r["count"],
+                                                  round(r["total"], 4))
+           for r in spark.sql("SELECT * FROM win_out").collect()}
+
+    batch = (spark.read.parquet(events_dir)
+             .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+             .agg(F.count(F.lit(1)).alias("count"),
+                  F.sum("value").alias("total")))
+    want = {(r["w"]["start"], r["event_type"]): (r["count"],
+                                                 round(r["total"], 4))
+            for r in batch.collect()}
+    # append mode finalizes a window only once the watermark passes it, so
+    # windows inside the final 2h horizon are (correctly) never emitted on a
+    # bounded source — everything emitted must match the batch plan, and
+    # only horizon-tail windows may be missing.
+    assert got, "streaming query emitted nothing"
+    for key, val in got.items():
+        assert want[key] == val
+    max_ts = max(k[0] for k in want)
+    import datetime
+    horizon = max_ts - datetime.timedelta(hours=2)
+    for key in set(want) - set(got):
+        assert key[0] >= horizon, f"non-tail window {key} missing"
+
+
+def test_sessionize_matches_batch_sessions(spark, events_dir):
+    stream = ingest.stream_events(spark, events_dir)
+    ingest.run_to_memory(ingest.sessionize(stream), "sess_out")
+    got = {(r["user_id"], r["session_start"]):
+           (r["session_end"], r["n_events"], round(r["total"], 4))
+           for r in spark.sql("SELECT * FROM sess_out").collect()}
+    assert got, "streaming query emitted nothing"
+
+    # batch reconstruction: lag+cumsum session ids; session_window's end is
+    # last event + gap
+    from pyspark.sql import Window
+    ev = spark.read.parquet(events_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    brk = F.when(prev.isNull() | (F.unix_timestamp("ts")
+                                  - F.unix_timestamp(prev) > 1800),
+                 1).otherwise(0)
+    sess_id = F.sum(brk).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0))
+    batch = (ev.withColumn("_sid", sess_id)
+             .groupBy("user_id", "_sid")
+             .agg(F.min("ts").alias("session_start"),
+                  (F.max("ts") + F.expr("INTERVAL 30 MINUTES"))
+                  .alias("session_end"),
+                  F.count(F.lit(1)).alias("n_events"),
+                  F.sum("value").alias("total")))
+    want = {(r["user_id"], r["session_start"]):
+            (r["session_end"], r["n_events"], round(r["total"], 4))
+            for r in batch.collect()}
+    # every emitted session must equal its batch twin; only sessions inside
+    # the final watermark horizon may be unemitted (append-mode semantics)
+    for key, val in got.items():
+        assert want[key] == val
+    import datetime
+    max_ts = max(end for end, _, _ in want.values())
+    horizon = max_ts - datetime.timedelta(hours=2)
+    for key in set(want) - set(got):
+        assert want[key][0] >= horizon, f"non-tail session {key} missing"
+
+
+def test_graph_upserts_cdc(spark, tmp_path):
+    from helix_db_spark.catalog import GraphCatalog
+    from helix_db_spark.engine import HelixSparkEngine
+    from helix_db_spark import g
+
+    src = str(tmp_path / "users")
+    spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.0)],
+        "uid long, name string, score double").write.parquet(src)
+
+    cat = GraphCatalog(spark)
+    stream = (spark.readStream.format("parquet")
+              .schema("uid long, name string, score double").load(src))
+    q = ingest.stream_graph_upserts(stream, cat, "user", "uid")
+    try:
+        q.processAllAvailable()
+        eng = HelixSparkEngine(cat)
+        assert eng.run(g().n("user").count()).collect()[0]["count"] == 2
+
+        # second micro-batch: update bob, insert carol (last-writer-wins)
+        spark.createDataFrame(
+            [(2, "bob2", 21.0), (3, "carol", 30.0)],
+            "uid long, name string, score double").write.mode(
+            "append").parquet(src)
+        q.processAllAvailable()
+        rows = {r["name"]: r["score"]
+                for r in eng.run(g().n("user").values("name", "score"))
+                .collect()}
+        assert rows == {"alice": 10.0, "bob2": 21.0, "carol": 30.0}
+    finally:
+        q.stop()
