@@ -31,6 +31,9 @@ BENCH_QUERIES = [
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard_pairs",
     "text_doc_stats",
+    "vector_search_ivf",
+    "events_window_agg",
+    "events_sessionize",
 ]
 
 
@@ -77,6 +80,10 @@ def main() -> None:
                     registry[name](spark, warm_dir).count()
                 except Exception:  # noqa: BLE001 — warm-up must never fail the bench
                     pass
+        # drop warm-up persists: each operator call pins its own
+        # intermediates; two warm-up passes would otherwise crowd storage
+        # memory and evict the timed pass's caches mid-query
+        spark.catalog.clearCache()
 
     timings = {}
     total = 0.0
