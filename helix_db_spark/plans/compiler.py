@@ -780,9 +780,28 @@ class StepCompiler:
             out[name] = value
         return out
 
+    def _check_unique(self, label: str, props: dict) -> None:
+        """Unique equality indexes are enforced at write time
+        (dsl.rs:2580-2658; the engine analogue of `unique: true`)."""
+        for entry in self.cat.indexes.values():
+            if (entry.label != label or not entry.unique
+                    or entry.kind != "node_equality"):
+                continue
+            val = props.get(entry.property)
+            if val is None:
+                continue
+            df = self.cat.nodes(label).get(label)
+            if (df is not None and entry.property in df.columns
+                    and df.filter(F.col(entry.property) == F.lit(val))
+                          .limit(1).count() > 0):
+                raise ValueError(
+                    f"unique index violation on ({label}, {entry.property})"
+                    f" = {val!r}")
+
     def _step_AddN(self, step: ast.AddN, stream) -> Stream:
         self._require_write()
         props = self._eval_props(step.properties)
+        self._check_unique(step.label, props)
         (nid,) = self.cat.allocate_ids(1)
         row = dict(props)
         row[_ID] = nid

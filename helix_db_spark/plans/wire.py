@@ -434,6 +434,12 @@ def parse_request(request: dict) -> ast.Batch:
     params = dict(request.get("parameters") or {})
     types = request.get("parameter_types") or {}
     for name, ty in types.items():
+        if ty == "Bytes":
+            # bytes are rejected in dynamic JSON params (dsl.py:2574-2575,
+            # dsl.rs:846-848)
+            raise WireError(
+                f"parameter {name!r}: Bytes values are not supported in "
+                "dynamic queries")
         if ty == "DateTime" and isinstance(params.get(name), str):
             params[name] = _parse_rfc3339_ms(params[name])
     return ast.Batch(mode, entries, tuple(query.get("returns", ())), params)

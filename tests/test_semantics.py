@@ -1,0 +1,122 @@
+"""Edge-rule semantics from the reference spec: multitenancy, unique
+indexes, index DDL lifecycle, server-time expressions, Bytes rejection,
+$distance in value_map."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from helix_db_spark import P, X, dsl, g
+from helix_db_spark.catalog import GraphCatalog, IndexEntry
+from helix_db_spark.engine import HelixSparkEngine
+from helix_db_spark.plans.wire import WireError, parse_request
+
+
+@pytest.fixture()
+def tenant_engine(spark):
+    cat = GraphCatalog(spark)
+    cat.add_nodes("Doc", spark.createDataFrame(
+        [(1, "t-a", [1.0, 0.0], "alpha beta"),
+         (2, "t-a", [0.0, 1.0], "beta gamma"),
+         (3, "t-b", [1.0, 0.1], "alpha gamma")],
+        "k long, tenant string, emb array<float>, body string"),
+        key_col="k")
+    cat.create_index(IndexEntry("node_vector", "Doc", "emb",
+                                tenant_property="tenant"))
+    cat.create_index(IndexEntry("node_text", "Doc", "body",
+                                tenant_property="tenant"))
+    return HelixSparkEngine(cat)
+
+
+def test_tenant_missing_is_error(tenant_engine):
+    """Missing tenant on a multitenant index => query error
+    (dsl.rs:326-330)."""
+    with pytest.raises(Exception, match="multitenant"):
+        tenant_engine.run(
+            g().vector_search("Doc", "emb", [1.0, 0.0], 2).values("k"))
+
+
+def test_tenant_partitions_results(tenant_engine):
+    df = tenant_engine.run(
+        g().vector_search("Doc", "emb", [1.0, 0.0], 5, tenant_value="t-a")
+        .values("k"))
+    assert {r["k"] for r in df.collect()} == {1, 2}  # never t-b's doc 3
+
+
+def test_unknown_tenant_is_empty(tenant_engine):
+    df = tenant_engine.run(
+        g().vector_search("Doc", "emb", [1.0, 0.0], 5,
+                          tenant_value="t-zzz").values("k"))
+    assert df.count() == 0
+
+
+def test_text_search_tenant_rules(tenant_engine):
+    df = tenant_engine.run(
+        g().text_search("Doc", "body", "alpha", 5, tenant_value="t-b")
+        .values("k"))
+    assert [r["k"] for r in df.collect()] == [3]
+    with pytest.raises(Exception, match="multitenant"):
+        tenant_engine.run(g().text_search("Doc", "body", "alpha", 5)
+                          .values("k"))
+
+
+def test_unique_index_enforced_on_addn(spark):
+    cat = GraphCatalog(spark)
+    cat.add_nodes("User", spark.createDataFrame(
+        [(1, "alice@x")], "k long, email string"), key_col="k")
+    cat.create_index(IndexEntry("node_equality", "User", "email",
+                                unique=True))
+    eng = HelixSparkEngine(cat)
+    with pytest.raises(ValueError, match="unique index violation"):
+        eng.execute_batch(
+            dsl.write_batch()
+            .var_as("dup", g().add_n("User", email="alice@x"))
+            .returning("dup"))
+    out = eng.execute_batch(
+        dsl.write_batch()
+        .var_as("ok", g().add_n("User", email="bob@x"))
+        .var_as("n", g().n("User").count())
+        .returning("n"))
+    assert out["n"].collect()[0]["count"] == 2
+
+
+def test_drop_index_lifts_tenant_requirement(tenant_engine):
+    cat = tenant_engine.catalog
+    cat.drop_index(("node_vector", "Doc", "emb"))
+    df = tenant_engine.run(  # now a single-tenant index: no tenant needed
+        g().vector_search("Doc", "emb", [1.0, 0.0], 1).values("k"))
+    assert df.count() == 1
+
+
+def test_timestamp_and_datetime_now(spark):
+    cat = GraphCatalog(spark)
+    cat.add_nodes("T", spark.createDataFrame([(1,)], "k long"), key_col="k")
+    eng = HelixSparkEngine(cat)
+    before = int(time.time() * 1000)
+    row = eng.run(g().n("T").project(ms=X.timestamp(), now=X.now())) \
+        .collect()[0]
+    after = int(time.time() * 1000)
+    assert before - 1000 <= row["ms"] <= after + 1000
+    assert row["now"] is not None
+
+
+def test_bytes_param_rejected():
+    with pytest.raises(WireError, match="Bytes"):
+        parse_request({
+            "request_type": "read",
+            "query": {"queries": [], "returns": []},
+            "parameters": {"blob": [1, 2, 3]},
+            "parameter_types": {"blob": "Bytes"},
+        })
+
+
+def test_value_map_carries_distance(tenant_engine):
+    df = tenant_engine.run(
+        g().vector_search("Doc", "emb", [1.0, 0.0], 2, tenant_value="t-a")
+        .value_map("k"))
+    rows = df.collect()
+    assert "distance" in rows[0].asDict()
+    assert rows[0]["distance"] <= rows[1]["distance"]
