@@ -113,6 +113,26 @@ def test_bytes_param_rejected():
         })
 
 
+def test_repeat_until_exits_matching_elements(spark):
+    """until(pred): satisfied elements leave the loop into the result;
+    the rest keep iterating up to max_depth (dsl.py:1038-1117)."""
+    cat = GraphCatalog(spark)
+    cat.add_nodes("Node", spark.createDataFrame(
+        [(1, "start"), (2, "mid"), (3, "goal"), (4, "goal")],
+        "k long, kind string"), key_col="k")
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "sk long, dk long")
+    cat.add_edges("next", chain, src_label="Node", dst_label="Node",
+                  src_key="sk", dst_key="dk")
+    eng = HelixSparkEngine(cat)
+    df = eng.run(g().n("Node", ids=[(1 << 44) + 1])
+                 .repeat(g().out("next"), until=P.eq("kind", "goal"),
+                         max_depth=10)
+                 .values("k", "kind"))
+    rows = {(r["k"], r["kind"]) for r in df.collect()}
+    assert rows == {(3, "goal")}  # walked start->mid->goal, exited there
+
+
 def test_value_map_carries_distance(tenant_engine):
     df = tenant_engine.run(
         g().vector_search("Doc", "emb", [1.0, 0.0], 2, tenant_value="t-a")
