@@ -138,6 +138,29 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
     return df.join(assigned, on=id_col), cents
 
 
+_IVF_CACHE: dict = {}
+
+
+def ivf_index(df: DataFrame, id_col: str, vec_col: str,
+              centroid_every: int = 50) -> tuple:
+    """Build-once IVF index: the assignment table persists and is keyed by
+    the source plan, so repeated queries probe the same materialized cells
+    (a served instance builds the index at CreateVectorIndex time, not per
+    query — config.rs:148-158 HNSW analogue)."""
+    key = (df._jdf.queryExecution().analyzed().semanticHash(),
+           id_col, vec_col, centroid_every)
+    hit = _IVF_CACHE.get(key)
+    if hit is not None:
+        assigned, cents = hit
+        if not assigned.storageLevel.useMemory:  # evicted by clearCache
+            assigned.persist()
+        return assigned, cents
+    assigned, cents = ivf_assign(df, id_col, vec_col, centroid_every)
+    assigned = assigned.persist()
+    _IVF_CACHE[key] = (assigned, cents)
+    return assigned, cents
+
+
 def ivf_topk(df: DataFrame, id_col: str, vec_col: str,
              query: Sequence[float], k: int, nprobe: int = 2,
              centroid_every: int = 50) -> DataFrame:
@@ -145,7 +168,7 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str,
     closest to the query, exact cosine re-rank inside them. The scan
     touches ~nprobe/ncells of the data; recall depends on nprobe like any
     IVF index."""
-    assigned, cents = ivf_assign(df, id_col, vec_col, centroid_every)
+    assigned, cents = ivf_index(df, id_col, vec_col, centroid_every)
     qdist = cosine_distance(F.col("_cvec"), query)
     probe = (cents.withColumn("_qd", qdist)
                   .orderBy(F.col("_qd").asc(), F.col("_cid").asc())
