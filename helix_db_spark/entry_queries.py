@@ -929,6 +929,104 @@ def vector_search_ivf(spark, sf_dir):
                       F.round("_distance", 4).alias("distance"))
 
 
+@q("vector_search_edges",
+   "SELECT d.doc_id, e.vec_id, round(1.0 - list_cosine_similarity("
+   "e.embedding::DOUBLE[], (SELECT embedding::DOUBLE[] FROM embeddings "
+   "WHERE vec_id = 7)), 4) AS distance "
+   "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id "
+   "ORDER BY distance, e.vec_id LIMIT 5")
+def vector_search_edges(spark, sf_dir):
+    """VectorSearchEdges: hits are edges; $from/$to address endpoints
+    (dsl.rs:2849-2863)."""
+    vec = _query_vector(spark, sf_dir)
+    df = engine_for(spark, sf_dir).run(
+        g().vector_search("has_embedding", "embedding", vec, 5,
+                          target="edges")
+        .project_list([("doc_id", "$from.doc_id"),
+                       ("vec_id", "$to.vec_id"),
+                       ("distance", "$distance")]))
+    return df.select("doc_id", "vec_id",
+                     F.round("distance", 4).alias("distance"))
+
+
+_BM25_EDGE_ORACLE = """
+WITH docs AS (SELECT doc_id, text FROM documents
+              WHERE doc_id IN (SELECT vec_id FROM embeddings)),
+toks AS (SELECT doc_id, unnest({tok}) AS term FROM docs),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl),
+qterms AS (SELECT unnest(['spark', 'shuffle']) AS term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 +
+                0.75 * dl.dl / stats.avgdl))) AS score
+  FROM tf JOIN qterms USING (term) JOIN df USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 5
+""".format(tok=_TOK.format(c="text"))
+
+
+@q("text_search_edges", _BM25_EDGE_ORACLE)
+def text_search_edges(spark, sf_dir):
+    """TextSearchEdges: BM25 over an edge text property; corpus stats are
+    computed over the edge table only (dsl.rs:2866-2883)."""
+    df = engine_for(spark, sf_dir).run(
+        g().text_search("has_embedding", "text", "spark shuffle", 5,
+                        target="edges")
+        .project_list([("doc_id", "$from.doc_id"),
+                       ("score", "$distance")]))
+    return df.select("doc_id", F.round(-F.col("score"), 4).alias("score"))
+
+
+@q("project_bindings_rows",
+   "SELECT o_orderkey AS okey, p_partkey AS pkey, o_orderkey AS ref "
+   "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+   "JOIN part ON l_partkey = p_partkey WHERE o_orderkey <= 64")
+def project_bindings_rows(spark, sf_dir):
+    """Bind + ProjectBindings (fixtures 909/910): capture the order per
+    traverser row, hop to parts, project across bindings with a coalesce
+    fallback to the bound element."""
+    return engine_for(spark, sf_dir).run(
+        g().n("orders").where(P.lte("o_orderkey", 64)).bind("o")
+        .out("ordered_part")
+        .project_bindings([
+            ("okey", (("o", "o_orderkey"),)),
+            ("pkey", ((None, "p_partkey"),)),
+            ("ref", (("missing", "x"), ("o", "o_orderkey"))),
+        ]))
+
+
+@q("coalesce_fallback",
+   "SELECT n_name AS name FROM nation JOIN region "
+   "ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'")
+def coalesce_fallback(spark, sf_dir):
+    """Coalesce: first sub-traversal with results wins; the dead-end branch
+    (out() from region has no edges) falls through (dsl.rs:3196-3197)."""
+    return engine_for(spark, sf_dir).run(
+        g().n("region").where(P.eq("r_name", "ASIA")).coalesce_(
+            g().out("no_such_edge"),
+            g().in_("in_region").project(name="n_name")))
+
+
+@q("inject_var_union",
+   "SELECT count(*) AS count FROM (SELECT n_nationkey FROM nation "
+   "WHERE n_regionkey = 0 UNION ALL SELECT r_regionkey FROM region) t")
+def inject_var_union(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    out = eng.execute_batch(
+        dsl.read_batch()
+        .var_as("regions", g().n("region"))
+        .var_as("res", g().n("nation").where(P.eq("n_regionkey", 0))
+                .inject("regions").count())
+        .returning("res"))
+    return out["res"]
+
+
 # ---------------------------------------------------------------------------
 # 14. event streams (batch view; streaming/ runs the same ops incremental)
 # ---------------------------------------------------------------------------

@@ -101,9 +101,12 @@ def load_graph(spark: SparkSession, sf_dir: str) -> GraphCatalog:
     edge("ordered_part", li, "orders", "part", "l_orderkey", "l_partkey",
          props=["l_linenumber", "l_quantity", "l_extendedprice", "l_discount"])
     edge("by_user", t["events"], "events", "customer", "event_id", "user_id")
+    # property-carrying doc->vector edge: the embedding and a text snippet
+    # ride on the edge so edge vector/text search has real data
     edge("has_embedding", t["documents"].join(
-            t["embeddings"].select(F.col("vec_id")),
+            t["embeddings"].select(F.col("vec_id"), F.col("embedding")),
             t["documents"]["doc_id"] == F.col("vec_id"), "inner"),
-         "documents", "embeddings", "doc_id", "vec_id")
+         "documents", "embeddings", "doc_id", "vec_id",
+         props=["embedding", "text"])
 
     return cat
