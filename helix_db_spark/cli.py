@@ -1,0 +1,113 @@
+"""Command-line query runner — entry point C of the reference lifecycle.
+
+The reference CLI posts dynamic-query JSON to a running instance
+(`helix query <instance> --file x.json | --json '<json>'`,
+helix-cli/src/commands/query.rs:127-170, validating only request_type and
+query presence client-side). This runner does the same against an embedded
+engine over the driver's testdata, or any saved catalog:
+
+    python -m helix_db_spark.cli query --json '<request json>'
+    python -m helix_db_spark.cli query --file request.json \
+        --data /root/testdata/sf0.01
+    python -m helix_db_spark.cli query --file request.json \
+        --store /path/saved-catalog
+    python -m helix_db_spark.cli serve --data /root/testdata/sf0.001 \
+        --port 6969
+
+Output: the response JSON on stdout (one object keyed by the batch's
+``returns`` names), non-zero exit + error JSON on stderr for bad requests.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _engine(args):
+    from .engine import HelixSparkEngine
+    from .session import get_spark
+
+    spark = get_spark("helix-spark-cli",
+                      **{"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.store:
+        from .sources.store import load_catalog
+        cat = load_catalog(spark, args.store)
+    else:
+        from .sources.tpch import load_graph
+        cat = load_graph(spark, args.data)
+    return HelixSparkEngine(cat)
+
+
+def _load_request(args) -> dict:
+    if args.json:
+        return json.loads(args.json)
+    if args.file:
+        with open(args.file) as fh:
+            return json.load(fh)
+    return json.load(sys.stdin)
+
+
+def cmd_query(args) -> int:
+    request = _load_request(args)
+    # client-side validation mirrors query.rs:172-187
+    if request.get("request_type") not in ("read", "write"):
+        print(json.dumps({"error": "request_type must be read|write"}),
+              file=sys.stderr)
+        return 2
+    if "query" not in request:
+        print(json.dumps({"error": "missing query"}), file=sys.stderr)
+        return 2
+    engine = _engine(args)
+    try:
+        out = engine.execute_json(request)
+    except Exception as ex:  # noqa: BLE001 — CLI boundary
+        print(json.dumps({"error": f"{type(ex).__name__}: {ex}"}),
+              file=sys.stderr)
+        return 1
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from .server import HelixSparkServer, QueryBundle
+
+    bundle = None
+    if args.bundle:
+        with open(args.bundle) as fh:
+            bundle = QueryBundle.from_json(json.load(fh))
+    server = HelixSparkServer(_engine(args), bundle)
+    port = server.start(host=args.host, port=args.port)
+    print(f"serving on http://{args.host}:{port}/v1/query", file=sys.stderr)
+    try:
+        import threading
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        server.stop()
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="helix_db_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name, fn in (("query", cmd_query), ("serve", cmd_serve)):
+        p = sub.add_parser(name)
+        p.add_argument("--data", default="/root/testdata/sf0.001",
+                       help="testdata dir to load as the graph")
+        p.add_argument("--store", help="saved catalog dir (sources/store.py)")
+        p.set_defaults(fn=fn)
+        if name == "query":
+            p.add_argument("--json", help="inline request JSON")
+            p.add_argument("--file", help="request JSON file")
+        else:
+            p.add_argument("--host", default="127.0.0.1")
+            p.add_argument("--port", type=int, default=6969)
+            p.add_argument("--bundle", help="queries.json stored-route bundle")
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -530,7 +530,7 @@ def dedup_ngram_jaccard_pairs(spark, sf_dir):
 @q("dedup_embedding_cosine_pairs",
    "SELECT x.vec_id AS a, y.vec_id AS b, "
    "round(list_cosine_similarity(x.embedding::DOUBLE[], "
-   "y.embedding::DOUBLE[]), 6) AS cosine "
+   "y.embedding::DOUBLE[]), 4) AS cosine "
    "FROM embeddings x JOIN embeddings y ON x.label = y.label "
    "WHERE x.vec_id < y.vec_id "
    "AND list_cosine_similarity(x.embedding::DOUBLE[], "
@@ -540,7 +540,7 @@ def dedup_embedding_cosine_pairs(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     pairs = cosine_pairs(emb, "vec_id", "embedding", threshold=0.35,
                          block_col="label")
-    return pairs.select("a", "b", F.round("cosine", 6).alias("cosine"))
+    return pairs.select("a", "b", F.round("cosine", 4).alias("cosine"))
 
 
 # ---------------------------------------------------------------------------
