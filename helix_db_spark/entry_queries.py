@@ -444,6 +444,17 @@ def dedup_exact_groups(spark, sf_dir):
     return exact_dedup_groups(_docs(spark, sf_dir), "doc_id", "text")
 
 
+@q("dedup_exact_survivors",
+   "SELECT doc_id FROM documents WHERE doc_id IN ("
+   "SELECT min(doc_id) FROM documents "
+   "GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))")
+def dedup_exact_survivors(spark, sf_dir):
+    """The actual dedup output: rows kept after exact near-dup collapse."""
+    from .operators.dedup import exact_dedup
+    return exact_dedup(_docs(spark, sf_dir), "doc_id", "text") \
+        .select("doc_id")
+
+
 def _minhash_oracle() -> str:
     from .operators.dedup import _PRIME, _perm_constants
     perms = _perm_constants(64)
@@ -484,6 +495,19 @@ def dedup_minhash_pairs(spark, sf_dir):
     return minhash_lsh_pairs(_docs(spark, sf_dir), "doc_id", "text",
                              num_hashes=64, bands=16, shingle_size=3,
                              threshold=0.5)
+
+
+@q("dedup_minhash_survivors",
+   f"WITH pairs AS ({{inner}}) "
+   "SELECT doc_id FROM documents WHERE doc_id NOT IN "
+   "(SELECT b FROM pairs)".format(inner=_minhash_oracle()))
+def dedup_minhash_survivors(spark, sf_dir):
+    """Near-dedup output: each near-dup pair collapses to its smaller id
+    (one union-find pull; b-side rows drop)."""
+    from .operators.dedup import minhash_dedup
+    return minhash_dedup(_docs(spark, sf_dir), "doc_id", "text",
+                         threshold=0.5, num_hashes=64, bands=16,
+                         shingle_size=3).select("doc_id")
 
 
 _SIMHASH_ORACLE = f"""

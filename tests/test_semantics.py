@@ -133,6 +133,42 @@ def test_repeat_until_exits_matching_elements(spark):
     assert rows == {(3, "goal")}  # walked start->mid->goal, exited there
 
 
+def _chain_engine(spark):
+    cat = GraphCatalog(spark)
+    cat.add_nodes("Node", spark.createDataFrame(
+        [(1, "start"), (2, "mid"), (3, "goal"), (4, "lonely")],
+        "k long, kind string"), key_col="k")
+    cat.add_edges("next", spark.createDataFrame(
+        [(1, 2), (2, 3)], "sk long, dk long"),
+        src_label="Node", dst_label="Node", src_key="sk", dst_key="dk")
+    return HelixSparkEngine(cat)
+
+
+def test_optional_family_change_drops_unmatched(spark):
+    """Same family: unmatched inputs pass through. Family change
+    (node -> edge): unmatched inputs are dropped (dsl.rs:4049-4057)."""
+    eng = _chain_engine(spark)
+    same = eng.run(g().n("Node").optional(g().out("next"))
+                   .values("kind"))
+    # nodes 1,2 -> successors (mid,goal); 3,4 have no out edge -> themselves
+    assert sorted(r["kind"] for r in same.collect()) == \
+        ["goal", "goal", "lonely", "mid"]
+    changed = eng.run(g().n("Node").optional(g().out_e("next")).count())
+    assert changed.collect()[0]["count"] == 2  # only the two edges
+
+
+def test_repeat_emit_if_filters_and_forces_after(spark):
+    """emit_if(pred) emits only matching frontier elements and implies
+    emit=After (dsl.py:1038-1117)."""
+    eng = _chain_engine(spark)
+    df = eng.run(g().n("Node", ids=[(1 << 44) + 1])
+                 .repeat(g().out("next"), times=2,
+                         emit_if=P.eq("kind", "goal"))
+                 .values("kind"))
+    # frontiers after hops: {mid}, {goal}; emit_if keeps only goal
+    assert [r["kind"] for r in df.collect()] == ["goal"]
+
+
 def test_value_map_carries_distance(tenant_engine):
     df = tenant_engine.run(
         g().vector_search("Doc", "emb", [1.0, 0.0], 2, tenant_value="t-a")
