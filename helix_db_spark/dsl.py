@@ -419,6 +419,15 @@ class BatchBuilder:
         return ast.Batch(self.mode, tuple(self.entries), tuple(self._returns),
                          parameters or {})
 
+    def to_request_json(self, query_name: Optional[str] = None,
+                        parameters: Optional[dict] = None,
+                        parameter_types: Optional[dict] = None) -> dict:
+        """Serialize to the reference's dynamic-query wire JSON — POSTable
+        to any HelixDB /v1/query endpoint or this engine's server."""
+        from .plans.wire_out import serialize_request
+        return serialize_request(self.build(), query_name, parameters,
+                                 parameter_types)
+
 
 def read_batch() -> BatchBuilder:
     return BatchBuilder("read")
