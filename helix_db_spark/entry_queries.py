@@ -278,6 +278,36 @@ def json_dotted_path(spark, sf_dir):
         .project(event_id="event_id", k="props.k"))
 
 
+@q("datetime_filter",
+   "SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch "
+   "FROM orders WHERE o_orderdate >= TIMESTAMP '2001-06-01' ")
+def datetime_filter(spark, sf_dir):
+    """DateTime comparison fidelity (SURVEY watch item): timestamp-typed
+    predicate + epoch projection, UTC on both engines."""
+    import datetime
+    return engine_for(spark, sf_dir).run(
+        g().n("orders")
+        .where(P.gte("o_orderdate",
+                     datetime.datetime(2001, 6, 1,
+                                       tzinfo=datetime.timezone.utc)))
+        .project(o_orderkey="o_orderkey", order_epoch="o_orderdate")) \
+        .withColumn("order_epoch",
+                    F.unix_timestamp("order_epoch").cast("long"))
+
+
+@q("arithmetic_div_mod_neg",
+   "SELECT o_orderkey AS key, o_totalprice / 2.0 AS half, "
+   "-o_totalprice AS neg, o_orderkey % 7 AS bucket "
+   "FROM orders WHERE o_orderkey <= 512")
+def arithmetic_div_mod_neg(spark, sf_dir):
+    return engine_for(spark, sf_dir).run(
+        g().n("orders").where(P.lte("o_orderkey", 512))
+        .project(key="o_orderkey",
+                 half=X.div(X.prop("o_totalprice"), X.const(2.0)),
+                 neg=X.neg(X.prop("o_totalprice")),
+                 bucket=X.mod(X.prop("o_orderkey"), X.const(7))))
+
+
 # ---------------------------------------------------------------------------
 # 4. vars / semi-anti joins / control flow
 # ---------------------------------------------------------------------------
