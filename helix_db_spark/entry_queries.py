@@ -528,12 +528,20 @@ def dedup_minhash_pairs(spark, sf_dir):
 
 
 @q("dedup_minhash_survivors",
-   f"WITH pairs AS ({{inner}}) "
+   "WITH RECURSIVE pairs AS ({inner}), "
+   "und AS (SELECT a AS s, b AS t FROM pairs "
+   "        UNION SELECT b, a FROM pairs), "
+   "reach(s, t) AS (SELECT s, t FROM und UNION "
+   "                SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s), "
+   "comp AS (SELECT s AS node, least(s, min(t)) AS root "
+   "         FROM reach GROUP BY s) "
    "SELECT doc_id FROM documents WHERE doc_id NOT IN "
-   "(SELECT b FROM pairs)".format(inner=_minhash_oracle()))
+   "(SELECT node FROM comp WHERE root < node)".format(
+       inner=_minhash_oracle()))
 def dedup_minhash_survivors(spark, sf_dir):
-    """Near-dedup output: each near-dup pair collapses to its smaller id
-    (one union-find pull; b-side rows drop)."""
+    """Near-dedup output: each connected near-dup cluster collapses to its
+    min id (exact transitive closure on both sides: hash-min connected
+    components in Spark, recursive CTE in the oracle)."""
     from .operators.dedup import minhash_dedup
     return minhash_dedup(_docs(spark, sf_dir), "doc_id", "text",
                          threshold=0.5, num_hashes=64, bands=16,

@@ -164,15 +164,50 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                  .select("a", "b", "jaccard_est"))
 
 
+def connected_components(pairs: DataFrame, a: str = "a", b: str = "b",
+                         max_iter: int = 20) -> DataFrame:
+    """(node, component) for the undirected graph given as an (a, b) edge
+    list; component = min reachable node id (hash-min label propagation).
+
+    The classic large-scale CC shape: each round is one join + one groupBy
+    (both partial-aggregable), frontier localCheckpointed to cut lineage;
+    rounds needed = graph diameter (near-dup clusters: tiny). Converges
+    when no label changes.
+    """
+    und = pairs.select(F.col(a).alias("s"), F.col(b).alias("t")) \
+               .union(pairs.select(F.col(b).alias("s"), F.col(a).alias("t")))
+    und = und.distinct().persist()
+    labels = und.select(F.col("s").alias("node")).distinct() \
+                .withColumn("comp", F.col("node")).localCheckpoint()
+    for _ in range(max_iter):
+        # each node pulls the min label among itself and its neighbors
+        nbr = (und.join(labels.withColumnRenamed("node", "t"), on="t")
+                  .groupBy("s").agg(F.min("comp").alias("_nc"))
+                  .withColumnRenamed("s", "node"))
+        merged = (labels.join(nbr, on="node", how="left")
+                        .select("node",
+                                F.least("comp", F.coalesce("_nc", "comp"))
+                                .alias("comp"))).localCheckpoint()
+        changed = merged.alias("m").join(
+            labels.alias("l"), on="node") \
+            .filter(F.col("m.comp") != F.col("l.comp")).limit(1).count()
+        labels = merged
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels
+
+
 def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
                   threshold: float = 0.7, **kw) -> DataFrame:
-    """Rows surviving near-dedup: connected near-dup pairs collapse to the
-    min id (single-link via one union-find pass over pairs — pairs pull to
-    their smaller endpoint iteratively; adequate for shallow dup clusters)."""
+    """Rows surviving near-dedup: every connected cluster of near-dup pairs
+    collapses to its min id (exact transitive closure via
+    connected_components — A≈B≈C collapses even when A and C are not
+    directly similar)."""
     pairs = minhash_lsh_pairs(df, id_col, text_col, threshold=threshold, **kw)
-    # map every b to min(a) over its pairs, then drop mapped ids
-    drop = pairs.groupBy("b").agg(F.min("a").alias("_root")) \
-                .select(F.col("b").alias(id_col))
+    cc = connected_components(pairs)
+    drop = cc.filter(F.col("comp") < F.col("node")) \
+             .select(F.col("node").alias(id_col))
     return df.join(drop, on=id_col, how="left_anti")
 
 

@@ -90,7 +90,10 @@ def build_vector_index(compiler, label: str, prop: str,
         df = frames[label].filter(F.col(prop).isNotNull())
         aug = df.withColumn("__vnorm", norm(F.col(prop))).persist()
         cache[key] = aug
-    return cache[key]
+    out = cache[key]
+    if not out.storageLevel.useMemory:  # re-pin after a clearCache
+        out.persist()
+    return out
 
 
 def vector_search(compiler, step):
@@ -143,6 +146,10 @@ def build_text_index(compiler, label: str, prop: str,
         cache = cat._materialized = {}
     key = ("bm25", target, label, prop)
     if key in cache:
+        postings, term_df, stats = cache[key]
+        if not postings.storageLevel.useMemory:  # re-pin after a clearCache
+            postings.persist()
+            term_df.persist()
         return cache[key]
     frames = _frames(compiler, target, label)
     if label not in frames:

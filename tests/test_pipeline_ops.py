@@ -59,6 +59,17 @@ def test_minhash_finds_planted_dups(spark):
     assert near_hits >= 4
 
 
+def test_connected_components_transitive_chain(spark):
+    """A-B, B-C, and a separate D-E: chains collapse transitively even
+    though A and C are not directly paired."""
+    from helix_db_spark.operators.dedup import connected_components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a long, b long")
+    cc = {r["node"]: r["comp"]
+          for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
 def test_minhash_dedup_survivors(spark):
     from helix_db_spark.operators.dedup import minhash_dedup
 
