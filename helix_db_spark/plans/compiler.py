@@ -752,12 +752,33 @@ class StepCompiler:
 
     # -- search (operators/search.py) -----------------------------------------
 
+    def _scalar(self, v):
+        """Resolve a driver-side scalar that may arrive as an Expr/Param
+        (the SDKs' *_with search variants, e.g. query_text=Expr.param)."""
+        if isinstance(v, ast.Param):
+            return self.ctx.params[v.name]
+        if isinstance(v, ast.Constant):
+            return v.value
+        if isinstance(v, ast.Expr):
+            raise UnsupportedStep(
+                "search query values must be literals or params")
+        return v
+
     def _step_VectorSearch(self, step: ast.VectorSearch, stream) -> Stream:
         from ..operators.search import vector_search
+        qv = step.query_vector
+        if len(qv) == 1 and isinstance(qv[0], ast.Expr):
+            qv = tuple(float(x) for x in self._scalar(qv[0]))
+        step = ast.VectorSearch(step.target, step.label, step.property,
+                                qv, step.k,
+                                self._scalar(step.tenant_value), step.method)
         return vector_search(self, step)
 
     def _step_TextSearch(self, step: ast.TextSearch, stream) -> Stream:
         from ..operators.search import text_search
+        step = ast.TextSearch(step.target, step.label, step.property,
+                              str(self._scalar(step.query_text)), step.k,
+                              self._scalar(step.tenant_value))
         return text_search(self, step)
 
     # -- mutations (write path; dsl.rs:3116-3167) ------------------------------

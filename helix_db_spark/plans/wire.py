@@ -279,9 +279,12 @@ def parse_step(obj) -> ast.Step:  # noqa: C901 — one arm per wire tag
         return ast.EWhere(parse_predicate(payload))
     if tag in ("VectorSearchNodes", "VectorSearchEdges"):
         vec = parse_property_input(payload["query_vector"])
+        # the *_with SDK variants pass the vector as an Expr/Param —
+        # carried as a singleton, resolved driver-side by the compiler
+        qv = (vec,) if isinstance(vec, ast.Expr) else tuple(vec)
         return ast.VectorSearch(
             "nodes" if tag.endswith("Nodes") else "edges",
-            payload["label"], payload["property"], tuple(vec),
+            payload["label"], payload["property"], qv,
             parse_bound(payload["k"]),
             tenant_value=(parse_property_input(payload["tenant_value"])
                           if payload.get("tenant_value") is not None else None))

@@ -172,6 +172,22 @@ def test_vector_search_distance_contract(engine):
     assert out["hits"][0]["d"] == pytest.approx(0.0, abs=1e-6)
 
 
+def test_search_with_param_queries(engine):
+    """The *_with SDK variants: query vector/text as Expr.param, resolved
+    at execution time from the request parameters."""
+    from helixdb import DynamicQueryRequest, Expr, Projection, g, read_batch
+    req = DynamicQueryRequest.read(
+        read_batch()
+        .var_as("hits",
+                g().vector_search_nodes_with("ParityUser", "embedding",
+                                             Expr.param("qv"), 1)
+                .project([Projection.property("name", "who")]))
+        .returning(["hits"]))
+    req.insert_parameter_value("qv", [0.0, 1.0, 0.0])
+    out = run_request(engine, req)
+    assert out == {"hits": [{"who": "Carol"}]}
+
+
 def test_reserved_noops_accepted(engine):
     """Fixture 900: reserved steps parse and act as identity."""
     from helixdb import DynamicQueryRequest, PropertyValue, g, read_batch
