@@ -23,7 +23,7 @@ joinable against edges regardless of which label it belongs to.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, Iterable, Optional
+from typing import Callable, Dict, Iterable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -69,9 +69,17 @@ class GraphCatalog:
         self.spark = spark
         self._nodes: Dict[str, DataFrame] = {}
         self._edges: Dict[str, DataFrame] = {}
+        # lazy label -> thunk producing the registered DataFrame; resolved on
+        # first access so one unreadable table only breaks queries touching it
+        self._node_thunks: Dict[str, tuple] = {}
+        self._edge_thunks: Dict[str, tuple] = {}
         self._edge_meta: Dict[str, EdgeMeta] = {}
         self._ordinals: Dict[str, int] = {}
         self.indexes: Dict[tuple, IndexEntry] = {}
+        # search-index materializations keyed (kind, target, label, prop);
+        # populated by operators/search.py + similarity.py, invalidated here
+        # on any write to the label so post-write searches never see stale hits
+        self._materialized: Dict[tuple, object] = {}
         # driver-side allocator for AddN/AddE (OLTP-ish small writes);
         # bulk loads use global_id() instead.
         self._next_local_id = 1
@@ -92,11 +100,51 @@ class GraphCatalog:
             df = df.withColumn(_ID, global_id(self.ordinal(label), F.col(key_col)))
         elif _ID not in df.columns:
             raise ValueError(f"nodes '{label}' need key_col or _id")
+        self._force_nodes(label)  # a union with a pending thunk must resolve it
         if label in self._nodes:
             self._nodes[label] = self._nodes[label].unionByName(
                 df, allowMissingColumns=True)
         else:
             self._nodes[label] = df
+        self.invalidate_label(label)
+
+    def add_nodes_lazy(self, label: str,
+                       thunk: Callable[[], DataFrame],
+                       key_col: Optional[str] = None) -> None:
+        """Register a node table without reading it. ``thunk`` runs on first
+        access; the label's ordinal is pinned now so global ids stay stable
+        regardless of which label a query touches first."""
+        self.ordinal(label)
+        self._node_thunks[label] = (thunk, key_col)
+
+    def add_edges_lazy(self, label: str,
+                       thunk: Callable[[], DataFrame],
+                       src_label: Optional[str] = None,
+                       dst_label: Optional[str] = None,
+                       src_key: Optional[str] = None,
+                       dst_key: Optional[str] = None) -> None:
+        if src_label is not None:
+            self.ordinal(src_label)
+        if dst_label is not None:
+            self.ordinal(dst_label)
+        self.ordinal("$edge$" + label)  # pin edge-id namespace ordinal now
+        self._edge_thunks[label] = (thunk, src_label, dst_label,
+                                    src_key, dst_key)
+        self._edge_meta.setdefault(label, EdgeMeta(label, src_label, dst_label))
+
+    def _force_nodes(self, label: str) -> None:
+        pending = self._node_thunks.pop(label, None)
+        if pending is not None:
+            thunk, key_col = pending
+            self.add_nodes(label, thunk(), key_col=key_col)
+
+    def _force_edges(self, label: str) -> None:
+        pending = self._edge_thunks.pop(label, None)
+        if pending is not None:
+            thunk, src_label, dst_label, src_key, dst_key = pending
+            self.add_edges(label, thunk(), src_label=src_label,
+                           dst_label=dst_label, src_key=src_key,
+                           dst_key=dst_key)
 
     def add_edges(self, label: str, df: DataFrame,
                   src_label: Optional[str] = None,
@@ -126,11 +174,13 @@ class GraphCatalog:
             df = df.withColumn(
                 _ID,
                 global_id(ordinal, F.monotonically_increasing_id()))
+        self._force_edges(label)
         if label in self._edges:
             self._edges[label] = self._edges[label].unionByName(
                 df, allowMissingColumns=True)
         else:
             self._edges[label] = df
+        self.invalidate_label(label)
         meta = self._edge_meta.get(label)
         if meta is None:
             self._edge_meta[label] = EdgeMeta(label, src_label, dst_label)
@@ -143,21 +193,29 @@ class GraphCatalog:
     # -- lookup -----------------------------------------------------------
 
     def node_labels(self) -> list:
-        return list(self._nodes)
+        seen = dict.fromkeys(list(self._nodes) + list(self._node_thunks))
+        return list(seen)
 
     def edge_labels(self) -> list:
-        return list(self._edges)
+        seen = dict.fromkeys(list(self._edges) + list(self._edge_thunks))
+        return list(seen)
 
     def nodes(self, label: Optional[str] = None) -> Dict[str, DataFrame]:
         if label is None:
+            for lab in list(self._node_thunks):
+                self._force_nodes(lab)
             return dict(self._nodes)
+        self._force_nodes(label)
         if label not in self._nodes:
             return {}
         return {label: self._nodes[label]}
 
     def edges(self, label: Optional[str] = None) -> Dict[str, DataFrame]:
         if label is None:
+            for lab in list(self._edge_thunks):
+                self._force_edges(lab)
             return dict(self._edges)
+        self._force_edges(label)
         if label not in self._edges:
             return {}
         return {label: self._edges[label]}
@@ -175,20 +233,47 @@ class GraphCatalog:
         ]
 
     def replace_nodes(self, label: str, df: DataFrame) -> None:
+        self._node_thunks.pop(label, None)
         self._nodes[label] = df
+        self.invalidate_label(label)
 
     def replace_edges(self, label: str, df: DataFrame) -> None:
+        self._edge_thunks.pop(label, None)
         self._edges[label] = df
+        self.invalidate_label(label)
 
     def drop_nodes_cascade(self, ids_df: DataFrame) -> None:
         """Drop nodes by _id and every edge touching them (dsl.rs:3146-3147)."""
         ids = ids_df.select(_ID).distinct()
+        for label in self.node_labels():
+            self._force_nodes(label)
+        for label in self.edge_labels():
+            self._force_edges(label)
         for label, df in list(self._nodes.items()):
             self._nodes[label] = df.join(ids, on=_ID, how="left_anti")
         for label, df in list(self._edges.items()):
             self._edges[label] = (
                 df.join(ids.withColumnRenamed(_ID, _SRC), on=_SRC, how="left_anti")
                   .join(ids.withColumnRenamed(_ID, _DST), on=_DST, how="left_anti"))
+        self.invalidate_label(None)
+
+    # -- search-index cache invalidation ------------------------------------
+
+    def invalidate_label(self, label: Optional[str]) -> None:
+        """Drop materialized search indexes for ``label`` (all labels when
+        None) so vector/text/LSH search after a write rebuilds fresh. Keys
+        are (kind, target, label, prop) per operators/search.py."""
+        for key in list(self._materialized):
+            if label is not None and len(key) > 2 and key[2] != label:
+                continue
+            entry = self._materialized.pop(key)
+            frames = entry if isinstance(entry, tuple) else (entry,)
+            for f in frames:
+                if isinstance(f, DataFrame):
+                    try:
+                        f.unpersist()
+                    except Exception:
+                        pass
 
     # -- index DDL ----------------------------------------------------------
 

@@ -51,61 +51,90 @@ _TS_COLS = {
 }
 
 
+def _enable_nanos(spark: SparkSession) -> None:
+    """events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark 4
+    rejects unless this legacy conf is on. It must be set on whatever session
+    actually reads — including a caller-provided one, not just our own
+    builder (session.py) — so the fix travels with the code. Runtime-settable
+    SQL conf, so spark.conf.set works on a live session."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf locked down (e.g. Spark Connect policy) — reads of
+        #       nanos tables will surface the original error
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    _enable_nanos(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in _TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(c) == "bigint":  # nanos-as-long
+            df = df.withColumn(
+                c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
 def read_tables(spark: SparkSession, sf_dir: str) -> dict:
-    out = {}
-    for name in TABLES:
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        for c in _TS_COLS.get(name, ()):
-            if dict(df.dtypes).get(c) == "bigint":  # nanos-as-long
-                df = df.withColumn(
-                    c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
-        out[name] = df
-    return out
+    return {name: read_table(spark, sf_dir, name) for name in TABLES}
 
 
 def load_graph(spark: SparkSession, sf_dir: str) -> GraphCatalog:
-    t = read_tables(spark, sf_dir)
+    """Register the TPC-H graph lazily: each label's parquet is read on first
+    access, so (a) a query touching 2 of 10 tables pays for 2 reads, and
+    (b) one unreadable table only breaks queries that touch it. Ordinals are
+    pinned up-front in TABLES order (the global-id contract)."""
     cat = GraphCatalog(spark)
 
+    _cache: dict = {}  # per-graph memo so shared tables are read once
+
+    def tbl(name):
+        if name not in _cache:
+            _cache[name] = read_table(spark, sf_dir, name)
+        return _cache[name]
+
+    def li():
+        # composite natural key -> synthetic long key (orderkey*8 + line#)
+        return tbl("lineitem").withColumn(
+            "_lkey", F.col("l_orderkey") * F.lit(8) + F.col("l_linenumber"))
+
     for name in TABLES:
-        df = t[name]
         if name == "lineitem":
-            # composite natural key -> synthetic long key (orderkey*8 + line#)
-            df = df.withColumn(
-                "_lkey", F.col("l_orderkey") * F.lit(8) + F.col("l_linenumber"))
-            cat.add_nodes(name, df, key_col="_lkey")
+            cat.add_nodes_lazy(name, li, key_col="_lkey")
         else:
-            cat.add_nodes(name, df, key_col=_KEYS[name])
+            cat.add_nodes_lazy(name, lambda n=name: tbl(n),
+                               key_col=_KEYS[name])
 
-    def edge(label, df, src, dst, src_key, dst_key, props=None):
-        cols = [F.col(src_key).alias("__sk"), F.col(dst_key).alias("__dk")]
-        if props:
-            cols += [F.col(p) for p in props]
-        cat.add_edges(label, df.select(*cols), src_label=src, dst_label=dst,
-                      src_key="__sk", dst_key="__dk")
+    def edge(label, thunk, src, dst, src_key, dst_key, props=None):
+        def make():
+            df = thunk()
+            cols = [F.col(src_key).alias("__sk"), F.col(dst_key).alias("__dk")]
+            if props:
+                cols += [F.col(p) for p in props]
+            return df.select(*cols)
+        cat.add_edges_lazy(label, make, src_label=src, dst_label=dst,
+                           src_key="__sk", dst_key="__dk")
 
-    li = t["lineitem"].withColumn(
-        "_lkey", F.col("l_orderkey") * F.lit(8) + F.col("l_linenumber"))
-
-    edge("in_region", t["nation"], "nation", "region",
+    edge("in_region", lambda: tbl("nation"), "nation", "region",
          "n_nationkey", "n_regionkey")
-    edge("in_nation", t["customer"], "customer", "nation",
+    edge("in_nation", lambda: tbl("customer"), "customer", "nation",
          "c_custkey", "c_nationkey")
-    edge("supplier_in_nation", t["supplier"], "supplier", "nation",
+    edge("supplier_in_nation", lambda: tbl("supplier"), "supplier", "nation",
          "s_suppkey", "s_nationkey")
-    edge("placed_by", t["orders"], "orders", "customer",
+    edge("placed_by", lambda: tbl("orders"), "orders", "customer",
          "o_orderkey", "o_custkey")
     edge("of_order", li, "lineitem", "orders", "_lkey", "l_orderkey")
     edge("of_part", li, "lineitem", "part", "_lkey", "l_partkey")
     edge("of_supplier", li, "lineitem", "supplier", "_lkey", "l_suppkey")
     edge("ordered_part", li, "orders", "part", "l_orderkey", "l_partkey",
          props=["l_linenumber", "l_quantity", "l_extendedprice", "l_discount"])
-    edge("by_user", t["events"], "events", "customer", "event_id", "user_id")
+    edge("by_user", lambda: tbl("events"), "events", "customer",
+         "event_id", "user_id")
     # property-carrying doc->vector edge: the embedding and a text snippet
     # ride on the edge so edge vector/text search has real data
-    edge("has_embedding", t["documents"].join(
-            t["embeddings"].select(F.col("vec_id"), F.col("embedding")),
-            t["documents"]["doc_id"] == F.col("vec_id"), "inner"),
+    edge("has_embedding",
+         lambda: tbl("documents").join(
+             tbl("embeddings").select(F.col("vec_id"), F.col("embedding")),
+             F.col("doc_id") == F.col("vec_id"), "inner"),
          "documents", "embeddings", "doc_id", "vec_id",
          props=["embedding", "text"])
 
