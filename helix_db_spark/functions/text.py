@@ -90,7 +90,3 @@ def md5_long32(col: Column) -> Column:
         .cast("long")
 
 
-def minhash_value(col: Column, a: int, b: int,
-                  prime: int = (1 << 61) - 1) -> Column:
-    """One universal-hash permutation of md5_long(col)."""
-    return (md5_long(col) * F.lit(a) + F.lit(b)) % F.lit(prime)

@@ -939,6 +939,7 @@ class StepCompiler:
 
     def _step_CreateIndex(self, step: ast.CreateIndex, stream) -> Stream:
         from ..catalog import IndexEntry
+        self._require_write()  # index DDL is a write (reference write-mode)
         spec = step.spec
         entry = IndexEntry(spec.kind, spec.label, spec.property, spec.unique,
                            spec.direction, spec.tenant_property)
@@ -954,6 +955,7 @@ class StepCompiler:
         return Stream("value", {None: self.cat.spark.range(0)})
 
     def _step_DropIndex(self, step: ast.DropIndex, stream) -> Stream:
+        self._require_write()
         spec = step.spec
         self.cat.drop_index((spec.kind, spec.label, spec.property))
         return Stream("value", {None: self.cat.spark.range(0)})

@@ -254,7 +254,28 @@ _RESERVED = set(ast.RESERVED_NOOP_TAGS)
 
 
 def _parse_sub(obj) -> ast.SubTraversal:
-    return ast.SubTraversal(tuple(parse_step(s) for s in obj["steps"]))
+    return ast.SubTraversal(parse_steps(obj["steps"]))
+
+
+def parse_steps(seq) -> tuple:
+    """Parse a step list, fusing an N/E-with-id/var/param-ref followed by a
+    HasLabel back into the label-scoped scan. The serializer emits that pair
+    because the wire N/E payload has no label slot for non-All refs
+    (wire_out.steps_json) — fusing keeps parse(serialize(b)) == b and keeps
+    id scans label-scoped after a round-trip."""
+    import dataclasses
+
+    steps: list = []
+    for obj in seq:
+        step = parse_step(obj)
+        if (steps and isinstance(step, ast.HasLabel)
+                and isinstance(steps[-1], (ast.N, ast.E))
+                and steps[-1].label is None
+                and steps[-1].ref.kind != "all"):
+            steps[-1] = dataclasses.replace(steps[-1], label=step.label)
+            continue
+        steps.append(step)
+    return tuple(steps)
 
 
 def _parse_properties(pairs) -> tuple:
@@ -413,7 +434,7 @@ def _parse_entry(obj) -> ast.BatchEntry:
         cond = payload.get("condition")
         return ast.BatchEntry(
             payload["name"],
-            ast.Traversal(tuple(parse_step(s) for s in payload["steps"])),
+            ast.Traversal(parse_steps(payload["steps"])),
             condition=_parse_condition(cond) if cond is not None else None)
     if tag == "ForEach":
         body = tuple(_parse_entry(e) for e in payload["body"])
@@ -449,7 +470,10 @@ def parse_request(request: dict) -> ast.Batch:
 
 
 _WRITE_STEPS = (ast.AddN, ast.AddE, ast.SetProperty, ast.RemoveProperty,
-                ast.Drop, ast.DropEdge)
+                ast.Drop, ast.DropEdge,
+                # index DDL mutates engine state (reference marks
+                # create_index/drop_index write-mode; ReadBatch rejects them)
+                ast.CreateIndex, ast.DropIndex)
 
 
 def _walk_steps(entries):

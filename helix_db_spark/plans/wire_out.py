@@ -179,18 +179,33 @@ _HOP_UNITS = {"out_n": "OutN", "in_n": "InN", "other_n": "OtherN"}
 
 
 def _sub_json(s: ast.SubTraversal):
-    return {"steps": [step_json(x) for x in s.steps]}
+    return {"steps": steps_json(s.steps)}
+
+
+def steps_json(steps):
+    """Serialize a step list; a single AST step may expand to several wire
+    steps (N/E with both a label and an id/var/param ref — the wire payload
+    has no label slot there, so the label rides as a HasLabel step that the
+    parser fuses back, keeping parse(serialize(b)) == b)."""
+    out = []
+    for s in steps:
+        j = step_json(s)
+        out.extend(j) if isinstance(j, list) else out.append(j)
+    return out
 
 
 def step_json(s: ast.Step):  # noqa: C901 — one arm per step family
     if isinstance(s, ast.N):
         if s.label is not None:
-            return {"NWhere": {"Eq": ["$label", {"String": s.label}]}} \
-                if s.ref.kind == "all" else {"N": ref_json(s.ref)}
+            if s.ref.kind == "all":
+                return {"NWhere": {"Eq": ["$label", {"String": s.label}]}}
+            return [{"N": ref_json(s.ref)}, {"HasLabel": s.label}]
         return {"N": ref_json(s.ref)}
     if isinstance(s, ast.E):
-        if s.label is not None and s.ref.kind == "all":
-            return {"EWhere": {"Eq": ["$label", {"String": s.label}]}}
+        if s.label is not None:
+            if s.ref.kind == "all":
+                return {"EWhere": {"Eq": ["$label", {"String": s.label}]}}
+            return [{"E": ref_json(s.ref)}, {"EdgeHasLabel": s.label}]
         return {"E": ref_json(s.ref)}
     if isinstance(s, ast.NWhere):
         return {"NWhere": predicate_json(s.pred)}
@@ -372,12 +387,11 @@ def _entry_json(e: ast.BatchEntry):
     if e.foreach_param is not None:
         body = [_entry_json(x) for x in e.foreach_body] if e.foreach_body \
             else [{"Query": {"name": e.var_name,
-                             "steps": [step_json(s)
-                                       for s in e.traversal.steps],
+                             "steps": steps_json(e.traversal.steps),
                              "condition": None}}]
         return {"ForEach": {"param": e.foreach_param, "body": body}}
     return {"Query": {"name": e.var_name,
-                      "steps": [step_json(s) for s in e.traversal.steps],
+                      "steps": steps_json(e.traversal.steps),
                       "condition": condition_json(e.condition)
                       if e.condition is not None else None}}
 

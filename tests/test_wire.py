@@ -287,3 +287,35 @@ def test_project_bindings_wire(engine):
     assert rows == {("Alice", "Bob"), ("Bob", "Carol")}
     for r in results["rows"].collect():
         assert r["ref_id"] is not None  # coalesce fell through to Current
+
+
+def test_read_batch_rejects_index_ddl():
+    """Index DDL mutates engine state (drops a multitenant index => changes
+    tenant-search semantics); the reference marks create_index/drop_index
+    write-mode and ReadBatch rejects them."""
+    for step in ({"CreateIndex": {"spec": {"NodeVector": {
+                     "label": "Doc", "property": "emb"}},
+                     "if_not_exists": False}},
+                 {"DropIndex": {"spec": {"NodeVector": {
+                     "label": "Doc", "property": "emb"}}}}):
+        raw = {
+            "request_type": "read",
+            "query": {"queries": [{"Query": {
+                "name": "bad", "steps": [step], "condition": None}}],
+                "returns": ["bad"]},
+        }
+        with pytest.raises(WireError, match="write step"):
+            parse_request(raw)
+
+
+def test_compiler_rejects_index_ddl_in_read_mode(engine):
+    """Defense in depth below the wire layer: the compiler itself refuses
+    index DDL outside a write batch."""
+    from helix_db_spark import dsl as _dsl
+    from helix_db_spark.plans import ast as _ast
+
+    spec = _ast.IndexSpec("node_vector", "embeddings", "embedding")
+    batch = _ast.Batch("read", (_ast.BatchEntry(
+        "x", _ast.Traversal((_ast.CreateIndex(spec, False),))),), ("x",))
+    with pytest.raises(PermissionError, match="mutation step"):
+        engine.execute_batch(batch)

@@ -143,3 +143,28 @@ def test_bundle_rejects_mode_mismatch():
     w = dsl.write_batch().var_as("a", g().add_n("X")).returning("a").build()
     with pytest.raises(Exception, match="write batch"):
         serialize_query_bundle({"bad": w}, {})
+
+
+def test_roundtrip_preserves_label_on_id_refs():
+    """ADVICE r1: N(label, ids=[...]) used to drop the label on serialize,
+    widening a label-scoped id scan to all labels after a round-trip. The
+    serializer now emits N + HasLabel (E + EdgeHasLabel) and the parser
+    fuses the pair back, so the round-trip is the identity at the AST level
+    for non-All refs."""
+    b = dsl.read_batch().var_as(
+        "r", g().n("customer", ids=[1, 2, 3]).values("c_name")) \
+        .returning("r").build()
+    rt = _roundtrip(b)
+    step = rt.entries[0].traversal.steps[0]
+    assert isinstance(step, ast.N)
+    assert step.label == "customer"
+    assert step.ref.kind == "ids"
+    assert rt == b
+
+    eb = dsl.read_batch().var_as(
+        "e", g().e("knows", ids=[9]).count()).returning("e").build()
+    ert = _roundtrip(eb)
+    estep = ert.entries[0].traversal.steps[0]
+    assert isinstance(estep, ast.E)
+    assert estep.label == "knows"
+    assert ert == eb
