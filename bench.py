@@ -104,6 +104,12 @@ def main() -> None:
 
     rebuild_indexes()
 
+    # only these probe the served indexes; rebuilding before every rep of
+    # every query generated ~90s of untimed churn + GC pressure that bled
+    # into the timed dedup self-joins
+    NEEDS_INDEX = {"bm25_text_search", "vector_search_topk",
+                   "vector_search_lsh", "vector_search_ivf"}
+
     # best-of-N per query: steady-state throughput, robust to one-off GC /
     # compilation hiccups (standard benchmark practice). Operator-internal
     # persists are cleared between repetitions so each rep does full work.
@@ -120,8 +126,10 @@ def main() -> None:
                                 and abs(reps[0] - reps[1]) > 0.25 * min(reps)):
             # drop operator-internal persists from the previous rep (honest
             # full work each time), then restore the served indexes untimed
+            # for the queries that probe them
             spark.catalog.clearCache()
-            rebuild_indexes()
+            if name in NEEDS_INDEX:
+                rebuild_indexes()
             t0 = time.perf_counter()
             materialize(fn(spark, SF_DIR))
             reps.append(time.perf_counter() - t0)

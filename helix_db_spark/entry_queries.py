@@ -705,14 +705,36 @@ def multimodal_frame_plan(spark, sf_dir):
     return frame_sample_plan(media, every_ms=5000)
 
 
-@q("multimodal_features")  # pandas-UDF stub features: rows-only check
+# The stand-in feature vector is sha256-seeded xorshift64 (multimodal.py:
+# deterministic_features) — fully SQL-reproducible, so the driver gets a
+# real value-hash check instead of rows-only. f0 is quantized through
+# float32 on BOTH sides (the features column is array<float>; the oracle
+# casts through FLOAT) so rounding is bit-identical.
+_M = 18446744073709551616  # 2^64
+_MM_FEATURES_ORACLE = f"""
+WITH h AS (SELECT doc_id AS media_id,
+       CAST(CAST(('0x' || substr(sha256(text), 1, 16)) AS UBIGINT)
+            AS HUGEINT) AS x0 FROM documents),
+s0 AS (SELECT media_id, CASE WHEN x0 = 0 THEN 1 ELSE x0 END AS x FROM h),
+s1 AS (SELECT media_id, xor(x, (x * 8192) % {_M}) AS x FROM s0),
+s2 AS (SELECT media_id, xor(x, x // 128) AS x FROM s1),
+s3 AS (SELECT media_id, xor(x, (x * 131072) % {_M}) AS x FROM s2)
+SELECT media_id, 32 AS dim,
+       round(CAST(CAST(CAST(x % 2000001 AS DOUBLE) / 1000000.0 - 1.0
+                       AS FLOAT) AS DOUBLE), 6) AS f0
+FROM s3
+"""
+
+
+@q("multimodal_features", _MM_FEATURES_ORACLE)
 def multimodal_features(spark, sf_dir):
     from .operators.multimodal import extract_features, synth_media_from_text
     media = synth_media_from_text(_docs(spark, sf_dir), "doc_id", "text")
     feats = extract_features(media)
     return feats.select(F.col("media_id"),
                         F.size("features").alias("dim"),
-                        F.round(F.element_at("features", 1), 6).alias("f0"))
+                        F.round(F.element_at("features", 1).cast("double"), 6)
+                        .alias("f0"))
 
 
 # ---------------------------------------------------------------------------

@@ -307,19 +307,31 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                                                F.col("_s").asc())))
     prefix_len = (F.col("_size") -
                   F.ceil(F.lit(threshold) * F.col("_size")) + 1)
-    prefix = ranked.filter(F.col("_rk") <= prefix_len) \
-                   .select("_doc", "_s", "_size", "_rk")
+    # The candidate self-join reads the prefix table twice; materialize it
+    # once so both sides hit the cache instead of recomputing the rank
+    # pipeline. Join on a 60-bit md5 of the shingle, not the string:
+    # hash-equal is a strict SUPERSET of string-equal, so a collision can
+    # only add a candidate pair (rejected by the exact verify below), never
+    # drop one — the PPJoin no-false-negative guarantee is untouched, while
+    # the long key roughly halves the self-join shuffle width. Prefix
+    # SELECTION keeps the exact (df, shingle-string) global order.
+    # Interleaved best-of-4 at sf0.1: 3.07s (string, no persist) -> 2.45s.
+    prefix = (ranked.filter(F.col("_rk") <= prefix_len)
+              .select("_doc", md5_long(F.col("_s")).alias("_k"),
+                      "_size", "_rk")
+              .persist())
+    prefix.count()  # eager: both join sides must read the cache, not race it
 
     # length filter (exact): J(A,B) >= t requires |A∩B| >= t·(|A|+|B|−|A∩B|)
     # and |A∩B| <= min(|A|,|B|), hence t·|A| <= |B| <= |A|/t. Applied inside
     # the prefix join it prunes incompatible-size pairs before the verify.
-    left = prefix.select(F.col("_doc").alias("a"), "_s",
+    left = prefix.select(F.col("_doc").alias("a"), "_k",
                          F.col("_size").alias("_la"),
                          F.col("_rk").alias("_ra"))
-    right = prefix.select(F.col("_doc").alias("b"), "_s",
+    right = prefix.select(F.col("_doc").alias("b"), "_k",
                           F.col("_size").alias("_lb"),
                           F.col("_rk").alias("_rb"))
-    joined = (left.join(right, on="_s")
+    joined = (left.join(right, on="_k")
                   .filter((F.col("a") < F.col("b"))
                           & (F.col("_lb") >= F.lit(threshold) * F.col("_la"))
                           & (F.col("_la") >= F.lit(threshold) * F.col("_lb"))))

@@ -54,18 +54,30 @@ def _band_keys(sig_bits: np.ndarray, bands: int = LSH_BANDS) -> List[int]:
 
 
 def signature_udf(dim: int, nbits: int = LSH_NBITS, bands: int = LSH_BANDS):
+    """Arrow-batched signature computation, fully vectorized: one
+    (batch x dim) @ (dim x nbits) matmul per Arrow batch, then band keys by
+    integer packing over the whole batch — no per-row Python loop (the only
+    one left after round 1; build-time only, but principle matters)."""
     planes = _planes(dim, nbits)
+    per = nbits // bands
+    # (bands, per)-shaped weights pack each band's bits into an int via a
+    # single tensordot; band index salted into the top byte as before
+    pack = (1 << np.arange(per - 1, -1, -1, dtype=np.int64))
+    salts = (np.arange(bands, dtype=np.int64) << 56)
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig(vecs: pd.Series) -> pd.Series:
-        out = []
-        for v in vecs:
-            if v is None:
-                out.append(None)
-                continue
-            bits = (np.asarray(v, dtype=np.float64) @ planes.T) > 0
-            out.append(_band_keys(bits.astype(np.int8), bands))
-        return pd.Series(out)
+        mask = vecs.notna().to_numpy()
+        out = pd.Series([None] * len(vecs), dtype=object)
+        if mask.any():
+            mat = np.stack(vecs[mask].to_numpy()).astype(np.float64)
+            bits = (mat @ planes.T) > 0                      # (n, nbits)
+            chunks = bits.reshape(len(mat), bands, per)       # (n, bands, per)
+            keys = chunks.astype(np.int64) @ pack + salts     # (n, bands)
+            vals = np.empty(len(keys), dtype=object)
+            vals[:] = [k.tolist() for k in keys]
+            out[mask] = vals
+        return out
 
     return sig
 

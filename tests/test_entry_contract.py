@@ -48,9 +48,9 @@ def test_driver_top50_covers_survey_ops():
         "drop_cascade_counts", "batch_condition_gate", "foreach_accumulate",
     }
     assert critical <= set(DRIVER_TOP50)
-    # every top-50 entry except deliberate rows-only ops has an oracle
+    # every top-50 entry has a DuckDB oracle (full value-hash grading)
     rows_only = {n for n in DRIVER_TOP50 if REGISTRY[n][1] is None}
-    assert rows_only <= {"multimodal_features"}
+    assert rows_only == set()
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
