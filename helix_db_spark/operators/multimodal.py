@@ -90,15 +90,66 @@ def extract_features(df: DataFrame, content_col: str = "content",
 
 
 def decode_image(df: DataFrame, content_col: str = "content",
-                 out_col: str = "pixels") -> DataFrame:
-    """binary -> decoded pixel tensor. STUB: raises unless PIL is present.
-    The plan shape (mapInPandas, Arrow batches, schema) is the real one."""
+                 out_col: str = "pixels",
+                 stats_only: bool = True) -> DataFrame:
+    """binary -> decoded image stats via mapInPandas (Arrow batches).
+
+    Real path, gated on PIL (absent from this container by design — the
+    NotImplementedError below is the disclosed stub behavior there). Where
+    PIL exists, each Arrow batch decodes images and emits
+    (decoded_width, decoded_height, mode, mean_luma) — the summary columns a
+    training-data pipeline filters on. ``stats_only=False`` additionally
+    carries the raw pixel bytes (RGB, row-major) in ``out_col``; keep it
+    off for wide scans, pixel tensors belong in the downstream model reader.
+    """
     backend = _try_decode_backend("image")
     if backend is None:
         raise NotImplementedError(
             "image decode requires PIL, not available in this container; "
             "use extract_features() for the deterministic stand-in path")
-    raise NotImplementedError("real decode wiring pending backend presence")
+
+    fields = list(df.schema.fields) + [
+        T.StructField("decoded_width", T.IntegerType()),
+        T.StructField("decoded_height", T.IntegerType()),
+        T.StructField("mode", T.StringType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+    if not stats_only:
+        fields.append(T.StructField(out_col, T.BinaryType()))
+    schema = T.StructType(fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in batches:
+            ws, hs, modes, lumas, pixels = [], [], [], [], []
+            for b in pdf[content_col]:
+                if b is None:
+                    ws.append(None); hs.append(None); modes.append(None)
+                    lumas.append(None); pixels.append(None)
+                    continue
+                try:
+                    img = backend.open(io.BytesIO(bytes(b)))
+                    rgb = img.convert("RGB")
+                    arr = np.asarray(rgb, dtype=np.uint8)
+                    ws.append(img.width); hs.append(img.height)
+                    modes.append(img.mode)
+                    # ITU-R BT.601 luma over the decoded pixels
+                    lumas.append(float(
+                        (arr @ np.array([0.299, 0.587, 0.114])).mean()))
+                    pixels.append(arr.tobytes() if not stats_only else None)
+                except Exception:  # undecodable bytes -> null row, not a crash
+                    ws.append(None); hs.append(None); modes.append(None)
+                    lumas.append(None); pixels.append(None)
+            pdf["decoded_width"] = pd.array(ws, dtype="Int32")
+            pdf["decoded_height"] = pd.array(hs, dtype="Int32")
+            pdf["mode"] = modes
+            pdf["mean_luma"] = lumas
+            if not stats_only:
+                pdf[out_col] = pixels
+            yield pdf
+
+    return df.mapInPandas(run, schema)
 
 
 def resize_meta(df: DataFrame, max_side: int = 256) -> DataFrame:

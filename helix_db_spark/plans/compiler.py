@@ -832,10 +832,26 @@ class StepCompiler:
         fresh = self.cat.nodes(step.label)[step.label].filter(F.col(_ID) == nid)
         return Stream("node", {step.label: fresh})
 
+    # Write batches are OLTP-small by contract (the reference's write path
+    # enumerates endpoints the same way, dsl.rs:3128-3138). A large frontier
+    # flowing into AddE/DropEdge would otherwise stream unbounded rows to
+    # the driver; fail fast with an actionable message instead of OOMing.
+    MAX_WRITE_FRONTIER = 10_000
+
+    def _bounded_frontier(self, ids_df, what: str) -> List[int]:
+        cap = self.MAX_WRITE_FRONTIER
+        rows = ids_df.distinct().limit(cap + 1).collect()  # collect is capped
+        if len(rows) > cap:
+            raise ValueError(
+                f"{what} enumerates more than {cap} distinct endpoints; "
+                "write batches are OLTP-small by contract — use "
+                "GraphCatalog.add_edges / replace_edges for bulk edge loads")
+        return [r[_ID] for r in rows]
+
     def _target_ids(self, ref: ast.Ref) -> List[int]:
         if ref.kind == "var":
             var = self.ctx.variables[ref.name]
-            return [r[_ID] for r in var.ids().distinct().collect()]
+            return self._bounded_frontier(var.ids(), f"target var '{ref.name}'")
         ids = self._resolve_ref_ids(ref)
         if ids is None:
             raise ValueError("AddE/DropEdge target must be ids/var/param")
@@ -847,7 +863,7 @@ class StepCompiler:
         driver-side. Bulk edge loads use GraphCatalog.add_edges."""
         self._require_write()
         props = self._eval_props(step.properties)
-        src_ids = [r[_ID] for r in stream.ids().distinct().collect()]
+        src_ids = self._bounded_frontier(stream.ids(), "AddE source")
         dst_ids = self._target_ids(step.to)
         pairs = [(s, d) for s in src_ids for d in dst_ids]
         eids = self.cat.allocate_ids(len(pairs))
@@ -926,7 +942,7 @@ class StepCompiler:
                 self.cat.replace_edges(
                     label, df.filter(~F.col(_ID).isin(list(step.edge_ids))))
             return stream
-        src_ids = [r[_ID] for r in stream.ids().distinct().collect()]
+        src_ids = self._bounded_frontier(stream.ids(), "DropEdge source")
         dst_ids = self._target_ids(step.to)
         for label, df in list(self.cat.edges(step.label).items()):
             self.cat.replace_edges(

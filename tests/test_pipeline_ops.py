@@ -190,13 +190,61 @@ def test_multimodal_plumbing(spark):
     assert plan.columns == ["media_id", "frame_ts_ms"]
 
 
-def test_decode_stub_raises(spark):
-    from helix_db_spark.operators.multimodal import decode_image, \
-        synth_media_from_text
+def test_decode_stub_raises_without_pil(spark):
+    from helix_db_spark.operators import multimodal
 
-    media = synth_media_from_text(_docs(spark).limit(1), "doc_id", "text")
+    if multimodal._try_decode_backend("image") is not None:
+        pytest.skip("PIL present; covered by test_decode_image_real")
+    media = multimodal.synth_media_from_text(
+        _docs(spark).limit(1), "doc_id", "text")
     with pytest.raises(NotImplementedError):
-        decode_image(media)
+        multimodal.decode_image(media)
+
+
+def test_decode_image_real(spark):
+    """Real decode path: runs wherever PIL exists, skips in this container
+    (backends absent by design — the stand-in path stays the default)."""
+    from helix_db_spark.operators import multimodal
+
+    PIL_Image = multimodal._try_decode_backend("image")
+    if PIL_Image is None:
+        pytest.skip("PIL not available in this environment")
+    import io
+
+    img = PIL_Image.new("RGB", (8, 4), color=(255, 0, 0))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue()), (8, 4, 0, "png")),
+         (2, "image", bytearray(b"not an image"), (0, 0, 0, "bad"))],
+        multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in multimodal.decode_image(media).collect()}
+    assert (out[1]["decoded_width"], out[1]["decoded_height"]) == (8, 4)
+    assert abs(out[1]["mean_luma"] - 0.299 * 255) < 1.0
+    assert out[2]["decoded_width"] is None  # undecodable -> nulls, no crash
+
+
+def test_adde_large_frontier_fails_fast(spark):
+    """plans/compiler guard: a big frontier flowing into AddE must raise an
+    actionable error, not stream unbounded rows to the driver."""
+    from helix_db_spark import dsl as _dsl
+    from helix_db_spark.catalog import GraphCatalog
+    from helix_db_spark.engine import HelixSparkEngine
+    from helix_db_spark.plans.compiler import StepCompiler
+
+    from helix_db_spark.dsl import g
+
+    cat = GraphCatalog(spark)
+    n = StepCompiler.MAX_WRITE_FRONTIER + 1
+    cat.add_nodes("u", spark.range(1, n + 1)
+                  .selectExpr("id AS k", "'x' AS name"), key_col="k")
+    eng = HelixSparkEngine(cat)
+    with pytest.raises(ValueError, match="OLTP-small"):
+        eng.execute_batch(
+            _dsl.write_batch()
+            .var_as("one", g().add_n("u", name="solo"))
+            .var_as("e", g().n("u").add_e("knows", to="one"))
+            .returning("e"))
 
 
 def test_cosine_pairs_blocked(spark, oracle):

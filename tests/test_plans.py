@@ -79,3 +79,35 @@ def test_whole_stage_codegen_in_scan_filter(engine):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # codegen'd operators carry the "*(n)" stage marker in executedPlan
     assert "*(1)" in plan or "WholeStageCodegen" in plan, plan
+
+
+def test_bm25_probe_broadcasts_term_df(engine):
+    """BM25 probe shape: postings term-filter + a BROADCAST join against the
+    tiny per-term df table — shuffling postings against term_df would add a
+    full shuffle of the postings table per query at scale."""
+    from helix_db_spark.operators.search import bm25_scores
+    from helix_db_spark.plans.compiler import ExecContext, StepCompiler
+
+    comp = StepCompiler(ExecContext(engine.catalog))
+    scores = bm25_scores(comp, "documents", "text", "spark shuffle")
+    plan = _plan(scores)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, \
+        "term_df join must broadcast, not shuffle the postings"
+
+
+def test_ivf_probe_broadcasts_cells_no_python_udf(engine):
+    """IVF probe shape: nprobe centroid cells arrive as a BROADCAST join
+    against the assigned table (cell prune), distance math stays JVM-side,
+    and top-k compiles to TakeOrderedAndProject."""
+    from helix_db_spark.operators.similarity import ivf_topk
+
+    emb = engine.catalog.nodes("embeddings")["embeddings"]
+    row = emb.select("embedding").head()
+    vec = [float(x) for x in row["embedding"]]
+    df = ivf_topk(emb, "vec_id", "embedding", vec, k=5, nprobe=2)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, \
+        "IVF probe distance must stay JVM-side"
