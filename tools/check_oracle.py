@@ -53,9 +53,20 @@ def main() -> None:
     import duckdb
 
     import __spark_entry__ as e
-    from helix_db_spark import get_spark
 
-    spark = get_spark("oracle-check", **{"spark.ui.showConsoleProgress": "false"})
+    if "--vanilla" in sys.argv:
+        # mimic the grading driver exactly: a bare session with NONE of our
+        # builder confs — proves the contract surface is session-portable
+        sys.argv.remove("--vanilla")
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[8]")
+                 .appName("oracle-check-vanilla")
+                 .config("spark.ui.showConsoleProgress", "false")
+                 .getOrCreate())
+    else:
+        from helix_db_spark import get_spark
+        spark = get_spark("oracle-check",
+                          **{"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
