@@ -80,6 +80,10 @@ class GraphCatalog:
         # populated by operators/search.py + similarity.py, invalidated here
         # on any write to the label so post-write searches never see stale hits
         self._materialized: Dict[tuple, object] = {}
+        # labels mutated since the last durability checkpoint — the
+        # x-helix-await-durable analogue (server.py): an awaiting write
+        # eagerly checkpoints exactly these before responding
+        self._dirty: set = set()
         # driver-side allocator for AddN/AddE (OLTP-ish small writes);
         # bulk loads use global_id() instead.
         self._next_local_id = 1
@@ -107,6 +111,7 @@ class GraphCatalog:
         else:
             self._nodes[label] = df
         self.invalidate_label(label)
+        self._dirty.add(("node", label))
 
     def add_nodes_lazy(self, label: str,
                        thunk: Callable[[], DataFrame],
@@ -137,6 +142,7 @@ class GraphCatalog:
         if pending is not None:
             thunk, key_col = pending
             self.add_nodes(label, thunk(), key_col=key_col)
+            self._dirty.discard(("node", label))  # lazy load is not a write
 
     def _force_edges(self, label: str) -> None:
         pending = self._edge_thunks.pop(label, None)
@@ -145,6 +151,7 @@ class GraphCatalog:
             self.add_edges(label, thunk(), src_label=src_label,
                            dst_label=dst_label, src_key=src_key,
                            dst_key=dst_key)
+            self._dirty.discard(("edge", label))
 
     def add_edges(self, label: str, df: DataFrame,
                   src_label: Optional[str] = None,
@@ -181,6 +188,7 @@ class GraphCatalog:
         else:
             self._edges[label] = df
         self.invalidate_label(label)
+        self._dirty.add(("edge", label))
         meta = self._edge_meta.get(label)
         if meta is None:
             self._edge_meta[label] = EdgeMeta(label, src_label, dst_label)
@@ -236,11 +244,13 @@ class GraphCatalog:
         self._node_thunks.pop(label, None)
         self._nodes[label] = df
         self.invalidate_label(label)
+        self._dirty.add(("node", label))
 
     def replace_edges(self, label: str, df: DataFrame) -> None:
         self._edge_thunks.pop(label, None)
         self._edges[label] = df
         self.invalidate_label(label)
+        self._dirty.add(("edge", label))
 
     def drop_nodes_cascade(self, ids_df: DataFrame) -> None:
         """Drop nodes by _id and every edge touching them (dsl.rs:3146-3147)."""
@@ -256,6 +266,23 @@ class GraphCatalog:
                 df.join(ids.withColumnRenamed(_ID, _SRC), on=_SRC, how="left_anti")
                   .join(ids.withColumnRenamed(_ID, _DST), on=_DST, how="left_anti"))
         self.invalidate_label(None)
+        self._dirty.update({("node", lab) for lab in self._nodes} |
+                           {("edge", lab) for lab in self._edges})
+
+    def checkpoint_durable(self) -> int:
+        """Eagerly checkpoint every table mutated since the last call —
+        cutting lineage and materializing the post-write state, the Spark
+        analogue of awaiting WAL durability (x-helix-await-durable,
+        sdks/rust/src/lib.rs:290-296). Returns the number of tables
+        checkpointed."""
+        n = 0
+        for kind, label in sorted(self._dirty):
+            table = self._nodes if kind == "node" else self._edges
+            if label in table:
+                table[label] = table[label].localCheckpoint(eager=True)
+                n += 1
+        self._dirty.clear()
+        return n
 
     # -- search-index cache invalidation ------------------------------------
 

@@ -85,8 +85,19 @@ class HelixSparkServer:
 
     # -- request handling (transport-independent, testable directly) -------
 
-    def handle(self, path: str, body: dict) -> tuple:
-        """(status, response-json) for a POST."""
+    def handle(self, path: str, body: dict,
+               headers: Optional[dict] = None) -> tuple:
+        """(status, response-json) for a POST.
+
+        Honored header toggles (sdks/rust/src/lib.rs:278-298):
+        - ``x-helix-warm: true`` — only execute if the query is already
+          warm: every search step's index must be materialized in memory.
+          Cold => 425 (Too Early) so the client can retry un-warmed.
+        - ``x-helix-await-durable: true`` — after a write batch, eagerly
+          checkpoint every mutated table before responding (the Spark
+          analogue of awaiting WAL durability).
+        """
+        hdrs = {str(k).lower(): str(v) for k, v in (headers or {}).items()}
         try:
             if path == "/v1/query":
                 request = body
@@ -102,11 +113,48 @@ class HelixSparkServer:
             else:
                 return 404, {"error": f"unknown path {path!r}"}
             with self._lock:
-                return 200, self.engine.execute_json(request)
+                if hdrs.get("x-helix-warm") == "true":
+                    cold = self._cold_reason(request)
+                    if cold is not None:
+                        return 425, {"error": f"warm-only request: {cold}"}
+                resp = self.engine.execute_json(request)
+                if (hdrs.get("x-helix-await-durable") == "true"
+                        and request.get("request_type") == "write"):
+                    self.engine.catalog.checkpoint_durable()
+                return 200, resp
         except (WireError, KeyError, ValueError, PermissionError) as ex:
             return 400, {"error": str(ex)}
         except Exception as ex:  # noqa: BLE001 — surface as 500, don't kill the server
             return 500, {"error": f"{type(ex).__name__}: {ex}"}
+
+    def _cold_reason(self, request: dict) -> Optional[str]:
+        """None if every search step's index is materialized in memory,
+        else a description of the first cold index."""
+        from pyspark.sql import DataFrame
+
+        batch = parse_request(request)
+        cat = self.engine.catalog
+        kinds = {"VectorSearch": ("vecnorm", "lsh", "ivf"),
+                 "TextSearch": ("bm25",)}
+        for entry in batch.entries:
+            for step in entry.traversal.steps:
+                name = type(step).__name__
+                if name not in kinds:
+                    continue
+                hit = None
+                for kind in kinds[name]:
+                    hit = cat._materialized.get(
+                        (kind, step.target, step.label, step.property))
+                    if hit is not None:
+                        break
+                frames = hit if isinstance(hit, tuple) else (hit,)
+                warm = hit is not None and all(
+                    f.storageLevel.useMemory for f in frames
+                    if isinstance(f, DataFrame))
+                if not warm:
+                    return (f"index for ({step.label}, {step.property}) "
+                            "is not materialized")
+        return None
 
     # -- HTTP lifecycle -----------------------------------------------------
 
@@ -123,7 +171,8 @@ class HelixSparkServer:
                 except json.JSONDecodeError as ex:
                     status, resp = 400, {"error": f"bad JSON: {ex}"}
                 else:
-                    status, resp = server.handle(self.path, body)
+                    status, resp = server.handle(self.path, body,
+                                                 headers=dict(self.headers))
                 data = json.dumps(resp).encode()
                 self.send_response(status)
                 self.send_header("Content-Type", "application/json")

@@ -101,3 +101,73 @@ def test_bundle_version_check():
 def test_readiness_probe(spark):
     srv = HelixSparkServer(HelixSparkEngine(GraphCatalog(spark)))
     assert srv.ready()  # empty label scan answers 0, engine is up
+
+
+def _vector_search_request():
+    return {
+        "request_type": "read",
+        "query": {"queries": [{"Query": {
+            "name": "hits",
+            "steps": [{"VectorSearchNodes": {
+                "label": "Doc", "property": "emb",
+                "query_vector": {"Value": {"F32Array": [1.0, 0.0]}},
+                "k": 2}}],
+            "condition": None}}],
+            "returns": ["hits"]},
+    }
+
+
+def test_warm_only_cold_then_warm(spark):
+    """x-helix-warm=true: cold index => 425 Too Early; after the index is
+    materialized the same request succeeds (rust SDK lib.rs:279-284)."""
+    from helix_db_spark.operators.search import build_vector_index
+    from helix_db_spark.plans.compiler import ExecContext, StepCompiler
+
+    cat = GraphCatalog(spark)
+    cat.add_nodes("Doc", spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "k long, emb array<float>"),
+        key_col="k")
+    srv = HelixSparkServer(HelixSparkEngine(cat))
+    req = _vector_search_request()
+    warm_hdr = {"x-helix-warm": "true"}
+
+    status, out = srv.handle("/v1/query", req, headers=warm_hdr)
+    assert status == 425 and "not materialized" in out["error"]
+    # un-warmed requests still execute
+    status, _ = srv.handle("/v1/query", req)
+    assert status == 200
+    # warm it via the index build, then warm-only succeeds
+    comp = StepCompiler(ExecContext(cat))
+    build_vector_index(comp, "Doc", "emb").count()
+    status, out = srv.handle("/v1/query", req, headers=warm_hdr)
+    assert status == 200 and len(out["hits"]) == 2
+
+
+def test_await_durable_checkpoints_writes(spark):
+    """x-helix-await-durable=true on a write batch checkpoints every mutated
+    table before the response (lib.rs:290-296 analogue)."""
+    cat = GraphCatalog(spark)
+    cat.add_nodes("User", spark.createDataFrame(
+        [(1, "alice")], "k long, name string"), key_col="k")
+    srv = HelixSparkServer(HelixSparkEngine(cat))
+    req = {
+        "request_type": "write",
+        "query": {"queries": [{"Query": {
+            "name": "w",
+            "steps": [{"AddN": {"label": "User",
+                                "properties": [["name",
+                                                {"Value": {"String": "bob"}}]]}}],
+            "condition": None}}],
+            "returns": ["w"]},
+    }
+    status, _ = srv.handle("/v1/query", req,
+                           headers={"x-helix-await-durable": "true"})
+    assert status == 200
+    assert cat._dirty == set()  # everything mutated was checkpointed
+    # and the checkpointed state is the post-write state
+    assert cat.nodes("User")["User"].count() == 2
+
+    # without the header, dirty state accumulates until the next await
+    status, _ = srv.handle("/v1/query", req)
+    assert status == 200
+    assert ("node", "User") in cat._dirty
