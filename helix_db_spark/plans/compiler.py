@@ -200,8 +200,12 @@ class StepCompiler:
         if ref.kind == "var":
             var = self.ctx.variables[ref.name]
             ids = var.ids().distinct()
+            # plain semi join — a var's id set is unbounded, so the
+            # broadcast-vs-shuffle choice belongs to AQE (which converts to
+            # broadcast at runtime when the set is actually small); a forced
+            # broadcast hint here would OOM on a large var at cluster scale
             stream = stream.map_frames(
-                lambda l, df: df.join(F.broadcast(ids), on=_ID, how="left_semi"))
+                lambda l, df: df.join(ids, on=_ID, how="left_semi"))
         else:
             ids = self._resolve_ref_ids(ref)
             if ids is not None:

@@ -127,3 +127,40 @@ def test_graph_upserts_cdc(spark, tmp_path):
         assert rows == {"alice": 10.0, "bob2": 21.0, "carol": 30.0}
     finally:
         q.stop()
+
+
+def test_stream_first_seen_dedup(spark, tmp_path):
+    """applyInPandasWithState custom stateful op: across micro-batches, only
+    the first row per key survives — the streaming twin of exact dedup."""
+    from helix_db_spark.streaming import stateful
+
+    src = str(tmp_path / "dups")
+    # two files => two micro-batches (maxFilesPerTrigger=4 but written
+    # separately); key 'a' and 'b' repeat within AND across batches
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 11.0), (3, "b", 12.0)],
+        "event_id long, digest string, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [(4, "a", 13.0), (5, "c", 14.0), (6, "b", 15.0)],
+        "event_id long, digest string, value double"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.format("parquet")
+              .schema("event_id long, digest string, value double")
+              .option("maxFilesPerTrigger", "1")
+              .load(src))
+    deduped = stateful.stream_first_seen(stream, "digest")
+    q = (deduped.writeStream.outputMode("update").format("memory")
+         .queryName("first_seen").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM first_seen").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["digest"], []).append(r)
+    # exactly one survivor per distinct digest, regardless of batch layout
+    assert sorted(by_key) == ["a", "b", "c"]
+    assert all(len(v) == 1 for v in by_key.values())
