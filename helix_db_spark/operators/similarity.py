@@ -197,11 +197,13 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str,
 def cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
                  threshold: float,
                  block_col: Optional[str] = None) -> DataFrame:
-    """All (a, b) pairs with cosine >= threshold, a < b.
+    """All (a, b) pairs with cosine >= threshold, a < b. EXACT.
 
     With ``block_col`` the self-join is restricted to equal blocks
     (e.g. an LSH band or cluster label) — the scale path; a full
-    cross-join self-join is quadratic and only for small frames.
+    cross-join self-join is quadratic and only for small frames. For
+    unblocked data at scale use :func:`cosine_pairs_lsh` (banded candidate
+    generation, exact verify, approximate recall).
     """
     left = df.select(F.col(id_col).alias("a"),
                      F.col(vec_col).alias("_va"),
@@ -216,3 +218,36 @@ def cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
     return (joined.withColumn("cosine", sim)
                   .filter(F.col("cosine") >= threshold)
                   .select("a", "b", "cosine"))
+
+
+def cosine_pairs_lsh(df: DataFrame, id_col: str, vec_col: str,
+                     threshold: float,
+                     dim: Optional[int] = None) -> DataFrame:
+    """(a, b, cosine) near-dup pairs without a natural blocking column:
+    random-hyperplane band keys generate candidates (two rows meet only if
+    they share a band), then the exact cosine verifies — no false
+    positives; recall follows the LSH curve (16 bands x 6 bits:
+    >0.999 at cos 0.9, ~0.95 at cos 0.8 — the near-dup regime).
+
+    Scale shape: explode to (row, band_key), self-join on the band key —
+    candidate volume is sum of bucket sizes squared, not n², and the join
+    key is a long. The 100 TB layout writes the banded table bucketed by
+    band key.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).head()[0])
+    keyed = (df.select(F.col(id_col), F.col(vec_col))
+               .filter(F.col(vec_col).isNotNull())
+               .withColumn("_bands", signature_udf(dim)(F.col(vec_col))))
+    ex = keyed.select(id_col, vec_col, F.explode("_bands").alias("_bk"))
+    left = ex.select(F.col(id_col).alias("a"),
+                     F.col(vec_col).alias("_va"), "_bk")
+    right = ex.select(F.col(id_col).alias("b"),
+                      F.col(vec_col).alias("_vb"), "_bk")
+    cands = (left.join(right, on="_bk")
+                 .filter(F.col("a") < F.col("b"))
+                 .dropDuplicates(["a", "b"]))
+    sim = cosine_similarity_cols(F.col("_va"), F.col("_vb"))
+    return (cands.withColumn("cosine", sim)
+                 .filter(F.col("cosine") >= threshold)
+                 .select("a", "b", "cosine"))

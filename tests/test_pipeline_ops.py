@@ -262,3 +262,20 @@ def test_cosine_pairs_blocked(spark, oracle):
             FROM embeddings x JOIN embeddings y ON x.label = y.label
             WHERE x.vec_id < y.vec_id
               AND list_cosine_similarity(x.embedding, y.embedding) >= 0.5"""))
+
+
+def test_cosine_pairs_lsh_recall(spark):
+    """Unblocked near-dup scale path: banded candidates + exact verify.
+    No false positives by construction; recall vs the exact crossJoin must
+    be ~1 in the near-dup regime (cos >= 0.9)."""
+    from helix_db_spark.operators.similarity import (cosine_pairs,
+                                                     cosine_pairs_lsh)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {(r["a"], r["b"]) for r in
+             cosine_pairs(emb, "vec_id", "embedding", 0.9).collect()}
+    approx = {(r["a"], r["b"]) for r in
+              cosine_pairs_lsh(emb, "vec_id", "embedding", 0.9).collect()}
+    assert approx <= exact  # exact verify => no false positives
+    if exact:
+        assert len(approx) / len(exact) >= 0.95
