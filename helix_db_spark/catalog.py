@@ -73,6 +73,11 @@ class GraphCatalog:
         # first access so one unreadable table only breaks queries touching it
         self._node_thunks: Dict[str, tuple] = {}
         self._edge_thunks: Dict[str, tuple] = {}
+        # optional dst-clustered copies of edge tables (store.py writes
+        # edges sorted by _src for out-hops AND by _dst for in-hops — the
+        # SURVEY §7 'dst-partitioned edge copy'); derived storage, dropped
+        # on any write to the label
+        self._edges_dst: Dict[str, DataFrame] = {}
         self._edge_meta: Dict[str, EdgeMeta] = {}
         self._ordinals: Dict[str, int] = {}
         self.indexes: Dict[tuple, IndexEntry] = {}
@@ -187,6 +192,7 @@ class GraphCatalog:
                 df, allowMissingColumns=True)
         else:
             self._edges[label] = df
+        self._edges_dst.pop(label, None)  # derived copy is now stale
         self.invalidate_label(label)
         self._dirty.add(("edge", label))
         meta = self._edge_meta.get(label)
@@ -231,6 +237,20 @@ class GraphCatalog:
     def edge_meta(self, label: str) -> EdgeMeta:
         return self._edge_meta.get(label, EdgeMeta(label))
 
+    def register_dst_edges(self, label: str, df: DataFrame) -> None:
+        """Attach a dst-clustered copy of an edge table (same rows, layout
+        sorted/partitioned by _dst) so in-hops scan the copy whose parquet
+        min/max stats prune on the probe key."""
+        self._edges_dst[label] = df
+
+    def edges_directed(self, label: str, direction: str) -> DataFrame:
+        """Edge frame best laid out for a hop direction: the dst-clustered
+        copy for 'in' when registered, the primary table otherwise."""
+        self._force_edges(label)
+        if direction == "in" and label in self._edges_dst:
+            return self._edges_dst[label]
+        return self._edges[label]
+
     # -- writes (AddN/AddE path; small-batch OLTP semantics) ---------------
 
     def allocate_ids(self, n: int) -> list:
@@ -249,6 +269,7 @@ class GraphCatalog:
     def replace_edges(self, label: str, df: DataFrame) -> None:
         self._edge_thunks.pop(label, None)
         self._edges[label] = df
+        self._edges_dst.pop(label, None)  # derived copy is now stale
         self.invalidate_label(label)
         self._dirty.add(("edge", label))
 
@@ -265,6 +286,7 @@ class GraphCatalog:
             self._edges[label] = (
                 df.join(ids.withColumnRenamed(_ID, _SRC), on=_SRC, how="left_anti")
                   .join(ids.withColumnRenamed(_ID, _DST), on=_DST, how="left_anti"))
+        self._edges_dst.clear()
         self.invalidate_label(None)
         self._dirty.update({("node", lab) for lab in self._nodes} |
                            {("edge", lab) for lab in self._edges})

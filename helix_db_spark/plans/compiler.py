@@ -314,7 +314,11 @@ class StepCompiler:
                     legs.append((_DST, F.col(_DST)))
             for key, arrival in legs:
                 frontier = self._frontier(stream, key)
-                hop = edf.join(frontier, on=key, how="inner")
+                # in-legs probe on _dst: scan the dst-clustered copy when
+                # the store registered one (parquet min/max prune on _dst)
+                frame = (self.cat.edges_directed(elabel, "in")
+                         if key == _DST else edf)
+                hop = frame.join(frontier, on=key, how="inner")
                 hop = hop.withColumn(_FROM_ARRIVAL, arrival)
                 out[elabel] = (out[elabel].unionByName(hop)
                                if elabel in out else hop)
@@ -335,7 +339,9 @@ class StepCompiler:
                             and None not in stream.frames):
                         continue
                     frontier = self._frontier(stream, edge_key)
-                    hop = edf.join(frontier, on=edge_key, how="inner")
+                    frame = (self.cat.edges_directed(elabel, "in")
+                             if d == "in" else edf)
+                    hop = frame.join(frontier, on=edge_key, how="inner")
                     dst_label = meta.dst_label if d == "out" else meta.src_label
                     for tl, res in self._attach_nodes(hop, node_key, dst_label).items():
                         parts[tl] = (parts[tl].unionByName(res)

@@ -6,15 +6,18 @@ first otherwise. Here the same split: the catalog lives as DataFrames, and
 this module persists it as a directory of columnar tables any Spark (or
 DuckDB) can read back:
 
-    <root>/meta.json                  ordinals, edge endpoints, indexes
-    <root>/nodes/<label>/*.parquet    one table per node label
-    <root>/edges/<label>/*.parquet    one table per edge label
+    <root>/meta.json                       ordinals, edge endpoints, indexes
+    <root>/nodes/<label>/*.parquet         one table per node label
+    <root>/edges/<label>/*.parquet         primary copy, clustered by _src
+    <root>/edges_by_dst/<label>/*.parquet  dst-clustered copy for in-hops
 
 Scale notes: edge tables are written sorted by ``_src`` (``sortWithinPartitions``
-after a range repartition) so hop-join scans cluster by source and parquet
-min/max stats prune frontier probes; node tables are written sorted by
-``_id`` for the same reason. Label = directory gives free partition pruning
-on label-scoped scans.
+after a range repartition) so out-hop scans cluster by source and parquet
+min/max stats prune frontier probes; a second copy sorted by ``_dst`` serves
+in-hops the same way (the compiler routes in-legs to it via
+``GraphCatalog.edges_directed``). Node tables are written sorted by ``_id``
+for the same reason. Label = directory gives free partition pruning on
+label-scoped scans.
 """
 
 from __future__ import annotations
@@ -26,7 +29,7 @@ from typing import Optional
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import _ID, _SRC, EdgeMeta, GraphCatalog, IndexEntry
+from ..catalog import _DST, _ID, _SRC, EdgeMeta, GraphCatalog, IndexEntry
 
 
 def save_catalog(cat: GraphCatalog, root: str,
@@ -48,11 +51,20 @@ def save_catalog(cat: GraphCatalog, root: str,
         out.write.mode("overwrite").parquet(
             os.path.join(root, "nodes", label))
     for label, df in cat.edges().items():
-        out = df.repartitionByRange(partitions or df.rdd.getNumPartitions(),
-                                    F.col(_SRC)) \
+        n = partitions or df.rdd.getNumPartitions()
+        out = df.repartitionByRange(n, F.col(_SRC)) \
                 .sortWithinPartitions(_SRC)
         out.write.mode("overwrite").parquet(
             os.path.join(root, "edges", label))
+        # dst-clustered copy (SURVEY §7 slice 10): in-hops probe on _dst,
+        # which the _src-sorted layout can't prune — the second copy costs
+        # one extra write but every in-hop scan afterwards skips row groups
+        # via _dst min/max. Storage-for-scan-time, the standard trade at
+        # 100 TB (cf. secondary indexes / projection-ordered copies).
+        by_dst = df.repartitionByRange(n, F.col(_DST)) \
+                   .sortWithinPartitions(_DST)
+        by_dst.write.mode("overwrite").parquet(
+            os.path.join(root, "edges_by_dst", label))
 
 
 def load_catalog(spark: SparkSession, root: str) -> GraphCatalog:
@@ -74,6 +86,10 @@ def load_catalog(spark: SparkSession, root: str) -> GraphCatalog:
             em = meta["edges"].get(label, {})
             cat._edge_meta[label] = EdgeMeta(
                 label, em.get("src_label"), em.get("dst_label"))
+            dst_copy = os.path.join(root, "edges_by_dst", label)
+            if os.path.isdir(dst_copy):
+                cat.register_dst_edges(label,
+                                       spark.read.parquet(dst_copy))
     for entry in meta.get("indexes", ()):
         cat.create_index(IndexEntry(**entry), if_not_exists=True)
     return cat

@@ -65,3 +65,32 @@ def test_saved_layout_prunes_scans(spark, tmp_path):
     plan = df._jdf.queryExecution().toString()
     assert "PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal" \
         in plan
+
+
+def test_in_hop_uses_dst_clustered_copy(spark, tmp_path):
+    """The store writes a second edge copy clustered by _dst; a reloaded
+    catalog routes in-hops to it (scan path shows edges_by_dst) and the
+    results match the primary-copy answer exactly."""
+    cat = load_graph(spark, SF_DIR)
+    root = str(tmp_path / "store")
+    save_catalog(cat, root, partitions=2)
+
+    cat2 = load_catalog(spark, root)
+    assert "in_nation" in cat2._edges_dst
+    q = g().n("nation").in_("in_nation").count()
+    df = HelixSparkEngine(cat2).run(q)
+    # inputFiles, not the plan string — Spark truncates long Locations in
+    # toString, which can cut off the directory name under pytest tmp paths
+    assert any("edges_by_dst" in f for f in df.inputFiles()), \
+        "in-hop must scan the dst-clustered copy"
+    want = sorted(tuple(r) for r in HelixSparkEngine(cat).run(q).collect())
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == want
+
+    # a write to the label drops the derived copy (stale layout)
+    cat2.replace_edges("in_nation", cat2.edges("in_nation")["in_nation"])
+    assert "in_nation" not in cat2._edges_dst
+    # and the hop still answers correctly from the primary
+    got2 = sorted(tuple(r)
+                  for r in HelixSparkEngine(cat2).run(q).collect())
+    assert got2 == want
