@@ -166,9 +166,14 @@ def ivf_index(df: DataFrame, id_col: str, vec_col: str,
         assigned, cents = hit
         if not assigned.storageLevel.useMemory:  # evicted by clearCache
             assigned.persist()
+            cents.persist()
         return assigned, cents
     assigned, cents = ivf_assign(df, id_col, vec_col, centroid_every)
+    # centroids persist too: every probe ranks them, and rescanning the
+    # source parquet per query wastes a scan (they are n/centroid_every
+    # rows — index metadata, cached alongside the assignment)
     assigned = assigned.persist()
+    cents = cents.persist()
     _IVF_CACHE[key] = (assigned, cents)
     return assigned, cents
 
