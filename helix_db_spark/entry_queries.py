@@ -1267,6 +1267,76 @@ def language_id_accuracy(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# 16. dataset preparation: splits, chunking, as-of joins
+# ---------------------------------------------------------------------------
+
+
+@q("split_train_valid_test",
+   "SELECT doc_id, CASE WHEN b < 0.98 THEN 'train' "
+   "WHEN b < 0.99 THEN 'valid' ELSE 'test' END AS split FROM "
+   "(SELECT doc_id, (CAST(('0x' || substr(md5('split_' || "
+   "CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000) "
+   "/ CAST(1000000 AS DOUBLE) AS b FROM documents)")
+def split_train_valid_test(spark, sf_dir):
+    """Deterministic 98/1/1 split: same row -> same split in any engine,
+    any run, any partitioning (unlike randomSplit)."""
+    from .operators.sampling import split_assign
+    return split_assign(_docs(spark, sf_dir), "doc_id") \
+        .select("doc_id", "split")
+
+
+_CHUNK_ORACLE = """
+WITH t AS (SELECT doc_id, {tok} AS ts FROM documents),
+w AS (SELECT doc_id, ts, len(ts) AS n,
+             greatest(CAST(ceil((len(ts) - 16) / CAST(48 AS DOUBLE)) AS INT),
+                      1) AS nw
+      FROM t WHERE len(ts) > 0),
+e AS (SELECT doc_id, ts, n,
+             unnest(generate_series(0, nw - 1)) AS chunk_id FROM w)
+SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+       CAST(chunk_id * 48 AS INTEGER) AS chunk_start,
+       CAST(least(n - chunk_id * 48, 64) AS INTEGER) AS n_tokens,
+       array_to_string(ts[chunk_id * 48 + 1 : chunk_id * 48 + 64],
+                       ' ') AS chunk_text
+FROM e
+""".format(tok=_TOK.format(c="text"))
+
+
+@q("chunk_documents_windows", _CHUNK_ORACLE)
+def chunk_documents_windows(spark, sf_dir):
+    """Overlapping 64-token windows, 16-token overlap (context-window
+    prep); last short window kept so no token is dropped."""
+    from .operators.sampling import chunk_documents
+    return chunk_documents(_docs(spark, sf_dir), "doc_id", "text",
+                           chunk_tokens=64, overlap=16)
+
+
+@q("asof_purchase_features",
+   "SELECT l.event_id, l.user_id, round(r.value, 4) AS purchase_value, "
+   "CAST(epoch(date_trunc('second', r.ts)) AS BIGINT) AS purchase_epoch "
+   "FROM (SELECT event_id, user_id, ts FROM events "
+   "      WHERE event_type = 'click') l "
+   "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events "
+   "                WHERE event_type = 'purchase') r "
+   "ON l.user_id = r.user_id AND l.ts >= r.ts")
+def asof_purchase_features(spark, sf_dir):
+    """Point-in-time feature lookup: each click joins the user's latest
+    prior-or-equal purchase (one shuffle on user_id, never a range
+    cross-join). DuckDB's native ASOF JOIN is the oracle."""
+    from .operators.sampling import asof_join
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("event_id", "user_id", "ts")
+    buys = ev.filter(F.col("event_type") == "purchase") \
+             .select("user_id", "ts", F.col("value").alias("purchase_value"))
+    out = asof_join(clicks, buys, on="ts", by="user_id")
+    return out.select(
+        "event_id", "user_id",
+        F.round("purchase_value", 4).alias("purchase_value"),
+        F.unix_timestamp("matched_ts").cast("long").alias("purchase_epoch"))
+
+
+# ---------------------------------------------------------------------------
 # driver contract surface
 # ---------------------------------------------------------------------------
 

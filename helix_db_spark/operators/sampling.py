@@ -1,0 +1,122 @@
+"""Dataset-preparation operators a training pipeline needs around the
+corpus itself: deterministic splits, document chunking, and as-of joins.
+
+All three are pure built-in column/window compositions (no UDFs, no
+shuffle beyond the one their semantics require), with DuckDB-reproducible
+semantics so every operator carries a full value-hash oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def split_assign(df: DataFrame, id_col: str,
+                 weights: Sequence[float] = (0.98, 0.01, 0.01),
+                 names: Sequence[str] = ("train", "valid", "test"),
+                 seed: str = "split") -> DataFrame:
+    """Deterministic, engine-independent split assignment.
+
+    Bucket = md5(seed || id) mod 10^6 mapped onto cumulative ``weights`` —
+    the same row lands in the same split in any engine, any run, any
+    partitioning (unlike ``randomSplit``, which depends on partition
+    layout). One narrow projection, no shuffle; at 100 TB this is a free
+    column on the scan.
+    """
+    if len(weights) != len(names):
+        raise ValueError("weights and names must align")
+    total = float(sum(weights))
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit(seed), F.lit("_"), F.col(id_col).cast("string"))),
+        1, 8), 16, 10).cast("long") % 1_000_000) / 1_000_000.0
+    expr = F.lit(names[-1])
+    acc = 0.0
+    arms = []
+    for w, n in zip(weights[:-1], names[:-1]):
+        acc += w / total
+        arms.append((acc, n))
+    for edge, n in reversed(arms):
+        expr = F.when(bucket < edge, F.lit(n)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def chunk_documents(df: DataFrame, id_col: str, text_col: str,
+                    chunk_tokens: int = 64,
+                    overlap: int = 16) -> DataFrame:
+    """Split documents into overlapping token windows (context-window prep).
+
+    Emits (id, chunk_id, chunk_start, n_tokens, chunk_text): windows of
+    ``chunk_tokens`` tokens stepping by ``chunk_tokens - overlap``; the last
+    window is kept even when short so no token is dropped. Pure
+    sequence/transform/posexplode — codegen end-to-end, output rows ≈
+    n_tokens/step per doc, no shuffle.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # window starts: 0, step, 2*step, ... while start < n (>=1 window even
+    # for empty docs is wrong — filter n > 0); the last window may be short
+    n_windows = F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(step)),
+                           F.lit(1)).cast("int")
+    starts = F.transform(F.sequence(F.lit(0), n_windows - 1),
+                         lambda i: i * step)
+    chunks = F.transform(
+        starts,
+        lambda s: F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens)))
+    out = (df.select(F.col(id_col), n.alias("_n"),
+                     F.posexplode(F.zip_with(
+                         starts, chunks,
+                         lambda s, c: F.struct(s.alias("start"),
+                                               c.alias("text"))))
+                     .alias("chunk_id", "_c"))
+             .filter(F.col("_n") > 0))
+    return out.select(
+        id_col, "chunk_id",
+        F.col("_c.start").alias("chunk_start"),
+        F.least(F.col("_n") - F.col("_c.start"),
+                F.lit(chunk_tokens)).alias("n_tokens"),
+        F.col("_c.text").alias("chunk_text"))
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              by: Optional[str] = None,
+              right_cols: Optional[Sequence[str]] = None,
+              tolerance: Optional[int] = None) -> DataFrame:
+    """Backward as-of join: each left row picks the latest right row with
+    ``right.on <= left.on`` (within the same ``by`` group when given) —
+    point-in-time correctness for feature lookups.
+
+    Spark-first shape: union both sides tagged, one window pass per ``by``
+    group ordered by (on, side) carrying ``last(right value, ignorenulls)``
+    forward, then keep the left rows. ONE shuffle on ``by`` — same cost as
+    a groupBy; never a range cross-join. ``tolerance`` (same units as
+    ``on``) nulls matches older than ``left.on - tolerance``.
+    """
+    rcols = list(right_cols if right_cols is not None
+                 else [c for c in right.columns if c not in (on, by)])
+    lt = left.withColumn("_side", F.lit(1))
+    payload = F.struct(F.col(on).alias("_rt"),
+                       *[F.col(c) for c in rcols])
+    rt = right.select(*([by] if by else []), F.col(on),
+                      payload.alias("_rv")).withColumn("_side", F.lit(0))
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    part = Window.partitionBy(*([by] if by else [])) \
+                 .orderBy(F.col(on).asc(), F.col("_side").asc()) \
+                 .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    carried = unioned.withColumn("_m", F.last("_rv", ignorenulls=True)
+                                 .over(part))
+    out = carried.filter(F.col("_side") == 1)
+    match = F.col("_m")
+    if tolerance is not None:
+        match = F.when(F.col(on) - match["_rt"] <= F.lit(tolerance), match)
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        *[match[c].alias(c) for c in rcols],
+        match["_rt"].alias("matched_" + on))

@@ -1,0 +1,92 @@
+"""Dataset-prep operators: deterministic splits, chunking, as-of joins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import SF_DIR
+from helix_db_spark.operators.sampling import (asof_join, chunk_documents,
+                                               split_assign)
+
+
+def test_split_deterministic_and_proportional(spark):
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    s1 = split_assign(df, "k")
+    s2 = split_assign(df, "k")
+    rows1 = dict((r["k"], r["split"]) for r in s1.collect())
+    rows2 = dict((r["k"], r["split"]) for r in s2.collect())
+    assert rows1 == rows2  # same assignment every run
+    counts = {r["split"]: r["n"] for r in
+              s1.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["train"] / 10_000 == pytest.approx(0.98, abs=0.01)
+    assert counts["valid"] / 10_000 == pytest.approx(0.01, abs=0.005)
+    assert counts["test"] / 10_000 == pytest.approx(0.01, abs=0.005)
+    # a different seed reshuffles assignments
+    s3 = dict((r["k"], r["split"])
+              for r in split_assign(df, "k", seed="other").collect())
+    assert s3 != rows1
+
+
+def test_chunk_documents_boundaries(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(100))),  # 100 tokens
+         (2, "a b c"),                                # shorter than a chunk
+         (3, "")],                                    # empty -> no chunks
+        "doc_id long, text string")
+    out = chunk_documents(docs, "doc_id", "text",
+                          chunk_tokens=64, overlap=16).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: windows at 0 and 48; second window holds tokens 48..99 (52)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [(r["chunk_start"], r["n_tokens"]) for r in c1] == [(0, 64),
+                                                               (48, 52)]
+    assert c1[0]["chunk_text"].split()[0] == "t0"
+    assert c1[1]["chunk_text"].split()[0] == "t48"
+    assert c1[1]["chunk_text"].split()[-1] == "t99"
+    # every token appears in some chunk (no drops)
+    covered = set()
+    for r in c1:
+        covered.update(r["chunk_text"].split())
+    assert covered == {f"t{i}" for i in range(100)}
+    # short doc: one short window; empty doc: nothing
+    assert [(r["chunk_start"], r["n_tokens"]) for r in by_doc[2]] == [(0, 3)]
+    assert 3 not in by_doc
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 205), (3, "u", 50), (4, "v", 100)],
+        "event_id long, user string, ts long")
+    right = spark.createDataFrame(
+        [("u", 100, 1.0), ("u", 200, 2.0), ("v", 300, 3.0)],
+        "user string, ts long, val double")
+    out = {r["event_id"]: (r["val"], r["matched_ts"])
+           for r in asof_join(left, right, on="ts", by="user").collect()}
+    assert out[1] == (1.0, 100)   # equal ts matches (backward inclusive)
+    assert out[2] == (2.0, 200)   # latest prior
+    assert out[3] == (None, None)  # nothing at or before 50
+    assert out[4] == (None, None)  # v's only purchase is later
+    # tolerance: a match older than the window is nulled
+    # (event 2 at ts=205 matched ts=200: gap 5 > tolerance 3 -> null)
+    tol = {r["event_id"]: r["val"]
+           for r in asof_join(left, right, on="ts", by="user",
+                              tolerance=3).collect()}
+    assert tol[1] == 1.0 and tol[2] is None
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    """Scale gate: the as-of join is one window pass — no cartesian or
+    range cross-join in the plan."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    left = ev.filter(F.col("event_type") == "click") \
+             .select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "purchase") \
+              .select("user_id", "ts", "value")
+    plan = asof_join(left, right, on="ts", by="user_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
