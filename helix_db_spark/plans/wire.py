@@ -252,6 +252,13 @@ _HOPS = {"Out": "out", "In": "in", "Both": "both",
 
 _RESERVED = set(ast.RESERVED_NOOP_TAGS)
 
+_INDEX_SUGAR = {
+    "CreateVectorIndexNodes": "node_vector",
+    "CreateVectorIndexEdges": "edge_vector",
+    "CreateTextIndexNodes": "node_text",
+    "CreateTextIndexEdges": "edge_text",
+}
+
 
 def _parse_sub(obj) -> ast.SubTraversal:
     return ast.SubTraversal(parse_steps(obj["steps"]))
@@ -409,6 +416,14 @@ def parse_step(obj) -> ast.Step:  # noqa: C901 — one arm per wire tag
                                bool(payload.get("if_not_exists", False)))
     if tag == "DropIndex":
         return ast.DropIndex(parse_index_spec(payload["spec"]))
+    if tag in _INDEX_SUGAR:
+        # flat-payload sugar for CreateIndex if-not-exists
+        # (reference dsl.py:1465-1490)
+        return ast.CreateIndex(
+            ast.IndexSpec(_INDEX_SUGAR[tag], payload["label"],
+                          payload["property"],
+                          tenant_property=payload.get("tenant_property")),
+            True)
     raise WireError(f"unknown Step tag {tag!r}")
 
 

@@ -319,3 +319,34 @@ def test_compiler_rejects_index_ddl_in_read_mode(engine):
         "x", _ast.Traversal((_ast.CreateIndex(spec, False),))),), ("x",))
     with pytest.raises(PermissionError, match="mutation step"):
         engine.execute_batch(batch)
+
+
+def test_index_sugar_steps_parse_and_execute(spark):
+    """The SDK's create_*_index_* sugar emits flat-payload wire tags
+    (dsl.py:1465-1490) that must parse as CreateIndex if-not-exists and
+    register the index — including the tenant property."""
+    from helixdb import g as rg, write_batch as rwb, DynamicQueryRequest
+
+    req = DynamicQueryRequest.write(
+        rwb().var_as("ix", rg().create_vector_index_nodes(
+            "Doc", "emb", tenant_property="org"))
+        .var_as("tx", rg().create_text_index_nodes("Doc", "body"))
+        .returning(["ix"]))
+    batch = parse_request(json.loads(req.to_json_string()))
+    from helix_db_spark.plans import ast as _ast
+    steps = [e.traversal.steps[0] for e in batch.entries]
+    assert all(isinstance(s, _ast.CreateIndex) for s in steps)
+    assert steps[0].spec.kind == "node_vector"
+    assert steps[0].spec.tenant_property == "org"
+    assert steps[0].if_not_exists is True
+    assert steps[1].spec.kind == "node_text"
+
+    cat = GraphCatalog(spark)
+    cat.add_nodes("Doc", spark.createDataFrame(
+        [(1, [1.0, 0.0], "hello", "acme")],
+        "k long, emb array<float>, body string, org string"), key_col="k")
+    eng = HelixSparkEngine(cat)
+    eng.execute_batch(batch)
+    assert ("node_vector", "Doc", "emb") in cat.indexes
+    assert cat.indexes[("node_vector", "Doc", "emb")].tenant_property == "org"
+    assert ("node_text", "Doc", "body") in cat.indexes
