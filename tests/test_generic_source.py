@@ -1,0 +1,77 @@
+"""Config-driven graph loading over mixed formats (json + csv + parquet)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from helix_db_spark import P, g
+from helix_db_spark.engine import HelixSparkEngine
+from helix_db_spark.sources.generic import load_graph_config
+
+
+@pytest.fixture(scope="module")
+def mixed_dataset(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("mixed")
+    users = str(root / "users")       # json
+    movies = str(root / "movies")     # csv
+    ratings = str(root / "ratings")   # parquet
+    spark.createDataFrame(
+        [(1, "ana", 34), (2, "bo", 27), (3, "cy", 41)],
+        "user_id long, name string, age long"
+    ).write.mode("overwrite").json(users)
+    spark.createDataFrame(
+        [(10, "Heat", 1995), (11, "Arrival", 2016)],
+        "movie_id long, title string, year long"
+    ).write.mode("overwrite").option("header", "true").csv(movies)
+    spark.createDataFrame(
+        [(1, 10, 5.0), (1, 11, 4.0), (2, 10, 3.0), (3, 11, 2.0)],
+        "user_id long, movie_id long, rating double"
+    ).write.mode("overwrite").parquet(ratings)
+    return {
+        "nodes": {
+            "user": {"path": users, "format": "json",
+                     "schema": "user_id long, name string, age long",
+                     "key": "user_id"},
+            "movie": {"path": movies, "format": "csv",
+                      "options": {"header": "true", "inferSchema": "true"},
+                      "key": "movie_id"},
+        },
+        "edges": {
+            "rated": {"path": ratings, "src": ["user", "user_id"],
+                      "dst": ["movie", "movie_id"], "props": ["rating"]},
+        },
+    }
+
+
+def test_mixed_format_graph_queries(spark, mixed_dataset):
+    eng = HelixSparkEngine(load_graph_config(spark, mixed_dataset))
+    # hop across formats: json users -> parquet edges -> csv movies
+    rows = eng.run(
+        g().n("user").where(P.gte("age", 30)).out("rated")
+        .values("title")).collect()
+    assert sorted(r["title"] for r in rows) == ["Arrival", "Arrival", "Heat"]
+    # edge property filter works on the parquet edge table
+    high = eng.run(g().n("user").out_e("rated")
+                   .where(P.gte("rating", 4.0)).count()).head()["count"]
+    assert high == 2
+
+
+def test_config_ordinals_pinned_in_config_order(spark, mixed_dataset):
+    cat = load_graph_config(spark, mixed_dataset)
+    cat.nodes("movie")  # force out of order
+    assert cat.ordinal("user") == 1
+    assert cat.ordinal("movie") == 2
+
+
+def test_config_broken_path_isolated(spark, mixed_dataset):
+    config = {
+        "nodes": dict(mixed_dataset["nodes"],
+                      ghost={"path": "/nonexistent/ghost", "key": "k"}),
+        "edges": mixed_dataset["edges"],
+    }
+    cat = load_graph_config(spark, config)
+    # queries that don't touch the broken label still work
+    assert cat.nodes("user")["user"].count() == 3
+    with pytest.raises(Exception):
+        cat.nodes("ghost")
