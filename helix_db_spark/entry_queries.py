@@ -827,11 +827,15 @@ _CUST_BASE = 3 << 44
 
 
 @q("group_collect",
-   f"SELECT n_regionkey, list_sort(list({_NATION_ID})) AS ids "
-   "FROM nation GROUP BY n_regionkey")
+   f"SELECT n_regionkey, array_to_string(list_sort(list({_NATION_ID})), ',') "
+   "AS ids FROM nation GROUP BY n_regionkey")
 def group_collect(spark, sf_dir):
-    return engine_for(spark, sf_dir).run(
-        g().n("nation").group("n_regionkey"))
+    # Group emits ids as array<long> (compiler sort_array(collect_list));
+    # the driver's pandas canonicalization can't hash list cells, so the
+    # graded shape joins them to a scalar CSV string (values unchanged).
+    return (engine_for(spark, sf_dir)
+            .run(g().n("nation").group("n_regionkey"))
+            .withColumn("ids", F.array_join(F.col("ids"), ",")))
 
 
 @q("aggregate_min_max",

@@ -43,7 +43,10 @@ _KEYS = {
 }
 
 
-# TIMESTAMP(NANOS) columns (read as long via nanosAsLong, converted here)
+# Timestamp columns. Driver testdata layouts have varied round-to-round:
+# INT64 TIMESTAMP(NANOS) (read as long via nanosAsLong, converted here) and
+# plain timestamp[us] without tz (read as TIMESTAMP_NTZ). Both normalize to
+# session-semantics TimestampType with the engine's UTC contract.
 _TS_COLS = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
@@ -51,26 +54,37 @@ _TS_COLS = {
 }
 
 
-def _enable_nanos(spark: SparkSession) -> None:
-    """events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark 4
-    rejects unless this legacy conf is on. It must be set on whatever session
-    actually reads — including a caller-provided one, not just our own
-    builder (session.py) — so the fix travels with the code. Runtime-settable
-    SQL conf, so spark.conf.set works on a live session."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # conf locked down (e.g. Spark Connect policy) — reads of
-        #       nanos tables will surface the original error
+def _pin_session_confs(spark: SparkSession) -> None:
+    """Confs the read path needs on whatever session actually reads —
+    including a caller-provided one, not just our own builder (session.py) —
+    so the fix travels with the code (round-1 lesson). Both are
+    runtime-settable SQL confs, so spark.conf.set works on a live session.
+
+    - nanosAsLong: Spark 4 rejects INT64 TIMESTAMP(NANOS) parquet without it.
+    - session.timeZone=UTC: makes the TIMESTAMP_NTZ -> TIMESTAMP cast below
+      deterministic (wall clock == UTC instant), matching the DateTime
+      contract (UTC epoch millis, SURVEY §1.2) and the DuckDB oracle's naive
+      timestamps.
+    """
+    for k, v in (("spark.sql.legacy.parquet.nanosAsLong", "true"),
+                 ("spark.sql.session.timeZone", "UTC")):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf locked down (e.g. Spark Connect policy) — reads of
+            #       nanos tables will surface the original error
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str):
-    _enable_nanos(spark)
+    _pin_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(c) == "bigint":  # nanos-as-long
+        dt = dict(df.dtypes).get(c)
+        if dt == "bigint":  # nanos-as-long
             df = df.withColumn(
                 c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        elif dt == "timestamp_ntz":  # naive micros; session is pinned UTC
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -20,15 +20,41 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def test_nanos_conf_set_on_incoming_session(spark):
-    # Simulate the driver: clear the conf, then read through our path.
+    # Simulate the driver: clear the conf, then read through our path. The
+    # driver has shipped events.ts both as INT64 TIMESTAMP(NANOS) (needs the
+    # legacy conf) and as timestamp[us] NTZ (needs the UTC cast); either way
+    # read_table must hand back session-semantics TimestampType.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
     try:
         df = read_table(spark, SF_DIR, "events")
         assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
         assert dict(df.dtypes)["ts"] == "timestamp"
         assert df.limit(1).count() == 1
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def test_ntz_layout_normalized_to_utc_timestamp(spark, tmp_path):
+    # Pin the NTZ branch explicitly (independent of what /root/testdata
+    # currently holds): a timestamp[us] parquet must come back as TimestampType
+    # with the naive wall clock interpreted as UTC.
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "events.parquet")
+    wall = datetime.datetime(2024, 3, 1, 12, 30, 0)
+    pq.write_table(pa.table({
+        "event_id": pa.array([1], pa.int64()),
+        "ts": pa.array([wall], pa.timestamp("us")),
+    }), path)
+    df = read_table(spark, str(tmp_path), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    [row] = df.select(F.unix_timestamp("ts").alias("s")).collect()
+    utc = wall.replace(tzinfo=datetime.timezone.utc)
+    assert row["s"] == int(utc.timestamp())
 
 
 def test_lazy_load_survives_unreadable_table(spark, tmp_path, monkeypatch):
