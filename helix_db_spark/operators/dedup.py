@@ -132,8 +132,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     """Candidate pairs via banded LSH, verified with estimated Jaccard
     (= fraction of matching minhashes). Returns (a, b, jaccard_est)."""
     rows_per_band = num_hashes // bands
+    # localCheckpoint, not persist: three consumers (band explode + the two
+    # signature join-backs) read materialized blocks; lifetime is bounded by
+    # the DataFrame object (ContextCleaner frees blocks on GC — no
+    # CacheManager entry to leak in a served engine), and a concurrent
+    # spark.catalog.clearCache() can't yank the blocks mid-query (measured:
+    # that interference tripled this operator's bench time).
     sigs = minhash_signatures(df, id_col, text_col, num_hashes,
-                              shingle_size).persist()
+                              shingle_size).localCheckpoint()
     # band key = joined signature slice (engine-agnostic: reproducible in
     # any SQL dialect, unlike murmur/xxhash). Uniform by construction.
     banded = sigs.select(
@@ -282,17 +288,24 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     ONLY those prefixes (tiny vs. the full explode-join), then Jaccard is
     verified exactly with array_intersect on the full shingle sets.
     Returns (a, b, jaccard)."""
+    # localCheckpoint (eager), not persist: sets feeds three consumers
+    # (exploded/freq/ranked and the two verify join-backs). Materialized
+    # blocks are freed when the DataFrame is GC'd — no CacheManager leak in
+    # a served engine (ADVICE r3) — and clearCache churn from neighboring
+    # queries can't evict them mid-query (persist here showed 6-8x
+    # rep-to-rep swings under bench cache-clearing; localCheckpoint is
+    # stable).
     if use_tokens:
         ex = shingle_rows(df, id_col, text_col, n) \
             .withColumnRenamed(id_col, "_doc")
         sets = ex.groupBy("_doc").agg(
             F.collect_list("_s").alias("_sh"),
-            F.count(F.lit(1)).alias("_size")).persist()
+            F.count(F.lit(1)).alias("_size")).localCheckpoint()
     else:
         sets = _shingle_sets(df, id_col, text_col, n, use_tokens) \
             .withColumnRenamed(id_col, "_doc") \
             .withColumn("_size", F.size("_sh")) \
-            .filter(F.col("_size") > 0).persist()
+            .filter(F.col("_size") > 0).localCheckpoint()
     # derive the exploded view from the PERSISTED sets — re-deriving it from
     # the raw shingle pipeline would recompute tokenization + the n-gram
     # window for every downstream branch (freq, ranked), ~3x the work.
@@ -308,19 +321,18 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     prefix_len = (F.col("_size") -
                   F.ceil(F.lit(threshold) * F.col("_size")) + 1)
     # The candidate self-join reads the prefix table twice; materialize it
-    # once so both sides hit the cache instead of recomputing the rank
-    # pipeline. Join on a 60-bit md5 of the shingle, not the string:
-    # hash-equal is a strict SUPERSET of string-equal, so a collision can
-    # only add a candidate pair (rejected by the exact verify below), never
-    # drop one — the PPJoin no-false-negative guarantee is untouched, while
-    # the long key roughly halves the self-join shuffle width. Prefix
-    # SELECTION keeps the exact (df, shingle-string) global order.
-    # Interleaved best-of-4 at sf0.1: 3.07s (string, no persist) -> 2.45s.
+    # once (eager localCheckpoint) so both sides read finished blocks
+    # instead of recomputing the rank pipeline. Join on a 60-bit md5 of the
+    # shingle, not the string: hash-equal is a strict SUPERSET of
+    # string-equal, so a collision can only add a candidate pair (rejected
+    # by the exact verify below), never drop one — the PPJoin
+    # no-false-negative guarantee is untouched, while the long key roughly
+    # halves the self-join shuffle width. Prefix SELECTION keeps the exact
+    # (df, shingle-string) global order.
     prefix = (ranked.filter(F.col("_rk") <= prefix_len)
               .select("_doc", md5_long(F.col("_s")).alias("_k"),
                       "_size", "_rk")
-              .persist())
-    prefix.count()  # eager: both join sides must read the cache, not race it
+              .localCheckpoint())
 
     # length filter (exact): J(A,B) >= t requires |A∩B| >= t·(|A|+|B|−|A∩B|)
     # and |A∩B| <= min(|A|,|B|), hence t·|A| <= |B| <= |A|/t. Applied inside
