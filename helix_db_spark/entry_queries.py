@@ -676,6 +676,22 @@ def text_language_id(spark, sf_dir):
         "doc_id", detect_language(F.col("text")).alias("lang_pred"))
 
 
+@q("text_stats_langid",
+   "WITH stats AS ({s}), lang AS ({l}) "
+   "SELECT stats.*, lang.lang_pred FROM stats JOIN lang USING (doc_id)"
+   .format(s=_STATS_ORACLE, l=_lang_oracle()))
+def text_stats_langid(spark, sf_dir):
+    """Merged graded slot: doc stats + language ID in one pass (both are
+    projections over documents, so one query grades both operators and
+    frees a top-50 slot for the dataset-prep family)."""
+    from .operators.textstats import doc_stats
+    return doc_stats(_docs(spark, sf_dir), "doc_id", "text").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "punct_ratio", "digit_ratio", "fingerprint", "lang_pred")
+
+
 @q("text_token_count_total",
    f"SELECT sum(len({_TOK.format(c='text')}))::BIGINT AS total_tokens, "
    "count(*) AS n_docs FROM documents")
@@ -735,6 +751,32 @@ def multimodal_features(spark, sf_dir):
                         F.size("features").alias("dim"),
                         F.round(F.element_at("features", 1).cast("double"), 6)
                         .alias("f0"))
+
+
+@q("multimodal_pipeline",
+   "WITH frames AS (SELECT doc_id AS media_id, unnest([i * 5000 for i in "
+   "generate_series(0, greatest(floor(length(text) * 100 / 5000), "
+   "1)::BIGINT - 1)])::BIGINT AS frame_ts_ms FROM documents "
+   "WHERE doc_id % 2 = 0), "
+   f"feats AS ({_MM_FEATURES_ORACLE}) "
+   "SELECT frames.media_id, frames.frame_ts_ms, feats.dim, feats.f0 "
+   "FROM frames JOIN feats USING (media_id)")
+def multimodal_pipeline(spark, sf_dir):
+    """Merged graded slot: frame-sample planning joined with per-media
+    feature extraction — one slot grades both multimodal plumbing paths
+    (schema/partitioning/mapInPandas batch shape), freeing a top-50 slot."""
+    from .operators.multimodal import (extract_features, frame_sample_plan,
+                                       synth_media_from_text)
+    media = synth_media_from_text(_docs(spark, sf_dir), "doc_id", "text",
+                                  media_type="image")
+    media = media.withColumn(
+        "media_type", F.when(F.col("media_id") % 2 == 0, "video")
+        .otherwise("image"))
+    frames = frame_sample_plan(media, every_ms=5000)
+    feats = extract_features(media).select(
+        "media_id", F.size("features").alias("dim"),
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"))
+    return frames.join(feats, on="media_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1372,11 +1414,17 @@ DRIVER_TOP50 = [
     # write path + batch machinery (rows 53-63)
     "write_batch_adds", "set_property_update", "drop_cascade_counts",
     "batch_condition_gate", "foreach_accumulate",
-    # LLM-pipeline: dedup / text / multimodal / streaming
-    "dedup_exact_groups", "dedup_minhash_pairs", "dedup_minhash_survivors",
+    # LLM-pipeline: dedup / text / multimodal / streaming / dataset prep.
+    # Near-duplicate slots merged (r3 task #4): minhash_survivors subsumes
+    # minhash_pairs (its oracle embeds the pairs CTE and the Spark path runs
+    # the full pair->connected-components chain); text_stats_langid merges
+    # doc stats + language ID; multimodal_pipeline merges frame planning +
+    # feature extraction. The freed slots grade the dataset-prep family.
+    "dedup_exact_groups", "dedup_minhash_survivors",
     "dedup_simhash_fingerprints", "dedup_ngram_jaccard_pairs",
-    "dedup_embedding_cosine_pairs", "text_doc_stats", "text_language_id",
-    "multimodal_frame_plan", "multimodal_features", "events_window_agg",
+    "dedup_embedding_cosine_pairs", "text_stats_langid",
+    "multimodal_pipeline", "events_window_agg", "events_sessionize",
+    "split_train_valid_test", "asof_purchase_features",
 ]
 
 _missing = [n for n in DRIVER_TOP50 if n not in REGISTRY]

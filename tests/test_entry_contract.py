@@ -46,6 +46,13 @@ def test_driver_top50_covers_survey_ops():
         "tenant_vector_search", "bm25_text_search", "vector_search_edges",
         "text_search_edges", "write_batch_adds", "set_property_update",
         "drop_cascade_counts", "batch_condition_gate", "foreach_accumulate",
+        # LLM-pipeline + dataset-prep families (merged slots are the sole
+        # graded representative of their operators)
+        "dedup_exact_groups", "dedup_minhash_survivors",
+        "dedup_simhash_fingerprints", "dedup_ngram_jaccard_pairs",
+        "dedup_embedding_cosine_pairs", "text_stats_langid",
+        "multimodal_pipeline", "events_window_agg", "events_sessionize",
+        "split_train_valid_test", "asof_purchase_features",
     }
     assert critical <= set(DRIVER_TOP50)
     # every top-50 entry has a DuckDB oracle (full value-hash grading)
