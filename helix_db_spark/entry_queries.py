@@ -1077,9 +1077,15 @@ def tenant_vector_search(spark, sf_dir):
     return df.select("vec_id", F.round("distance", 4).alias("distance"))
 
 
+# Centroids mirror similarity.ivf_assign: a deterministic uniform sample of
+# ncells = min(4096, ceil(sqrt(n))) rows ordered by (md5(id), id) — fixed
+# budget, so the broadcast stays bounded at any corpus size.
 _IVF_ORACLE = """
 WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
-              FROM embeddings WHERE vec_id % 50 = 0),
+              FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+              LIMIT least(4096, CAST(ceil(sqrt(
+                  (SELECT count(*) FROM embeddings))) AS BIGINT))),
 q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
 ranked AS (SELECT e.vec_id, c.cid,
                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -1104,8 +1110,7 @@ def vector_search_ivf(spark, sf_dir):
     from .operators.similarity import ivf_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     vec = _query_vector(spark, sf_dir)
-    out = ivf_topk(emb, "vec_id", "embedding", vec, k=5, nprobe=2,
-                   centroid_every=50)
+    out = ivf_topk(emb, "vec_id", "embedding", vec, k=5, nprobe=2)
     return out.select("vec_id",
                       F.round("_distance", 4).alias("distance"))
 

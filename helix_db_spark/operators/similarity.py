@@ -124,22 +124,44 @@ def brute_force_topk(df: DataFrame, vec_col: str, query: Sequence[float],
               .limit(k))
 
 
-def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
-               centroid_every: int = 50) -> tuple:
-    """Deterministic IVF cell assignment: centroids are the rows whose id is
-    divisible by ``centroid_every`` (reproducible in any engine — no RNG,
-    no k-means iterations), each vector joins its nearest centroid by
-    cosine distance (ties -> smallest centroid id).
+IVF_MAX_CELLS = 4096
 
-    Returns (assigned_df with a ``_cell`` column, centroids_df). The
-    centroid set is tiny (n/centroid_every) and broadcasts; assignment is
-    one broadcast-join + one groupBy(id) min_by — two narrow stages, no
-    quadratic work. At 100 TB the assigned table would be written
-    partitioned by ``_cell`` so probes prune to nprobe partitions.
+
+def ivf_cell_budget(n: int, max_cells: int = IVF_MAX_CELLS) -> int:
+    """Centroid count for an n-row corpus: ceil(sqrt(n)) capped at
+    ``max_cells``. sqrt balances cell count against cell size (probe cost
+    ~ nprobe * n/ncells); the cap bounds the broadcast at ~max_cells *
+    dim * 8B (e.g. 25 MB at dim 768) no matter how large n grows."""
+    if n <= 1:
+        return 1
+    return min(int(max_cells), int(math.ceil(math.sqrt(n))))
+
+
+def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
+               max_cells: int = IVF_MAX_CELLS) -> tuple:
+    """Deterministic IVF cell assignment with a FIXED centroid budget:
+    ncells = min(max_cells, ceil(sqrt(n))). Centroids are a deterministic
+    uniform sample — the first ncells rows ordered by (md5(id), id) — so
+    the build is reproducible in any engine (no RNG, no k-means
+    iterations) and SQL-expressible for the oracle. Each vector joins its
+    nearest centroid by cosine distance (ties -> smallest centroid id).
+
+    Returns (assigned_df with a ``_cell`` column, centroids_df).
+
+    Scale shape: the centroid set is bounded (<= max_cells rows) and
+    broadcasts; assignment is one broadcast-join + one groupBy(id) min_by
+    — n * ncells distance evals (the standard IVF build cost, a
+    matmul-shaped workload), NOT the n²/const of the previous
+    id-modulo scheme whose centroid count grew linearly with n. At
+    100 TB the assigned table would be written partitioned by ``_cell``
+    so probes prune to nprobe partitions.
     """
-    cents = df.filter((F.col(id_col) % centroid_every) == 0) \
-              .select(F.col(id_col).alias("_cid"),
-                      F.col(vec_col).alias("_cvec"))
+    ncells = ivf_cell_budget(df.count(), max_cells)
+    cents = (df.select(F.col(id_col).alias("_cid"),
+                       F.col(vec_col).alias("_cvec"))
+               .orderBy(F.md5(F.col("_cid").cast("string")).asc(),
+                        F.col("_cid").asc())
+               .limit(ncells))
     dist = F.lit(1.0) - cosine_similarity_cols(F.col(vec_col), F.col("_cvec"))
     assigned = (df.join(F.broadcast(cents))
                   .withColumn("_cdist", dist)
@@ -150,42 +172,62 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
     return df.join(assigned, on=id_col), cents
 
 
-_IVF_CACHE: dict = {}
+# LRU-bounded index cache: a long-lived served engine rebuilds indexes as
+# data changes (new semanticHash => new key); without a bound every stale
+# build stays persisted forever (ADVICE r3). 8 live indexes is plenty for a
+# single engine; evicted entries are unpersisted immediately.
+_IVF_CACHE: "dict" = {}
+_IVF_CACHE_MAX = 8
+
+
+def _ivf_cache_put(key, value) -> None:
+    _IVF_CACHE[key] = value
+    while len(_IVF_CACHE) > _IVF_CACHE_MAX:
+        old_key = next(iter(_IVF_CACHE))
+        assigned, cents = _IVF_CACHE.pop(old_key)
+        for frame in (assigned, cents):
+            try:
+                frame.unpersist()
+            except Exception:
+                pass
 
 
 def ivf_index(df: DataFrame, id_col: str, vec_col: str,
-              centroid_every: int = 50) -> tuple:
+              max_cells: int = IVF_MAX_CELLS) -> tuple:
     """Build-once IVF index: the assignment table persists and is keyed by
     the source plan, so repeated queries probe the same materialized cells
     (a served instance builds the index at CreateVectorIndex time, not per
     query — config.rs:148-158 HNSW analogue)."""
     key = (df._jdf.queryExecution().analyzed().semanticHash(),
-           id_col, vec_col, centroid_every)
+           id_col, vec_col, max_cells)
     hit = _IVF_CACHE.get(key)
     if hit is not None:
         assigned, cents = hit
         if not assigned.storageLevel.useMemory:  # evicted by clearCache
             assigned.persist()
             cents.persist()
+        # refresh LRU recency
+        _IVF_CACHE.pop(key)
+        _IVF_CACHE[key] = (assigned, cents)
         return assigned, cents
-    assigned, cents = ivf_assign(df, id_col, vec_col, centroid_every)
+    assigned, cents = ivf_assign(df, id_col, vec_col, max_cells)
     # centroids persist too: every probe ranks them, and rescanning the
-    # source parquet per query wastes a scan (they are n/centroid_every
-    # rows — index metadata, cached alongside the assignment)
+    # source parquet per query wastes a scan (they are <= max_cells rows —
+    # index metadata, cached alongside the assignment)
     assigned = assigned.persist()
     cents = cents.persist()
-    _IVF_CACHE[key] = (assigned, cents)
+    _ivf_cache_put(key, (assigned, cents))
     return assigned, cents
 
 
 def ivf_topk(df: DataFrame, id_col: str, vec_col: str,
              query: Sequence[float], k: int, nprobe: int = 2,
-             centroid_every: int = 50) -> DataFrame:
+             max_cells: int = IVF_MAX_CELLS) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` cells whose centroids are
     closest to the query, exact cosine re-rank inside them. The scan
     touches ~nprobe/ncells of the data; recall depends on nprobe like any
     IVF index."""
-    assigned, cents = ivf_index(df, id_col, vec_col, centroid_every)
+    assigned, cents = ivf_index(df, id_col, vec_col, max_cells)
     qdist = cosine_distance(F.col("_cvec"), query)
     probe = (cents.withColumn("_qd", qdist)
                   .orderBy(F.col("_qd").asc(), F.col("_cid").asc())
