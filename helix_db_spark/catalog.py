@@ -308,6 +308,16 @@ class GraphCatalog:
 
     # -- search-index cache invalidation ------------------------------------
 
+    @staticmethod
+    def _unpersist_entry(entry) -> None:
+        frames = entry if isinstance(entry, tuple) else (entry,)
+        for f in frames:
+            if isinstance(f, DataFrame):
+                try:
+                    f.unpersist()
+                except Exception:
+                    pass
+
     def invalidate_label(self, label: Optional[str]) -> None:
         """Drop materialized search indexes for ``label`` (all labels when
         None) so vector/text/LSH search after a write rebuilds fresh. Keys
@@ -315,14 +325,25 @@ class GraphCatalog:
         for key in list(self._materialized):
             if label is not None and len(key) > 2 and key[2] != label:
                 continue
-            entry = self._materialized.pop(key)
-            frames = entry if isinstance(entry, tuple) else (entry,)
-            for f in frames:
-                if isinstance(f, DataFrame):
-                    try:
-                        f.unpersist()
-                    except Exception:
-                        pass
+            self._unpersist_entry(self._materialized.pop(key))
+
+    # A long-lived served engine accumulates one materialized index per
+    # (kind, target, label, prop) it has ever searched; the LRU bound keeps
+    # the storage-memory footprint finite (evicted indexes unpersist and
+    # rebuild on next use — same contract as a clearCache eviction).
+    MATERIALIZED_MAX = 32
+
+    def cache_materialized(self, key: tuple, value) -> None:
+        """Insert into the search-index cache, evicting (and unpersisting)
+        least-recently-inserted entries beyond MATERIALIZED_MAX. Superseded
+        same-key entries are unpersisted, never silently dropped."""
+        old = self._materialized.pop(key, None)
+        if old is not None and old is not value:
+            self._unpersist_entry(old)
+        self._materialized[key] = value
+        while len(self._materialized) > self.MATERIALIZED_MAX:
+            oldest = next(iter(self._materialized))
+            self._unpersist_entry(self._materialized.pop(oldest))
 
     # -- index DDL ----------------------------------------------------------
 

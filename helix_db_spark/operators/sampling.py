@@ -88,7 +88,8 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
 def asof_join(left: DataFrame, right: DataFrame, on: str,
               by: Optional[str] = None,
               right_cols: Optional[Sequence[str]] = None,
-              tolerance: Optional[int] = None) -> DataFrame:
+              tolerance: Optional[int] = None,
+              allow_global_sort: bool = False) -> DataFrame:
     """Backward as-of join: each left row picks the latest right row with
     ``right.on <= left.on`` (within the same ``by`` group when given) —
     point-in-time correctness for feature lookups.
@@ -98,7 +99,17 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     forward, then keep the left rows. ONE shuffle on ``by`` — same cost as
     a groupBy; never a range cross-join. ``tolerance`` (same units as
     ``on``) nulls matches older than ``left.on - tolerance``.
+
+    ``by=None`` means ONE window over everything — a single-partition
+    global sort that cannot scale past one executor. That is occasionally
+    the right tool (small reference frames), so it is gated behind
+    ``allow_global_sort=True`` instead of silently serializing (ADVICE r3).
     """
+    if by is None and not allow_global_sort:
+        raise ValueError(
+            "asof_join(by=None) runs a single-partition global sort; pass "
+            "a `by` key for the scalable keyed path, or opt in explicitly "
+            "with allow_global_sort=True for small frames")
     rcols = list(right_cols if right_cols is not None
                  else [c for c in right.columns if c not in (on, by)])
     lt = left.withColumn("_side", F.lit(1))

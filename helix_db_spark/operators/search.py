@@ -89,7 +89,10 @@ def build_vector_index(compiler, label: str, prop: str,
             raise KeyError(f"unknown label {label}")
         df = frames[label].filter(F.col(prop).isNotNull())
         aug = df.withColumn("__vnorm", norm(F.col(prop))).persist()
-        cache[key] = aug
+        if hasattr(cat, "cache_materialized"):
+            cat.cache_materialized(key, aug)
+        else:
+            cache[key] = aug
     out = cache[key]
     if not out.storageLevel.useMemory:  # re-pin after a clearCache
         out.persist()
@@ -173,7 +176,10 @@ def build_text_index(compiler, label: str, prop: str,
     stats_row = dl.agg(F.count(F.lit(1)).alias("n"),
                        F.avg("dl").alias("avgdl")).head()
     stats = {"N": stats_row["n"] or 0, "avgdl": stats_row["avgdl"] or 1.0}
-    cache[key] = (postings, term_df, stats)
+    if hasattr(cat, "cache_materialized"):
+        cat.cache_materialized(key, (postings, term_df, stats))
+    else:
+        cache[key] = (postings, term_df, stats)
     return cache[key]
 
 

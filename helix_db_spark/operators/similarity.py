@@ -39,6 +39,13 @@ def _planes(dim: int, nbits: int = LSH_NBITS) -> np.ndarray:
     return np.random.RandomState(LSH_SEED).standard_normal((nbits, dim))
 
 
+def _infer_dim(df: DataFrame, vec_col: str) -> Optional[int]:
+    """Vector width from the first non-null value; None when the frame is
+    empty or all-null (head() would otherwise crash on either — ADVICE r3)."""
+    row = df.select(vec_col).filter(F.col(vec_col).isNotNull()).head()
+    return None if row is None else len(row[0])
+
+
 def _band_keys(sig_bits: np.ndarray, bands: int = LSH_BANDS) -> List[int]:
     """Pack bit-vector into per-band integer keys, band index salted in."""
     nbits = sig_bits.shape[-1]
@@ -94,11 +101,16 @@ def build_lsh_index(compiler, target: str, label: str, prop: str,
     frames = cat.nodes(label) if target == "nodes" else cat.edges(label)
     df = frames[label].filter(F.col(prop).isNotNull())
     if dim is None:
-        dim = len(df.select(prop).head()[0])
+        # dim=1 on an empty/all-null frame: no rows reach the UDF, the
+        # index is structurally valid and empty
+        dim = _infer_dim(df, prop) or 1
     aug = (df.withColumn("__bands", signature_udf(dim)(F.col(prop)))
              .withColumn("__vnorm", norm(F.col(prop)))
              .persist())
-    cache[key] = aug
+    if hasattr(cat, "cache_materialized"):
+        cat.cache_materialized(key, aug)
+    else:
+        cache[key] = aug
     return aug
 
 
@@ -282,7 +294,10 @@ def cosine_pairs_lsh(df: DataFrame, id_col: str, vec_col: str,
     band key.
     """
     if dim is None:
-        dim = len(df.select(vec_col).head()[0])
+        # empty/all-null frame: dim=1 keeps the plan valid and yields an
+        # empty pair set with the right schema instead of crashing on
+        # head()[0] (ADVICE r3)
+        dim = _infer_dim(df, vec_col) or 1
     keyed = (df.select(F.col(id_col), F.col(vec_col))
                .filter(F.col(vec_col).isNotNull())
                .withColumn("_bands", signature_udf(dim)(F.col(vec_col))))

@@ -127,6 +127,29 @@ class HelixSparkServer:
         except Exception as ex:  # noqa: BLE001 — surface as 500, don't kill the server
             return 500, {"error": f"{type(ex).__name__}: {ex}"}
 
+    @staticmethod
+    def _walk_steps(steps):
+        """Every step in a step list, recursing into sub-traversals
+        (Union/Coalesce subs, Choose then/else, Optional/Repeat sub) — a
+        search step nested three Choose levels deep still warms/cools the
+        request (ADVICE r3: the flat walk missed them)."""
+        for step in steps:
+            yield step
+            for sub in getattr(step, "subs", ()):  # Union / Coalesce
+                yield from HelixSparkServer._walk_steps(sub.steps)
+            for attr in ("then", "else_", "sub"):  # Choose / Optional / Repeat
+                sub = getattr(step, attr, None)
+                if sub is not None:
+                    yield from HelixSparkServer._walk_steps(sub.steps)
+
+    @staticmethod
+    def _walk_entries(entries):
+        """Every batch entry, recursing into wire-protocol ForEach bodies
+        (which hold full sub-batches of entries)."""
+        for entry in entries:
+            yield entry
+            yield from HelixSparkServer._walk_entries(entry.foreach_body)
+
     def _cold_reason(self, request: dict) -> Optional[str]:
         """None if every search step's index is materialized in memory,
         else a description of the first cold index."""
@@ -134,10 +157,15 @@ class HelixSparkServer:
 
         batch = parse_request(request)
         cat = self.engine.catalog
-        kinds = {"VectorSearch": ("vecnorm", "lsh", "ivf"),
+        # materialized-index kinds actually written by the build paths:
+        # search.build_vector_index -> "vecnorm", similarity.build_lsh_index
+        # -> "lsh", search.build_text_index -> "bm25". (IVF lives in
+        # similarity._IVF_CACHE keyed by source plan, not the catalog — a
+        # probe for a dead "ivf" kind here could never hit.)
+        kinds = {"VectorSearch": ("vecnorm", "lsh"),
                  "TextSearch": ("bm25",)}
-        for entry in batch.entries:
-            for step in entry.traversal.steps:
+        for entry in self._walk_entries(batch.entries):
+            for step in self._walk_steps(entry.traversal.steps):
                 name = type(step).__name__
                 if name not in kinds:
                     continue

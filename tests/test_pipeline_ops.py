@@ -388,3 +388,25 @@ def test_ivf_cache_lru_bounded(spark):
     live_assigned = frames[-1][0]
     assert live_assigned.storageLevel.useMemory
     S._IVF_CACHE.clear()
+
+
+def test_cosine_pairs_lsh_empty_and_allnull_frames(spark):
+    """Dim inference must not crash on empty or NULL-first frames
+    (ADVICE r3): both yield an empty pair set with the right schema."""
+    from helix_db_spark.operators.similarity import cosine_pairs_lsh
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = cosine_pairs_lsh(empty, "vec_id", "embedding", 0.9)
+    assert out.columns == ["a", "b", "cosine"] and out.count() == 0
+
+    allnull = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<float>")
+    out = cosine_pairs_lsh(allnull, "vec_id", "embedding", 0.9)
+    assert out.count() == 0
+
+    # NULL-first frame: the non-null row still gets a signature
+    nullfirst = spark.createDataFrame(
+        [(1, None), (2, [1.0, 0.0]), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    out = cosine_pairs_lsh(nullfirst, "vec_id", "embedding", 0.9).collect()
+    assert {(r["a"], r["b"]) for r in out} == {(2, 3)}

@@ -90,3 +90,16 @@ def test_asof_join_single_shuffle_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_global_sort_gated(spark):
+    """by=None is a single-partition global sort — it must be an explicit
+    opt-in, never a silent serialization point (ADVICE r3)."""
+    import pytest
+
+    left = spark.createDataFrame([(1, 10)], "id long, ts long")
+    right = spark.createDataFrame([(5, 2.0)], "ts long, value double")
+    with pytest.raises(ValueError, match="allow_global_sort"):
+        asof_join(left, right, on="ts")
+    out = asof_join(left, right, on="ts", allow_global_sort=True).collect()
+    assert out[0]["value"] == 2.0 and out[0]["matched_ts"] == 5

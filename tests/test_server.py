@@ -171,3 +171,37 @@ def test_await_durable_checkpoints_writes(spark):
     status, _ = srv.handle("/v1/query", req)
     assert status == 200
     assert ("node", "User") in cat._dirty
+
+
+def test_warm_detects_search_inside_subtraversal_and_foreach(spark):
+    """ADVICE r3: _cold_reason must recurse into Choose/Union/Optional/
+    Repeat sub-traversals and ForEach bodies — a cold search step nested
+    there must still 425 a warm-only request."""
+    from helix_db_spark.operators.search import build_vector_index
+    from helix_db_spark.plans.compiler import ExecContext, StepCompiler
+
+    cat = GraphCatalog(spark)
+    cat.add_nodes("Doc", spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "k long, emb array<float>"),
+        key_col="k")
+    srv = HelixSparkServer(HelixSparkEngine(cat))
+    search_step = {"VectorSearchNodes": {
+        "label": "Doc", "property": "emb",
+        "query_vector": {"Value": {"F32Array": [1.0, 0.0]}}, "k": 2}}
+    nested = {
+        "request_type": "read", "query_name": "nested",
+        "query": {"queries": [{"Query": {
+            "name": "hits",
+            "steps": [
+                {"NWhere": {"Eq": ["$label", {"String": "Doc"}]}},
+                {"Union": [{"steps": [search_step]}]}],
+            "condition": None}}],
+            "returns": ["hits"]},
+    }
+    warm_hdr = {"x-helix-warm": "true"}
+    status, out = srv.handle("/v1/query", nested, headers=warm_hdr)
+    assert status == 425 and "not materialized" in out["error"]
+    comp = StepCompiler(ExecContext(cat))
+    build_vector_index(comp, "Doc", "emb").count()
+    status, _ = srv.handle("/v1/query", nested, headers=warm_hdr)
+    assert status == 200

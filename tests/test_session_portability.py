@@ -126,3 +126,31 @@ def test_write_invalidates_search_cache(spark):
     # rebuild sees the new (smaller) table
     aug2 = build_vector_index(cc, "embeddings", "embedding")
     assert aug2.count() <= 10
+
+
+def test_materialized_cache_bounded_and_supersede_unpersists(spark):
+    """A served engine's search-index cache must stay finite: superseded
+    same-key entries unpersist, and inserts beyond MATERIALIZED_MAX evict
+    + unpersist the oldest (ADVICE r3 / VERDICT r3 'what's wrong' #4)."""
+    cat = load_graph(spark, SF_DIR)
+    base = cat.nodes("region")["region"]
+
+    old = base.limit(3).persist()
+    old.count()
+    cat.cache_materialized(("vecnorm", "nodes", "x0", "p"), old)
+    new = base.limit(2).persist()
+    new.count()
+    cat.cache_materialized(("vecnorm", "nodes", "x0", "p"), new)
+    assert not old.storageLevel.useMemory  # superseded => unpersisted
+    assert new.storageLevel.useMemory
+
+    frames = []
+    for i in range(cat.MATERIALIZED_MAX + 2):
+        f = base.limit(1).withColumn("_i", F.lit(i)).persist()
+        f.count()
+        frames.append(f)
+        cat.cache_materialized(("vecnorm", "nodes", f"lbl{i}", "p"), f)
+    assert len(cat._materialized) <= cat.MATERIALIZED_MAX
+    assert not frames[0].storageLevel.useMemory  # evicted LRU
+    assert frames[-1].storageLevel.useMemory
+    cat.invalidate_label(None)
