@@ -419,7 +419,40 @@ def vector_search_topk(spark, sf_dir):
     return df.select("vec_id", F.round("distance", 4).alias("distance"))
 
 
-@q("vector_search_lsh")  # approximate: rows-only check by design
+def _lsh_oracle() -> str:
+    """Deterministic LSH grading: the fixed-seed hyperplanes are embedded as
+    SQL literals, so DuckDB replays the exact band keys (sign of plane .
+    vec, 6-bit packed per band, band index salted into the top byte —
+    similarity.signature_udf) and re-ranks the same candidate superset by
+    exact cosine. Upgrades vector_search_lsh from rows-only to a full
+    value-hash row (VERDICT r3 task #9). dim=64 pinned by the testdata."""
+    from .operators.similarity import LSH_BANDS, LSH_NBITS, _planes
+    planes = _planes(64)
+    per = LSH_NBITS // LSH_BANDS
+    rows = ", ".join(
+        "({i}, [{v}])".format(
+            i=i, v=", ".join(repr(float(x)) for x in planes[i]))
+        for i in range(LSH_NBITS))
+    return f"""
+WITH pl(i, p) AS (VALUES {rows}),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bits AS (SELECT e.vec_id, pl.i,
+                CASE WHEN list_dot_product(e.v, pl.p::DOUBLE[]) > 0
+                     THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+         FROM emb e CROSS JOIN pl),
+keys AS (SELECT vec_id, (i // {per})::BIGINT AS band,
+                sum(bit * (1::BIGINT << ({per - 1} - (i % {per}))))
+                + ((i // {per})::BIGINT << 56) AS bkey
+         FROM bits GROUP BY vec_id, i // {per}),
+qk AS (SELECT bkey FROM keys WHERE vec_id = 7),
+cands AS (SELECT DISTINCT k.vec_id FROM keys k JOIN qk USING (bkey)),
+q AS (SELECT v AS qv FROM emb WHERE vec_id = 7)
+SELECT e.vec_id FROM emb e JOIN cands USING (vec_id) CROSS JOIN q
+ORDER BY 1.0 - list_cosine_similarity(e.v, qv), e.vec_id LIMIT 10
+"""
+
+
+@q("vector_search_lsh", _lsh_oracle())
 def vector_search_lsh(spark, sf_dir):
     vec = _query_vector(spark, sf_dir)
     return engine_for(spark, sf_dir).run(
