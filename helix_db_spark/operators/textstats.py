@@ -102,18 +102,64 @@ def fingerprint(text: Column) -> Column:
 
 
 def doc_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """One row per document with the full stats vector."""
+    """One row per document with the full stats vector.
+
+    Shape: ONE posexplode of the token array + one groupBy(doc) carrying
+    every token-derived statistic as a parallel aggregate, then char-level
+    ratios on the grouped row. The naive per-row composition of the column
+    helpers above re-evaluates the tokenizer regex once per statistic
+    (higher-order functions block common-subexpression elimination;
+    ~15 tokenizer passes per row, measured 30%+ slower at sf0.1 and
+    linearly worse with stat count at scale); this is the single-pass
+    equivalent, verified byte-identical on the oracle corpus.
+    posexplode_outer + null-skipping aggregates keep empty/null-text
+    documents in the output with the same values as the per-row path.
+    """
     t = F.col(text_col)
-    return df.select(
+    base = df.select(F.col(id_col), t.alias("_text"),
+                     F.posexplode_outer(tokens(t)).alias("_p", "_t"))
+    aggs = [
+        F.count("_t").alias("n_tokens"),  # count(col) skips the outer-null
+        F.coalesce(F.sum(F.length("_t")), F.lit(0)).alias("_lensum"),
+        F.count_distinct(F.col("_t")).alias("_ndistinct"),
+        F.coalesce(F.sum(F.col("_t").isin(*STOPWORDS_EN).cast("int")),
+                   F.lit(0)).alias("_stop"),
+    ]
+    for lang in sorted(LANG_STOPWORDS):
+        aggs.append(F.coalesce(
+            F.sum(F.col("_t").isin(*LANG_STOPWORDS[lang]).cast("int")),
+            F.lit(0)).alias(f"_h_{lang}"))
+    # collect_set skips nulls; empty set -> md5("") == fingerprint of an
+    # empty token list from the per-row path
+    aggs.append(F.md5(F.array_join(F.array_sort(F.collect_set("_t")), " "))
+                .alias("fingerprint"))
+    g = base.groupBy(id_col, "_text").agg(*aggs)
+    ln = F.length("_text")
+    denom = F.greatest(ln, F.lit(1))
+    punct = (ln - F.length(F.regexp_replace("_text", r"[^\w\s]", ""))) / denom
+    digit = (ln - F.length(F.regexp_replace("_text", r"[0-9]", ""))) / denom
+    nt = F.greatest(F.col("n_tokens"), F.lit(1))
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in sorted(LANG_STOPWORDS):
+        hits = F.col(f"_h_{lang}")
+        take = hits > best_hits
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(take, hits).otherwise(best_hits)
+    quality = (F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0)) * 0.25
+               + (F.lit(1.0) - F.least((punct + digit) * 2, F.lit(1.0))) * 0.25
+               + F.least(F.col("_stop") / nt * 4, F.lit(1.0)) * 0.25
+               + F.col("_ndistinct") / nt * 0.25)
+    return g.select(
         F.col(id_col),
-        F.length(t).alias("n_chars"),
-        token_count(t).alias("n_tokens"),
-        F.round(mean_token_length(t), 6).alias("mean_token_len"),
-        F.round(punct_ratio(t), 6).alias("punct_ratio"),
-        F.round(digit_ratio(t), 6).alias("digit_ratio"),
-        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
-        F.round(unique_token_ratio(t), 6).alias("unique_token_ratio"),
-        F.round(quality_score(t), 6).alias("quality"),
-        detect_language(t).alias("lang_pred"),
-        fingerprint(t).alias("fingerprint"),
+        ln.alias("n_chars"),
+        F.col("n_tokens"),
+        F.round(F.col("_lensum") / nt, 6).alias("mean_token_len"),
+        F.round(punct, 6).alias("punct_ratio"),
+        F.round(digit, 6).alias("digit_ratio"),
+        F.round(F.col("_stop") / nt, 6).alias("stopword_ratio"),
+        F.round(F.col("_ndistinct") / nt, 6).alias("unique_token_ratio"),
+        F.round(quality, 6).alias("quality"),
+        best_lang.alias("lang_pred"),
+        F.col("fingerprint"),
     )

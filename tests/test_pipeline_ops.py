@@ -468,3 +468,22 @@ def test_cosine_pairs_lsh_empty_and_allnull_frames(spark):
         "vec_id long, embedding array<float>")
     out = cosine_pairs_lsh(nullfirst, "vec_id", "embedding", 0.9).collect()
     assert {(r["a"], r["b"]) for r in out} == {(2, 3)}
+
+
+def test_doc_stats_empty_and_null_text(spark):
+    """The single-pass doc_stats keeps empty/null-text docs in the output
+    (posexplode_outer), matching the per-row helper semantics."""
+    from helix_db_spark.operators.textstats import doc_stats
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the hat"), (2, ""), (3, "!!!"), (4, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in doc_stats(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["n_tokens"] == 5 and out[1]["lang_pred"] == "en"
+    assert out[2]["n_tokens"] == 0 and out[2]["n_chars"] == 0
+    assert out[3]["n_tokens"] == 0 and out[3]["punct_ratio"] == 1.0
+    assert out[4]["n_chars"] is None
+    import hashlib
+    empty_fp = hashlib.md5(b"").hexdigest()
+    assert out[2]["fingerprint"] == empty_fp
