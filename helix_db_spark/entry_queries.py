@@ -1395,6 +1395,23 @@ def chunk_documents_windows(spark, sf_dir):
                            chunk_tokens=64, overlap=16)
 
 
+@q("stratified_source_sample",
+   "SELECT doc_id, source FROM ("
+   "SELECT doc_id, source, (CAST(('0x' || substr(md5('sample_' || "
+   "CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000) "
+   "/ CAST(1000000 AS DOUBLE) AS b FROM documents) "
+   "WHERE b < (CASE WHEN source = 'src0' THEN 1.0 "
+   "WHEN source = 'src1' THEN 0.5 ELSE 0.1 END)")
+def stratified_source_sample(spark, sf_dir):
+    """Deterministic per-source re-balancing (keep all of src0, half of
+    src1, 10% of the rest) — reproducible in any engine, unlike sampleBy."""
+    from .operators.sampling import stratified_sample
+    return stratified_sample(
+        _docs(spark, sf_dir), "doc_id", "source",
+        {"src0": 1.0, "src1": 0.5}, default=0.1) \
+        .select("doc_id", "source")
+
+
 @q("asof_purchase_features",
    "SELECT l.event_id, l.user_id, round(r.value, 4) AS purchase_value, "
    "CAST(epoch(date_trunc('second', r.ts)) AS BIGINT) AS purchase_epoch "

@@ -45,6 +45,32 @@ def split_assign(df: DataFrame, id_col: str,
     return df.withColumn("split", expr)
 
 
+def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
+                      fractions: dict, default: float = 0.0,
+                      seed: str = "sample") -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its md5 bucket
+    (same scheme as :func:`split_assign`) falls below its stratum's
+    fraction. The training-data use case is domain/source re-balancing —
+    e.g. downsample crawl dumps to 10% while keeping 100% of curated
+    sources.
+
+    Engine-independent and partitioning-independent (unlike
+    ``DataFrame.sampleBy``, whose Bernoulli draw depends on seed+partition
+    layout), so the exact sample replays in any engine — a requirement for
+    reproducible dataset cards. One narrow projection, no shuffle; at
+    100 TB this rides the corpus scan for free.
+    """
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit(seed), F.lit("_"),
+                       F.col(id_col).cast("string"))),
+        1, 8), 16, 10).cast("long") % 1_000_000) / 1_000_000.0
+    frac = F.lit(float(default))
+    for value, f in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == value,
+                      F.lit(float(f))).otherwise(frac)
+    return df.filter(bucket < frac)
+
+
 def chunk_documents(df: DataFrame, id_col: str, text_col: str,
                     chunk_tokens: int = 64,
                     overlap: int = 16) -> DataFrame:

@@ -103,3 +103,30 @@ def test_asof_join_global_sort_gated(spark):
         asof_join(left, right, on="ts")
     out = asof_join(left, right, on="ts", allow_global_sort=True).collect()
     assert out[0]["value"] == 2.0 and out[0]["matched_ts"] == 5
+
+
+def test_stratified_sample_deterministic_and_exact(spark):
+    """Per-stratum fractions hold approximately; membership is exactly
+    reproducible across recomputation and partitioning changes."""
+    from helix_db_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = stratified_sample(docs, "doc_id", "source",
+                            {"src0": 1.0, "src1": 0.5}, default=0.1)
+    got = {r["doc_id"] for r in out.select("doc_id").collect()}
+    # full stratum kept exactly
+    src0 = {r["doc_id"] for r in
+            docs.filter(F.col("source") == "src0").collect()}
+    assert src0 <= got
+    # determinism under repartitioning
+    got2 = {r["doc_id"] for r in
+            stratified_sample(docs.repartition(7), "doc_id", "source",
+                              {"src0": 1.0, "src1": 0.5}, default=0.1)
+            .select("doc_id").collect()}
+    assert got == got2
+    # default stratum lands near its fraction
+    n_rest = docs.filter(~F.col("source").isin("src0", "src1")).count()
+    kept_rest = len(got - src0
+                    - {r["doc_id"] for r in
+                       docs.filter(F.col("source") == "src1").collect()})
+    assert kept_rest < 0.25 * n_rest
