@@ -744,6 +744,29 @@ def text_token_count_total(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"))
 
 
+_BPE_RE_SQL = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+@q("text_bpe_token_estimate",
+   f"""SELECT doc_id,
+  len(regexp_extract_all(text, '{_BPE_RE_SQL}'))::BIGINT AS n_pretokens,
+  CAST(list_sum(list_transform(
+      regexp_extract_all(text, '{_BPE_RE_SQL}'),
+      t -> CASE WHEN regexp_matches(t, '^[a-zA-Z]') THEN ceil(length(t)/4.0)
+                WHEN regexp_matches(t, '^[0-9]') THEN ceil(length(t)/3.0)
+                ELSE 1 END)) AS BIGINT) AS est_bpe_tokens
+FROM documents""")
+def text_bpe_token_estimate(spark, sf_dir):
+    """BPE-ish token budgeting (context-window planning): GPT-2-shaped
+    pre-tokens + per-run subword estimates, identical regex both engines."""
+    from .operators.textstats import bpe_pretokens, bpe_token_estimate
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(bpe_pretokens(t)).cast("long").alias("n_pretokens"),
+        bpe_token_estimate(t).alias("est_bpe_tokens"))
+
+
 # ---------------------------------------------------------------------------
 # 8. multimodal plumbing
 # ---------------------------------------------------------------------------

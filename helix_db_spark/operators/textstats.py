@@ -31,6 +31,31 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# BPE-style pre-tokenizer: letter runs, digit runs, single punctuation —
+# the GPT-2 pre-token shape minus lookarounds so the exact same pattern
+# runs in Java regex (Spark) and RE2-ish dialects (DuckDB oracle).
+BPE_PRETOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def bpe_pretokens(text: Column) -> Column:
+    """Pre-token array under BPE_PRETOKEN_RE."""
+    return F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_RE), 0)
+
+
+def bpe_token_estimate(text: Column) -> Column:
+    """Estimated BPE token count (context-budget planning without a
+    vocab file): letter runs cost ceil(len/4) (the ~4-chars-per-token
+    empirical BPE rate), digit runs ceil(len/3) (BPE chunks numbers
+    ~3 digits), punctuation 1 each. Deterministic, pure built-ins,
+    SQL-reproducible."""
+    per = F.transform(
+        bpe_pretokens(text),
+        lambda t: F.when(t.rlike("^[a-zA-Z]"), F.ceil(F.length(t) / 4.0))
+                   .when(t.rlike("^[0-9]"), F.ceil(F.length(t) / 3.0))
+                   .otherwise(F.lit(1)).cast("long"))
+    return F.aggregate(per, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
 def punct_ratio(text: Column) -> Column:
     total = F.greatest(F.length(text), F.lit(1))
     punct = F.length(text) - F.length(

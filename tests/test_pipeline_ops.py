@@ -487,3 +487,21 @@ def test_doc_stats_empty_and_null_text(spark):
     import hashlib
     empty_fp = hashlib.md5(b"").hexdigest()
     assert out[2]["fingerprint"] == empty_fp
+
+
+def test_bpe_token_estimate(spark):
+    """BPE-ish estimator: letter runs ceil(len/4), digit runs ceil(len/3),
+    punctuation 1 each; empty/null texts behave."""
+    from helix_db_spark.operators.textstats import (bpe_pretokens,
+                                                    bpe_token_estimate)
+
+    df = spark.createDataFrame(
+        [(1, "internationalization 12345, ok!"), (2, ""), (3, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", F.size(bpe_pretokens(F.col("text"))).alias("n"),
+        bpe_token_estimate(F.col("text")).alias("est")).collect()}
+    # internationalization(20->5) + 12345(5->2) + ','(1) + ok(2->1) + '!'(1)
+    assert out[1]["n"] == 5 and out[1]["est"] == 10
+    assert out[2]["n"] == 0 and out[2]["est"] == 0
+    assert out[3]["n"] is None or out[3]["n"] == -1  # null text -> null
