@@ -744,6 +744,26 @@ def text_token_count_total(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"))
 
 
+@q("text_winnow_fingerprints",
+   r"""WITH t AS (SELECT doc_id,
+        regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        FROM documents),
+h AS (SELECT doc_id,
+        [CAST(('0x' || substr(md5(substr(s, i, 5)), 1, 8)) AS BIGINT)
+         for i in generate_series(1, length(s) - 4)] AS hs
+      FROM t WHERE length(s) >= 5),
+wn AS (SELECT doc_id,
+        [list_min(hs[p : p + 3])
+         for p in generate_series(1, greatest(len(hs) - 3, 1))] AS ws
+       FROM h)
+SELECT doc_id, unnest(list_sort(list_distinct(ws))) AS fp FROM wn""")
+def text_winnow_fingerprints(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (k=5, w=4), one row per
+    selected hash — the MOSS-style local-overlap detector."""
+    from .operators.textstats import winnow_fingerprints
+    return winnow_fingerprints(_docs(spark, sf_dir), "doc_id", "text")
+
+
 _BPE_RE_SQL = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 

@@ -7,7 +7,7 @@ and every ratio are defined precisely enough to reproduce in oracle SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -124,6 +124,43 @@ def fingerprint(text: Column) -> Column:
     (word-order / whitespace / case insensitive)."""
     toks = F.array_join(F.array_sort(F.array_distinct(tokens(text))), " ")
     return F.md5(toks)
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 5, w: int = 4) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the MOSS
+    algorithm): rolling char k-gram hashes, minimum per sliding window of
+    ``w``, distinct minima selected. Guarantees any shared substring of
+    length >= k + w - 1 yields at least one shared fingerprint — robust
+    partial-overlap detection where whole-doc digests (``fingerprint``)
+    and set-based MinHash miss local matches. Returns (id, fp) rows.
+
+    Shape: ONE posexplode of the k-gram hash array (generators don't
+    re-evaluate their child — a nested transform/slice formulation
+    re-inlines the whole hash array per window position, the CSE-blocking
+    trap documented in functions/text.py), then a rolling ``min`` window
+    over positions — one shuffle on the doc id, the same cost profile as
+    shingle_rows. md5-derived 32-bit hashes keep the arithmetic
+    reproducible in the DuckDB oracle. Texts shorter than ``k`` emit
+    nothing; fewer than ``w`` k-grams collapse to one whole-array window
+    (the frame clamps).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    n_grams = F.length(norm) - F.lit(k - 1)
+    grams = F.transform(F.sequence(F.lit(1), n_grams),
+                        lambda i: norm.substr(i, F.lit(k)))
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"))
+    rows = df.filter(n_grams >= 1).select(
+        F.col(id_col), n_grams.alias("_n"),
+        F.posexplode(hashes).alias("_p", "_h"))
+    win = Window.partitionBy(id_col).orderBy("_p") \
+        .rowsBetween(Window.currentRow, w - 1)
+    wmin = rows.withColumn("_wm", F.min("_h").over(win))
+    kept = wmin.filter(F.col("_p") <= F.greatest(
+        F.col("_n") - F.lit(w), F.lit(0)))
+    return kept.select(F.col(id_col), F.col("_wm").alias("fp")).distinct()
 
 
 def doc_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

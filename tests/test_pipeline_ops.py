@@ -505,3 +505,38 @@ def test_bpe_token_estimate(spark):
     assert out[1]["n"] == 5 and out[1]["est"] == 10
     assert out[2]["n"] == 0 and out[2]["est"] == 0
     assert out[3]["n"] is None or out[3]["n"] == -1  # null text -> null
+
+
+def test_winnow_fingerprints(spark):
+    """Winnowing guarantee: docs sharing a substring of >= k+w-1 chars
+    share a fingerprint; values match a straight python reference."""
+    import hashlib
+
+    from helix_db_spark.operators.textstats import winnow_fingerprints
+
+    k, w = 5, 4
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(1, f"AAA {shared} BBB"), (2, f"xyz {shared} 123"),
+         (3, "completely different content here"), (4, "tiny")],
+        "doc_id long, text string")
+    out = {i: set() for i in (1, 2, 3, 4)}
+    for r in winnow_fingerprints(df, "doc_id", "text").collect():
+        out[r["doc_id"]].add(r["fp"])
+
+    def ref(text):
+        s = " ".join(text.lower().strip().split())
+        hs = [int(hashlib.md5(s[i:i + k].encode()).hexdigest()[:8], 16)
+              for i in range(len(s) - k + 1)]
+        if not hs:
+            return set()
+        wins = [min(hs[p:p + w])
+                for p in range(max(len(hs) - w + 1, 1))]
+        return set(wins)
+
+    for i, text in [(1, f"AAA {shared} BBB"), (2, f"xyz {shared} 123"),
+                    (3, "completely different content here"), (4, "tiny")]:
+        assert out[i] == ref(text), i
+    assert out[1] & out[2]            # shared substring => shared print
+    assert not (out[1] & out[3])      # unrelated docs don't collide here
+    assert out[4] == set()            # shorter than k => empty
