@@ -764,6 +764,32 @@ def text_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(_docs(spark, sf_dir), "doc_id", "text")
 
 
+@q("text_winnow_overlap_pairs",
+   r"""WITH t AS (SELECT doc_id,
+        regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        FROM documents),
+h AS (SELECT doc_id,
+        [CAST(('0x' || substr(md5(substr(s, i, 5)), 1, 8)) AS BIGINT)
+         for i in generate_series(1, length(s) - 4)] AS hs
+      FROM t WHERE length(s) >= 5),
+wn AS (SELECT doc_id,
+        [list_min(hs[p : p + 3])
+         for p in generate_series(1, greatest(len(hs) - 3, 1))] AS ws
+       FROM h),
+fps AS (SELECT DISTINCT doc_id, unnest(ws) AS fp FROM wn),
+rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
+SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared_fps
+FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 3""")
+def text_winnow_overlap_pairs(spark, sf_dir):
+    """Local-overlap candidate pairs (>= 3 shared winnowing fingerprints,
+    stop-fingerprints with df > 50 dropped before the join)."""
+    from .operators.textstats import winnow_overlap_pairs
+    return winnow_overlap_pairs(_docs(spark, sf_dir), "doc_id", "text",
+                                min_shared=3, max_df=50)
+
+
 _BPE_RE_SQL = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 

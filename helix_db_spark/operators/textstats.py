@@ -163,6 +163,34 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
     return kept.select(F.col(id_col), F.col("_wm").alias("fp")).distinct()
 
 
+def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str,
+                         min_shared: int = 3, max_df: int = 50,
+                         k: int = 5, w: int = 4) -> DataFrame:
+    """(a, b, shared_fps) for document pairs sharing >= ``min_shared``
+    winnowing fingerprints — local plagiarism/containment candidates that
+    set-level similarity misses.
+
+    Scale shape: self-join on the fingerprint value, so candidate volume
+    is sum-of-bucket-sizes², not n². ``max_df`` drops stop-fingerprints
+    (hashes occurring in more than ``max_df`` docs — ubiquitous 5-grams
+    like 'the q') BEFORE the join; without it one viral k-gram makes a
+    quadratic hot bucket. Both the filter and the pair counts are exact
+    given the retained fingerprints, and fully SQL-reproducible.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    rare = fps.groupBy("fp") \
+              .agg(F.count(F.lit(1)).alias("_df")) \
+              .filter(F.col("_df") <= max_df).select("fp")
+    kept = fps.join(rare, on="fp", how="left_semi")
+    left = kept.select(F.col(id_col).alias("a"), "fp")
+    right = kept.select(F.col(id_col).alias("b"), "fp")
+    return (left.join(right, on="fp")
+                .filter(F.col("a") < F.col("b"))
+                .groupBy("a", "b")
+                .agg(F.count(F.lit(1)).alias("shared_fps"))
+                .filter(F.col("shared_fps") >= min_shared))
+
+
 def doc_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One row per document with the full stats vector.
 

@@ -540,3 +540,26 @@ def test_winnow_fingerprints(spark):
     assert out[1] & out[2]            # shared substring => shared print
     assert not (out[1] & out[3])      # unrelated docs don't collide here
     assert out[4] == set()            # shorter than k => empty
+
+
+def test_winnow_overlap_pairs(spark):
+    """Docs sharing a long passage pair up; unrelated docs don't; a
+    ubiquitous fingerprint (in > max_df docs) cannot create pairs."""
+    from helix_db_spark.operators.textstats import winnow_overlap_pairs
+
+    shared = ("we hold these truths to be self evident that all are "
+              "created equal and endowed with certain rights")
+    rows = [(1, f"intro {shared} outro"), (2, f"{shared} trailing words"),
+            (3, "completely unrelated content about spark shuffles"),
+            (4, "more unrelated text on parquet row groups")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["a"], r["b"]): r["shared_fps"] for r in
+           winnow_overlap_pairs(df, "doc_id", "text",
+                                min_shared=3).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 3
+    assert all({a, b} == {1, 2} for a, b in got)
+
+    # stop-fingerprint cap: with max_df=1 nothing can pair
+    none = winnow_overlap_pairs(df, "doc_id", "text", min_shared=1,
+                                max_df=1).count()
+    assert none == 0
