@@ -1490,6 +1490,26 @@ def stratified_source_sample(spark, sf_dir):
         .select("doc_id", "source")
 
 
+@q("top_quality_docs_per_source",
+   "WITH q AS ({inner}), "
+   "r AS (SELECT d.source, q.doc_id, q.quality, "
+   "row_number() OVER (PARTITION BY d.source "
+   "ORDER BY q.quality DESC, q.doc_id) AS rk "
+   "FROM documents d JOIN q USING (doc_id)) "
+   "SELECT source, doc_id, quality FROM r WHERE rk <= 3".format(
+       inner=_quality_oracle()))
+def top_quality_docs_per_source(spark, sf_dir):
+    """Group-wise top-k curation: the 3 highest-quality docs per source
+    (deterministic tiebreak on doc_id) — one shuffle on the group key."""
+    from .operators.sampling import top_k_per_group
+    from .operators.textstats import quality_score
+    scored = _docs(spark, sf_dir).select(
+        "source", "doc_id",
+        F.round(quality_score(F.col("text")), 6).alias("quality"))
+    return top_k_per_group(scored, "source", "quality", 3,
+                           tiebreak_col="doc_id")
+
+
 @q("asof_purchase_features",
    "SELECT l.event_id, l.user_id, round(r.value, 4) AS purchase_value, "
    "CAST(epoch(date_trunc('second', r.ts)) AS BIGINT) AS purchase_epoch "

@@ -71,6 +71,27 @@ def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
     return df.filter(bucket < frac)
 
 
+def top_k_per_group(df: DataFrame, group_col: str, order_col,
+                    k: int, tiebreak_col: Optional[str] = None,
+                    desc: bool = True) -> DataFrame:
+    """Top ``k`` rows per group (e.g. best-quality documents per source —
+    the standard curation shape). One shuffle on the group key; the
+    window rank never globally sorts, and with a deterministic tiebreak
+    column the selection replays exactly in any engine.
+
+    At scale this beats groupBy+collect_list+slice (no per-group array
+    materialization) and a self-join max (one pass).
+    """
+    oc = F.col(order_col) if isinstance(order_col, str) else order_col
+    ordering = [oc.desc() if desc else oc.asc()]
+    if tiebreak_col is not None:
+        ordering.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(group_col).orderBy(*ordering)
+    return (df.withColumn("_rank", F.row_number().over(w))
+              .filter(F.col("_rank") <= k)
+              .drop("_rank"))
+
+
 def chunk_documents(df: DataFrame, id_col: str, text_col: str,
                     chunk_tokens: int = 64,
                     overlap: int = 16) -> DataFrame:

@@ -130,3 +130,21 @@ def test_stratified_sample_deterministic_and_exact(spark):
                     - {r["doc_id"] for r in
                        docs.filter(F.col("source") == "src1").collect()})
     assert kept_rest < 0.25 * n_rest
+
+
+def test_top_k_per_group(spark):
+    from helix_db_spark.operators.sampling import top_k_per_group
+
+    df = spark.createDataFrame(
+        [("a", 1, 0.9), ("a", 2, 0.9), ("a", 3, 0.5), ("a", 4, 0.99),
+         ("b", 5, 0.1), ("b", 6, 0.2)],
+        "grp string, id long, score double")
+    got = {(r["grp"], r["id"]) for r in
+           top_k_per_group(df, "grp", "score", 2,
+                           tiebreak_col="id").collect()}
+    # a: 4 (0.99) then 1 (0.9, id-tiebreak over 2); b: both rows
+    assert got == {("a", 4), ("a", 1), ("b", 6), ("b", 5)}
+    # no global sort: plan has a single exchange on the group key
+    plan = top_k_per_group(df, "grp", "score", 2, tiebreak_col="id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(grp" in plan, plan
