@@ -35,6 +35,50 @@ from ..functions.text import char_shingles, md5_long, md5_long32, \
 # arithmetic runs in DuckDB BIGINT for oracle parity.
 _PRIME = (1 << 61) - 1
 
+# Materialization strategy for multi-consumer intermediates (signatures,
+# shingle sets, prefix tables). A/B-able via HELIX_DEDUP_MAT for bench
+# reconciliation (r5 driver-harness numbers in PLANS.md):
+#   eager_persist — persist + count() [DEFAULT, won the A/B]: Dataset cache
+#                  keeps size stats, so the small sigs/sets/prefix
+#                  join-backs stay broadcast-eligible, and the eager count
+#                  stops the two join sides racing to populate the cache.
+#                  dedup_ngram 1.68s / minhash 2.00s under `python bench.py`.
+#   checkpoint   — eager localCheckpoint (the r4 default): blocks live
+#                  outside the CacheManager (clearCache-immune, freed on
+#                  DataFrame GC) but the plan becomes a stats-less
+#                  LogicalRDD — join-backs fall from broadcast to
+#                  sort-merge, and rows cache deserialized. Cost measured
+#                  by the driver: dedup_ngram 3.56s / minhash 2.29s
+#                  (BENCH_r04) vs persist's 1.88/2.06 (BENCH_r03).
+#   persist      — lazy persist (r3 behavior), kept for A/B.
+# Served-engine leak control (ADVICE r3): persisted intermediates are
+# tracked in a bounded FIFO; beyond _MAT_LRU_MAX the oldest is unpersisted.
+# persist (unlike localCheckpoint) KEEPS lineage, so an early eviction can
+# only cost recompute, never correctness — and on a real cluster a lost
+# executor recomputes instead of failing the job (ADVICE r4's
+# localCheckpoint lineage-truncation concern).
+import os as _os
+from collections import deque as _deque
+
+_MAT_LRU: "_deque[DataFrame]" = _deque()
+_MAT_LRU_MAX = 8
+
+
+def _mat(df: DataFrame) -> DataFrame:
+    """Materialize an intermediate consumed by several downstream branches."""
+    mode = _os.environ.get("HELIX_DEDUP_MAT", "eager_persist")
+    if mode == "checkpoint":
+        return df.localCheckpoint()
+    if mode == "lazy_checkpoint":
+        return df.localCheckpoint(eager=False)
+    out = df.persist()
+    if mode == "eager_persist":
+        out.count()
+        _MAT_LRU.append(out)
+        while len(_MAT_LRU) > _MAT_LRU_MAX:
+            _MAT_LRU.popleft().unpersist()
+    return out
+
 
 def _perm_constants(num: int):
     """Deterministic (a, b) pairs (31-bit, a odd) from a tiny LCG — no RNG
@@ -132,14 +176,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     """Candidate pairs via banded LSH, verified with estimated Jaccard
     (= fraction of matching minhashes). Returns (a, b, jaccard_est)."""
     rows_per_band = num_hashes // bands
-    # localCheckpoint, not persist: three consumers (band explode + the two
-    # signature join-backs) read materialized blocks; lifetime is bounded by
-    # the DataFrame object (ContextCleaner frees blocks on GC — no
-    # CacheManager entry to leak in a served engine), and a concurrent
-    # spark.catalog.clearCache() can't yank the blocks mid-query (measured:
-    # that interference tripled this operator's bench time).
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes,
-                              shingle_size).localCheckpoint()
+    # _mat(): three consumers (band explode + the two signature join-backs)
+    # read materialized blocks instead of recomputing the signature agg.
+    # Driver-bench A/B (r5) showed the r4 eager-localCheckpoint variant cost
+    # ~1.7s here+ngram: its stats-less LogicalRDD demoted the sigs
+    # join-backs from broadcast to sort-merge. See _mat() for the tradeoff.
+    sigs = _mat(minhash_signatures(df, id_col, text_col, num_hashes,
+                                   shingle_size))
     # band key = joined signature slice (engine-agnostic: reproducible in
     # any SQL dialect, unlike murmur/xxhash). Uniform by construction.
     banded = sigs.select(
@@ -288,24 +331,21 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     ONLY those prefixes (tiny vs. the full explode-join), then Jaccard is
     verified exactly with array_intersect on the full shingle sets.
     Returns (a, b, jaccard)."""
-    # localCheckpoint (eager), not persist: sets feeds three consumers
-    # (exploded/freq/ranked and the two verify join-backs). Materialized
-    # blocks are freed when the DataFrame is GC'd — no CacheManager leak in
-    # a served engine (ADVICE r3) — and clearCache churn from neighboring
-    # queries can't evict them mid-query (persist here showed 6-8x
-    # rep-to-rep swings under bench cache-clearing; localCheckpoint is
-    # stable).
+    # _mat(): sets feeds three consumers (exploded/freq/ranked and the two
+    # verify join-backs) — materialize once instead of recomputing the
+    # tokenize+shingle pipeline per branch. See _mat() for the
+    # persist-vs-localCheckpoint tradeoff (driver-bench A/B'd in r5).
     if use_tokens:
         ex = shingle_rows(df, id_col, text_col, n) \
             .withColumnRenamed(id_col, "_doc")
-        sets = ex.groupBy("_doc").agg(
+        sets = _mat(ex.groupBy("_doc").agg(
             F.collect_list("_s").alias("_sh"),
-            F.count(F.lit(1)).alias("_size")).localCheckpoint()
+            F.count(F.lit(1)).alias("_size")))
     else:
-        sets = _shingle_sets(df, id_col, text_col, n, use_tokens) \
-            .withColumnRenamed(id_col, "_doc") \
-            .withColumn("_size", F.size("_sh")) \
-            .filter(F.col("_size") > 0).localCheckpoint()
+        sets = _mat(_shingle_sets(df, id_col, text_col, n, use_tokens)
+                    .withColumnRenamed(id_col, "_doc")
+                    .withColumn("_size", F.size("_sh"))
+                    .filter(F.col("_size") > 0))
     # derive the exploded view from the PERSISTED sets — re-deriving it from
     # the raw shingle pipeline would recompute tokenization + the n-gram
     # window for every downstream branch (freq, ranked), ~3x the work.
@@ -321,18 +361,17 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     prefix_len = (F.col("_size") -
                   F.ceil(F.lit(threshold) * F.col("_size")) + 1)
     # The candidate self-join reads the prefix table twice; materialize it
-    # once (eager localCheckpoint) so both sides read finished blocks
-    # instead of recomputing the rank pipeline. Join on a 60-bit md5 of the
-    # shingle, not the string: hash-equal is a strict SUPERSET of
-    # string-equal, so a collision can only add a candidate pair (rejected
-    # by the exact verify below), never drop one — the PPJoin
-    # no-false-negative guarantee is untouched, while the long key roughly
-    # halves the self-join shuffle width. Prefix SELECTION keeps the exact
-    # (df, shingle-string) global order.
-    prefix = (ranked.filter(F.col("_rk") <= prefix_len)
-              .select("_doc", md5_long(F.col("_s")).alias("_k"),
-                      "_size", "_rk")
-              .localCheckpoint())
+    # once (_mat, eager) so both sides read finished blocks instead of
+    # recomputing the rank pipeline. Join on a 60-bit md5 of the shingle,
+    # not the string: hash-equal is a strict SUPERSET of string-equal, so a
+    # collision can only add a candidate pair (rejected by the exact verify
+    # below), never drop one — the PPJoin no-false-negative guarantee is
+    # untouched, while the long key roughly halves the self-join shuffle
+    # width. Prefix SELECTION keeps the exact (df, shingle-string) global
+    # order.
+    prefix = _mat(ranked.filter(F.col("_rk") <= prefix_len)
+                  .select("_doc", md5_long(F.col("_s")).alias("_k"),
+                          "_size", "_rk"))
 
     # length filter (exact): J(A,B) >= t requires |A∩B| >= t·(|A|+|B|−|A∩B|)
     # and |A∩B| <= min(|A|,|B|), hence t·|A| <= |B| <= |A|/t. Applied inside

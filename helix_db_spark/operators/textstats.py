@@ -204,6 +204,10 @@ def doc_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     equivalent, verified byte-identical on the oracle corpus.
     posexplode_outer + null-skipping aggregates keep empty/null-text
     documents in the output with the same values as the per-row path.
+    NULL-text rows: the per-row helpers return NULL for every token-derived
+    stat (size/md5 of a NULL array is NULL), but aggregates over zero rows
+    yield 0 / md5('') — so those columns are explicitly NULLed when _text
+    is NULL to keep the two paths byte-identical (ADVICE r4).
     """
     t = F.col(text_col)
     base = df.select(F.col(id_col), t.alias("_text"),
@@ -240,16 +244,20 @@ def doc_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                + (F.lit(1.0) - F.least((punct + digit) * 2, F.lit(1.0))) * 0.25
                + F.least(F.col("_stop") / nt * 4, F.lit(1.0)) * 0.25
                + F.col("_ndistinct") / nt * 0.25)
+    def nn(c):
+        # per-row-path parity on NULL text (see docstring)
+        return F.when(F.col("_text").isNull(), F.lit(None)).otherwise(c)
+
     return g.select(
         F.col(id_col),
         ln.alias("n_chars"),
-        F.col("n_tokens"),
-        F.round(F.col("_lensum") / nt, 6).alias("mean_token_len"),
+        nn(F.col("n_tokens")).alias("n_tokens"),
+        nn(F.round(F.col("_lensum") / nt, 6)).alias("mean_token_len"),
         F.round(punct, 6).alias("punct_ratio"),
         F.round(digit, 6).alias("digit_ratio"),
-        F.round(F.col("_stop") / nt, 6).alias("stopword_ratio"),
-        F.round(F.col("_ndistinct") / nt, 6).alias("unique_token_ratio"),
-        F.round(quality, 6).alias("quality"),
+        nn(F.round(F.col("_stop") / nt, 6)).alias("stopword_ratio"),
+        nn(F.round(F.col("_ndistinct") / nt, 6)).alias("unique_token_ratio"),
+        nn(F.round(quality, 6)).alias("quality"),
         best_lang.alias("lang_pred"),
-        F.col("fingerprint"),
+        nn(F.col("fingerprint")).alias("fingerprint"),
     )

@@ -162,19 +162,21 @@ class HelixSparkServer:
         # -> "lsh", search.build_text_index -> "bm25". (IVF lives in
         # similarity._IVF_CACHE keyed by source plan, not the catalog — a
         # probe for a dead "ivf" kind here could never hit.)
-        kinds = {"VectorSearch": ("vecnorm", "lsh"),
-                 "TextSearch": ("bm25",)}
         for entry in self._walk_entries(batch.entries):
             for step in self._walk_steps(entry.traversal.steps):
                 name = type(step).__name__
-                if name not in kinds:
+                if name == "VectorSearch":
+                    # the kind the step will actually probe (ADVICE r4: an
+                    # either-kind check let a method='lsh' request pass the
+                    # warm probe on the exact-search index, then pay a cold
+                    # LSH build inside a supposedly-warm request)
+                    kind = "lsh" if step.method == "lsh" else "vecnorm"
+                elif name == "TextSearch":
+                    kind = "bm25"
+                else:
                     continue
-                hit = None
-                for kind in kinds[name]:
-                    hit = cat._materialized.get(
-                        (kind, step.target, step.label, step.property))
-                    if hit is not None:
-                        break
+                hit = cat._materialized.get(
+                    (kind, step.target, step.label, step.property))
                 frames = hit if isinstance(hit, tuple) else (hit,)
                 warm = hit is not None and all(
                     f.storageLevel.useMemory for f in frames

@@ -41,16 +41,17 @@ def test_driver_top50_covers_survey_ops():
         "without_anti_join", "inject_var_union", "union_branches",
         "choose_conditional", "coalesce_fallback", "optional_passthrough",
         "repeat_bfs", "order_limit_topk", "group_collect",
-        "aggregate_stats", "id_terminal", "value_map_props",
+        "aggregate_stats", "id_value_map",
         "project_bindings_rows", "vector_search_topk", "vector_search_ivf",
         "tenant_vector_search", "bm25_text_search", "vector_search_edges",
         "text_search_edges", "write_batch_adds", "set_property_update",
         "drop_cascade_counts", "batch_condition_gate", "foreach_accumulate",
         # LLM-pipeline + dataset-prep families (merged slots are the sole
         # graded representative of their operators)
-        "dedup_exact_groups", "dedup_minhash_survivors",
+        "dedup_pipeline_survivors",
         "dedup_simhash_fingerprints", "dedup_ngram_jaccard_pairs",
         "dedup_embedding_cosine_pairs", "text_stats_langid",
+        "text_winnow_overlap_pairs", "top_quality_docs_per_source",
         "multimodal_pipeline", "events_window_agg", "events_sessionize",
         "split_train_valid_test", "asof_purchase_features",
     }
