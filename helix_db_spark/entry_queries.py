@@ -425,7 +425,15 @@ def _lsh_oracle() -> str:
     vec, 6-bit packed per band, band index salted into the top byte —
     similarity.signature_udf) and re-ranks the same candidate superset by
     exact cosine. Upgrades vector_search_lsh from rows-only to a full
-    value-hash row (VERDICT r3 task #9). dim=64 pinned by the testdata."""
+    value-hash row (VERDICT r3 task #9). dim=64 pinned by the testdata.
+
+    Known residual risk (ADVICE r4, accepted): Spark computes the band bits
+    as 'dot > 0' via numpy BLAS matmul while DuckDB uses sequential
+    list_dot_product — a projection within ~1 ulp of zero could flip a bit
+    and silently change the graded candidate set. Probability is tiny (no
+    dot product in the testdata sits near zero), but if a future testdata
+    regen fails THIS query's hash with correct-looking top-k, check the
+    sign boundary first."""
     from .operators.similarity import LSH_BANDS, LSH_NBITS, _planes
     planes = _planes(64)
     per = LSH_NBITS // LSH_BANDS

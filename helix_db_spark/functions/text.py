@@ -52,7 +52,8 @@ def token_shingles(text: Column, n: int = 2) -> Column:
 
 
 def shingle_rows(df: DataFrame, id_col: str, text_col: str,
-                 n: int = 3, distinct: bool = True) -> DataFrame:
+                 n: int = 3, distinct: bool = True,
+                 max_tokens: int | None = None) -> DataFrame:
     """Word n-gram rows (id, _s) — the hot-path shingle shape (DISTINCT per
     doc unless ``distinct=False``; pass False when the consumer is
     idempotent over duplicates, e.g. a min-aggregate, to skip a shuffle).
@@ -62,9 +63,17 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str,
     higher-order functions entirely: Catalyst's CollapseProject re-inlines
     expressions into lambda bodies, which re-ran the tokenizer regex per
     shingle (~50x slowdown measured at sf0.1).
+
+    ``max_tokens`` is a straggler bound for pathological documents: one
+    10 MB doc otherwise explodes to ~2M (doc, token) rows in a SINGLE
+    window/groupBy group — a per-key straggler no partitioning fixes. It
+    is a documented quality knob (like winnowing's max_df): docs are
+    compared on their first ``max_tokens`` tokens only.
     """
     toks = df.select(F.col(id_col),
                      F.posexplode(tokens(F.col(text_col))).alias("_p", "_t"))
+    if max_tokens is not None:
+        toks = toks.filter(F.col("_p") < max_tokens)
     w = Window.partitionBy(id_col).orderBy("_p")
     parts = [F.col("_t")] + [F.lead("_t", k).over(w) for k in range(1, n)]
     last = parts[-1]
@@ -88,5 +97,22 @@ def md5_long32(col: Column) -> Column:
     AS BIGINT)."""
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10) \
         .cast("long")
+
+
+def bucket_col(col: Column, n_buckets: int) -> Column:
+    """Deterministic bucket id for on-disk index layouts (md5-derived, so
+    any engine — and driver-side Python via bucket_id() — computes the
+    same bucket for the same value). Used as a parquet partition column:
+    a probe that knows its keys filters to their buckets and partition
+    pruning skips every other directory."""
+    return md5_long32(col) % F.lit(n_buckets)
+
+
+def bucket_id(value, n_buckets: int) -> int:
+    """Driver-side replica of bucket_col() for probe planning."""
+    import hashlib
+
+    return int(hashlib.md5(str(value).encode()).hexdigest()[:8],
+               16) % n_buckets
 
 

@@ -141,17 +141,21 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str,
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_hashes: int = 64, shingle_size: int = 3,
-                       use_tokens: bool = True) -> DataFrame:
+                       use_tokens: bool = True,
+                       max_tokens: Optional[int] = None) -> DataFrame:
     """(id, sig: array<long>[num_hashes]) — min over shingles of
     (a * md5_long(shingle) + b) mod p per permutation.
 
     One explode + one groupBy; signature aggregation is a partial-aggregable
-    min, so it map-side combines.
+    min, so it map-side combines. ``max_tokens`` bounds the per-document
+    explode on pathological inputs (quality knob — see
+    functions.text.shingle_rows).
     """
     if use_tokens:
         # distinct=False: min() is idempotent over duplicate shingles, so
         # the per-doc dedup shuffle would be pure waste.
-        ex = shingle_rows(df, id_col, text_col, shingle_size, distinct=False)
+        ex = shingle_rows(df, id_col, text_col, shingle_size, distinct=False,
+                          max_tokens=max_tokens)
     else:
         sh = _shingle_sets(df, id_col, text_col, shingle_size, use_tokens)
         ex = sh.select(F.col(id_col), F.explode("_sh").alias("_s"))
@@ -172,7 +176,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 64, bands: int = 16,
                       shingle_size: int = 3,
-                      threshold: float = 0.7) -> DataFrame:
+                      threshold: float = 0.7,
+                      max_tokens: Optional[int] = None) -> DataFrame:
     """Candidate pairs via banded LSH, verified with estimated Jaccard
     (= fraction of matching minhashes). Returns (a, b, jaccard_est)."""
     rows_per_band = num_hashes // bands
@@ -182,7 +187,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # ~1.7s here+ngram: its stats-less LogicalRDD demoted the sigs
     # join-backs from broadcast to sort-merge. See _mat() for the tradeoff.
     sigs = _mat(minhash_signatures(df, id_col, text_col, num_hashes,
-                                   shingle_size))
+                                   shingle_size, max_tokens=max_tokens))
     # band key = joined signature slice (engine-agnostic: reproducible in
     # any SQL dialect, unlike murmur/xxhash). Uniform by construction.
     banded = sigs.select(
@@ -265,17 +270,23 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
 # ---------------------------------------------------------------------------
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash64(df: DataFrame, id_col: str, text_col: str,
+              max_tokens: Optional[int] = None) -> DataFrame:
     """(id, simhash) — 64-bit fingerprint: bit i = sign of sum over tokens
     of (+1 if bit i of md5_long(token) else -1), tf-weighted.
 
     Pure built-ins: explode tokens -> per-(doc, bit) contribution via a
     64-element transform -> single groupBy with 64 sum aggregates.
+    ``max_tokens`` truncates pathological documents before the explode
+    (quality knob: the fingerprint then hashes the first max_tokens tokens
+    — see functions.text.shingle_rows for the straggler rationale).
     """
     from ..functions.text import tokens
 
-    toks = df.select(F.col(id_col),
-                     F.explode(tokens(F.col(text_col))).alias("_t"))
+    tok_arr = tokens(F.col(text_col))
+    if max_tokens is not None:
+        tok_arr = F.slice(tok_arr, 1, max_tokens)
+    toks = df.select(F.col(id_col), F.explode(tok_arr).alias("_t"))
     h = md5_long(F.col("_t"))
     aggs = []
     for i in range(60):  # md5_long yields 60 usable bits
@@ -321,7 +332,8 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.5,
-                        use_tokens: bool = True) -> DataFrame:
+                        use_tokens: bool = True,
+                        max_tokens: Optional[int] = None) -> DataFrame:
     """Exact Jaccard over distinct n-gram shingles, PPJoin-style.
 
     Prefix filtering (exact, no false negatives): order each document's
@@ -330,13 +342,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     |A| - ceil(t*|A|) + 1 shingles. Candidate pairs come from joining
     ONLY those prefixes (tiny vs. the full explode-join), then Jaccard is
     verified exactly with array_intersect on the full shingle sets.
-    Returns (a, b, jaccard)."""
+    Returns (a, b, jaccard). ``max_tokens`` bounds the per-document token
+    explode (quality knob: Jaccard is then over the first max_tokens
+    tokens' shingles — see functions.text.shingle_rows)."""
     # _mat(): sets feeds three consumers (exploded/freq/ranked and the two
     # verify join-backs) — materialize once instead of recomputing the
     # tokenize+shingle pipeline per branch. See _mat() for the
     # persist-vs-localCheckpoint tradeoff (driver-bench A/B'd in r5).
     if use_tokens:
-        ex = shingle_rows(df, id_col, text_col, n) \
+        ex = shingle_rows(df, id_col, text_col, n, max_tokens=max_tokens) \
             .withColumnRenamed(id_col, "_doc")
         sets = _mat(ex.groupBy("_doc").agg(
             F.collect_list("_s").alias("_sh"),

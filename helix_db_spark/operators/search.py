@@ -80,20 +80,17 @@ def build_vector_index(compiler, label: str, prop: str,
     structure — on Spark the scale path is LSH bucketing, not HNSW."""
     cat = compiler.cat
     key = ("vecnorm", target, label, prop)
-    cache = getattr(cat, "_materialized", None)
-    if cache is None:
-        cache = cat._materialized = {}
-    if key not in cache:
+    out = cat._materialized.get(key)
+    if out is None:
         frames = _frames(compiler, target, label)
         if label not in frames:
             raise KeyError(f"unknown label {label}")
         df = frames[label].filter(F.col(prop).isNotNull())
-        aug = df.withColumn("__vnorm", norm(F.col(prop))).persist()
-        if hasattr(cat, "cache_materialized"):
-            cat.cache_materialized(key, aug)
-        else:
-            cache[key] = aug
-    out = cache[key]
+        out = df.withColumn("__vnorm", norm(F.col(prop))).persist()
+        # single insertion path: the catalog's LRU-bounded cache (r5 —
+        # the dict-fallback shim predated cache_materialized and let
+        # unbounded growth back in)
+        cat.cache_materialized(key, out)
     if not out.storageLevel.useMemory:  # re-pin after a clearCache
         out.persist()
     return out
@@ -144,16 +141,18 @@ def build_text_index(compiler, label: str, prop: str,
     are shuffle-free; here it persists in memory.
     """
     cat = compiler.cat
-    cache = getattr(cat, "_materialized", None)
-    if cache is None:
-        cache = cat._materialized = {}
     key = ("bm25", target, label, prop)
-    if key in cache:
-        postings, term_df, stats = cache[key]
-        if not postings.storageLevel.useMemory:  # re-pin after a clearCache
+    hit = cat._materialized.get(key)
+    if hit is not None:
+        postings, term_df, stats = hit
+        # disk-backed entries (store_index layouts, stats carry "buckets")
+        # must stay un-persisted: probes rely on parquet partition pruning,
+        # which an InMemoryRelation would hide
+        if ("buckets" not in stats
+                and not postings.storageLevel.useMemory):  # re-pin after a clearCache
             postings.persist()
             term_df.persist()
-        return cache[key]
+        return hit
     frames = _frames(compiler, target, label)
     if label not in frames:
         raise KeyError(f"unknown label {label}")
@@ -176,11 +175,9 @@ def build_text_index(compiler, label: str, prop: str,
     stats_row = dl.agg(F.count(F.lit(1)).alias("n"),
                        F.avg("dl").alias("avgdl")).head()
     stats = {"N": stats_row["n"] or 0, "avgdl": stats_row["avgdl"] or 1.0}
-    if hasattr(cat, "cache_materialized"):
-        cat.cache_materialized(key, (postings, term_df, stats))
-    else:
-        cache[key] = (postings, term_df, stats)
-    return cache[key]
+    value = (postings, term_df, stats)
+    cat.cache_materialized(key, value)  # single, LRU-bounded insertion path
+    return value
 
 
 def bm25_scores(compiler, label: str, prop: str, query_text: str,
@@ -193,8 +190,18 @@ def bm25_scores(compiler, label: str, prop: str, query_text: str,
     if not terms:
         return postings.select(_ID).limit(0).withColumn("_score", F.lit(0.0))
     n, avgdl = stats["N"], stats["avgdl"]
+    nb = stats.get("buckets")
+    if nb is not None and "_bucket" in postings.columns:
+        # disk-backed bucketed layout (sources/store.store_index): filter
+        # to the query terms' buckets FIRST so parquet partition pruning
+        # reads only matching bucket directories
+        from ..functions.text import bucket_id
+        bks = sorted({bucket_id(t, nb) for t in terms})
+        postings = postings.filter(F.col("_bucket").isin(bks))
+        term_df = term_df.filter(F.col("_bucket").isin(bks))
     probe = postings.filter(F.col("term").isin(terms)).join(
-        F.broadcast(term_df.filter(F.col("term").isin(terms))), on="term")
+        F.broadcast(term_df.filter(F.col("term").isin(terms))
+                    .select("term", "df")), on="term")
     idf = F.log((F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
                 + F.lit(1.0))
     tf_part = (F.col("tf") * (BM25_K1 + 1)) / (

@@ -92,12 +92,10 @@ def signature_udf(dim: int, nbits: int = LSH_NBITS, bands: int = LSH_BANDS):
 def build_lsh_index(compiler, target: str, label: str, prop: str,
                     dim: Optional[int] = None) -> DataFrame:
     cat = compiler.cat
-    cache = getattr(cat, "_materialized", None)
-    if cache is None:
-        cache = cat._materialized = {}
     key = ("lsh", target, label, prop)
-    if key in cache:
-        return cache[key]
+    hit = cat._materialized.get(key)
+    if hit is not None:
+        return hit
     frames = cat.nodes(label) if target == "nodes" else cat.edges(label)
     df = frames[label].filter(F.col(prop).isNotNull())
     if dim is None:
@@ -107,18 +105,38 @@ def build_lsh_index(compiler, target: str, label: str, prop: str,
     aug = (df.withColumn("__bands", signature_udf(dim)(F.col(prop)))
              .withColumn("__vnorm", norm(F.col(prop)))
              .persist())
-    if hasattr(cat, "cache_materialized"):
-        cat.cache_materialized(key, aug)
-    else:
-        cache[key] = aug
+    # single insertion path: the catalog's LRU-bounded cache (r5 — the
+    # dict-fallback shim predated cache_materialized and bypassed the bound)
+    cat.cache_materialized(key, aug)
     return aug
 
 
 def lsh_topk(compiler, target: str, label: str, prop: str,
              query: Sequence[float], k: int) -> DataFrame:
-    aug = build_lsh_index(compiler, target, label, prop, dim=len(query))
     qbits = (np.asarray(query, dtype=np.float64) @ _planes(len(query)).T) > 0
     qkeys = _band_keys(qbits.astype(np.int8))
+    disk = compiler.cat._materialized.get(("lsh_disk", target, label, prop))
+    if disk is not None:
+        # on-disk bucketed layout (sources/store.store_index): the probe
+        # filters to the query's band keys' buckets, so parquet partition
+        # pruning reads only ~bands directories of the signature table no
+        # matter the corpus size — the 100 TB candidate-generation path.
+        from ..functions.text import bucket_id
+        sigs, meta = disk
+        bks = sorted({bucket_id(x, meta["buckets"]) for x in qkeys})
+        cands = (sigs.filter(F.col("_bucket").isin(bks)
+                             & F.col("_bkey").isin([int(x) for x in qkeys]))
+                     .select(_ID, "__vnorm").dropDuplicates([_ID]))
+        frames = (compiler.cat.nodes(label) if target == "nodes"
+                  else compiler.cat.edges(label))
+        base = frames[label].filter(F.col(prop).isNotNull()) \
+                            .join(cands, on=_ID)
+        dist = cosine_distance(F.col(prop), query, norm_col=F.col("__vnorm"))
+        return (base.withColumn("_distance", dist)
+                    .orderBy(F.col("_distance").asc(), F.col(_ID).asc())
+                    .limit(k)
+                    .drop("__vnorm"))
+    aug = build_lsh_index(compiler, target, label, prop, dim=len(query))
     cands = aug.filter(F.arrays_overlap(
         F.col("__bands"), F.array(*[F.lit(x) for x in qkeys])))
     dist = cosine_distance(F.col(prop), query, norm_col=F.col("__vnorm"))

@@ -104,6 +104,47 @@ def test_ngram_jaccard(spark):
         assert math.isclose(got[(i, i + 100000)], 1.0)
 
 
+def test_max_tokens_truncation_bound(spark):
+    """max_tokens (the pathological-doc straggler bound, VERDICT r4 'next'
+    #7): truncated operators must equal the untruncated operators run on
+    pre-truncated text — i.e. a pure quality knob, not a different
+    algorithm."""
+    from helix_db_spark.operators.dedup import (minhash_signatures,
+                                                ngram_jaccard_pairs,
+                                                simhash64)
+
+    long_a = " ".join(f"tok{i}" for i in range(200)) + " unique alpha tail"
+    long_b = " ".join(f"tok{i}" for i in range(200)) + " other beta ending"
+    df = spark.createDataFrame([(1, long_a), (2, long_b)],
+                               "doc_id long, text string")
+    trunc = df.select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 50), " ")
+        .alias("text"))
+
+    sig_capped = {r["doc_id"]: r["sig"] for r in minhash_signatures(
+        df, "doc_id", "text", max_tokens=50).collect()}
+    sig_pre = {r["doc_id"]: r["sig"] for r in minhash_signatures(
+        trunc, "doc_id", "text").collect()}
+    assert sig_capped == sig_pre
+
+    fp_capped = {r["doc_id"]: r["simhash"] for r in simhash64(
+        df, "doc_id", "text", max_tokens=50).collect()}
+    fp_pre = {r["doc_id"]: r["simhash"] for r in simhash64(
+        trunc, "doc_id", "text").collect()}
+    assert fp_capped == fp_pre
+
+    # the divergent tails are invisible under the cap: the pair is an
+    # exact dup of the first 50 tokens
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.9,
+                                max_tokens=50).collect()
+    assert [(r["a"], r["b"], r["jaccard"]) for r in pairs] == [(1, 2, 1.0)]
+    # without the cap the divergent tails are visible: jaccard < 1
+    uncapped = ngram_jaccard_pairs(df, "doc_id", "text", n=3,
+                                   threshold=0.5).collect()
+    assert len(uncapped) == 1 and uncapped[0]["jaccard"] < 1.0
+
+
 def test_ngram_jaccard_matches_python(spark):
     """Exact Jaccard cross-checked against a straight python computation."""
     from helix_db_spark.operators.dedup import ngram_jaccard_pairs
