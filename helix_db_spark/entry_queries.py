@@ -1147,6 +1147,28 @@ def repeat_emit_frontiers(spark, sf_dir):
         .group_count("$label"))
 
 
+@q("repeat_deep_pingpong",
+   "WITH cn AS (SELECT c_nationkey AS nk FROM customer WHERE c_custkey = 5), "
+   "cc AS (SELECT count(*) AS n FROM customer JOIN cn ON c_nationkey = nk) "
+   'SELECT \'customer\' AS "$label", CAST(4 * n AS BIGINT) AS count FROM cc '
+   "UNION ALL SELECT 'nation', 4")
+def repeat_deep_pingpong(spark, sf_dir):
+    """Repeat at REAL depth (VERDICT r4 'next' #6): 8 rounds of a
+    customer<->nation ping-pong walk (both('in_nation') + in-loop dedup so
+    frontier multiplicity stays bounded instead of compounding per round).
+    Rounds alternate {customer's nation} and {that nation's customers};
+    emit=After collects all 8 frontiers, so the group count has a closed
+    form the oracle states exactly: 4 nation emissions of 1 row and 4
+    customer emissions of |customers(nation)| rows. Exercises the
+    localCheckpoint-per-round loop at depth (SURVEY §2.7 max_depth=100
+    contract; tests/test_search_controlflow.py pins the flat-lineage
+    property)."""
+    return engine_for(spark, sf_dir).run(
+        g().n("customer", ids=[_CUST_BASE + 5])
+        .repeat(g().both("in_nation").dedup(), times=8, emit="After")
+        .group_count("$label"))
+
+
 # ---------------------------------------------------------------------------
 # 12. write path: updates, cascade deletes
 # ---------------------------------------------------------------------------

@@ -107,6 +107,43 @@ def test_repeat_two_hops(engine, oracle):
         "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"))
 
 
+def test_repeat_deep_lineage_stays_flat(engine):
+    """8 rounds of Repeat must not accumulate lineage: each round
+    localCheckpoints its frontier, so the FINAL frontier's plan reads one
+    materialized RDD — the plan neither embeds 8 rounds of joins nor grows
+    with depth (the property that keeps max_depth=100 runnable)."""
+    def final_frontier_plan(times):
+        df = engine.run(
+            g().n("customer").limit(5)
+            .repeat(g().both("in_nation").dedup(), times=times).id_())
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    p2, p8 = final_frontier_plan(2), final_frontier_plan(8)
+    # the final frontier is a checkpointed RDD scan, not a join tree
+    assert "LogicalRDD" in p8
+    assert "Join" not in p8
+    # depth-independent plan: 8 rounds may not produce a larger plan than 2
+    assert len(p8) <= len(p2) + 64
+
+
+def test_repeat_deep_pingpong_counts(engine, oracle):
+    """8-round ping-pong walk with in-loop dedup: emitted frontiers have
+    the closed form the oracle states (4x nation singleton, 4x that
+    nation's customer set)."""
+    base = 3 << 44  # customer ordinal (sources/tpch.py TABLES order)
+    df = engine.run(
+        g().n("customer", ids=[base + 5])
+        .repeat(g().both("in_nation").dedup(), times=8, emit="After")
+        .group_count("$label"))
+    assert_same(df, oracle.sql(
+        "WITH cn AS (SELECT c_nationkey AS nk FROM customer "
+        "WHERE c_custkey = 5), "
+        "cc AS (SELECT count(*) AS n FROM customer JOIN cn "
+        "ON c_nationkey = nk) "
+        'SELECT \'customer\' AS "$label", CAST(4 * n AS BIGINT) AS count '
+        "FROM cc UNION ALL SELECT 'nation', 4"))
+
+
 def test_coalesce_first_nonempty(engine):
     df = engine.run(
         g().n("customer").coalesce_(
