@@ -832,6 +832,42 @@ def text_winnow_overlap_pairs(spark, sf_dir):
                                 min_shared=3, max_df=50)
 
 
+@q("text_repetition_stats",
+   f"""WITH t AS (SELECT doc_id, {_TOK.format(c='text')} AS toks
+        FROM documents),
+g AS (SELECT doc_id,
+        CASE WHEN len(toks) >= 2 THEN
+          [toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks)-1)]
+        ELSE [] END AS g2,
+        CASE WHEN len(toks) >= 3 THEN
+          [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           for i in generate_series(1, len(toks)-2)]
+        ELSE [] END AS g3
+      FROM t),
+e2 AS (SELECT doc_id, unnest(g2) AS gram FROM g),
+c2 AS (SELECT doc_id, count(*) AS c FROM e2 GROUP BY doc_id, gram),
+s2 AS (SELECT doc_id, max(c) AS topc, sum(c) AS tot FROM c2 GROUP BY doc_id),
+e3 AS (SELECT doc_id, unnest(g3) AS gram FROM g),
+c3 AS (SELECT doc_id, count(*) AS c FROM e3 GROUP BY doc_id, gram),
+s3 AS (SELECT doc_id,
+        sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup,
+        sum(c) AS tot FROM c3 GROUP BY doc_id)
+SELECT g.doc_id,
+  len(g.g2)::BIGINT AS n_2grams,
+  s2.topc::BIGINT AS top_2gram_count,
+  round(s2.topc / s2.tot, 6) AS top_2gram_frac,
+  round(s3.dup / s3.tot, 6) AS dup_3gram_frac
+FROM g LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)""")
+def text_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters (top-bigram fraction, duplicate-
+    trigram fraction) — the standard curation gate against boilerplate /
+    keyword-stuffed / generation-looped documents. Spark plan is a pure
+    shuffle-free projection (sorted-array fold); the oracle replays the
+    definition with unnest + group by."""
+    from .operators.textstats import repetition_stats
+    return repetition_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
 _BPE_RE_SQL = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 

@@ -191,6 +191,79 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str,
                 .filter(F.col("shared_fps") >= min_shared))
 
 
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models" §A.1.1 — public filter suite): per document,
+    how much of it is the same n-gram over and over. Heavily repetitive
+    documents (boilerplate, keyword stuffing, generation loops) pass
+    length/stopword gates but poison training runs; these are the standard
+    knobs a curation pipeline thresholds on.
+
+    Columns: ``n_2grams`` (token-bigram occurrences), ``top_2gram_count``
+    (occurrences of the most frequent bigram), ``top_2gram_frac``
+    (their ratio — Gopher's "top n-gram fraction" in token form),
+    ``dup_3gram_frac`` (fraction of trigram occurrences whose trigram
+    appears >= 2 times — Gopher's "duplicate n-gram fraction" over
+    occurrences, which avoids the overlapping-span double-count of the
+    character formulation). Fractions are NULL when the document is too
+    short to form the n-gram.
+
+    Shape: ZERO shuffles. The token array is materialized once per row,
+    n-gram arrays are built, sorted, and folded with a single-pass
+    ``aggregate`` — after array_sort equal grams are adjacent, so the max
+    frequency is the longest run and duplicate occurrences are run
+    members. Everything stays inside one projection (no explode, no
+    groupBy): at 100 TB this is a pure map stage, embarrassingly parallel,
+    where the explode+groupBy(doc, gram) formulation shuffles one row per
+    gram occurrence (~n_tokens x corpus) just to bring counts back to the
+    doc they started on.
+    """
+    t = F.col(text_col)
+
+    def grams(n: int) -> Column:
+        arr = F.array_sort(F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("_toks", i, n))))
+        # guard: sequence() DESCENDS when start > stop (see char_shingles)
+        return F.when(F.size("_toks") >= n, arr) \
+            .otherwise(F.array().cast("array<string>"))
+
+    def rep_fold(garr: Column) -> Column:
+        """(best, dups) over a SORTED gram array: best = longest run of
+        equal grams = max frequency; dups = members of runs of length >= 2
+        (+2 entering a run — the first member is retroactively counted —
+        then +1 per further member)."""
+        zero = F.lit(0).cast("long")
+        init = F.struct(F.lit("").alias("prev"), zero.alias("run"),
+                        zero.alias("best"), zero.alias("dups"))
+
+        def step(acc, x):
+            same = x == acc["prev"]
+            run = F.when(same, acc["run"] + F.lit(1)).otherwise(F.lit(1)) \
+                .cast("long")
+            dups = acc["dups"] + F.when(same & (acc["run"] == 1), F.lit(2)) \
+                .when(same, F.lit(1)).otherwise(F.lit(0)).cast("long")
+            return F.struct(x.alias("prev"), run.alias("run"),
+                            F.greatest(acc["best"], run).alias("best"),
+                            dups.alias("dups"))
+
+        return F.aggregate(garr, init, step)
+
+    base = df.select(F.col(id_col), tokens(t).alias("_toks"))
+    base = base.select(F.col(id_col), grams(2).alias("_g2"),
+                       grams(3).alias("_g3"))
+    s2, s3 = rep_fold(F.col("_g2")), rep_fold(F.col("_g3"))
+    n2 = F.size("_g2").cast("long")
+    n3 = F.size("_g3").cast("long")
+    return base.select(
+        F.col(id_col),
+        n2.alias("n_2grams"),
+        F.when(n2 > 0, s2["best"]).alias("top_2gram_count"),
+        F.when(n2 > 0, F.round(s2["best"] / n2, 6)).alias("top_2gram_frac"),
+        F.when(n3 > 0, F.round(s3["dups"] / n3, 6)).alias("dup_3gram_frac"),
+    )
+
+
 def doc_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One row per document with the full stats vector.
 

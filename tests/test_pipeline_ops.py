@@ -726,6 +726,34 @@ def test_bpe_token_estimate(spark):
     assert out[3]["n"] is None or out[3]["n"] == -1  # null text -> null
 
 
+def test_repetition_stats(spark):
+    """Gopher-style repetition signals: hand-checked fractions, NULL for
+    too-short docs, and the plan stays a shuffle-free projection."""
+    from helix_db_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a c"),      # top 2-gram 'a b' x2 of 5; dup 3-grams 2/4
+         (2, "x y z"),            # no repetition
+         (3, "w"),                # too short for any 2-gram
+         (4, None),
+         (5, "spam spam spam spam")],  # fully repetitive
+        "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert (out[1]["n_2grams"], out[1]["top_2gram_count"]) == (5, 2)
+    assert abs(out[1]["top_2gram_frac"] - 0.4) < 1e-9
+    assert abs(out[1]["dup_3gram_frac"] - 0.5) < 1e-9
+    assert out[2]["dup_3gram_frac"] == 0.0
+    assert out[3]["top_2gram_frac"] is None
+    assert out[4]["top_2gram_frac"] is None
+    assert out[5]["top_2gram_frac"] == 1.0
+    assert out[5]["dup_3gram_frac"] == 1.0
+    # the scale contract: a pure map-side projection, no shuffle at all
+    plan = repetition_stats(df, "doc_id", "text") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_winnow_fingerprints(spark):
     """Winnowing guarantee: docs sharing a substring of >= k+w-1 chars
     share a fingerprint; values match a straight python reference."""
