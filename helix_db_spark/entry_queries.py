@@ -693,6 +693,40 @@ def dedup_embedding_cosine_pairs(spark, sf_dir):
     return pairs.select("a", "b", F.round("cosine", 4).alias("cosine"))
 
 
+_NG8 = " || ' ' || ".join(f"toks[i+{k}]" for k in range(8))
+
+@q("contamination_ngram_overlap",
+   f"""WITH ct AS (SELECT doc_id, {_TOK.format(c='text')} AS toks
+        FROM documents),
+bt AS (SELECT doc_id AS bench_id,
+        {_TOK.format(c="list_aggregate(toks[5:16], 'string_agg', ' ')")} AS toks
+       FROM ct WHERE doc_id % 10 = 0),
+cg AS (SELECT doc_id, unnest(list_distinct(
+         [{_NG8} for i in generate_series(1, len(toks)-7)])) AS gram
+       FROM ct WHERE len(toks) >= 8),
+bg AS (SELECT bench_id, unnest(list_distinct(
+         [{_NG8} for i in generate_series(1, len(toks)-7)])) AS gram
+       FROM bt WHERE len(toks) >= 8)
+SELECT cg.doc_id,
+  count(DISTINCT {_H60.format(x='gram')}) AS contaminated_ngrams,
+  count(DISTINCT bg.bench_id) AS bench_docs_hit
+FROM cg JOIN bg USING (gram) GROUP BY cg.doc_id""")
+def contamination_ngram_overlap(spark, sf_dir):
+    """Train/eval decontamination (GPT-3-style 8-gram collision): the
+    'benchmark' here is a 12-token span of every 10th document — the
+    leaked-eval-set scenario — so sources and their near-duplicates light
+    up. Corpus grams broadcast-join the tiny benchmark gram table; no
+    corpus-side shuffle before the per-doc count."""
+    from .functions.text import tokens
+    from .operators.dedup import benchmark_contamination
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.array_join(F.slice(tokens(F.col("text")), 5, 12), " ")
+         .alias("text"))
+    return benchmark_contamination(docs, bench, "doc_id", "text", n=8)
+
+
 # ---------------------------------------------------------------------------
 # 7. text analysis
 # ---------------------------------------------------------------------------

@@ -426,3 +426,44 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     return (paired.withColumn("jaccard", jac)
                   .filter(F.col("jaccard") >= threshold)
                   .select("a", "b", "jaccard"))
+
+
+def benchmark_contamination(corpus: DataFrame, bench: DataFrame,
+                            id_col: str, text_col: str,
+                            bench_id_col: Optional[str] = None,
+                            bench_text_col: Optional[str] = None,
+                            n: int = 8,
+                            max_tokens: Optional[int] = None) -> DataFrame:
+    """Train/eval contamination detection by token n-gram collision — the
+    standard decontamination gate (GPT-3 appendix C / PaLM-style 13-gram
+    overlap, public methodology): a training document is contaminated if
+    it shares any length-``n`` token n-gram with a benchmark/eval
+    document. Returns one row per contaminated corpus doc:
+    (id, contaminated_ngrams, bench_docs_hit) — threshold/drop decisions
+    stay with the caller.
+
+    Scale shape: the benchmark side is TINY relative to a 100 TB corpus
+    (eval suites are a few MB), so its distinct-gram table is broadcast —
+    the corpus side streams map-side through a broadcast hash join with
+    NO shuffle of corpus grams; the only shuffle is the per-doc count
+    aggregation over surviving (rare) collisions. Grams are compared via
+    md5_long 60-bit hashes, not strings: the broadcast table stays ~8
+    bytes/gram, and since both engines hash deterministically the oracle
+    reproduces the exact same collision set (collision probability
+    ~q^2/2^61 — and even a collision is engine-symmetric, never a
+    mismatch). ``max_tokens`` bounds pathological-doc explode size, as in
+    shingle_rows.
+    """
+    bench_id_col = bench_id_col or id_col
+    bench_text_col = bench_text_col or text_col
+    cg = shingle_rows(corpus, id_col, text_col, n=n, distinct=True,
+                      max_tokens=max_tokens) \
+        .select(F.col(id_col), md5_long(F.col("_s")).alias("_g"))
+    bg = shingle_rows(bench, bench_id_col, bench_text_col, n=n,
+                      distinct=True, max_tokens=max_tokens) \
+        .select(F.col(bench_id_col).alias("_bench_id"),
+                md5_long(F.col("_s")).alias("_g"))
+    hits = cg.join(F.broadcast(bg), on="_g")
+    return (hits.groupBy(id_col)
+                .agg(F.count_distinct("_g").alias("contaminated_ngrams"),
+                     F.count_distinct("_bench_id").alias("bench_docs_hit")))

@@ -726,6 +726,31 @@ def test_bpe_token_estimate(spark):
     assert out[3]["n"] is None or out[3]["n"] == -1  # null text -> null
 
 
+def test_benchmark_contamination(spark):
+    """n-gram collision decontamination: a doc containing an eval span is
+    flagged with the right gram/bench counts, clean docs are absent, and
+    the benchmark side is broadcast (no corpus-side shuffle join)."""
+    from helix_db_spark.operators.dedup import benchmark_contamination
+
+    span = "alpha beta gamma delta epsilon zeta"  # 6 tokens -> 4 3-grams
+    corpus = spark.createDataFrame(
+        [(1, f"intro words {span} trailing text here"),
+         (2, "totally unrelated content about other things entirely"),
+         (3, f"{span} appears here too")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, span)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in benchmark_contamination(
+        corpus, bench, "doc_id", "text", n=3).collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["contaminated_ngrams"] == 4  # all 4 bench 3-grams
+    assert out[1]["bench_docs_hit"] == 1
+    assert out[3]["contaminated_ngrams"] == 4
+    plan = benchmark_contamination(corpus, bench, "doc_id", "text", n=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_repetition_stats(spark):
     """Gopher-style repetition signals: hand-checked fractions, NULL for
     too-short docs, and the plan stays a shuffle-free projection."""
