@@ -693,6 +693,36 @@ def dedup_embedding_cosine_pairs(spark, sf_dir):
     return pairs.select("a", "b", F.round("cosine", 4).alias("cosine"))
 
 
+@q("semantic_dedup_survivors",
+   """WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+              FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+              LIMIT least(4096, CAST(ceil(sqrt(
+                  (SELECT count(*) FROM embeddings))) AS BIGINT))),
+ranked AS (SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 1.0 - list_cosine_similarity(e.embedding::DOUBLE[],
+                                              c.cvec), c.cid) AS rn
+           FROM embeddings e CROSS JOIN cent c),
+asgn AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+dropped AS (SELECT DISTINCT y.vec_id
+            FROM asgn x JOIN asgn y ON x.cell = y.cell
+                                   AND x.vec_id < y.vec_id
+            JOIN embeddings ex ON ex.vec_id = x.vec_id
+            JOIN embeddings ey ON ey.vec_id = y.vec_id
+            WHERE list_cosine_similarity(ex.embedding::DOUBLE[],
+                                         ey.embedding::DOUBLE[]) >= 0.3)
+SELECT a.vec_id, a.cell FROM asgn a
+WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)""")
+def semantic_dedup_survivors(spark, sf_dir):
+    """SemDeDup: deterministic IVF cells, drop any vector with cosine >=
+    0.3 to a lower-id cell-mate, survivors with their cell label."""
+    from .operators.similarity import semantic_dedup
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semantic_dedup(emb, "vec_id", "embedding", threshold=0.3)
+    return out.select("vec_id", F.col("_cell").alias("cell"))
+
+
 _NG8 = " || ' ' || ".join(f"toks[i+{k}]" for k in range(8))
 
 @q("contamination_ngram_overlap",

@@ -331,3 +331,30 @@ def cosine_pairs_lsh(df: DataFrame, id_col: str, vec_col: str,
     return (cands.withColumn("cosine", sim)
                  .filter(F.col("cosine") >= threshold)
                  .select("a", "b", "cosine"))
+
+
+def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
+                   threshold: float = 0.9,
+                   max_cells: int = IVF_MAX_CELLS) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):
+    semantic deduplication of an embedding corpus. Vectors are clustered
+    (the deterministic IVF assignment — no RNG, SQL-replayable), then
+    within each cluster a vector is dropped iff its cosine to ANY
+    lower-id cluster member reaches ``threshold``; survivors are
+    returned with their ``_cell``. The min-id survivor convention
+    matches the other dedup families (exact/MinHash), making the keep
+    set order-independent and engine-reproducible — unlike the paper's
+    GPU sort, which is tie-ordering dependent.
+
+    Scale shape: pairwise comparison happens ONLY within a cell
+    (cosine_pairs block join) — sum-of-cell-sizes², not n²; with the
+    sqrt(n) centroid budget each cell holds ~sqrt(n) vectors. At larger
+    scales raise ``max_cells`` (the knob trades broadcast size for cell
+    width) or sub-block hot cells with LSH band keys; the anti-join back
+    is on the id — a narrow shuffle.
+    """
+    assigned, _ = ivf_assign(df, id_col, vec_col, max_cells)
+    pairs = cosine_pairs(assigned, id_col, vec_col, threshold,
+                         block_col="_cell")
+    dropped = pairs.select(F.col("b").alias(id_col)).distinct()
+    return assigned.join(dropped, on=id_col, how="left_anti")

@@ -726,6 +726,23 @@ def test_bpe_token_estimate(spark):
     assert out[3]["n"] is None or out[3]["n"] == -1  # null text -> null
 
 
+def test_semantic_dedup(spark):
+    """SemDeDup: identical vectors always share a cell, so exact
+    duplicates collapse to the min id; distinct directions survive."""
+    from helix_db_spark.operators.similarity import semantic_dedup
+
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 0.0]),
+            (4, [0.7, 0.7]), (5, [1.0, 0.0]), (6, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, "vec_id", "embedding", threshold=0.999)
+    kept = {r["vec_id"] for r in out.collect()}
+    assert kept == {1, 2, 4, 6}  # 3 and 5 duplicate 1's direction
+    # a stricter threshold never drops more than a looser one
+    loose = {r["vec_id"] for r in semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.5).collect()}
+    assert loose <= kept
+
+
 def test_benchmark_contamination(spark):
     """n-gram collision decontamination: a doc containing an eval span is
     flagged with the right gram/bench counts, clean docs are absent, and
