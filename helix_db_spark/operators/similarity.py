@@ -192,6 +192,14 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
                .orderBy(F.md5(F.col("_cid").cast("string")).asc(),
                         F.col("_cid").asc())
                .limit(ncells))
+    return _assign_to(df, id_col, vec_col, cents), cents
+
+
+def _assign_to(df: DataFrame, id_col: str, vec_col: str,
+               cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment against a bounded (_cid, _cvec) set:
+    broadcast-join + per-id min_by — one matmul-shaped pass, no shuffle
+    of the corpus beyond the per-id partial aggregate."""
     dist = F.lit(1.0) - cosine_similarity_cols(F.col(vec_col), F.col("_cvec"))
     assigned = (df.join(F.broadcast(cents))
                   .withColumn("_cdist", dist)
@@ -199,7 +207,7 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
                   .agg(F.min_by(F.struct("_cid", "_cdist"),
                                 F.struct("_cdist", "_cid"))["_cid"]
                        .alias("_cell")))
-    return df.join(assigned, on=id_col), cents
+    return df.join(assigned, on=id_col)
 
 
 # LRU-bounded index cache: a long-lived served engine rebuilds indexes as
@@ -358,3 +366,97 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
                          block_col="_cell")
     dropped = pairs.select(F.col("b").alias(id_col)).distinct()
     return assigned.join(dropped, on=id_col, how="left_anti")
+
+
+def kmeans_refine(df: DataFrame, id_col: str, vec_col: str,
+                  iters: int = 2,
+                  max_cells: int = IVF_MAX_CELLS) -> tuple:
+    """Distributed Lloyd (k-means) refinement of the deterministic IVF
+    seed — tightens cells so ivf_topk recall at a given nprobe improves
+    over the sampled-centroid baseline (the standard IVF train step,
+    e.g. the coarse quantizer training in the public FAISS docs).
+
+    Per iteration, entirely distributed:
+    1. per-cell mean — ``applyInPandas`` over the cell groups (one
+       Arrow-batched ``np.mean`` per cell; the shuffle key is the cell,
+       the result is <= max_cells rows);
+    2. reassignment — the bounded centroid table broadcasts and each
+       vector joins its nearest centroid (``_assign_to``).
+    The driver holds only the loop counter; centroids are
+    localCheckpointed per round (<= max_cells rows — truncating lineage
+    on index metadata is cheap; the corpus keeps full lineage). Empty
+    cells drop, as in standard Lloyd. Not bit-deterministic across
+    partitionings (float mean order), hence tests-only: recall/inertia
+    gates rather than a SQL oracle.
+
+    Returns (assigned_df with ``_cell``, centroids_df).
+    """
+    assigned, cents = ivf_assign(df, id_col, vec_col, max_cells)
+
+    def cell_mean(key, pdf):
+        m = np.stack(pdf["_v"].to_numpy()).astype(np.float64).mean(axis=0)
+        return pd.DataFrame({"_cid": [key[0]], "_cvec": [m.tolist()]})
+
+    for _ in range(max(0, iters)):
+        vecs = assigned.select("_cell", F.col(vec_col).alias("_v"))
+        cents = vecs.groupBy("_cell").applyInPandas(
+            cell_mean, "_cid long, _cvec array<double>").localCheckpoint()
+        assigned = _assign_to(df, id_col, vec_col, cents)
+    return assigned, cents
+
+
+def store_ivf_index(df: DataFrame, id_col: str, vec_col: str, root: str,
+                    max_cells: int = IVF_MAX_CELLS,
+                    refine_iters: int = 0) -> str:
+    """Write the IVF index on disk, partitioned by cell — the executable
+    100 TB layout (the in-memory ivf_index only caches): ``cells/`` holds
+    the assigned corpus partitioned by ``_cell`` so an nprobe probe reads
+    only its cells' directories via parquet partition pruning;
+    ``centroids/`` is the bounded (<= max_cells) coarse quantizer;
+    meta.json pins the column names. ``refine_iters`` > 0 runs the
+    distributed Lloyd refinement (kmeans_refine) before writing."""
+    import json as _json
+    import os as _os
+
+    if refine_iters > 0:
+        assigned, cents = kmeans_refine(df, id_col, vec_col,
+                                        refine_iters, max_cells)
+    else:
+        assigned, cents = ivf_assign(df, id_col, vec_col, max_cells)
+    assigned.write.mode("overwrite").partitionBy("_cell") \
+        .parquet(_os.path.join(root, "cells"))
+    cents.write.mode("overwrite").parquet(_os.path.join(root, "centroids"))
+    with open(_os.path.join(root, "meta.json"), "w") as fh:
+        _json.dump({"id_col": id_col, "vec_col": vec_col,
+                    "max_cells": max_cells,
+                    "refine_iters": refine_iters}, fh)
+    return root
+
+
+def ivf_topk_disk(spark, root: str, query: Sequence[float], k: int,
+                  nprobe: int = 2) -> DataFrame:
+    """Probe an on-disk IVF index: rank the bounded centroid table against
+    the query, collect the ``nprobe`` nearest cell ids (probe planning —
+    nprobe integers of driver state, the same pattern as lsh_topk's
+    bucket planning), then scan ``cells/`` filtered to those ids so
+    partition pruning skips every other directory. Exact cosine re-rank
+    inside the probed cells."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(root, "meta.json")) as fh:
+        meta = _json.load(fh)
+    cents = spark.read.parquet(_os.path.join(root, "centroids"))
+    qdist = cosine_distance(F.col("_cvec"), query)
+    probe = [r["_cid"] for r in
+             cents.withColumn("_qd", qdist)
+                  .orderBy(F.col("_qd").asc(), F.col("_cid").asc())
+                  .limit(nprobe).collect()]
+    cells = spark.read.parquet(_os.path.join(root, "cells")) \
+        .filter(F.col("_cell").isin([int(c) for c in probe]))
+    dist = cosine_distance(F.col(meta["vec_col"]), query)
+    return (cells.withColumn("_distance", dist)
+                 .orderBy(F.col("_distance").asc(),
+                          F.col(meta["id_col"]).asc())
+                 .limit(k)
+                 .drop("_cell"))
