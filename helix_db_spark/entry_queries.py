@@ -932,6 +932,54 @@ def text_repetition_stats(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir), "doc_id", "text")
 
 
+from .operators.textstats import PII_PATTERNS as _PII
+
+_PII_AUG_SQL = (
+    "text || ' reach doc' || doc_id || '@example.com'"
+    " || CASE WHEN doc_id % 2 = 0 THEN ' call 555-010-' ||"
+    " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' from 10.0.' || (doc_id % 256)"
+    " || '.' || ((doc_id * 7) % 256) ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END")
+
+_PII_RED_SQL = "t"
+for _kind in ("email", "ssn", "phone", "ipv4"):  # _PII_REDACT_ORDER
+    _PII_RED_SQL = ("regexp_replace(" + _PII_RED_SQL + ", '"
+                    + _PII[_kind] + "', '[" + _kind.upper() + "]', 'g')")
+
+@q("pii_scrub_stats",
+   "WITH aug AS (SELECT doc_id, " + _PII_AUG_SQL + " AS t FROM documents)\n"
+   "SELECT doc_id, "
+   + ", ".join(f"len(regexp_extract_all(t, '{p}'))::BIGINT AS n_{k}"
+               for k, p in _PII.items())
+   + ", length(" + _PII_RED_SQL + ")::BIGINT AS redacted_len FROM aug")
+def pii_scrub_stats(spark, sf_dir):
+    """PII detection + redaction parity: documents are augmented with
+    deterministic synthetic PII (email always; phone/ipv4/ssn on id
+    residues — the corpus itself contains none), then counted per kind
+    and redacted. Both engines run the SAME regexes on the same text, so
+    the value hash checks the pattern semantics, not arithmetic. One
+    shuffle-free projection."""
+    from .operators.textstats import pii_count_cols, redact_pii_col
+    d = F.col("doc_id")
+    aug = _docs(spark, sf_dir).select("doc_id", F.concat(
+        F.col("text"), F.lit(" reach doc"), d.cast("string"),
+        F.lit("@example.com"),
+        F.when(d % 2 == 0, F.concat(
+            F.lit(" call 555-010-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"))).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.concat(
+            F.lit(" from 10.0."), (d % 256).cast("string"), F.lit("."),
+            ((d * 7) % 256).cast("string"))).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+    ).alias("text"))
+    cols = pii_count_cols(F.col("text"))
+    return aug.select(
+        "doc_id", *[c.alias(name) for name, c in cols.items()],
+        F.length(redact_pii_col(F.col("text"))).cast("long")
+         .alias("redacted_len"))
+
+
 _BPE_RE_SQL = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 

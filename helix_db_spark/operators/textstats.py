@@ -334,3 +334,53 @@ def doc_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         best_lang.alias("lang_pred"),
         nn(F.col("fingerprint")).alias("fingerprint"),
     )
+
+
+# PII patterns — the intersection dialect of Java regex (Spark) and RE2
+# (DuckDB oracle): no lookarounds, no backrefs. Deliberately standard
+# shapes (the public presidio/scrubadub pattern families): detection here
+# is a curation-pipeline gate, not a compliance product.
+PII_PATTERNS = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+# ssn before phone: both are digit-group shapes, but 3-2-4 never matches
+# the 3-3-4 phone pattern, so order only matters for redaction labels.
+_PII_REDACT_ORDER = ("email", "ssn", "phone", "ipv4")
+
+
+def pii_count_cols(text: Column) -> dict:
+    """{'n_<kind>': count-column} for every PII_PATTERNS kind."""
+    return {f"n_{kind}":
+            F.size(F.regexp_extract_all(text, F.lit(p), 0)).cast("long")
+            for kind, p in PII_PATTERNS.items()}
+
+
+def redact_pii_col(text: Column) -> Column:
+    """Text with every PII span replaced by a ``[KIND]`` placeholder
+    (chained regexp_replace in _PII_REDACT_ORDER)."""
+    for kind in _PII_REDACT_ORDER:
+        text = F.regexp_replace(text, PII_PATTERNS[kind],
+                                f"[{kind.upper()}]")
+    return text
+
+
+def pii_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document PII hit counts (one column per PII_PATTERNS kind,
+    named ``n_<kind>``) — the filter/reporting half of PII handling in a
+    training-data pipeline. Pure built-in regexp_extract_all: whole-stage
+    codegen, zero shuffles, embarrassingly parallel at any scale."""
+    cols = pii_count_cols(F.col(text_col))
+    return df.select(F.col(id_col),
+                     *[c.alias(name) for name, c in cols.items()])
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str,
+               out_col: str = "redacted") -> DataFrame:
+    """Replace every PII span with a ``[KIND]`` placeholder (chained
+    regexp_replace, one pass per pattern — still a single projection,
+    no shuffle). Emits the redacted text alongside the id."""
+    return df.select(F.col(id_col),
+                     redact_pii_col(F.col(text_col)).alias(out_col))

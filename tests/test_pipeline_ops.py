@@ -795,6 +795,30 @@ def test_bpe_token_estimate(spark):
     assert out[3]["n"] is None or out[3]["n"] == -1  # null text -> null
 
 
+def test_pii_counts_and_redaction(spark):
+    """PII gates: each pattern family hits its own shape only, redaction
+    replaces every span with its [KIND] tag, clean text is untouched."""
+    from helix_db_spark.operators.textstats import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@test.org or x@y.io, call 555-123-4567, "
+             "host 192.168.0.1, ssn 123-45-6789"),
+         (2, "no pii here, just words and numbers like 12345"),
+         (3, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_counts(df, "doc_id", "text").collect()}
+    assert (out[1]["n_email"], out[1]["n_phone"],
+            out[1]["n_ipv4"], out[1]["n_ssn"]) == (2, 1, 1, 1)
+    assert (out[2]["n_email"], out[2]["n_phone"],
+            out[2]["n_ipv4"], out[2]["n_ssn"]) == (0, 0, 0, 0)
+    red = {r["doc_id"]: r["redacted"]
+           for r in redact_pii(df, "doc_id", "text").collect()}
+    assert red[1] == ("mail [EMAIL] or [EMAIL], call [PHONE], "
+                      "host [IPV4], ssn [SSN]")
+    assert red[2] == "no pii here, just words and numbers like 12345"
+    assert red[3] is None
+
+
 def test_semantic_dedup(spark):
     """SemDeDup: identical vectors always share a cell, so exact
     duplicates collapse to the min id; distinct directions survive."""
