@@ -1695,6 +1695,29 @@ FROM e
 """.format(tok=_TOK.format(c="text"))
 
 
+@q("pack_documents_bins",
+   f"""WITH t AS (SELECT doc_id, source,
+        len({_TOK.format(c='text')})::BIGINT AS n FROM documents),
+s AS (SELECT doc_id, source, n,
+        CAST(COALESCE(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS off
+      FROM t)
+SELECT source, doc_id, n AS n_tokens, off AS stream_offset,
+  CAST(floor(off / 512) AS BIGINT) AS bin_start,
+  CAST(floor((off + greatest(n, 1) - 1) / 512) AS BIGINT) AS bin_end
+FROM s""")
+def pack_documents_bins(spark, sf_dir):
+    """Sequence packing (concat-and-chunk): per-source token stream cut
+    into 512-token context windows; each doc gets its stream offset and
+    first/last bin. Integer arithmetic — bit-exact across engines."""
+    from .operators.sampling import pack_documents
+    from .operators.textstats import token_count
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tok"))
+    return pack_documents(docs, "doc_id", "n_tok", budget=512, by="source")
+
+
 @q("chunk_documents_windows", _CHUNK_ORACLE)
 def chunk_documents_windows(spark, sf_dir):
     """Overlapping 64-token windows, 16-token overlap (context-window

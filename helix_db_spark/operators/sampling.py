@@ -178,3 +178,40 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         *[F.col(c) for c in left.columns],
         *[match[c].alias(c) for c in rcols],
         match["_rt"].alias("matched_" + on))
+
+
+def pack_documents(df: DataFrame, id_col: str, size_col: str,
+                   budget: int, by: Optional[str] = None,
+                   allow_global_sort: bool = False) -> DataFrame:
+    """Sequence packing, concat-and-chunk form (the GPT-style training
+    layout: documents are concatenated in deterministic id order and the
+    token stream is cut every ``budget`` tokens): assigns each document
+    its position in the packed stream. Emits per document:
+    ``stream_offset`` (tokens before it), ``bin_start`` / ``bin_end``
+    (first/last context window it lands in — a doc straddling a boundary
+    spans several). Downstream loaders slice bins from these columns
+    without materializing the concatenation.
+
+    Scale shape: ONE window cumulative sum per ``by`` group (the packing
+    shard — in practice packing is per output shard anyway, and groups
+    keep the window partitioned). ``by=None`` would be a single-partition
+    global sort, so it is gated behind ``allow_global_sort=True`` exactly
+    like asof_join. Integer arithmetic end to end — bit-identical in any
+    engine, full value-hash oracle.
+    """
+    if by is None and not allow_global_sort:
+        raise ValueError(
+            "pack_documents(by=None) runs a single-partition global sort; "
+            "pass a `by` shard key for the scalable path, or opt in "
+            "explicitly with allow_global_sort=True for small frames")
+    w = (Window.partitionBy(by) if by else Window.partitionBy()) \
+        .orderBy(F.col(id_col).asc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    size = F.col(size_col).cast("long")
+    off = F.coalesce(F.sum(size).over(w), F.lit(0).cast("long"))
+    return df.select(
+        *([by] if by else []), F.col(id_col), size.alias("n_tokens"),
+        off.alias("stream_offset"),
+        F.floor(off / budget).cast("long").alias("bin_start"),
+        F.floor((off + F.greatest(size, F.lit(1)) - 1) / budget)
+         .cast("long").alias("bin_end"))

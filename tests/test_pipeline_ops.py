@@ -795,6 +795,30 @@ def test_bpe_token_estimate(spark):
     assert out[3]["n"] is None or out[3]["n"] == -1  # null text -> null
 
 
+def test_pack_documents(spark):
+    """Concat-and-chunk packing: offsets are the running sum in id order
+    within the shard, bins follow integer division, boundary-straddling
+    docs span bins, and the global path is gated."""
+    import pytest
+
+    from helix_db_spark.operators.sampling import pack_documents
+
+    df = spark.createDataFrame(
+        [(1, "a", 300), (2, "a", 300), (3, "a", 500), (4, "b", 10)],
+        "doc_id long, src string, n int")
+    out = {r["doc_id"]: r for r in pack_documents(
+        df, "doc_id", "n", budget=512, by="src").collect()}
+    assert (out[1]["stream_offset"], out[1]["bin_start"],
+            out[1]["bin_end"]) == (0, 0, 0)
+    assert (out[2]["stream_offset"], out[2]["bin_start"],
+            out[2]["bin_end"]) == (300, 0, 1)   # straddles 512
+    assert (out[3]["stream_offset"], out[3]["bin_start"],
+            out[3]["bin_end"]) == (600, 1, 2)
+    assert (out[4]["stream_offset"], out[4]["bin_start"]) == (0, 0)
+    with pytest.raises(ValueError, match="global sort"):
+        pack_documents(df, "doc_id", "n", budget=512)
+
+
 def test_pii_counts_and_redaction(spark):
     """PII gates: each pattern family hits its own shape only, redaction
     replaces every span with its [KIND] tag, clean text is untouched."""
