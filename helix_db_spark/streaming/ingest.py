@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -114,3 +116,63 @@ def stream_graph_upserts(events: DataFrame, catalog, label: str,
 
     return (events.writeStream.outputMode("update")
             .foreachBatch(upsert).start())
+
+
+def gram_hashes_col(text_col: str, n: int = 8):
+    """Array of md5-derived 60-bit hashes of the token n-grams of a text
+    column — all built-in (tokenize once into an array, slice per gram).
+    Usable on streaming frames (no window functions, no explode)."""
+    from ..functions.text import TOKEN_SPLIT
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                    lambda t: t != "")
+    # materialize the token array inside one expression tree: slice() here
+    # reads the computed array value per element (the CSE trap is about
+    # re-running the tokenizer REGEX inside a lambda, not array reads)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1),
+                                        F.lit(0))),
+        lambda i: F.conv(F.substring(
+            F.md5(F.concat_ws(" ", F.slice(toks, i, n))), 1, 15), 16, 10)
+        .cast("long"))
+    return F.when(F.size(toks) >= n, grams) \
+        .otherwise(F.array().cast("array<long>"))
+
+
+def stream_decontaminate(docs: DataFrame, bench: DataFrame,
+                         id_col: str, text_col: str, n: int = 8):
+    """Streaming twin of operators/dedup.benchmark_contamination: an
+    incremental document feed is gated against a STATIC benchmark/eval
+    set — contaminated docs (sharing any token n-gram with the benchmark)
+    are dropped before they reach the corpus sink.
+
+    Streaming-safe shape: stream-static anti joins and streaming
+    aggregations are off the table in append mode, so the benchmark gram
+    hashes — bounded by definition (eval suites are a few MB) — are
+    collected ONCE at plan-build time and shipped in an Arrow-batched
+    pandas UDF closure; each micro-batch computes gram hashes JVM-side
+    (gram_hashes_col) and runs one vectorized np.isin per batch. No
+    shuffle, no state store: a pure per-row gate, the same cost profile
+    as the batch broadcast join. Adds ``n_contaminated`` and keeps only
+    clean rows.
+    """
+    from pyspark.sql.types import LongType
+
+    from ..functions.text import shingle_rows, md5_long
+
+    bench_hashes = np.array(sorted(
+        r[0] for r in shingle_rows(bench, id_col, text_col, n=n)
+        .select(md5_long(F.col("_s"))).distinct().collect()),
+        dtype=np.int64)
+
+    @F.pandas_udf(LongType())
+    def n_hits(grams: pd.Series) -> pd.Series:
+        return grams.map(
+            lambda g: 0 if g is None or len(g) == 0
+            else int(np.isin(np.asarray(g, dtype=np.int64),
+                             bench_hashes, assume_unique=False).sum()))
+
+    out = docs.withColumn("_grams", gram_hashes_col(text_col, n)) \
+              .withColumn("n_contaminated", n_hits(F.col("_grams"))) \
+              .drop("_grams")
+    return out.filter(F.col("n_contaminated") == 0)

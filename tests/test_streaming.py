@@ -164,3 +164,35 @@ def test_stream_first_seen_dedup(spark, tmp_path):
     # exactly one survivor per distinct digest, regardless of batch layout
     assert sorted(by_key) == ["a", "b", "c"]
     assert all(len(v) == 1 for v in by_key.values())
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path):
+    """Streaming decontamination gate: a bounded document stream filtered
+    against a static benchmark set keeps exactly the docs the batch
+    operator (benchmark_contamination) finds clean."""
+    from helix_db_spark.operators.dedup import benchmark_contamination
+    from helix_db_spark.functions.text import tokens
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.array_join(F.slice(tokens(F.col("text")), 5, 12), " ")
+         .alias("text"))
+
+    contaminated = {r["doc_id"] for r in benchmark_contamination(
+        docs, bench, "doc_id", "text", n=8).collect()}
+    want_clean = {r["doc_id"] for r in docs.collect()} - contaminated
+    assert contaminated, "scenario must actually contaminate something"
+
+    d = str(tmp_path / "docs_stream")
+    docs.coalesce(2).write.mode("overwrite").parquet(d)
+    stream = (spark.readStream.format("parquet")
+              .schema("doc_id long, text string").load(d))
+    out = ingest.stream_decontaminate(stream, bench, "doc_id", "text", n=8)
+    assert out.isStreaming
+    ingest.run_to_memory(out, "clean_docs")
+    got = {r["doc_id"]: r["n_contaminated"]
+           for r in spark.sql("SELECT * FROM clean_docs").collect()}
+    assert set(got) == want_clean
+    assert all(v == 0 for v in got.values())
