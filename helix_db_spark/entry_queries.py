@@ -1630,6 +1630,23 @@ FROM r
 """
 
 
+@q("quality_weighted_sample",
+   "WITH q AS (" + _quality_oracle() + ")\n"
+   "SELECT doc_id, quality FROM q WHERE "
+   "(CAST(('0x' || substr(md5('wsample_' || CAST(doc_id AS VARCHAR)), 1, 8))"
+   " AS BIGINT) % 1000000) / CAST(1000000 AS DOUBLE) < "
+   "least(quality * 0.8, 1.0)")
+def quality_weighted_sample(spark, sf_dir):
+    """Quality-weighted deterministic sampling: each doc kept with
+    probability min(quality * 0.8, 1) via the md5 bucket scheme — smooth
+    curation (vs hard top-k), exact replay in any engine."""
+    from .operators.sampling import weighted_sample
+    from .operators.textstats import quality_score
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality"))
+    return weighted_sample(docs, "doc_id", "quality", scale=0.8)
+
+
 @q("text_quality_scores", _quality_oracle())
 def text_quality_scores(spark, sf_dir):
     from .operators.textstats import quality_score

@@ -215,3 +215,24 @@ def pack_documents(df: DataFrame, id_col: str, size_col: str,
         F.floor(off / budget).cast("long").alias("bin_start"),
         F.floor((off + F.greatest(size, F.lit(1)) - 1) / budget)
          .cast("long").alias("bin_end"))
+
+
+def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
+                    scale: float = 1.0,
+                    seed: str = "wsample") -> DataFrame:
+    """Deterministic per-row weighted sampling: keep a row iff its md5
+    bucket u in [0, 1) falls below min(weight * scale, 1) — the
+    quality-weighted rebalancing used by curated-corpus recipes (keep
+    high-quality documents with near-certainty, admit low-quality ones in
+    proportion to their score) as a smooth alternative to hard top-k
+    cuts. Same md5 bucket scheme as split_assign / stratified_sample:
+    engine- and partitioning-independent, so the exact sample replays
+    anywhere. One narrow projection, no shuffle — rides the corpus scan
+    for free at any scale.
+    """
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit(seed), F.lit("_"),
+                       F.col(id_col).cast("string"))),
+        1, 8), 16, 10).cast("long") % 1_000_000) / 1_000_000.0
+    p = F.least(F.col(weight_col) * F.lit(float(scale)), F.lit(1.0))
+    return df.filter(bucket < p)

@@ -148,3 +148,25 @@ def test_top_k_per_group(spark):
     plan = top_k_per_group(df, "grp", "score", 2, tiebreak_col="id") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning(grp" in plan, plan
+
+
+def test_weighted_sample(spark):
+    """Weighted sampling: w=0 keeps nothing, w>=1 keeps everything, the
+    kept set is monotone in scale, and replay is exact (deterministic)."""
+    from helix_db_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 0.0 if i % 3 == 0 else (1.0 if i % 3 == 1 else 0.4))
+         for i in range(300)], "doc_id long, w double")
+    kept = {r["doc_id"] for r in
+            weighted_sample(df, "doc_id", "w").collect()}
+    assert not any(i in kept for i in range(0, 300, 3))      # w = 0
+    assert all(i in kept for i in range(1, 300, 3))          # w = 1
+    mid = [i for i in range(2, 300, 3) if i in kept]
+    assert 0 < len(mid) < 100                                # w = 0.4 thins
+    half = {r["doc_id"] for r in
+            weighted_sample(df, "doc_id", "w", scale=0.5).collect()}
+    assert half <= kept                                       # monotone
+    again = {r["doc_id"] for r in
+             weighted_sample(df, "doc_id", "w").collect()}
+    assert again == kept                                      # exact replay
