@@ -980,6 +980,51 @@ def pii_scrub_stats(spark, sf_dir):
          .alias("redacted_len"))
 
 
+_CURATE_ORACLE = f"""
+WITH qual AS ({{quality}}),
+g2r AS (SELECT doc_id,
+        CASE WHEN len(ts) >= 2 THEN
+          [ts[i] || ' ' || ts[i+1] for i in generate_series(1, len(ts)-1)]
+        ELSE [] END AS g2
+        FROM (SELECT doc_id, {_TOK.format(c='text')} AS ts FROM documents)),
+e2 AS (SELECT doc_id, unnest(g2) AS gram FROM g2r),
+c2 AS (SELECT doc_id, count(*) AS c FROM e2 GROUP BY doc_id, gram),
+s2 AS (SELECT doc_id, round(max(c) / sum(c), 6) AS top2
+       FROM c2 GROUP BY doc_id),
+gated AS (SELECT q.doc_id, q.quality FROM qual q
+          LEFT JOIN s2 USING (doc_id)
+          WHERE q.quality >= 0.3 AND COALESCE(s2.top2, 0.0) <= 0.5),
+ct AS (SELECT d.doc_id, {_TOK.format(c='text')} AS toks
+       FROM documents d JOIN gated USING (doc_id)),
+bt AS (SELECT doc_id AS bench_id,
+        {_TOK.format(c="list_aggregate(toks[5:16], 'string_agg', ' ')")}
+          AS toks
+       FROM (SELECT doc_id, {_TOK.format(c='text')} AS toks FROM documents)
+       WHERE doc_id % 10 = 0),
+cg AS (SELECT doc_id, unnest(list_distinct(
+         [{{ng8}} for i in generate_series(1, len(toks)-7)])) AS gram
+       FROM ct WHERE len(toks) >= 8),
+bg AS (SELECT bench_id, unnest(list_distinct(
+         [{{ng8}} for i in generate_series(1, len(toks)-7)])) AS gram
+       FROM bt WHERE len(toks) >= 8),
+contam AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gram)),
+g3 AS (SELECT * FROM gated
+       WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+dig AS (SELECT doc_id,
+        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS digest
+        FROM documents),
+keep AS (SELECT min(g3.doc_id) AS doc_id
+         FROM g3 JOIN dig USING (doc_id) GROUP BY dig.digest)
+SELECT doc_id, quality,
+  CASE WHEN bb < 0.98 THEN 'train' WHEN bb < 0.99 THEN 'valid'
+       ELSE 'test' END AS split
+FROM (SELECT g3.doc_id, g3.quality,
+        (CAST(('0x' || substr(md5('split_' ||
+             CAST(g3.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000)
+          / CAST(1000000 AS DOUBLE) AS bb
+      FROM g3 JOIN keep USING (doc_id)) z"""
+
+
 _BPE_RE_SQL = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 
@@ -1652,6 +1697,24 @@ def text_quality_scores(spark, sf_dir):
     from .operators.textstats import quality_score
     return _docs(spark, sf_dir).select(
         "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality"))
+
+
+@q("curate_corpus_pipeline",
+   _CURATE_ORACLE.format(quality=_quality_oracle(), ng8=_NG8))
+def curate_corpus_pipeline(spark, sf_dir):
+    """The full curation recipe in one call (operators/pipeline.py):
+    quality gate -> repetition gate -> eval-set decontamination (leaked
+    12-token spans of every 10th doc) -> exact dedup (min-id survivor
+    among gated rows) -> deterministic 98/1/1 split. One value-hash
+    oracle covers the composed semantics end to end."""
+    from .functions.text import tokens
+    from .operators.pipeline import curate_corpus
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.array_join(F.slice(tokens(F.col("text")), 5, 12), " ")
+         .alias("text"))
+    return curate_corpus(docs, bench)
 
 
 def _lang_accuracy_oracle() -> str:

@@ -795,6 +795,32 @@ def test_bpe_token_estimate(spark):
     assert out[3]["n"] is None or out[3]["n"] == -1  # null text -> null
 
 
+def test_curate_corpus_each_gate(spark):
+    """End-to-end curation: every stage drops exactly the doc built to
+    trip it, survivors carry quality + split."""
+    from helix_db_spark.operators.pipeline import curate_corpus
+
+    good = ("the quick brown fox jumps over the lazy dog and then it runs "
+            "into the forest where many other animals live for a while "
+            "watching the river flow past the old stone bridge at dawn")
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, good),
+         (2, good.upper()),                      # exact dup (normalized)
+         (3, "spam ham " * 40),                  # repetition gate
+         (4, "!!! ??? !!! ??? !!! ??? 123 456"), # quality gate
+         (5, f"{good} and also {span} appears")],  # contamination gate
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(100, span)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in curate_corpus(docs, bench).collect()}
+    assert set(out) == {1}
+    assert out[1]["split"] in ("train", "valid", "test")
+    assert out[1]["quality"] >= 0.3
+    # without a benchmark, the contamination stage is skipped
+    no_bench = {r["doc_id"] for r in curate_corpus(docs, None).collect()}
+    assert no_bench == {1, 5}
+
+
 def test_pack_documents(spark):
     """Concat-and-chunk packing: offsets are the running sum in id order
     within the shard, bins follow integer division, boundary-straddling
