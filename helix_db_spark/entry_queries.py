@@ -1916,7 +1916,11 @@ DRIVER_TOP50 = [
     "dedup_embedding_cosine_pairs", "text_stats_langid",
     "text_winnow_overlap_pairs", "top_quality_docs_per_source",
     "multimodal_pipeline", "events_window_agg", "events_sessionize",
-    "split_train_valid_test", "asof_purchase_features",
+    # curate_corpus_pipeline (r5) subsumes the split_train_valid_test slot:
+    # its composed oracle grades split_assign AND the quality gate,
+    # repetition gate, n-gram decontamination, and exact dedup in one row
+    # (split_train_valid_test stays below the cap as local coverage).
+    "curate_corpus_pipeline", "asof_purchase_features",
 ]
 
 _missing = [n for n in DRIVER_TOP50 if n not in REGISTRY]

@@ -53,7 +53,9 @@ def test_driver_top50_covers_survey_ops():
         "dedup_embedding_cosine_pairs", "text_stats_langid",
         "text_winnow_overlap_pairs", "top_quality_docs_per_source",
         "multimodal_pipeline", "events_window_agg", "events_sessionize",
-        "split_train_valid_test", "asof_purchase_features",
+        # the composed curation slot grades split_assign + quality gate +
+        # repetition gate + decontamination + exact dedup (r5)
+        "curate_corpus_pipeline", "asof_purchase_features",
     }
     assert critical <= set(DRIVER_TOP50)
     # every top-50 entry has a DuckDB oracle (full value-hash grading)
