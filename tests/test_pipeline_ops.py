@@ -795,6 +795,39 @@ def test_bpe_token_estimate(spark):
     assert out[3]["n"] is None or out[3]["n"] == -1  # null text -> null
 
 
+def test_max_bucket_caps_flood(spark):
+    """Skew hardening: a near-dup flood sharing every band/chunk key is a
+    quadratic hot bucket; max_bucket drops those buckets while normal
+    pairs still come through."""
+    from helix_db_spark.operators.dedup import (minhash_lsh_pairs,
+                                                simhash_pairs)
+
+    flood = [(i, "the exact same flooded document body repeated verbatim "
+                 "across the whole crawl partition again and again")
+             for i in range(40)]
+    pair = [(100, "a unique passage about rivers bridges and morning fog "
+                  "rolling over the valley floor before sunrise today"),
+            (101, "a unique passage about rivers bridges and evening fog "
+                  "rolling over the valley floor before sunrise today")]
+    df = spark.createDataFrame(flood + pair, "doc_id long, text string")
+
+    un_capped = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5)
+    capped = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5,
+                               max_bucket=10)
+    assert un_capped.count() >= 40 * 39 / 2       # the flood is quadratic
+    got = {(r["a"], r["b"]) for r in capped.collect()}
+    assert (100, 101) in got                       # normal pair survives
+    assert not any(a < 40 and b < 40 for a, b in got)  # flood capped away
+
+    sun = simhash_pairs(df, "doc_id", "text", max_hamming=10)
+    scap = simhash_pairs(df, "doc_id", "text", max_hamming=10,
+                         max_bucket=10)
+    assert sun.count() >= 40 * 39 / 2
+    sgot = {(r["a"], r["b"]) for r in scap.collect()}
+    assert (100, 101) in sgot
+    assert not any(a < 40 and b < 40 for a, b in sgot)
+
+
 def test_curate_corpus_each_gate(spark):
     """End-to-end curation: every stage drops exactly the doc built to
     trip it, survivors carry quality + split."""
