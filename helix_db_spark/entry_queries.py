@@ -723,6 +723,19 @@ def semantic_dedup_survivors(spark, sf_dir):
     return out.select("vec_id", F.col("_cell").alias("cell"))
 
 
+@q("graph_degree_distribution",
+   "SELECT degree, count(*)::BIGINT AS n_nodes FROM "
+   "(SELECT o_custkey, count(*)::BIGINT AS degree "
+   "FROM orders GROUP BY o_custkey) d GROUP BY degree")
+def graph_degree_distribution(spark, sf_dir):
+    """Degree histogram of the placed_by edge label (orders per
+    customer): the structural fingerprint used for shuffle-skew planning.
+    Two partial-aggregable groupBys, no joins."""
+    from .operators.graph import degree_distribution
+    edges = engine_for(spark, sf_dir).catalog.edges("placed_by")["placed_by"]
+    return degree_distribution(edges, direction="in")
+
+
 _NG8 = " || ' ' || ".join(f"toks[i+{k}]" for k in range(8))
 
 @q("contamination_ngram_overlap",

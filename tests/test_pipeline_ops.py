@@ -1028,3 +1028,43 @@ def test_winnow_overlap_pairs(spark):
     none = winnow_overlap_pairs(df, "doc_id", "text", min_shared=1,
                                 max_df=1).count()
     assert none == 0
+
+
+def test_pagerank_matches_reference(spark):
+    """PageRank: fixed-iteration distributed power iteration matches a
+    dense numpy reference (same damping, same dangling redistribution);
+    ranks sum to 1 and the hub node wins."""
+    import numpy as np
+
+    from helix_db_spark.operators.graph import (degree_distribution,
+                                                node_degrees, pagerank)
+
+    es = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (3, 5)]  # 5 dangles
+    edges = spark.createDataFrame(es, "_src long, _dst long")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(edges, iters=20, damping=0.85).collect()}
+
+    ids = sorted({x for e in es for x in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    out = np.zeros(n)
+    for s, _ in es:
+        out[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(20):
+        nxt = np.full(n, (1 - 0.85) / n)
+        nxt += 0.85 * r[out == 0].sum() / n
+        for s, d in es:
+            nxt[idx[d]] += 0.85 * r[idx[s]] / out[idx[s]]
+        r = nxt
+    for v in ids:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert max(got, key=got.get) == 3              # the hub
+
+    degs = {r_["node"]: r_["degree"]
+            for r_ in node_degrees(edges, "in").collect()}
+    assert degs[3] == 3 and degs[5] == 1
+    dist = {r_["degree"]: r_["n_nodes"]
+            for r_ in degree_distribution(edges, "in").collect()}
+    assert dist == {3: 1, 1: 3}  # node 3 has 3 in-edges; 1, 2, 5 have 1
