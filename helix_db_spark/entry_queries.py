@@ -1660,6 +1660,55 @@ def events_sessionize(spark, sf_dir):
                    F.count(F.lit(1)).alias("n_events")))
 
 
+@q("events_rollup_multigrain",
+   "SELECT event_type, CAST(ts AS DATE) AS day, "
+   "count(*) AS n_events, round(sum(value), 4) AS total_value "
+   "FROM events GROUP BY ROLLUP (event_type, day)")
+def events_rollup_multigrain(spark, sf_dir):
+    """Hypertable-style continuous-aggregate shape: one ROLLUP pass emits
+    (type, day) cells, per-type subtotals, and the grand total — Catalyst
+    expands it to a single shuffle with partial aggregation instead of
+    three separate scans."""
+    ev = _events(spark, sf_dir)
+    return (ev.withColumn("day", F.to_date("ts"))
+              .rollup("event_type", "day")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.round(F.sum("value"), 4).alias("total_value")))
+
+
+@q("events_funnel",
+   "WITH v AS (SELECT user_id, min(ts) AS t1 FROM events "
+   "WHERE event_type = 'view' GROUP BY user_id), "
+   "c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+   "JOIN v ON e.user_id = v.user_id "
+   "WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id), "
+   "p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+   "JOIN c ON e.user_id = c.user_id "
+   "WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id) "
+   "SELECT (SELECT count(*) FROM v) AS n_view, "
+   "(SELECT count(*) FROM c) AS n_view_click, "
+   "(SELECT count(*) FROM p) AS n_full_funnel")
+def events_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view -> later click -> later purchase):
+    per-user stage timestamps via min-aggregates and semi-join-shaped
+    stage gates — per-user partial aggregation, never a window over the
+    whole event stream."""
+    ev = _events(spark, sf_dir)
+    v = (ev.filter(F.col("event_type") == "view")
+           .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    c = (ev.filter(F.col("event_type") == "click")
+           .join(v, on="user_id")
+           .filter(F.col("ts") > F.col("t1"))
+           .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+           .join(c, on="user_id")
+           .filter(F.col("ts") > F.col("t2"))
+           .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    return (v.agg(F.count(F.lit(1)).alias("n_view"))
+             .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+             .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel"))))
+
+
 # ---------------------------------------------------------------------------
 # 15. more text analysis
 # ---------------------------------------------------------------------------
