@@ -33,7 +33,7 @@ def curate_corpus(docs: DataFrame, bench: Optional[DataFrame] = None,
     rows only. Decontamination is per-document, so running it after the
     gates is equivalent to before (cheaper: fewer docs shingle).
     """
-    from .dedup import benchmark_contamination, exact_dedup
+    from .dedup import _mat, benchmark_contamination, exact_dedup
     from .sampling import split_assign
     from .textstats import quality_score, repetition_stats
 
@@ -46,6 +46,12 @@ def curate_corpus(docs: DataFrame, bench: Optional[DataFrame] = None,
               .filter((F.col("quality") >= min_quality)
                       & (F.coalesce(F.col("top_2gram_frac"), F.lit(0.0))
                          <= max_top2gram)))
+    # materialize once: contamination (shingles), its anti-join, the dedup
+    # digest groupBy, and the final semi-join all consume `gated` — without
+    # this the quality/repetition expression tree (the two priciest
+    # projections) re-executes per consumer (measured 17s -> ~6s at sf0.1).
+    # _mat = the driver-benched eager persist with a bounded FIFO.
+    gated = _mat(gated)
     if bench is not None:
         hits = benchmark_contamination(
             gated.select(id_col, text_col), bench, id_col, text_col,
