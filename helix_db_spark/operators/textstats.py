@@ -191,13 +191,16 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str,
                 .filter(F.col("shared_fps") >= min_shared))
 
 
-def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def repetition_stats(df: DataFrame, id_col: str, text_col: str,
+                     extra_cols: tuple = ()) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021,
     "Scaling Language Models" §A.1.1 — public filter suite): per document,
     how much of it is the same n-gram over and over. Heavily repetitive
     documents (boilerplate, keyword stuffing, generation loops) pass
     length/stopword gates but poison training runs; these are the standard
-    knobs a curation pipeline thresholds on.
+    knobs a curation pipeline thresholds on. ``extra_cols`` pass through
+    untouched (e.g. the text column, so a streaming gate can keep
+    filtering downstream without a join — streams can't self-join).
 
     Columns: ``n_2grams`` (token-bigram occurrences), ``top_2gram_count``
     (occurrences of the most frequent bigram), ``top_2gram_frac``
@@ -249,14 +252,15 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
         return F.aggregate(garr, init, step)
 
-    base = df.select(F.col(id_col), tokens(t).alias("_toks"))
-    base = base.select(F.col(id_col), grams(2).alias("_g2"),
+    extra = [F.col(c) for c in extra_cols]
+    base = df.select(F.col(id_col), *extra, tokens(t).alias("_toks"))
+    base = base.select(F.col(id_col), *extra, grams(2).alias("_g2"),
                        grams(3).alias("_g3"))
     s2, s3 = rep_fold(F.col("_g2")), rep_fold(F.col("_g3"))
     n2 = F.size("_g2").cast("long")
     n3 = F.size("_g3").cast("long")
     return base.select(
-        F.col(id_col),
+        F.col(id_col), *extra,
         n2.alias("n_2grams"),
         F.when(n2 > 0, s2["best"]).alias("top_2gram_count"),
         F.when(n2 > 0, F.round(s2["best"] / n2, 6)).alias("top_2gram_frac"),

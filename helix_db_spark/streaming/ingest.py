@@ -176,3 +176,36 @@ def stream_decontaminate(docs: DataFrame, bench: DataFrame,
               .withColumn("n_contaminated", n_hits(F.col("_grams"))) \
               .drop("_grams")
     return out.filter(F.col("n_contaminated") == 0)
+
+
+def stream_curate(docs: DataFrame, bench: Optional[DataFrame],
+                  id_col: str, text_col: str,
+                  min_quality: float = 0.3, max_top2gram: float = 0.5,
+                  contam_n: int = 8) -> DataFrame:
+    """Streaming twin of the curation recipe's GATE stages
+    (operators/pipeline.curate_corpus): quality gate + repetition gate +
+    benchmark decontamination, applied to an incremental document feed.
+
+    Works in append mode with no state store because every stage is a
+    pure projection: quality_score and the repetition fold are
+    column expressions (repetition_stats carries the text through via
+    ``extra_cols`` — streams can't join back to themselves), and the
+    contamination check is the bounded-closure per-row gate
+    (stream_decontaminate). Exact dedup — the one stage that inherently
+    needs cross-row state — composes downstream via
+    streaming/stateful.stream_first_seen (first-arrival survivor, the
+    streaming analogue of the batch min-id rule). The split column is a
+    free projection callers add with sampling.split_assign.
+    """
+    from ..operators.textstats import quality_score, repetition_stats
+
+    rep = repetition_stats(docs, id_col, text_col, extra_cols=(text_col,))
+    gated = (rep.withColumn("quality",
+                            F.round(quality_score(F.col(text_col)), 6))
+                .filter((F.col("quality") >= min_quality)
+                        & (F.coalesce(F.col("top_2gram_frac"), F.lit(0.0))
+                           <= max_top2gram))
+                .select(id_col, text_col, "quality"))
+    if bench is None:
+        return gated
+    return stream_decontaminate(gated, bench, id_col, text_col, n=contam_n)

@@ -196,3 +196,62 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
            for r in spark.sql("SELECT * FROM clean_docs").collect()}
     assert set(got) == want_clean
     assert all(v == 0 for v in got.values())
+
+
+def test_stream_curate_matches_batch_gates(spark, tmp_path):
+    """Streaming curation gates (quality + repetition + decontamination)
+    over a bounded stream keep exactly the docs the batch gate logic
+    keeps; composing stream_first_seen on the content digest then
+    dedups exactly (one survivor per distinct content)."""
+    from helix_db_spark.functions.text import tokens
+    from helix_db_spark.operators.dedup import (benchmark_contamination,
+                                                content_digest)
+    from helix_db_spark.operators.textstats import (quality_score,
+                                                    repetition_stats)
+    from helix_db_spark.streaming.stateful import stream_first_seen
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.array_join(F.slice(tokens(F.col("text")), 5, 12), " ")
+         .alias("text"))
+
+    # batch expectation: same gates, same thresholds
+    rep = repetition_stats(docs, "doc_id", "text", extra_cols=("text",))
+    gated = (rep.withColumn("quality",
+                            F.round(quality_score(F.col("text")), 6))
+                .filter((F.col("quality") >= 0.3)
+                        & (F.coalesce(F.col("top_2gram_frac"), F.lit(0.0))
+                           <= 0.5)))
+    contaminated = {r["doc_id"] for r in benchmark_contamination(
+        gated.select("doc_id", "text"), bench, "doc_id", "text",
+        n=8).collect()}
+    want = {r["doc_id"] for r in gated.collect()} - contaminated
+    assert want and len(want) < docs.count()
+
+    d = str(tmp_path / "curate_stream")
+    docs.coalesce(2).write.mode("overwrite").parquet(d)
+    stream = (spark.readStream.format("parquet")
+              .schema("doc_id long, text string").load(d))
+    out = ingest.stream_curate(stream, bench, "doc_id", "text")
+    ingest.run_to_memory(out, "curated_docs")
+    got = {r["doc_id"] for r in spark.sql("SELECT * FROM curated_docs")
+           .collect()}
+    assert got == want
+
+    # + stateful exact dedup: one survivor per distinct digest
+    deduped = stream_first_seen(
+        ingest.stream_curate(stream, bench, "doc_id", "text")
+        .withColumn("digest", content_digest(F.col("text"))), "digest")
+    q = (deduped.writeStream.outputMode("update").format("memory")
+         .queryName("curated_unique").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM curated_unique").collect()
+    n_digests = (gated.filter(F.col("doc_id").isin([int(x) for x in want]))
+                 .select(content_digest(F.col("text"))).distinct().count())
+    assert len(rows) == n_digests
+    assert {r["doc_id"] for r in rows} <= want
