@@ -150,3 +150,66 @@ def test_arithmetic_expr_matches_python(mk_engine, data, a, b):
            eng.run(g().n("R").project(k="k", v=expr)).collect()}
     want = {r[0]: r[0] * a + b for r in data}
     assert got == want
+
+
+# --- round-5 operator properties: Spark vs pure-python references --------
+
+_words = st.lists(st.sampled_from(["a", "b", "c", "ab", "x1", "q"]),
+                  min_size=0, max_size=30)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(_words, min_size=1, max_size=8))
+def test_repetition_stats_matches_python(spark, docs):
+    """The sorted-array fold equals a direct Counter-based reference on
+    arbitrary token streams (fractions, counts, and NULL short-docs)."""
+    from collections import Counter
+
+    from helix_db_spark.operators.textstats import repetition_stats
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in repetition_stats(df, "doc_id", "text").collect()}
+    for i, ws in enumerate(docs):
+        g2 = Counter(" ".join(ws[j:j + 2]) for j in range(len(ws) - 1))
+        g3 = Counter(" ".join(ws[j:j + 3]) for j in range(len(ws) - 2))
+        r = got[i]
+        assert r["n_2grams"] == sum(g2.values())
+        if not g2:
+            assert r["top_2gram_frac"] is None
+        else:
+            assert r["top_2gram_count"] == max(g2.values())
+            assert math.isclose(
+                r["top_2gram_frac"],
+                round(max(g2.values()) / sum(g2.values()), 6))
+        if not g3:
+            assert r["dup_3gram_frac"] is None
+        else:
+            dup = sum(c for c in g3.values() if c >= 2)
+            assert math.isclose(r["dup_3gram_frac"],
+                                round(dup / sum(g3.values()), 6))
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(sizes=st.lists(st.integers(min_value=0, max_value=900),
+                      min_size=1, max_size=20),
+       budget=st.integers(min_value=1, max_value=600))
+def test_pack_documents_matches_python(spark, sizes, budget):
+    """Packing offsets/bins equal a sequential reference for any sizes
+    and budget (single shard)."""
+    from helix_db_spark.operators.sampling import pack_documents
+
+    rows = [(i, "s", n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, shard string, n int")
+    got = {r["doc_id"]: r for r in pack_documents(
+        df, "doc_id", "n", budget=budget, by="shard").collect()}
+    off = 0
+    for i, n in enumerate(sizes):
+        r = got[i]
+        assert r["stream_offset"] == off
+        assert r["bin_start"] == off // budget
+        assert r["bin_end"] == (off + max(n, 1) - 1) // budget
+        off += n
