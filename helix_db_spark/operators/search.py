@@ -111,6 +111,16 @@ def vector_search(compiler, step):
         from .similarity import lsh_topk
         hits = lsh_topk(compiler, step.target, step.label, step.property,
                         query, k)
+    elif step.method == "ivf":
+        # net-new method relative to the reference's exact|lsh surface:
+        # nprobe-pruned cell scan over the build-once IVF assignment
+        # (similarity.ivf_index caches by source plan, so repeated engine
+        # requests probe the same materialized cells)
+        from .similarity import ivf_topk
+        frames = (compiler.cat.nodes(step.label) if step.target == "nodes"
+                  else compiler.cat.edges(step.label))
+        base = frames[step.label].filter(F.col(step.property).isNotNull())
+        hits = ivf_topk(base, _ID, step.property, query, k)
     else:
         try:
             aug = build_vector_index(compiler, step.label, step.property,

@@ -240,7 +240,7 @@ class VectorSearch(Step):
     query_vector: tuple
     k: Union[int, Expr]
     tenant_value: Any = None
-    method: str = "exact"  # exact | lsh
+    method: str = "exact"  # exact | lsh | ivf (ivf is net-new)
 
 
 @dataclass(frozen=True)

@@ -315,7 +315,10 @@ def parse_step(obj) -> ast.Step:  # noqa: C901 — one arm per wire tag
             payload["label"], payload["property"], qv,
             parse_bound(payload["k"]),
             tenant_value=(parse_property_input(payload["tenant_value"])
-                          if payload.get("tenant_value") is not None else None))
+                          if payload.get("tenant_value") is not None else None),
+            # net-new optional field (exact | lsh | ivf); absent in the
+            # reference SDK's emission => exact, preserving wire parity
+            method=payload.get("method", "exact"))
     if tag in ("TextSearchNodes", "TextSearchEdges"):
         return ast.TextSearch(
             "nodes" if tag.endswith("Nodes") else "edges",

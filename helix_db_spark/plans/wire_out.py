@@ -219,6 +219,8 @@ def step_json(s: ast.Step):  # noqa: C901 — one arm per step family
         if s.tenant_value is not None:
             payload = {**payload,
                        "tenant_value": property_input_json(s.tenant_value)}
+        if s.method != "exact":  # net-new optional field; omit the default
+            payload = {**payload, "method": s.method}
         return {"VectorSearchNodes" if s.target == "nodes"
                 else "VectorSearchEdges": payload}
     if isinstance(s, ast.TextSearch):

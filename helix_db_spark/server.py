@@ -170,6 +170,16 @@ class HelixSparkServer:
                     # either-kind check let a method='lsh' request pass the
                     # warm probe on the exact-search index, then pay a cold
                     # LSH build inside a supposedly-warm request)
+                    if step.method == "ivf":
+                        # IVF caches by source plan hash (similarity.
+                        # _IVF_CACHE), not the catalog: warm iff any cached
+                        # build targets this property
+                        from .operators.similarity import _IVF_CACHE
+                        if not any(key[2] == step.property
+                                   for key in _IVF_CACHE):
+                            return (f"index for ({step.label}, "
+                                    f"{step.property}) is cold (ivf)")
+                        continue
                     kind = "lsh" if step.method == "lsh" else "vecnorm"
                 elif name == "TextSearch":
                     kind = "bm25"

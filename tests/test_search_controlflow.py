@@ -221,3 +221,26 @@ def test_batch_condition_skips(engine):
         .returning("fallback"))
     assert out["fallback"].collect()[0]["count"] > 0
     # 'gated' never ran; returning it would KeyError — as designed
+
+
+def test_vector_topk_ivf_method(engine, oracle):
+    """method='ivf' through the DSL/engine: agrees with the direct
+    ivf_topk operator on the same frame (same deterministic centroids),
+    returns exactly k rows, and the query's own vector ranks first."""
+    from helix_db_spark.catalog import _ID
+    from helix_db_spark.operators.similarity import ivf_topk
+
+    q = [float(x) for x in _query_vec(oracle)]
+    df = engine.run(
+        g().vector_search("embeddings", "embedding", q, 5, method="ivf")
+        .project(vec_id="vec_id", distance="$distance"))
+    got = [(r["vec_id"], round(r["distance"], 6)) for r in df.collect()]
+    assert len(got) == 5
+    assert got[0][0] == 7 and abs(got[0][1]) < 1e-6
+
+    base = engine.catalog.nodes("embeddings")["embeddings"] \
+        .filter("embedding IS NOT NULL")
+    want = [(r["vec_id"], round(r["_distance"], 6)) for r in
+            ivf_topk(base, _ID, "embedding", q, 5)
+            .select("vec_id", "_distance").collect()]
+    assert got == want

@@ -205,3 +205,30 @@ def test_warm_detects_search_inside_subtraversal_and_foreach(spark):
     build_vector_index(comp, "Doc", "emb").count()
     status, _ = srv.handle("/v1/query", nested, headers=warm_hdr)
     assert status == 200
+
+
+def test_warm_probe_ivf_method(spark):
+    """method='ivf' warm probe: cold until an IVF build for the property
+    exists in the plan-keyed cache (it never lives in cat._materialized),
+    then warm-only requests pass."""
+    from helix_db_spark.catalog import _ID
+    from helix_db_spark.operators.similarity import ivf_index
+
+    cat = GraphCatalog(spark)
+    cat.add_nodes("Doc", spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.5, 0.5])],
+        "k long, emb array<float>"), key_col="k")
+    srv = HelixSparkServer(HelixSparkEngine(cat))
+    req = _vector_search_request()
+    req["query"]["queries"][0]["Query"]["steps"][0]["VectorSearchNodes"][
+        "method"] = "ivf"
+    warm_hdr = {"x-helix-warm": "true"}
+
+    status, out = srv.handle("/v1/query", req, headers=warm_hdr)
+    assert status == 425 and "ivf" in out["error"]
+    status, _ = srv.handle("/v1/query", req)   # un-warmed still executes
+    assert status == 200
+    base = cat.nodes("Doc")["Doc"].filter("emb IS NOT NULL")
+    ivf_index(base, _ID, "emb")                # build -> cached by plan
+    status, out = srv.handle("/v1/query", req, headers=warm_hdr)
+    assert status == 200 and len(out["hits"]) == 2
