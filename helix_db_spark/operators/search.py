@@ -115,12 +115,22 @@ def vector_search(compiler, step):
         # net-new method relative to the reference's exact|lsh surface:
         # nprobe-pruned cell scan over the build-once IVF assignment
         # (similarity.ivf_index caches by source plan, so repeated engine
-        # requests probe the same materialized cells)
-        from .similarity import ivf_topk
-        frames = (compiler.cat.nodes(step.label) if step.target == "nodes"
-                  else compiler.cat.edges(step.label))
-        base = frames[step.label].filter(F.col(step.property).isNotNull())
-        hits = ivf_topk(base, _ID, step.property, query, k)
+        # requests probe the same materialized cells). A reloaded catalog
+        # with an on-disk layout (store.store_index) probes the
+        # cell-partitioned parquet instead — partition-pruned scan.
+        disk = compiler.cat._materialized.get(
+            ("ivf_disk", step.target, step.label, step.property))
+        if disk is not None:
+            from .similarity import ivf_topk_disk
+            hits = ivf_topk_disk(compiler.cat.spark, disk, query, k)
+        else:
+            from .similarity import ivf_topk
+            frames = (compiler.cat.nodes(step.label)
+                      if step.target == "nodes"
+                      else compiler.cat.edges(step.label))
+            base = frames[step.label].filter(
+                F.col(step.property).isNotNull())
+            hits = ivf_topk(base, _ID, step.property, query, k)
     else:
         try:
             aug = build_vector_index(compiler, step.label, step.property,

@@ -173,10 +173,15 @@ class HelixSparkServer:
                     if step.method == "ivf":
                         # IVF caches by source plan hash (similarity.
                         # _IVF_CACHE), not the catalog: warm iff any cached
-                        # build targets this property
+                        # build targets this property, or an on-disk
+                        # layout is registered (ivf_disk -> no build cost)
                         from .operators.similarity import _IVF_CACHE
-                        if not any(key[2] == step.property
-                                   for key in _IVF_CACHE):
+                        on_disk = cat._materialized.get(
+                            ("ivf_disk", step.target, step.label,
+                             step.property)) is not None
+                        if not on_disk and not any(
+                                key[2] == step.property
+                                for key in _IVF_CACHE):
                             return (f"index for ({step.label}, "
                                     f"{step.property}) is cold (ivf)")
                         continue

@@ -136,6 +136,18 @@ def store_index(compiler, root: str,
             with open(os.path.join(d, "meta.json"), "w") as fh:
                 json.dump({"buckets": buckets}, fh)
             written.append(d)
+            # IVF twin of the same vector index: cells/ partitioned by
+            # _cell so an nprobe probe prunes to its cells' directories
+            # (similarity.store_ivf_index); method='ivf' requests on a
+            # reloaded catalog scan this instead of rebuilding in memory
+            from ..operators.similarity import store_ivf_index
+            frames = (cat.nodes(entry.label) if target == "nodes"
+                      else cat.edges(entry.label))
+            base = frames[entry.label].filter(
+                F.col(entry.property).isNotNull())
+            div = os.path.join(root, "index", "ivf", name)
+            store_ivf_index(base, _ID, entry.property, div)
+            written.append(div)
     return written
 
 
@@ -163,6 +175,14 @@ def _load_disk_indexes(spark: SparkSession, cat: GraphCatalog,
             else:
                 value = (spark.read.parquet(os.path.join(d, parts)), meta)
             cat.cache_materialized((key_kind, target, label, prop), value)
+    ivf_base = os.path.join(root, "index", "ivf")
+    if os.path.isdir(ivf_base):
+        for name in sorted(os.listdir(ivf_base)):
+            target, label, prop = name.split("__", 2)
+            # value is the index ROOT PATH: the probe (similarity.
+            # ivf_topk_disk) plans against centroids/meta itself
+            cat.cache_materialized(("ivf_disk", target, label, prop),
+                                   os.path.join(ivf_base, name))
 
 
 def load_catalog(spark: SparkSession, root: str) -> GraphCatalog:

@@ -657,7 +657,7 @@ def test_ivf_disk_layout_prunes(spark, tmp_path):
     # files before pruning — see test_store.py.)
     import re
     plan = got._jdf.queryExecution().executedPlan().toString()
-    m = re.search(r"PartitionFilters: \[[^\]]*_cell#\d+ "
+    m = re.search(r"PartitionFilters: \[[^\]]*_cell#\d+L? "
                   r"(?:IN \(([0-9,]+)\)|INSET ([0-9, ]+))", plan)
     assert m is not None, "no _cell PartitionFilter on the cells scan"
     vals = (m.group(1) or m.group(2)).replace(" ", "")

@@ -114,7 +114,7 @@ def test_store_index_bucketed_probes(spark, tmp_path):
     root = str(tmp_path / "store")
     save_catalog(cat, root, partitions=2)
     written = store_index(StepCompiler(ExecContext(cat)), root)
-    assert len(written) == 2
+    assert len(written) == 3  # bm25 + lsh + ivf layouts
 
     # in-memory answers (fresh catalog, no disk indexes registered)
     eng_mem = HelixSparkEngine(load_graph(spark, SF_DIR))
@@ -188,3 +188,43 @@ def test_store_index_bucketed_probes(spark, tmp_path):
     assert partition_filter_buckets(got_vec_df, "sigs") == key_buckets
     assert len(key_buckets) < meta["buckets"]
     spark.conf.unset("spark.sql.maxMetadataStringLength")
+
+
+def test_store_ivf_layout_serves_engine_probe(spark, tmp_path):
+    """method='ivf' on a RELOADED catalog scans the on-disk
+    cell-partitioned layout (ivf_disk registration) with a _cell
+    PartitionFilter, and returns the same hits as the in-memory build."""
+    import re
+
+    from helix_db_spark.plans.compiler import ExecContext, StepCompiler
+    from helix_db_spark.sources.store import store_index
+
+    cat = load_graph(spark, SF_DIR)
+    cat.create_index(IndexEntry("node_vector", "embeddings", "embedding"))
+    root = str(tmp_path / "store")
+    save_catalog(cat, root, partitions=2)
+    store_index(StepCompiler(ExecContext(cat)), root)
+
+    emb_row = spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
+        .filter("vec_id = 7").head()
+    vec = [float(x) for x in emb_row["embedding"]]
+    q = g().vector_search("embeddings", "embedding", vec, 5,
+                          method="ivf").values("vec_id")
+    want = [r["vec_id"] for r in
+            HelixSparkEngine(load_graph(spark, SF_DIR)).run(q).collect()]
+
+    cat2 = load_catalog(spark, root)
+    assert ("ivf_disk", "nodes", "embeddings", "embedding") \
+        in cat2._materialized
+    spark.conf.set("spark.sql.maxMetadataStringLength", "20000")
+    try:
+        df = HelixSparkEngine(cat2).run(q)
+        assert [r["vec_id"] for r in df.collect()] == want
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[[^\]]*_cell#\d+L? "
+                      r"(?:IN \(([0-9,]+)\)|INSET ([0-9, ]+))", plan)
+        assert m is not None, "no _cell PartitionFilter on the cells scan"
+        vals = (m.group(1) or m.group(2)).replace(" ", "")
+        assert len([v for v in vals.split(",") if v]) <= 2
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
