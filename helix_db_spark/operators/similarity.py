@@ -485,3 +485,24 @@ def quantize_embeddings(df: DataFrame, vec_col: str,
 def dequantize_col(qvec, qscale):
     """array<tinyint> codes + scale -> array<double>."""
     return F.transform(qvec, lambda c: c.cast("double") * qscale)
+
+
+def append_to_ivf_index(df: DataFrame, root: str) -> None:
+    """Incremental maintenance of an on-disk IVF index: assign NEW
+    vectors to the EXISTING centroids (no retrain — the standard IVF add
+    path; quantizer drift is handled by periodic store_ivf_index
+    rebuilds) and append them to ``cells/``. The append touches only the
+    cell directories the new vectors land in; existing data is never
+    rewritten, so maintenance cost scales with the batch, not the
+    corpus. Probes (ivf_topk_disk) see appended rows immediately — no
+    metadata to refresh, partition discovery picks up the new files."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(root, "meta.json")) as fh:
+        meta = _json.load(fh)
+    spark = df.sparkSession
+    cents = spark.read.parquet(_os.path.join(root, "centroids"))
+    assigned = _assign_to(df, meta["id_col"], meta["vec_col"], cents)
+    assigned.write.mode("append").partitionBy("_cell") \
+        .parquet(_os.path.join(root, "cells"))

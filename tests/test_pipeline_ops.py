@@ -1113,3 +1113,27 @@ def test_int8_quantization_recall(spark):
     rows = {r["vec_id"]: r for r in edge.collect()}
     assert rows[1]["qscale"] == 0.0 and list(rows[1]["qvec"]) == [0, 0]
     assert rows[2]["qvec"] is None
+
+
+def test_ivf_append_incremental(spark, tmp_path):
+    """On-disk IVF add path: appended vectors are assigned to the
+    existing centroids and become probe-visible immediately; the base
+    rows are untouched (maintenance cost ~ batch, not corpus)."""
+    from helix_db_spark.operators.similarity import (append_to_ivf_index,
+                                                     ivf_topk_disk,
+                                                     store_ivf_index)
+
+    emb = _clustered_vectors(spark).localCheckpoint()
+    root = str(tmp_path / "ivf_inc")
+    store_ivf_index(emb.filter("vec_id < 300"), "vec_id", "embedding", root)
+    newbies = emb.filter("vec_id >= 300")
+    before = spark.read.parquet(f"{root}/cells").count()
+    append_to_ivf_index(newbies, root)
+    after = spark.read.parquet(f"{root}/cells").count()
+    assert before == 300 and after == emb.count()
+
+    # a brand-new vector must now be findable — itself as the top hit
+    target = newbies.orderBy("vec_id").first()
+    vec = [float(x) for x in target["embedding"]]
+    got = ivf_topk_disk(spark, root, vec, k=1, nprobe=2).collect()
+    assert got[0]["vec_id"] == target["vec_id"]
