@@ -407,14 +407,18 @@ def kmeans_refine(df: DataFrame, id_col: str, vec_col: str,
 
 def store_ivf_index(df: DataFrame, id_col: str, vec_col: str, root: str,
                     max_cells: int = IVF_MAX_CELLS,
-                    refine_iters: int = 0) -> str:
+                    refine_iters: int = 0,
+                    quantize: bool = False) -> str:
     """Write the IVF index on disk, partitioned by cell — the executable
     100 TB layout (the in-memory ivf_index only caches): ``cells/`` holds
     the assigned corpus partitioned by ``_cell`` so an nprobe probe reads
     only its cells' directories via parquet partition pruning;
     ``centroids/`` is the bounded (<= max_cells) coarse quantizer;
     meta.json pins the column names. ``refine_iters`` > 0 runs the
-    distributed Lloyd refinement (kmeans_refine) before writing."""
+    distributed Lloyd refinement (kmeans_refine) before writing.
+    ``quantize=True`` stores SQ8 codes instead of raw floats (IVF-SQ8:
+    4x smaller cells, 4x less IO per probe; ranking on dequantized codes
+    — recall gated in tests)."""
     import json as _json
     import os as _os
 
@@ -423,13 +427,16 @@ def store_ivf_index(df: DataFrame, id_col: str, vec_col: str, root: str,
                                         refine_iters, max_cells)
     else:
         assigned, cents = ivf_assign(df, id_col, vec_col, max_cells)
+    if quantize:
+        assigned = quantize_embeddings(assigned, vec_col).drop(vec_col)
     assigned.write.mode("overwrite").partitionBy("_cell") \
         .parquet(_os.path.join(root, "cells"))
     cents.write.mode("overwrite").parquet(_os.path.join(root, "centroids"))
     with open(_os.path.join(root, "meta.json"), "w") as fh:
         _json.dump({"id_col": id_col, "vec_col": vec_col,
                     "max_cells": max_cells,
-                    "refine_iters": refine_iters}, fh)
+                    "refine_iters": refine_iters,
+                    "quantized": bool(quantize)}, fh)
     return root
 
 
@@ -454,7 +461,11 @@ def ivf_topk_disk(spark, root: str, query: Sequence[float], k: int,
                   .limit(nprobe).collect()]
     cells = spark.read.parquet(_os.path.join(root, "cells")) \
         .filter(F.col("_cell").isin([int(c) for c in probe]))
-    dist = cosine_distance(F.col(meta["vec_col"]), query)
+    if meta.get("quantized"):
+        vec = dequantize_col(F.col("qvec"), F.col("qscale"))
+    else:
+        vec = F.col(meta["vec_col"])
+    dist = cosine_distance(vec, query)
     return (cells.withColumn("_distance", dist)
                  .orderBy(F.col("_distance").asc(),
                           F.col(meta["id_col"]).asc())
@@ -504,5 +515,8 @@ def append_to_ivf_index(df: DataFrame, root: str) -> None:
     spark = df.sparkSession
     cents = spark.read.parquet(_os.path.join(root, "centroids"))
     assigned = _assign_to(df, meta["id_col"], meta["vec_col"], cents)
+    if meta.get("quantized"):  # match the stored cells' SQ8 codec
+        assigned = quantize_embeddings(assigned, meta["vec_col"]) \
+            .drop(meta["vec_col"])
     assigned.write.mode("append").partitionBy("_cell") \
         .parquet(_os.path.join(root, "cells"))
