@@ -56,16 +56,25 @@ def _index_entry(compiler, kinds, label, prop):
     return None
 
 
-def _apply_tenant(compiler, df: DataFrame, entry, tenant_value):
+def _tenant_pre_filter(entry, tenant_value):
+    """The tenant rules as a filter Column (None = unrestricted): the
+    shape the approximate paths need — tenancy must restrict CANDIDATES
+    before top-k, not the k results after (a post-filter would return
+    fewer than k rows and leak ranking information across tenants)."""
     if entry is not None and entry.tenant_property:
         if tenant_value is None:
             raise ValueError(
                 f"index ({entry.label}, {entry.property}) is multitenant; "
                 "tenant_value is required")
-        return df.filter(F.col(entry.tenant_property) == F.lit(tenant_value))
+        return F.col(entry.tenant_property) == F.lit(tenant_value)
     if tenant_value is not None and entry is None:
-        return df.filter(F.lit(False))  # unknown tenant space => empty
-    return df
+        return F.lit(False)  # unknown tenant space => empty
+    return None
+
+
+def _apply_tenant(compiler, df: DataFrame, entry, tenant_value):
+    cond = _tenant_pre_filter(entry, tenant_value)
+    return df if cond is None else df.filter(cond)
 
 
 # ---------------------------------------------------------------------------
@@ -107,10 +116,11 @@ def vector_search(compiler, step):
     k = compiler._bound(step.k)
     query = [float(x) for x in step.query_vector]
 
+    tenant_cond = _tenant_pre_filter(entry, step.tenant_value)
     if step.method == "lsh":
         from .similarity import lsh_topk
         hits = lsh_topk(compiler, step.target, step.label, step.property,
-                        query, k)
+                        query, k, pre_filter=tenant_cond)
     elif step.method == "ivf":
         # net-new method relative to the reference's exact|lsh surface:
         # nprobe-pruned cell scan over the build-once IVF assignment
@@ -122,7 +132,8 @@ def vector_search(compiler, step):
             ("ivf_disk", step.target, step.label, step.property))
         if disk is not None:
             from .similarity import ivf_topk_disk
-            hits = ivf_topk_disk(compiler.cat.spark, disk, query, k)
+            hits = ivf_topk_disk(compiler.cat.spark, disk, query, k,
+                                 pre_filter=tenant_cond)
         else:
             from .similarity import ivf_topk
             frames = (compiler.cat.nodes(step.label)
@@ -130,7 +141,10 @@ def vector_search(compiler, step):
                       else compiler.cat.edges(step.label))
             base = frames[step.label].filter(
                 F.col(step.property).isNotNull())
-            hits = ivf_topk(base, _ID, step.property, query, k)
+            # tenant restricts candidates inside the SHARED index (a
+            # filtered base would key a per-tenant index build)
+            hits = ivf_topk(base, _ID, step.property, query, k,
+                            pre_filter=tenant_cond)
     else:
         try:
             aug = build_vector_index(compiler, step.label, step.property,

@@ -112,7 +112,10 @@ def build_lsh_index(compiler, target: str, label: str, prop: str,
 
 
 def lsh_topk(compiler, target: str, label: str, prop: str,
-             query: Sequence[float], k: int) -> DataFrame:
+             query: Sequence[float], k: int,
+             pre_filter=None) -> DataFrame:
+    """``pre_filter`` (e.g. the tenant condition) restricts CANDIDATES
+    before the top-k rank — a post-filter would return < k rows."""
     qbits = (np.asarray(query, dtype=np.float64) @ _planes(len(query)).T) > 0
     qkeys = _band_keys(qbits.astype(np.int8))
     disk = compiler.cat._materialized.get(("lsh_disk", target, label, prop))
@@ -131,6 +134,8 @@ def lsh_topk(compiler, target: str, label: str, prop: str,
                   else compiler.cat.edges(label))
         base = frames[label].filter(F.col(prop).isNotNull()) \
                             .join(cands, on=_ID)
+        if pre_filter is not None:
+            base = base.filter(pre_filter)
         dist = cosine_distance(F.col(prop), query, norm_col=F.col("__vnorm"))
         return (base.withColumn("_distance", dist)
                     .orderBy(F.col("_distance").asc(), F.col(_ID).asc())
@@ -139,6 +144,8 @@ def lsh_topk(compiler, target: str, label: str, prop: str,
     aug = build_lsh_index(compiler, target, label, prop, dim=len(query))
     cands = aug.filter(F.arrays_overlap(
         F.col("__bands"), F.array(*[F.lit(x) for x in qkeys])))
+    if pre_filter is not None:
+        cands = cands.filter(pre_filter)
     dist = cosine_distance(F.col(prop), query, norm_col=F.col("__vnorm"))
     return (cands.withColumn("_distance", dist)
                  .orderBy(F.col("_distance").asc(), F.col(_ID).asc())
@@ -260,11 +267,13 @@ def ivf_index(df: DataFrame, id_col: str, vec_col: str,
 
 def ivf_topk(df: DataFrame, id_col: str, vec_col: str,
              query: Sequence[float], k: int, nprobe: int = 2,
-             max_cells: int = IVF_MAX_CELLS) -> DataFrame:
+             max_cells: int = IVF_MAX_CELLS,
+             pre_filter=None) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` cells whose centroids are
     closest to the query, exact cosine re-rank inside them. The scan
     touches ~nprobe/ncells of the data; recall depends on nprobe like any
-    IVF index."""
+    IVF index. ``pre_filter`` (e.g. a tenant condition) restricts
+    candidates inside the SHARED index before the rank."""
     assigned, cents = ivf_index(df, id_col, vec_col, max_cells)
     qdist = cosine_distance(F.col("_cvec"), query)
     probe = (cents.withColumn("_qd", qdist)
@@ -272,6 +281,8 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str,
                   .limit(nprobe)
                   .select(F.col("_cid").alias("_cell")))
     cands = assigned.join(F.broadcast(probe), on="_cell")
+    if pre_filter is not None:
+        cands = cands.filter(pre_filter)
     dist = cosine_distance(F.col(vec_col), query)
     return (cands.withColumn("_distance", dist)
                  .orderBy(F.col("_distance").asc(), F.col(id_col).asc())
@@ -441,7 +452,7 @@ def store_ivf_index(df: DataFrame, id_col: str, vec_col: str, root: str,
 
 
 def ivf_topk_disk(spark, root: str, query: Sequence[float], k: int,
-                  nprobe: int = 2) -> DataFrame:
+                  nprobe: int = 2, pre_filter=None) -> DataFrame:
     """Probe an on-disk IVF index: rank the bounded centroid table against
     the query, collect the ``nprobe`` nearest cell ids (probe planning —
     nprobe integers of driver state, the same pattern as lsh_topk's
@@ -461,6 +472,8 @@ def ivf_topk_disk(spark, root: str, query: Sequence[float], k: int,
                   .limit(nprobe).collect()]
     cells = spark.read.parquet(_os.path.join(root, "cells")) \
         .filter(F.col("_cell").isin([int(c) for c in probe]))
+    if pre_filter is not None:  # e.g. tenant — restricts before the rank
+        cells = cells.filter(pre_filter)
     if meta.get("quantized"):
         vec = dequantize_col(F.col("qvec"), F.col("qscale"))
     else:

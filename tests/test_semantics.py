@@ -176,3 +176,23 @@ def test_value_map_carries_distance(tenant_engine):
     rows = df.collect()
     assert "distance" in rows[0].asDict()
     assert rows[0]["distance"] <= rows[1]["distance"]
+
+
+@pytest.mark.parametrize("method", ["lsh", "ivf"])
+def test_tenant_rules_apply_to_approximate_methods(tenant_engine, method):
+    """Tenancy must hold on EVERY search method, not just exact: lsh/ivf
+    restrict candidates before the top-k rank (a post-filter would leak
+    ranking across tenants and return < k), missing tenant still errors,
+    unknown tenant is still empty."""
+    q = g().vector_search("Doc", "emb", [1.0, 0.0], 5,
+                          tenant_value="t-a", method=method).values("k")
+    got = {r["k"] for r in tenant_engine.run(q).collect()}
+    assert got <= {1, 2} and 1 in got          # never t-b's doc 3
+    with pytest.raises(Exception, match="multitenant"):
+        tenant_engine.run(
+            g().vector_search("Doc", "emb", [1.0, 0.0], 2,
+                              method=method).values("k"))
+    empty = tenant_engine.run(
+        g().vector_search("Doc", "emb", [1.0, 0.0], 5,
+                          tenant_value="t-zzz", method=method).values("k"))
+    assert empty.count() == 0
