@@ -1038,6 +1038,30 @@ FROM (SELECT g3.doc_id, g3.quality,
       FROM g3 JOIN keep USING (doc_id)) z"""
 
 
+_HE_DIM = 16
+
+@q("text_hash_embeddings",
+   f"""WITH t AS (SELECT doc_id,
+        list_transform({_TOK.format(c='text')},
+            tk -> {_H32.format(x='tk')}) AS hs
+        FROM documents)
+SELECT doc_id,
+  [CAST(COALESCE(list_sum(list_transform(
+      list_filter(hs, x -> x % {_HE_DIM} = i),
+      x -> CASE WHEN CAST(floor(x / {_HE_DIM}) AS BIGINT) % 2 = 0
+                THEN 1.0 ELSE -1.0 END)), 0.0) AS DOUBLE)
+   for i in generate_series(0, {_HE_DIM - 1})] AS embedding
+FROM t""")
+def text_hash_embeddings(spark, sf_dir):
+    """Feature-hashing text embeddings (dim 16 for the oracle): no model,
+    no vocabulary, deterministic — components are signed token-occurrence
+    sums, so they are exact integers and the value hash is float-risk
+    free. Bridges pure text corpora into the vector operators."""
+    from .operators.textstats import hash_embedding
+    return _docs(spark, sf_dir).select(
+        "doc_id", hash_embedding(F.col("text"), _HE_DIM).alias("embedding"))
+
+
 _BPE_RE_SQL = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 

@@ -388,3 +388,33 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str,
     no shuffle). Emits the redacted text alongside the id."""
     return df.select(F.col(id_col),
                      redact_pii_col(F.col(text_col)).alias(out_col))
+
+
+def hash_embedding(text: Column, dim: int = 64) -> Column:
+    """Deterministic text -> vector via the feature-hashing trick
+    (Weinberger et al. 2009, public): component i sums, over token
+    OCCURRENCES whose md5-derived bucket is i, a +/-1 sign from a second
+    hash bit. No model, no vocabulary — the zero-dependency embedding
+    stand-in that still makes cosine meaningful (shared tokens add
+    coherently, unrelated tokens cancel), so the vector operators
+    (cosine pairs, IVF, SemDeDup) compose with pure text corpora.
+
+    Shape: one projection per row (O(dim * n_tokens) comparisons inside
+    codegen, no explode/groupBy/shuffle); md5 arithmetic keeps every
+    component SQL-reproducible for the oracle.
+    """
+    toks = tokens(text)
+    h = F.transform(toks, lambda t: F.conv(
+        F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+
+    def component(i):
+        hits = F.filter(h, lambda x: x % dim == i)
+        # floor, not cast: double->int casts ROUND in some dialects
+        # (DuckDB) and truncate in others — floor is exact everywhere
+        signs = F.transform(hits, lambda x: F.when(
+            F.floor(x / F.lit(dim)).cast("long") % 2 == 0, F.lit(1.0))
+            .otherwise(F.lit(-1.0)))
+        return F.aggregate(signs, F.lit(0.0), lambda a, s: a + s)
+
+    arr = F.array(*[component(F.lit(i)) for i in range(dim)])
+    return F.when(text.isNotNull(), arr)

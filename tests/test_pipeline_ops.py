@@ -1179,3 +1179,38 @@ def test_ivf_sq8_quantized_cells(spark, tmp_path):
         self_hits.append(sq8[0] == r["vec_id"])
     assert sum(overlaps) / len(overlaps) >= 0.9, overlaps
     assert all(self_hits)  # the query's own vector still ranks first
+
+
+def test_hash_embedding_properties(spark):
+    """Feature-hashing embeddings: bag-of-tokens determinism (order
+    invariant), shared-token similarity beats unrelated, null text ->
+    null vector, and the output feeds the vector operators directly."""
+    import numpy as np
+
+    from helix_db_spark.operators.similarity import cosine_pairs
+    from helix_db_spark.operators.textstats import hash_embedding
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "lazy dog the over jumps fox brown quick the"),  # permuted
+         (3, "the quick brown fox leaps over a sleepy dog"),  # related
+         (4, "quantum chromodynamics lattice gauge simulation"),
+         (5, None)],
+        "doc_id long, text string")
+    emb = df.select("doc_id",
+                    hash_embedding(F.col("text"), 32).alias("e"))
+    rows = {r["doc_id"]: (None if r["e"] is None else np.array(r["e"]))
+            for r in emb.collect()}
+    assert np.array_equal(rows[1], rows[2])     # bag of tokens
+    assert rows[5] is None
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    assert cos(rows[1], rows[3]) > 0.5 > cos(rows[1], rows[4])
+
+    pairs = {(r["a"], r["b"]) for r in cosine_pairs(
+        emb.filter("doc_id < 5"), "doc_id", "e", threshold=0.5,
+        block_col=None).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert (1, 4) not in pairs
