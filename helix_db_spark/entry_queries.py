@@ -1785,6 +1785,33 @@ def text_quality_scores(spark, sf_dir):
         "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality"))
 
 
+@q("dataset_card_by_source",
+   f"""WITH q AS ({{quality}}),
+lt AS ({{lang}}),
+tok AS (SELECT doc_id, source, len({_TOK.format(c='text')}) AS nt
+        FROM documents),
+base AS (SELECT tok.source, tok.nt, q.quality, lt.lang_pred
+         FROM tok JOIN q USING (doc_id) JOIN lt USING (doc_id))
+SELECT source, count(*) AS n_docs,
+  sum(nt)::BIGINT AS total_tokens,
+  round(avg(nt), 4) AS mean_tokens,
+  round(avg(quality), 4) AS mean_quality,
+  round(avg(CASE WHEN quality >= 0.5 THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END), 4) AS high_quality_frac,
+  round(avg(CASE WHEN lang_pred = 'en' THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END), 4) AS en_frac
+FROM base GROUP BY ROLLUP (source)""".format(quality=_quality_oracle(),
+                                             lang=_lang_oracle()))
+def dataset_card_by_source(spark, sf_dir):
+    """Dataset-card summary per source + the whole-corpus ROLLUP row:
+    doc/token counts, mean quality, high-quality fraction, language mix
+    — one shuffle with partial aggregation, single tokenizer pass per
+    doc-level metric."""
+    from .operators.textstats import dataset_card
+    return dataset_card(_docs(spark, sf_dir), "doc_id", "text",
+                        by="source")
+
+
 @q("curate_corpus_pipeline",
    _CURATE_ORACLE.format(quality=_quality_oracle(), ng8=_NG8))
 def curate_corpus_pipeline(spark, sf_dir):

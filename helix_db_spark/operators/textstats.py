@@ -418,3 +418,30 @@ def hash_embedding(text: Column, dim: int = 64) -> Column:
 
     arr = F.array(*[component(F.lit(i)) for i in range(dim)])
     return F.when(text.isNotNull(), arr)
+
+
+def dataset_card(df: DataFrame, id_col: str, text_col: str,
+                 by: str = None) -> DataFrame:
+    """Corpus summary statistics — the numbers a dataset card publishes:
+    document/token counts, mean quality, language mix, high-quality
+    fraction — per ``by`` group plus subtotal rows via ROLLUP (the NULL
+    group row is the whole-corpus line). One shuffle with partial
+    aggregation; every metric rides the same single pass over the
+    tokenizer (doc-level expressions are computed once per row in the
+    pre-projection, aggregates are all partial-aggregable)."""
+    t = F.col(text_col)
+    base = df.select(
+        *([F.col(by)] if by else []),
+        token_count(t).alias("_nt"),
+        F.round(quality_score(t), 6).alias("_q"),
+        detect_language(t).alias("_lang"))
+    grouped = base.rollup(by) if by else base.groupBy()
+    return grouped.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").cast("long").alias("total_tokens"),
+        F.round(F.avg("_nt"), 4).alias("mean_tokens"),
+        F.round(F.avg("_q"), 4).alias("mean_quality"),
+        F.round(F.avg((F.col("_q") >= 0.5).cast("double")), 4)
+         .alias("high_quality_frac"),
+        F.round(F.avg((F.col("_lang") == "en").cast("double")), 4)
+         .alias("en_frac"))

@@ -1214,3 +1214,27 @@ def test_hash_embedding_properties(spark):
         block_col=None).collect()}
     assert (1, 2) in pairs and (1, 3) in pairs
     assert (1, 4) not in pairs
+
+
+def test_dataset_card(spark):
+    """Dataset card: per-group rows + the ROLLUP whole-corpus row with
+    consistent totals; ungrouped variant returns the single corpus row."""
+    from helix_db_spark.operators.textstats import dataset_card
+
+    df = spark.createDataFrame(
+        [(1, "a", "the quick brown fox jumps over the lazy dog again"),
+         (2, "a", "numbers 123 456 789 000 111 222 333 444 555 666"),
+         (3, "b", "the cat and the dog and the bird and the fish")],
+        "doc_id long, src string, text string")
+    rows = {r["src"]: r for r in dataset_card(
+        df, "doc_id", "text", by="src").collect()}
+    assert set(rows) == {"a", "b", None}
+    assert rows[None]["n_docs"] == 3
+    assert rows["a"]["n_docs"] == 2 and rows["b"]["n_docs"] == 1
+    assert rows[None]["total_tokens"] == \
+        rows["a"]["total_tokens"] + rows["b"]["total_tokens"]
+    assert 0.0 <= rows[None]["high_quality_frac"] <= 1.0
+    assert rows["b"]["en_frac"] == 1.0  # stopword-heavy english doc
+
+    single = dataset_card(df, "doc_id", "text").collect()
+    assert len(single) == 1 and single[0]["n_docs"] == 3
