@@ -1785,6 +1785,39 @@ def text_quality_scores(spark, sf_dir):
         "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality"))
 
 
+@q("text_top_bigrams",
+   f"""WITH t AS (SELECT doc_id, {_TOK.format(c='text')} AS ts
+        FROM documents),
+g AS (SELECT doc_id, unnest([ts[i] || ' ' || ts[i+1]
+        for i in generate_series(1, len(ts)-1)]) AS gram
+      FROM t WHERE len(ts) >= 2)
+SELECT gram, count(*) AS occurrences,
+  count(DISTINCT doc_id) AS doc_freq
+FROM g GROUP BY gram
+ORDER BY occurrences DESC, gram ASC LIMIT 20""")
+def text_top_bigrams(spark, sf_dir):
+    """Corpus-wide top-20 bigrams with doc frequency — vocabulary /
+    boilerplate mining (stop-shingle discovery for the dedup miners)."""
+    from .operators.textstats import top_ngrams
+    return top_ngrams(_docs(spark, sf_dir), "doc_id", "text", n=2, k=20)
+
+
+@q("text_vocab_stats",
+   f"""WITH t AS (SELECT unnest({_TOK.format(c='text')}) AS tok
+        FROM documents),
+c AS (SELECT tok, count(*) AS c FROM t GROUP BY tok)
+SELECT sum(c)::BIGINT AS total_tokens,
+  count(*) AS vocab_size,
+  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax_count,
+  round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS type_token_ratio
+FROM c""")
+def text_vocab_stats(spark, sf_dir):
+    """One-row vocabulary profile: token occurrences, distinct types,
+    hapax count, type/token ratio."""
+    from .operators.textstats import vocab_stats
+    return vocab_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
 @q("dataset_card_by_source",
    f"""WITH q AS ({{quality}}),
 lt AS ({{lang}}),

@@ -445,3 +445,42 @@ def dataset_card(df: DataFrame, id_col: str, text_col: str,
          .alias("high_quality_frac"),
         F.round(F.avg((F.col("_lang") == "en").cast("double")), 4)
          .alias("en_frac"))
+
+
+def top_ngrams(df: DataFrame, id_col: str, text_col: str,
+               n: int = 2, k: int = 20,
+               max_tokens: int = None) -> DataFrame:
+    """Corpus-wide most-frequent token n-grams (gram, occurrences, df) —
+    vocabulary/boilerplate mining: the grams this surfaces become
+    stop-shingle lists for the dedup miners and template detectors.
+    Shape: shingle explode -> one partial-aggregable groupBy(gram) ->
+    TakeOrderedAndProject top-k (count desc, gram asc — deterministic at
+    tie boundaries). ``df`` is the document frequency (distinct docs)."""
+    from ..functions.text import shingle_rows
+
+    rows = shingle_rows(df, id_col, text_col, n=n, distinct=False,
+                        max_tokens=max_tokens)
+    return (rows.groupBy(F.col("_s").alias("gram"))
+                .agg(F.count(F.lit(1)).alias("occurrences"),
+                     F.count_distinct(F.col(id_col)).alias("doc_freq"))
+                .orderBy(F.col("occurrences").desc(), F.col("gram").asc())
+                .limit(k))
+
+
+def vocab_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-row corpus vocabulary profile: total token occurrences,
+    distinct types, hapax count (frequency-1 types — the Zipf tail that
+    dominates vocabulary size), and the type/token ratio. Two
+    partial-aggregable passes (token explode -> type counts -> scalars).
+    """
+    from ..functions.text import shingle_rows
+
+    toks = shingle_rows(df, id_col, text_col, n=1, distinct=False)
+    types = toks.groupBy("_s").agg(F.count(F.lit(1)).alias("_c"))
+    return types.agg(
+        F.sum("_c").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum((F.col("_c") == 1).cast("long")).cast("long")
+         .alias("hapax_count"),
+        F.round(F.count(F.lit(1)) / F.sum("_c"), 6)
+         .alias("type_token_ratio"))

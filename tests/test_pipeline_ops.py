@@ -1238,3 +1238,25 @@ def test_dataset_card(spark):
 
     single = dataset_card(df, "doc_id", "text").collect()
     assert len(single) == 1 and single[0]["n_docs"] == 3
+
+
+def test_vocab_mining(spark):
+    """top_ngrams counts occurrences vs doc_freq correctly and ranks
+    deterministically at ties; vocab_stats totals reconcile."""
+    from helix_db_spark.operators.textstats import top_ngrams, vocab_stats
+
+    df = spark.createDataFrame(
+        [(1, "big data big data pipelines"),
+         (2, "big data on big clusters"),
+         (3, "tiny corpus")],
+        "doc_id long, text string")
+    grams = [(r["gram"], r["occurrences"], r["doc_freq"])
+             for r in top_ngrams(df, "doc_id", "text", n=2, k=3).collect()]
+    assert grams[0] == ("big data", 3, 2)  # 2x in doc1 + 1x in doc2
+    assert grams[0][1] >= grams[1][1] >= grams[2][1]
+
+    vs = vocab_stats(df, "doc_id", "text").collect()[0]
+    assert vs["total_tokens"] == 12
+    assert vs["vocab_size"] == 7   # big data pipelines on clusters tiny corpus
+    assert vs["hapax_count"] == 5  # pipelines on clusters tiny corpus
+    assert abs(vs["type_token_ratio"] - round(7 / 12, 6)) < 1e-9
