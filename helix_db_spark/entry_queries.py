@@ -1818,6 +1818,34 @@ def text_vocab_stats(spark, sf_dir):
     return vocab_stats(_docs(spark, sf_dir), "doc_id", "text")
 
 
+@q("text_pmi_collocations",
+   f"""WITH t AS (SELECT doc_id, {_TOK.format(c='text')} AS ts
+        FROM documents),
+u AS (SELECT unnest(ts) AS tok FROM t),
+uc AS (SELECT tok, count(*) AS cu FROM u GROUP BY tok),
+nu AS (SELECT count(*) AS n FROM u),
+b AS (SELECT unnest([ts[i] || ' ' || ts[i+1]
+        for i in generate_series(1, len(ts)-1)]) AS gram
+      FROM t WHERE len(ts) >= 2),
+bc AS (SELECT gram, count(*) AS c FROM b GROUP BY gram
+       HAVING count(*) >= 5),
+nb AS (SELECT count(*) AS n FROM b)
+SELECT gram, c AS occurrences,
+  round(ln((c / CAST(nb.n AS DOUBLE))
+           / ((u1.cu / CAST(nu.n AS DOUBLE))
+              * (u2.cu / CAST(nu.n AS DOUBLE)))), 4) AS pmi
+FROM bc CROSS JOIN nu CROSS JOIN nb
+JOIN uc u1 ON split_part(bc.gram, ' ', 1) = u1.tok
+JOIN uc u2 ON split_part(bc.gram, ' ', 2) = u2.tok
+ORDER BY pmi DESC, gram ASC LIMIT 20""")
+def text_pmi_collocations(spark, sf_dir):
+    """Top-20 PMI collocations (min count 5): the statistical phrase
+    miner; unigram tables broadcast, pmi rounded to 4 on both sides."""
+    from .operators.textstats import pmi_collocations
+    return pmi_collocations(_docs(spark, sf_dir), "doc_id", "text",
+                            min_count=5, k=20)
+
+
 @q("dataset_card_by_source",
    f"""WITH q AS ({{quality}}),
 lt AS ({{lang}}),

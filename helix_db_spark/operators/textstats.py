@@ -484,3 +484,48 @@ def vocab_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
          .alias("hapax_count"),
         F.round(F.count(F.lit(1)) / F.sum("_c"), 6)
          .alias("type_token_ratio"))
+
+
+def pmi_collocations(df: DataFrame, id_col: str, text_col: str,
+                     min_count: int = 5, k: int = 20) -> DataFrame:
+    """Top-k collocations by pointwise mutual information:
+    pmi = ln(P(ab) / (P(a)P(b))) over token-occurrence probabilities —
+    the standard statistical phrase miner (Church & Hanks 1990, public).
+    ``min_count`` drops rare bigrams whose PMI is an artifact of tiny
+    counts. Shape: one bigram groupBy + one unigram groupBy; bigram rows
+    join their parts' counts via TWO broadcast joins (the unigram table
+    is vocabulary-sized — small relative to any corpus at 100 TB scale;
+    for web-scale vocabularies swap to a sort-merge on the token), then
+    TakeOrderedAndProject top-k (pmi desc, gram asc — deterministic)."""
+    from ..functions.text import shingle_rows
+
+    toks = shingle_rows(df, id_col, text_col, n=1, distinct=False)
+    uni = toks.groupBy(F.col("_s").alias("_t")) \
+              .agg(F.count(F.lit(1)).alias("_cu"))
+    n_uni = toks.count()
+    bi = shingle_rows(df, id_col, text_col, n=2, distinct=False)
+    bic = (bi.groupBy(F.col("_s").alias("gram"))
+             .agg(F.count(F.lit(1)).alias("occurrences"))
+             .filter(F.col("occurrences") >= min_count))
+    n_bi = bi.count()
+    parts = F.split(F.col("gram"), " ")
+    # F.get, not [..]: Catalyst can push this projection below
+    # shingle_rows' completeness filter, evaluating it on the incomplete
+    # trailing shingles (concat_ws skips the NULL lead -> 1-element
+    # split) — ANSI [] throws there, get() yields NULL and the rows are
+    # filtered before output anyway
+    bic = bic.withColumn("_w1", F.get(parts, 0)) \
+             .withColumn("_w2", F.get(parts, 1))
+    joined = (bic.join(F.broadcast(uni.withColumnRenamed("_t", "_w1")
+                                      .withColumnRenamed("_cu", "_c1")),
+                       on="_w1")
+                 .join(F.broadcast(uni.withColumnRenamed("_t", "_w2")
+                                      .withColumnRenamed("_cu", "_c2")),
+                       on="_w2"))
+    pmi = F.log((F.col("occurrences") / F.lit(float(n_bi)))
+                / ((F.col("_c1") / F.lit(float(n_uni)))
+                   * (F.col("_c2") / F.lit(float(n_uni)))))
+    return (joined.withColumn("pmi", F.round(pmi, 4))
+                  .select("gram", "occurrences", "pmi")
+                  .orderBy(F.col("pmi").desc(), F.col("gram").asc())
+                  .limit(k))

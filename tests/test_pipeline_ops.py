@@ -1260,3 +1260,40 @@ def test_vocab_mining(spark):
     assert vs["vocab_size"] == 7   # big data pipelines on clusters tiny corpus
     assert vs["hapax_count"] == 5  # pipelines on clusters tiny corpus
     assert abs(vs["type_token_ratio"] - round(7 / 12, 6)) < 1e-9
+
+
+def test_pmi_collocations(spark):
+    """PMI ranks an always-together pair above a frequent-but-independent
+    pair; min_count drops rare bigrams; values match a direct python
+    computation."""
+    import math as m
+
+    from helix_db_spark.operators.textstats import pmi_collocations
+
+    # 'neural network' always co-occur; 'the data' both frequent but mixed
+    rows = [(i, "neural network the data model") for i in range(6)] + \
+           [(10 + i, "the model data network analysis") for i in range(6)] + \
+           [(20, "rare bigram once")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["gram"], r["occurrences"], r["pmi"]) for r in
+           pmi_collocations(df, "doc_id", "text", min_count=5,
+                            k=5).collect()]
+    grams = [g for g, _, _ in got]
+    assert "rare bigram" not in grams            # min_count gate
+    # 'neural network' and 'network analysis' tie on PMI (each has one
+    # exclusive member); the tie breaks lexicographically
+    assert grams[:2] == ["network analysis", "neural network"]
+    pmis = {g: p for g, _, p in got}
+    assert pmis["network analysis"] == pmis["neural network"]
+    # the frequent-but-independent 'the data' ranks strictly below
+    assert pmis.get("the data", -99) < pmis["neural network"]
+
+    # python reference for 'neural network'
+    toks = [t for _, txt in rows for t in txt.split()]
+    bis = [f"{a} {b}" for _, txt in rows
+           for a, b in zip(txt.split(), txt.split()[1:])]
+    p_ab = bis.count("neural network") / len(bis)
+    p_a = toks.count("neural") / len(toks)
+    p_b = toks.count("network") / len(toks)
+    want = round(m.log(p_ab / (p_a * p_b)), 4)
+    assert abs(pmis["neural network"] - want) < 1e-9
