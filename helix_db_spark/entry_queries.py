@@ -1846,6 +1846,48 @@ def text_pmi_collocations(spark, sf_dir):
                             min_count=5, k=20)
 
 
+@q("text_semantic_dedup",
+   f"""WITH t AS (SELECT doc_id,
+        list_transform({_TOK.format(c='text')},
+            tk -> {_H32.format(x='tk')}) AS hs
+        FROM documents),
+e AS (SELECT doc_id,
+  [CAST(COALESCE(list_sum(list_transform(
+      list_filter(hs, x -> x % {_HE_DIM} = i),
+      x -> CASE WHEN CAST(floor(x / {_HE_DIM}) AS BIGINT) % 2 = 0
+                THEN 1.0 ELSE -1.0 END)), 0.0) AS DOUBLE)
+   for i in generate_series(0, {_HE_DIM - 1})] AS emb FROM t),
+cent AS (SELECT doc_id AS cid, emb AS cvec FROM e
+         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         LIMIT least(4096, CAST(ceil(sqrt(
+             (SELECT count(*) FROM e))) AS BIGINT))),
+ranked AS (SELECT e.doc_id, c.cid,
+             row_number() OVER (PARTITION BY e.doc_id ORDER BY
+                 1.0 - list_cosine_similarity(e.emb, c.cvec), c.cid) AS rn
+           FROM e CROSS JOIN cent c),
+asgn AS (SELECT doc_id, cid AS cell FROM ranked WHERE rn = 1),
+dropped AS (SELECT DISTINCT y.doc_id
+            FROM asgn x JOIN asgn y ON x.cell = y.cell
+                                   AND x.doc_id < y.doc_id
+            JOIN e ex ON ex.doc_id = x.doc_id
+            JOIN e ey ON ey.doc_id = y.doc_id
+            WHERE list_cosine_similarity(ex.emb, ey.emb) >= 0.8)
+SELECT a.doc_id, a.cell FROM asgn a
+WHERE a.doc_id NOT IN (SELECT doc_id FROM dropped)""")
+def text_semantic_dedup(spark, sf_dir):
+    """Model-free semantic dedup of PURE TEXT: feature-hashing embeddings
+    feed SemDeDup (IVF cells + within-cell cosine drop) — the whole chain
+    (hashing trick, centroid sample, assignment, drop rule) replays in
+    one composed DuckDB oracle. No model, no vocabulary, fully
+    distributed."""
+    from .operators.similarity import semantic_dedup
+    from .operators.textstats import hash_embedding
+    emb = _docs(spark, sf_dir).select(
+        "doc_id", hash_embedding(F.col("text"), _HE_DIM).alias("emb"))
+    out = semantic_dedup(emb, "doc_id", "emb", threshold=0.8)
+    return out.select("doc_id", F.col("_cell").alias("cell"))
+
+
 @q("dataset_card_by_source",
    f"""WITH q AS ({{quality}}),
 lt AS ({{lang}}),
