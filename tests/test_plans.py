@@ -111,3 +111,31 @@ def test_ivf_probe_broadcasts_cells_no_python_udf(engine):
     assert "TakeOrderedAndProject" in plan, plan
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, \
         "IVF probe distance must stay JVM-side"
+
+
+def test_round5_analytics_plan_shapes(spark):
+    """Physical-plan gates for the round-5 analytics queries: top-k mining
+    compiles to TakeOrderedAndProject (never a global sort), PMI
+    broadcasts both unigram join sides, the dataset card is one ROLLUP
+    Expand with partial aggregation, and packing shuffles exactly once
+    (the shard key window)."""
+    from helix_db_spark import entry_queries as eq
+
+    sf = "/root/testdata/sf0.001"
+    qs = eq.queries()
+
+    def plan(name):
+        return qs[name](spark, sf)._jdf.queryExecution() \
+            .executedPlan().toString()
+
+    # (shingle_rows' lead() window sorts within id partitions — that Sort
+    # is expected; the gate is that the TOP-K itself never global-sorts)
+    p = plan("text_top_bigrams")
+    assert "TakeOrderedAndProject" in p
+    p = plan("text_pmi_collocations")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("BroadcastHashJoin") >= 2
+    p = plan("dataset_card_by_source")
+    assert "Expand" in p          # ROLLUP grouping sets, single pass
+    p = plan("pack_documents_bins")
+    assert p.count("Exchange") == 1, p.count("Exchange")
