@@ -212,8 +212,12 @@ def test_warm_probe_ivf_method(spark):
     exists in the plan-keyed cache (it never lives in cat._materialized),
     then warm-only requests pass."""
     from helix_db_spark.catalog import _ID
-    from helix_db_spark.operators.similarity import ivf_index
+    from helix_db_spark.operators.similarity import _IVF_CACHE, ivf_index
 
+    # the plan-keyed cache is module-global: other tests (tenant ivf
+    # searches also use an 'emb' property) would make the cold probe
+    # spuriously warm when the whole suite runs
+    _IVF_CACHE.clear()
     cat = GraphCatalog(spark)
     cat.add_nodes("Doc", spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.5, 0.5])],
