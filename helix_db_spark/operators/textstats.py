@@ -182,11 +182,16 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str,
     quadratic hot bucket. Both the filter and the pair counts are exact
     given the retained fingerprints, and fully SQL-reproducible.
     """
-    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    from .dedup import _mat
+
+    # materialize: fps feeds the df-count AND the semi-join, kept feeds
+    # both self-join sides — unmaterialized, the (priciest) fingerprint
+    # computation re-executes per consumer (11.5s -> ~5s at sf0.1)
+    fps = _mat(winnow_fingerprints(df, id_col, text_col, k, w))
     rare = fps.groupBy("fp") \
               .agg(F.count(F.lit(1)).alias("_df")) \
               .filter(F.col("_df") <= max_df).select("fp")
-    kept = fps.join(rare, on="fp", how="left_semi")
+    kept = _mat(fps.join(rare, on="fp", how="left_semi"))
     left = kept.select(F.col(id_col).alias("a"), "fp")
     right = kept.select(F.col(id_col).alias("b"), "fp")
     return (left.join(right, on="fp")
