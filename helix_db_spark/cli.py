@@ -71,6 +71,33 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_card(args) -> int:
+    """Dataset-card report for a documents table: per-source + corpus
+    summary, top boilerplate bigrams, vocabulary profile — the numbers a
+    corpus release publishes, straight from the pipeline operators."""
+    from pyspark.sql import functions as F
+
+    from .operators.textstats import dataset_card, top_ngrams, vocab_stats
+    from .session import get_spark
+
+    spark = get_spark("helix-spark-card",
+                      **{"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{args.data}/documents.parquet")
+    by = args.by if args.by in docs.columns else None
+    card = [r.asDict() for r in
+            dataset_card(docs, "doc_id", "text", by=by)
+            .orderBy(F.col(by).asc_nulls_first() if by
+                     else F.lit(1)).collect()]
+    grams = [r.asDict() for r in
+             top_ngrams(docs, "doc_id", "text", n=2,
+                        k=args.top).collect()]
+    vocab = vocab_stats(docs, "doc_id", "text").collect()[0].asDict()
+    print(json.dumps({"card": card, "top_bigrams": grams,
+                      "vocab": vocab}, default=str))
+    return 0
+
+
 def cmd_serve(args) -> int:
     from .server import HelixSparkServer, QueryBundle
 
@@ -92,7 +119,8 @@ def cmd_serve(args) -> int:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="helix_db_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for name, fn in (("query", cmd_query), ("serve", cmd_serve)):
+    for name, fn in (("query", cmd_query), ("serve", cmd_serve),
+                     ("card", cmd_card)):
         p = sub.add_parser(name)
         p.add_argument("--data", default="/root/testdata/sf0.001",
                        help="testdata dir to load as the graph")
@@ -101,10 +129,15 @@ def main(argv=None) -> int:
         if name == "query":
             p.add_argument("--json", help="inline request JSON")
             p.add_argument("--file", help="request JSON file")
-        else:
+        elif name == "serve":
             p.add_argument("--host", default="127.0.0.1")
             p.add_argument("--port", type=int, default=6969)
             p.add_argument("--bundle", help="queries.json stored-route bundle")
+        else:
+            p.add_argument("--by", default="source",
+                           help="grouping column for the per-source card")
+            p.add_argument("--top", type=int, default=10,
+                           help="top bigram count")
     args = ap.parse_args(argv)
     return args.fn(args)
 

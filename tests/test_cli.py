@@ -56,3 +56,19 @@ def test_query_against_saved_store(spark, capsys, tmp_path):
                  partitions=2)
     rc, out, _ = _run(capsys, "query", "--json", REQ, "--store", root)
     assert rc == 0 and json.loads(out) == {"r": [{"count": 5}]}
+
+
+def test_card_command(spark, capsys):
+    """`card` prints the dataset-card JSON: corpus rollup row, per-source
+    rows, top bigrams, vocab profile — consistent totals."""
+    rc, out, _ = _run(capsys, "card", "--data", "/root/testdata/sf0.001",
+                      "--top", "3")
+    assert rc == 0
+    rep = json.loads(out)
+    rows = {r["source"]: r for r in rep["card"]}
+    assert None in rows and rows[None]["n_docs"] == 500
+    assert sum(r["n_docs"] for s, r in rows.items() if s is not None) == 500
+    assert len(rep["top_bigrams"]) == 3
+    assert rep["top_bigrams"][0]["occurrences"] >= \
+        rep["top_bigrams"][-1]["occurrences"]
+    assert rep["vocab"]["total_tokens"] == rows[None]["total_tokens"]
