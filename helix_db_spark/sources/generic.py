@@ -78,3 +78,37 @@ def load_graph_config(spark: SparkSession, config: dict) -> GraphCatalog:
                            dst_label=dst_label,
                            src_key="__sk", dst_key="__dk")
     return cat
+
+
+def read_documents(spark: SparkSession, path: str, fmt: str = "parquet",
+                   id_col: str = "doc_id", text_col: str = "text",
+                   schema: str = None, **options) -> DataFrame:
+    """Mount any Spark-readable corpus as the canonical ``(doc_id, text,
+    ...)`` shape every pipeline operator consumes — the on-ramp for
+    jsonl/csv/orc/parquet document dumps without bespoke glue.
+
+    ``id_col``/``text_col`` name the SOURCE columns; they are renamed to
+    the canonical names and every other column passes through. A missing
+    id column gets a deterministic surrogate
+    (monotonically_increasing_id — partition-stable for a fixed file
+    layout; supply a real id for cross-run stability, every dedup/split
+    operator keys on it). Text-bearing formats default sensible options
+    (csv: header on; json covers jsonl — Spark reads line-delimited by
+    default).
+    """
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    if schema:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.load(path)
+    if text_col != "text":
+        df = df.withColumnRenamed(text_col, "text")
+    if id_col in df.columns:
+        if id_col != "doc_id":
+            df = df.withColumnRenamed(id_col, "doc_id")
+    else:
+        df = df.withColumn("doc_id", F.monotonically_increasing_id())
+    return df

@@ -75,3 +75,27 @@ def test_config_broken_path_isolated(spark, mixed_dataset):
     assert cat.nodes("user")["user"].count() == 3
     with pytest.raises(Exception):
         cat.nodes("ghost")
+
+
+def test_read_documents_jsonl_and_csv(spark, tmp_path):
+    """Any-format corpus on-ramp: jsonl and csv land in the canonical
+    (doc_id, text) shape and flow straight into the pipeline operators."""
+    from helix_db_spark.operators.textstats import repetition_stats
+    from helix_db_spark.sources.generic import read_documents
+
+    jl = tmp_path / "corpus.jsonl"
+    jl.write_text('{"id": 1, "body": "spam spam spam spam"}\n'
+                  '{"id": 2, "body": "a perfectly normal document"}\n')
+    docs = read_documents(spark, str(jl), fmt="json",
+                          id_col="id", text_col="body")
+    assert {"doc_id", "text"} <= set(docs.columns)
+    rep = {r["doc_id"]: r["top_2gram_frac"]
+           for r in repetition_stats(docs, "doc_id", "text").collect()}
+    assert rep[1] == 1.0 and rep[2] < 1.0
+
+    cs = tmp_path / "corpus.csv"
+    cs.write_text("text,lang\nhello world,en\nbonjour monde,fr\n")
+    docs2 = read_documents(spark, str(cs), fmt="csv")  # no id -> surrogate
+    rows = docs2.collect()
+    assert {r["text"] for r in rows} == {"hello world", "bonjour monde"}
+    assert len({r["doc_id"] for r in rows}) == 2
