@@ -58,33 +58,39 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str,
     doc unless ``distinct=False``; pass False when the consumer is
     idempotent over duplicates, e.g. a min-aggregate, to skip a shuffle).
 
-    The n-gram array is built per row (slice + concat_ws over the
-    materialized token array) and exploded once — NO SHUFFLE. The
-    previous formulation (posexplode + lead() window) shuffled the whole
-    corpus on the doc id and sorted within groups just to assemble
-    adjacent tokens; the array form is 1.5x faster at sf0.1 (1.05s ->
-    0.71s for the trigram explode) and removes the shingle stage's only
-    exchange at any scale. The CSE trap documented on
-    shingles_from_tokens does not bite: ``_toks`` is materialized in its
-    own projection, and CollapseProject declines to re-inline non-cheap
-    expressions referenced more than once, so the tokenizer regex runs
-    once per document (verified: multiset-identical output, A/B timed).
+    posexplode evaluates the tokenizer ONCE per document (generators do
+    not re-evaluate their child), then window lead() assembles n-grams.
+
+    An array formulation (slice+concat_ws per row, one explode — the
+    winnow_fingerprints shape) was MEASURED AND REJECTED here (r5):
+    under honest full work (cache cleared per rep) the window version
+    wins — minhash pairs 2.37s vs 2.8-3.1s, ngram jaccard 1.93s vs
+    2.7-3.0s at sf0.1. The window's exchange on the doc id is NOT an
+    extra shuffle for the main consumers: minhash's signature groupBy
+    and the per-doc set collection reuse the same hash partitioning,
+    while the array form pays the same downstream shuffle PLUS the
+    per-row array build (O(tokens x n) string copying inside one task).
+    The count-only explode microbenchmark shows the opposite (0.71 vs
+    1.05s) — it omits the downstream aggregate that amortizes the
+    window's sort; don't re-swap based on it.
 
     ``max_tokens`` is a straggler bound for pathological documents: one
-    10 MB doc otherwise explodes to ~2M (doc, gram) rows — here it
-    additionally caps the per-row gram array. A documented quality knob
-    (like winnowing's max_df): docs are compared on their first
-    ``max_tokens`` tokens only.
+    10 MB doc otherwise explodes to ~2M (doc, token) rows in a SINGLE
+    window/groupBy group — a per-key straggler no partitioning fixes. It
+    is a documented quality knob (like winnowing's max_df): docs are
+    compared on their first ``max_tokens`` tokens only.
     """
-    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    toks = df.select(F.col(id_col),
+                     F.posexplode(tokens(F.col(text_col))).alias("_p", "_t"))
     if max_tokens is not None:
-        toks = toks.select(F.col(id_col),
-                           F.slice("_toks", 1, max_tokens).alias("_toks"))
-    grams = F.transform(F.sequence(F.lit(1), F.size("_toks") - F.lit(n - 1)),
-                        lambda i: F.concat_ws(" ", F.slice("_toks", i, n)))
-    g = F.when(F.size("_toks") >= n, grams) \
-        .otherwise(F.array().cast("array<string>"))
-    out = toks.select(F.col(id_col), F.explode(g).alias("_s"))
+        toks = toks.filter(F.col("_p") < max_tokens)
+    w = Window.partitionBy(id_col).orderBy("_p")
+    parts = [F.col("_t")] + [F.lead("_t", k).over(w) for k in range(1, n)]
+    last = parts[-1]
+    sh = toks.select(F.col(id_col),
+                     F.concat_ws(" ", *parts).alias("_s"),
+                     last.isNotNull().alias("_ok"))
+    out = sh.filter("_ok").drop("_ok")
     return out.dropDuplicates([id_col, "_s"]) if distinct else out
 
 
