@@ -2099,8 +2099,13 @@ DRIVER_TOP50 = [
     "count_and_exists", "nwhere_source_filter", "predicate_algebra",
     "string_predicates", "json_dotted_path", "datetime_filter",
     "case_expression", "arithmetic_projection",
-    # hops, edges, provenance (rows 10-15)
-    "out_hop_group_count", "two_hop_regions", "edge_endpoint_projection",
+    # hops, edges, provenance (rows 10-15). two_hop_regions moved below
+    # the cap in r5: the hop family stays graded via out_hop_group_count
+    # AND the driver still executes the two-hop plan every round through
+    # entry() (it is the flagship); the freed slot grades the SemDeDup
+    # family, which previously had no driver-graded representative.
+    "out_hop_group_count", "semantic_dedup_survivors",
+    "edge_endpoint_projection",
     "edge_to_nodes_dedup", "other_n_provenance",
     # vars / set ops / control flow (rows 15-17, 41-45)
     "within_semi_join", "without_anti_join", "inject_var_union",

@@ -36,7 +36,8 @@ def test_driver_top50_covers_survey_ops():
         "count_and_exists", "nwhere_source_filter", "predicate_algebra",
         "string_predicates", "json_dotted_path", "datetime_filter",
         "case_expression", "arithmetic_projection", "limit_by_param",
-        "out_hop_group_count", "edge_endpoint_projection",
+        "out_hop_group_count", "semantic_dedup_survivors",
+        "edge_endpoint_projection",
         "edge_to_nodes_dedup", "other_n_provenance", "within_semi_join",
         "without_anti_join", "inject_var_union", "union_branches",
         "choose_conditional", "coalesce_fallback", "optional_passthrough",
