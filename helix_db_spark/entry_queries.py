@@ -1895,7 +1895,8 @@ tok AS (SELECT doc_id, source, len({_TOK.format(c='text')}) AS nt
         FROM documents),
 base AS (SELECT tok.source, tok.nt, q.quality, lt.lang_pred
          FROM tok JOIN q USING (doc_id) JOIN lt USING (doc_id))
-SELECT source, count(*) AS n_docs,
+SELECT source, CAST(GROUPING(source) AS INT) AS is_total,
+  count(*) AS n_docs,
   sum(nt)::BIGINT AS total_tokens,
   round(avg(nt), 4) AS mean_tokens,
   round(avg(quality), 4) AS mean_quality,

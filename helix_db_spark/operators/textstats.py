@@ -446,7 +446,12 @@ def dataset_card(df: DataFrame, id_col: str, text_col: str,
         F.round(quality_score(t), 6).alias("_q"),
         detect_language(t).alias("_lang"))
     grouped = base.rollup(by) if by else base.groupBy()
+    # is_total disambiguates the ROLLUP subtotal row from a genuine NULL
+    # group value (both print as NULL in the group column otherwise)
+    total_flag = ([F.grouping(by).cast("int").alias("is_total")]
+                  if by else [F.lit(1).alias("is_total")])
     return grouped.agg(
+        *total_flag,
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("_nt").cast("long").alias("total_tokens"),
         F.round(F.avg("_nt"), 4).alias("mean_tokens"),

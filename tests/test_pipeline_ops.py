@@ -1239,6 +1239,15 @@ def test_dataset_card(spark):
     single = dataset_card(df, "doc_id", "text").collect()
     assert len(single) == 1 and single[0]["n_docs"] == 3
 
+    # a genuine NULL group value is distinguishable from the rollup
+    # total row via is_total (both print NULL in the group column)
+    withnull = df.withColumn(
+        "src", F.when(F.col("doc_id") == 3, None).otherwise(F.col("src")))
+    marked = {(r["src"], r["is_total"]): r["n_docs"] for r in
+              dataset_card(withnull, "doc_id", "text", by="src").collect()}
+    assert marked[(None, 1)] == 3  # the total
+    assert marked[(None, 0)] == 1  # the real NULL-source group
+
 
 def test_vocab_mining(spark):
     """top_ngrams counts occurrences vs doc_freq correctly and ranks
