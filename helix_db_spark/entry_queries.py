@@ -2086,6 +2086,125 @@ def asof_purchase_features(spark, sf_dir):
         F.unix_timestamp("matched_ts").cast("long").alias("purchase_epoch"))
 
 
+@q("text_lm_cross_entropy",
+   f"""WITH t AS (SELECT doc_id, unnest({_TOK.format(c='text')}) AS tok
+        FROM documents),
+c AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+n AS (SELECT count(*) AS n FROM t)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+  round(avg(-ln(c.c / CAST(n.n AS DOUBLE))), 6) AS cross_entropy,
+  round(exp(round(avg(-ln(c.c / CAST(n.n AS DOUBLE))), 6)), 4) AS ppl
+FROM t JOIN c USING (tok) CROSS JOIN n GROUP BY doc_id""")
+def text_lm_cross_entropy(spark, sf_dir):
+    """CCNet-style LM quality scoring, model-free: per-doc unigram
+    cross-entropy (mean -ln P(token) under the corpus MLE unigram LM)
+    and its perplexity — low = boilerplate-common tokens, high =
+    rare-token noise. One token explode feeds both the vocab count and
+    the per-doc mean; vocab table broadcast back."""
+    from .operators.textstats import lm_cross_entropy
+    return lm_cross_entropy(_docs(spark, sf_dir), "doc_id", "text")
+
+
+_DSIR_B = 1024
+
+@q("dsir_importance_weights",
+   f"""WITH t AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+        AS tf, {_TOK.format(c='text')} AS ts FROM documents),
+f AS (SELECT doc_id, tf, unnest(ts) AS ft FROM t
+      UNION ALL
+      SELECT doc_id, tf, unnest([ts[i] || ' ' || ts[i+1]
+          for i in generate_series(1, len(ts)-1)]) AS ft
+      FROM t WHERE len(ts) >= 2),
+fb AS (SELECT doc_id, tf, {_H32.format(x='ft')} % {_DSIR_B} AS b FROM f),
+s AS (SELECT b, count(*) AS cr, sum(tf) AS ct FROM fb GROUP BY b),
+tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM s),
+r AS (SELECT b,
+        ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + {_DSIR_B} AS DOUBLE))
+      - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + {_DSIR_B} AS DOUBLE)) AS lr
+      FROM s CROSS JOIN tot)
+SELECT doc_id, count(*)::BIGINT AS n_feats,
+  round(sum(lr), 4) AS log_weight
+FROM fb JOIN r USING (b) GROUP BY doc_id""")
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR importance weights (hashed unigram+bigram bag models,
+    Laplace 1.0): target = the corpus' English slice, raw = everything;
+    per-doc log importance ratio scores how 'target-like' each document
+    is. The full chain (hashing trick, conditional bucket counts,
+    smoothed log-ratio, per-doc sum) replays in SQL."""
+    from .operators.textstats import dsir_weights
+    return dsir_weights(_docs(spark, sf_dir), "doc_id", "text",
+                        target_pred=F.col("lang") == "en",
+                        n_buckets=_DSIR_B, smoothing=1.0)
+
+
+@q("dedup_duplicate_spans",
+   f"""WITH t AS (SELECT doc_id, {_TOK.format(c='text')} AS ts
+        FROM documents),
+s AS (SELECT doc_id, unnest([array_to_string(ts[i:i+5], ' ')
+        for i in generate_series(1, len(ts)-5)]) AS sp
+      FROM t WHERE len(ts) >= 6),
+c AS (SELECT sp, count(DISTINCT doc_id) AS d FROM s GROUP BY sp)
+SELECT doc_id, count(*)::BIGINT AS n_spans,
+  sum(CASE WHEN c.d >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_spans,
+  round(sum(CASE WHEN c.d >= 2 THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
+FROM s JOIN c USING (sp) GROUP BY doc_id""")
+def dedup_duplicate_spans(spark, sf_dir):
+    """Exact-substring dedup profile (fixed 6-token-window approximation
+    of Lee et al. 2021): per doc, how many of its n-token spans also
+    occur in another document — the cross-document boilerplate gate
+    whole-doc exact dedup cannot see."""
+    from .operators.dedup import duplicate_spans
+    return duplicate_spans(_docs(spark, sf_dir), "doc_id", "text", n=6)
+
+
+@q("source_mixture_plan",
+   """WITH g AS (SELECT source, count(*)::BIGINT AS n_docs,
+        sum(n_chars)::BIGINT AS n_units FROM documents GROUP BY source),
+t2 AS (SELECT sum(n_units) AS tot, count(*) AS ng FROM g),
+sc AS (SELECT min(n_units / (CAST(1 AS DOUBLE) / t2.ng)) AS scale
+       FROM g CROSS JOIN t2)
+SELECT g.source, g.n_docs, g.n_units,
+  round(g.n_units / CAST(t2.tot AS DOUBLE), 6) AS share,
+  round(CAST(1 AS DOUBLE) / t2.ng, 6) AS target_share,
+  round(least(CAST(1 AS DOUBLE),
+      sc.scale * (CAST(1 AS DOUBLE) / t2.ng) / g.n_units), 6)
+    AS sample_frac,
+  round(sc.scale * (CAST(1 AS DOUBLE) / t2.ng), 2) AS keep_units
+FROM g CROSS JOIN t2 CROSS JOIN sc""")
+def source_mixture_plan(spark, sf_dir):
+    """Domain-mixture planning toward the uniform source mix: per-source
+    char-weighted shares plus the largest downsampling-only plan (the
+    smallest source binds; its sample_frac is exactly 1)."""
+    from .operators.sampling import mixture_plan
+    return mixture_plan(_docs(spark, sf_dir), "source",
+                        size_col="n_chars")
+
+
+@q("knn_graph_cosine",
+   """WITH p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+     round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+       / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                a.embedding::DOUBLE[]))
+          * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                  b.embedding::DOUBLE[]))), 6) AS cosine
+   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+r AS (SELECT src, dst, cosine,
+        row_number() OVER (PARTITION BY src
+            ORDER BY cosine DESC, dst) AS nn_rank FROM p)
+SELECT src, dst, nn_rank, cosine FROM r WHERE nn_rank <= 3""")
+def knn_graph_cosine(spark, sf_dir):
+    """Exact 3-NN cosine graph over the embedding corpus (ties on the
+    rounded cosine break by neighbor id — engine-independent ranking).
+    The exact variant is the oracle baseline; the IVF-celled scale path
+    is recall-gated in tests."""
+    from .operators.similarity import knn_graph
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = knn_graph(emb, "vec_id", "embedding", k=3)
+    return out.select("src", "dst", F.col("rank").alias("nn_rank"),
+                      "cosine")
+
+
 # ---------------------------------------------------------------------------
 # driver contract surface
 # ---------------------------------------------------------------------------

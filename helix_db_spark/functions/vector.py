@@ -53,3 +53,16 @@ def l2_distance(vec_col: Column, query: Sequence[float]) -> Column:
 def cosine_similarity_cols(a: Column, b: Column) -> Column:
     """cos(a, b) between two vector columns (pairwise joins)."""
     return dot(a.cast("array<double>"), b.cast("array<double>")) / (norm(a) * norm(b))
+
+
+def cosine_similarity_exact(a: Column, b: Column) -> Column:
+    """cos(a, b) with EVERY intermediate in double (the float inputs are
+    cast before any arithmetic) and norms via the same sequential-fold
+    dot — measured bit-identical to DuckDB's
+    ``list_dot_product(x::DOUBLE[], y::DOUBLE[])`` formulation, which
+    makes value-hash oracles safe even when the output is RANKED on the
+    cosine (knn_graph). cosine_similarity_cols keeps the cheaper
+    float-squares norm for threshold filters, where a 1e-6 wobble only
+    matters within 1e-6 of the threshold."""
+    da, db = a.cast("array<double>"), b.cast("array<double>")
+    return dot(da, db) / (F.sqrt(dot(da, da)) * F.sqrt(dot(db, db)))

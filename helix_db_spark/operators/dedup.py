@@ -492,3 +492,38 @@ def benchmark_contamination(corpus: DataFrame, bench: DataFrame,
     return (hits.groupBy(id_col)
                 .agg(F.count_distinct("_g").alias("contaminated_ngrams"),
                      F.count_distinct("_bench_id").alias("bench_docs_hit")))
+
+
+def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
+                    n: int = 6,
+                    max_tokens: Optional[int] = None) -> DataFrame:
+    """Per-document duplicated-span profile — the fixed-length-window
+    approximation of exact-substring deduplication (Lee et al. 2021,
+    arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
+    Better" builds suffix arrays; production pipelines such as Dolma
+    approximate with rolling n-token window hashes, which shards freely).
+    Every n-token window is hashed; a span is DUPLICATED iff it occurs in
+    two or more distinct documents. Output: per doc, total spans,
+    duplicated spans, and the duplicated fraction — the gate column for
+    dropping (or trimming) documents dominated by cross-document
+    boilerplate that whole-doc exact dedup cannot see.
+
+    Shape: shingle explode -> span-hash groupBy (partial-aggregable
+    count_distinct over the doc id via one narrow shuffle on the 60-bit
+    hash — uniformly distributed, no skew) -> join back on the hash ->
+    per-doc aggregate that reuses the shingle window's doc-id hash
+    partitioning. ``max_tokens`` is the straggler bound (shingle_rows'
+    quality knob)."""
+    spans = shingle_rows(df, id_col, text_col, n=n, distinct=False,
+                         max_tokens=max_tokens)
+    keyed = spans.select(F.col(id_col), md5_long(F.col("_s")).alias("_h"))
+    counts = keyed.groupBy("_h").agg(
+        F.count_distinct(F.col(id_col)).alias("_d"))
+    return (keyed.join(counts, on="_h")
+                 .groupBy(id_col)
+                 .agg(F.count(F.lit(1)).cast("long").alias("n_spans"),
+                      F.sum((F.col("_d") >= 2).cast("long")).cast("long")
+                       .alias("dup_spans"))
+                 .withColumn("dup_fraction",
+                             F.round(F.col("dup_spans") / F.col("n_spans"),
+                                     6)))

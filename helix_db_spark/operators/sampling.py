@@ -236,3 +236,51 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
         1, 8), 16, 10).cast("long") % 1_000_000) / 1_000_000.0
     p = F.least(F.col(weight_col) * F.lit(float(scale)), F.lit(1.0))
     return df.filter(bucket < p)
+
+
+def mixture_plan(df: DataFrame, group_col: str,
+                 size_col: Optional[str] = None,
+                 target: Optional[dict] = None) -> DataFrame:
+    """Domain-mixture planning: per-group corpus shares plus the
+    downsampling plan that hits a target mixture — the reweighting step
+    behind multi-source training mixes (The Pile's per-set epochs, Gao
+    et al. 2020; DoReMi's static reference weights, Xie et al. 2023 —
+    public methods). ``target`` maps group -> desired fraction (defaults
+    to the uniform mixture); groups absent from the map get 0 (dropped).
+    The plan is downsampling-only: ``_scale = min over groups of
+    units_g / target_g`` sizes the largest corpus achievable without
+    upsampling any group; ``sample_frac_g = _scale * target_g /
+    units_g`` (exactly 1 for the binding group).
+
+    Shape: ONE partial-aggregable groupBy over the group key; every
+    derived column rides an unbounded window over the GROUPS frame,
+    whose cardinality is the number of domains/sources — bounded and
+    tiny at any corpus scale, so the single-partition window is
+    deliberate and safe (the 100 TB of documents are only touched by
+    the first aggregate)."""
+    sz = F.col(size_col) if size_col else F.lit(1)
+    groups = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(sz).cast("long").alias("n_units"))
+    w = Window.partitionBy()
+    g = (groups.withColumn("_tot", F.sum("n_units").over(w))
+               .withColumn("_ng", F.count(F.lit(1)).over(w)))
+    if target:
+        m = F.create_map(*[F.lit(x) for kv in target.items() for x in kv])
+        tgt = F.coalesce(m[F.col(group_col)], F.lit(0.0))
+    else:
+        tgt = F.lit(1.0) / F.col("_ng")
+    g = g.withColumn("_tgt", tgt)
+    # the binding group: the one whose corpus runs out first at the
+    # target mixture; groups with _tgt = 0 are excluded from the min
+    ratio = F.when(F.col("_tgt") > 0, F.col("n_units") / F.col("_tgt"))
+    g = g.withColumn("_scale", F.min(ratio).over(w))
+    keep = F.col("_scale") * F.col("_tgt")
+    return g.select(
+        F.col(group_col),
+        "n_docs", "n_units",
+        F.round(F.col("n_units") / F.col("_tot"), 6).alias("share"),
+        F.round(F.col("_tgt"), 6).alias("target_share"),
+        F.round(F.least(F.lit(1.0), keep / F.col("n_units")), 6)
+         .alias("sample_frac"),
+        F.round(keep, 2).alias("keep_units"))

@@ -20,12 +20,13 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 from ..catalog import _ID
-from ..functions.vector import cosine_distance, cosine_similarity_cols, norm
+from ..functions.vector import cosine_distance, cosine_similarity_cols, \
+    cosine_similarity_exact, norm
 
 LSH_SEED = 42
 # 16 bands x 6 bits: tuned for moderate-similarity neighborhoods
@@ -533,3 +534,44 @@ def append_to_ivf_index(df: DataFrame, root: str) -> None:
             .drop(meta["vec_col"])
     assigned.write.mode("append").partitionBy("_cell") \
         .parquet(_os.path.join(root, "cells"))
+
+
+def knn_graph(df: DataFrame, id_col: str, vec_col: str, k: int = 5,
+              max_cells: Optional[int] = None) -> DataFrame:
+    """k-nearest-neighbor graph over an embedding corpus: for every
+    vector, its top-k cosine neighbors as (src, dst, rank, cosine) —
+    the substrate for graph-based curation (SemDeDup-style cluster
+    audits, label propagation, kNN-classifier quality probes, NN-descent
+    seeds). Deterministic: ties break on the smaller neighbor id, and
+    the cosine is rounded to 6 decimals BEFORE ranking so both engines
+    rank the same values.
+
+    With ``max_cells`` (the scale path) neighbors are searched within
+    the row's deterministic IVF cell only — sum-of-cell-sizes² work,
+    not n²; with the sqrt(n) default budget each cell holds ~sqrt(n)
+    vectors, and recall follows the IVF curve (raise ``max_cells`` or
+    probe adjacent cells for tighter graphs). Without it the self-join
+    is exact and quadratic — the oracle baseline, only for bounded
+    frames. The per-src top-k is a rank-filtered window whose partition
+    key is the src id — uniform by construction, no skew."""
+    if max_cells is not None:
+        assigned, _ = ivf_assign(df, id_col, vec_col, max_cells)
+        left = assigned.select(F.col(id_col).alias("src"),
+                               F.col(vec_col).alias("_va"), "_cell")
+        right = assigned.select(F.col(id_col).alias("dst"),
+                                F.col(vec_col).alias("_vb"), "_cell")
+        joined = left.join(right, on="_cell")
+    else:
+        left = df.select(F.col(id_col).alias("src"),
+                         F.col(vec_col).alias("_va"))
+        right = df.select(F.col(id_col).alias("dst"),
+                          F.col(vec_col).alias("_vb"))
+        joined = left.crossJoin(right)
+    joined = joined.filter(F.col("src") != F.col("dst"))
+    sim = cosine_similarity_exact(F.col("_va"), F.col("_vb"))
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(),
+                                          F.col("dst").asc())
+    return (joined.withColumn("cosine", F.round(sim, 6))
+                  .withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("src", "dst", "rank", "cosine"))

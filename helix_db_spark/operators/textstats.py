@@ -544,3 +544,84 @@ def pmi_collocations(df: DataFrame, id_col: str, text_col: str,
                   .select("gram", "occurrences", "pmi")
                   .orderBy(F.col("pmi").desc(), F.col("gram").asc())
                   .limit(k))
+
+
+def lm_cross_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document unigram-LM cross-entropy quality score — the
+    model-free analogue of CCNet's KenLM perplexity filter (Wenzek et
+    al. 2020, public): score(doc) = mean over tokens of
+    -ln P(token), with P fit by maximum likelihood on the corpus
+    itself. Low cross-entropy = made of common tokens (boilerplate
+    risk); high = rare-token soup (OCR noise / gibberish risk); the
+    standard curation gate keeps the middle band. ``ppl`` is
+    exp(cross_entropy) — the familiar per-token perplexity reading.
+
+    Shape: one token explode feeds BOTH the vocabulary count (one
+    partial-aggregable groupBy over vocab-sized keys) and the per-doc
+    mean; the vocabulary table joins back via broadcast (vocab is tiny
+    relative to any corpus — for web-scale vocabularies swap to a
+    sort-merge on the token, same semantics). No driver-side loops; the
+    single scalar (total token count) is a partial-aggregated count().
+    Rounded to 6 decimals on both engines (sum of ~1e2 doubles agrees
+    far past that)."""
+    from ..functions.text import shingle_rows
+
+    toks = shingle_rows(df, id_col, text_col, n=1, distinct=False)
+    vocab = toks.groupBy(F.col("_s").alias("_t")) \
+                .agg(F.count(F.lit(1)).alias("_c"))
+    n_total = toks.count()
+    nll = -F.log(F.col("_c") / F.lit(float(n_total)))
+    per_doc = (toks.join(F.broadcast(vocab), toks["_s"] == F.col("_t"))
+                   .groupBy(id_col)
+                   .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                        F.round(F.avg(nll), 6).alias("cross_entropy")))
+    return per_doc.withColumn("ppl", F.round(F.exp("cross_entropy"), 4))
+
+
+def dsir_weights(df: DataFrame, id_col: str, text_col: str,
+                 target_pred: Column, n_buckets: int = 1024,
+                 smoothing: float = 1.0) -> DataFrame:
+    """DSIR data-selection importance weights (Xie et al. 2023,
+    arXiv:2302.03169 — public method): fit two hashed-n-gram bag models
+    — one on the TARGET slice (rows where ``target_pred`` is true, e.g.
+    a high-quality or in-domain subset), one on the full RAW corpus —
+    and score every document by its log importance ratio
+    ``sum over feature occurrences of ln(p_target(f) / p_raw(f))``.
+    Features are unigrams + bigrams hashed into ``n_buckets`` buckets
+    (the hashing trick bounds model size independently of vocabulary);
+    ``smoothing`` is the Laplace constant on both models. Selecting the
+    top-weight documents approximates sampling the raw corpus toward
+    the target distribution.
+
+    Shape: ONE shingle pass (unigram + bigram union) with the target
+    flag riding inside a struct id — no join back to the input for the
+    flag; bucket counts for raw and target come from the SAME
+    partial-aggregable groupBy (sum of the flag = target count); the
+    bucket->log-ratio table is ``n_buckets`` rows, broadcast by
+    construction; per-doc weights are one groupBy over the doc id that
+    reuses the shingle window's hash partitioning. Rounded to 4
+    decimals on both engines."""
+    from ..functions.text import bucket_col, shingle_rows
+
+    flagged = df.select(
+        F.struct(F.col(id_col).alias("i"),
+                 target_pred.cast("int").alias("t")).alias("_did"),
+        F.col(text_col))
+    uni = shingle_rows(flagged, "_did", text_col, n=1, distinct=False)
+    bi = shingle_rows(flagged, "_did", text_col, n=2, distinct=False)
+    feats = uni.unionByName(bi).select(
+        "_did", bucket_col(F.col("_s"), n_buckets).alias("_b"))
+    stats = feats.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_cr"),
+        F.sum(F.col("_did.t")).alias("_ct"))
+    tot = stats.agg(F.sum("_cr").alias("r"), F.sum("_ct").alias("t")).first()
+    n_raw, n_tgt = float(tot["r"] or 0), float(tot["t"] or 0)
+    a, b = float(smoothing), float(n_buckets)
+    ratio = stats.select(
+        "_b",
+        (F.log((F.col("_ct") + a) / F.lit(n_tgt + a * b))
+         - F.log((F.col("_cr") + a) / F.lit(n_raw + a * b))).alias("_lr"))
+    return (feats.join(F.broadcast(ratio), on="_b")
+                 .groupBy(F.col("_did.i").alias(id_col))
+                 .agg(F.count(F.lit(1)).cast("long").alias("n_feats"),
+                      F.round(F.sum("_lr"), 4).alias("log_weight")))

@@ -1,0 +1,181 @@
+"""Round-5 curation-operator tests: LM cross-entropy scoring, DSIR
+importance weights, duplicate-span mining, mixture planning, kNN graph."""
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from .conftest import SF_DIR
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lm_cross_entropy_matches_hand_computation(spark):
+    from helix_db_spark.operators.textstats import lm_cross_entropy
+
+    # corpus: 6x "a", 2x "b" -> P(a)=0.75, P(b)=0.25
+    df = _mkdocs(spark, [(1, "a a a b"), (2, "a a a b")])
+    out = {r["doc_id"]: r for r in
+           lm_cross_entropy(df, "doc_id", "text").collect()}
+    expect = round(-(3 * math.log(0.75) + math.log(0.25)) / 4, 6)
+    for i in (1, 2):
+        assert out[i]["n_tokens"] == 4
+        assert out[i]["cross_entropy"] == expect
+        assert out[i]["ppl"] == round(math.exp(expect), 4)
+
+
+def test_lm_cross_entropy_orders_common_vs_rare(spark):
+    from helix_db_spark.operators.textstats import lm_cross_entropy
+
+    # doc 1 repeats the dominant token; doc 2 is all hapaxes
+    df = _mkdocs(spark, [(1, "the the the the the"),
+                         (2, "qq ww ee rr tt"),
+                         (3, "the the the qq ww")])
+    out = {r["doc_id"]: r["cross_entropy"] for r in
+           lm_cross_entropy(df, "doc_id", "text").collect()}
+    assert out[1] < out[3] < out[2]
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from helix_db_spark.operators.textstats import dsir_weights
+
+    # target slice speaks 'xx yy'; raw background speaks 'aa bb'
+    rows = [(i, "xx yy xx yy xx yy", 1) for i in range(10)]
+    rows += [(i + 10, "aa bb aa bb aa bb", 0) for i in range(10)]
+    rows += [(100, "xx yy xx yy xx yy", 0),   # target-like but unflagged
+             (101, "aa bb aa bb aa bb", 0)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t int")
+    out = {r["doc_id"]: r["log_weight"] for r in
+           dsir_weights(df, "doc_id", "text",
+                        target_pred=F.col("is_t") == 1,
+                        n_buckets=64).collect()}
+    # the unflagged target-like doc outranks the background doc
+    assert out[100] > out[101]
+    assert out[100] > 0 > out[101]
+    # weights are a deterministic function of text: identical docs tie
+    assert out[100] == out[0]
+
+
+def test_dsir_bucket_model_is_bounded(spark):
+    from helix_db_spark.operators.textstats import dsir_weights
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = dsir_weights(docs, "doc_id", "text",
+                       target_pred=F.col("lang") == "en", n_buckets=32)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    # n_feats = unigrams + bigrams = (2*tokens - 1) for docs with >= 2 tokens
+    one = docs.filter(F.col("doc_id") == rows[0]["doc_id"]).first()
+    from helix_db_spark.functions.text import tokens  # noqa: F401
+    ntok = docs.filter(F.col("doc_id") == rows[0]["doc_id"]) \
+               .select(F.size(tokens(F.col("text"))).alias("n")).first()["n"]
+    got = {r["doc_id"]: r["n_feats"] for r in rows}[one["doc_id"]]
+    assert got == 2 * ntok - 1
+
+
+def test_duplicate_spans_exact_counts(spark):
+    from helix_db_spark.operators.dedup import duplicate_spans
+
+    shared = "one two three four five six"          # exactly 6 tokens
+    df = _mkdocs(spark, [
+        (1, shared + " tail1 tail2"),               # 8 tokens -> 3 spans
+        (2, "lead " + shared),                      # 7 tokens -> 2 spans
+        (3, "totally different words here indeed again and again"),
+    ])
+    out = {r["doc_id"]: r for r in
+           duplicate_spans(df, "doc_id", "text", n=6).collect()}
+    # only the shared 6-token run occurs in two docs
+    assert out[1]["n_spans"] == 3 and out[1]["dup_spans"] == 1
+    assert out[2]["n_spans"] == 2 and out[2]["dup_spans"] == 1
+    assert out[3]["dup_spans"] == 0
+    assert out[2]["dup_fraction"] == 0.5
+    # short docs (< n tokens) simply don't appear
+    short = _mkdocs(spark, [(9, "too short")])
+    assert duplicate_spans(short, "doc_id", "text", n=6).count() == 0
+
+
+def test_mixture_plan_uniform_binding_group(spark):
+    from helix_db_spark.operators.sampling import mixture_plan
+
+    rows = ([(i, "a") for i in range(60)] + [(i + 100, "b") for i in range(30)]
+            + [(i + 200, "c") for i in range(10)])
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = {r["src"]: r for r in mixture_plan(df, "src").collect()}
+    # smallest source binds: frac 1.0, everyone keeps min-group units
+    assert out["c"]["sample_frac"] == 1.0
+    assert out["a"]["keep_units"] == out["b"]["keep_units"] == \
+        out["c"]["keep_units"] == 10.0
+    assert out["a"]["sample_frac"] == round(10 / 60, 6)
+    assert out["a"]["share"] == 0.6
+    assert out["a"]["target_share"] == round(1 / 3, 6)
+
+
+def test_mixture_plan_explicit_target_drops_unlisted(spark):
+    from helix_db_spark.operators.sampling import mixture_plan
+
+    rows = ([(i, "a", 10) for i in range(4)] + [(i + 10, "b", 10)
+                                                for i in range(4)]
+            + [(i + 20, "junk", 10) for i in range(4)])
+    df = spark.createDataFrame(rows, "id long, src string, w int")
+    out = {r["src"]: r for r in
+           mixture_plan(df, "src", size_col="w",
+                        target={"a": 0.75, "b": 0.25}).collect()}
+    assert out["junk"]["sample_frac"] == 0.0 and \
+        out["junk"]["keep_units"] == 0.0
+    # a binds (40/0.75 < 40/0.25): keeps all of a, a third of b
+    assert out["a"]["sample_frac"] == 1.0
+    assert out["b"]["sample_frac"] == round((40 / 0.75) * 0.25 / 40, 6)
+
+
+def _clustered_vecs(n_clusters=8, per=12, dim=16, seed=7):
+    rng = np.random.RandomState(seed)
+    centers = rng.standard_normal((n_clusters, dim)) * 3
+    rows = []
+    for c in range(n_clusters):
+        for j in range(per):
+            v = centers[c] + rng.standard_normal(dim) * 0.05
+            rows.append((c * per + j, [float(x) for x in v]))
+    return rows
+
+
+def test_knn_graph_exact_matches_numpy(spark):
+    from helix_db_spark.operators.similarity import knn_graph
+
+    rows = _clustered_vecs(n_clusters=3, per=5)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = knn_graph(df, "vec_id", "embedding", k=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["src"], []).append((r["rank"], r["dst"]))
+    mat = np.array([v for _, v in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    for i, (vid, _) in enumerate(rows):
+        order = sorted(
+            ((round(float(sims[i, j]), 6), rows[j][0])
+             for j in range(len(rows)) if j != i),
+            key=lambda t: (-t[0], t[1]))[:4]
+        expect = [d for _, d in order]
+        assert [d for _, d in sorted(got[vid])] == expect, vid
+
+
+def test_knn_graph_celled_recall_on_clusters(spark):
+    from helix_db_spark.operators.similarity import knn_graph
+
+    rows = _clustered_vecs()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = knn_graph(df, "vec_id", "embedding", k=3)
+    appx = knn_graph(df, "vec_id", "embedding", k=3, max_cells=16)
+    e = {(r["src"], r["dst"]) for r in exact.collect()}
+    a = {(r["src"], r["dst"]) for r in appx.collect()}
+    # tight clusters: within-cell search recovers nearly all true neighbors
+    assert len(a & e) / len(e) >= 0.85
+    # the celled variant never exceeds k per src and never self-links
+    per_src = {}
+    for s, d in a:
+        assert s != d
+        per_src[s] = per_src.get(s, 0) + 1
+    assert max(per_src.values()) <= 3
