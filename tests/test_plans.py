@@ -139,3 +139,39 @@ def test_round5_analytics_plan_shapes(spark):
     assert "Expand" in p          # ROLLUP grouping sets, single pass
     p = plan("pack_documents_bins")
     assert p.count("Exchange") == 1, p.count("Exchange")
+
+
+def test_curation_op_plan_shapes(spark):
+    """Physical-plan gates for the curation batch: LM scoring and DSIR
+    broadcast their model tables (vocab / bucket log-ratios) instead of
+    shuffling the corpus side; the celled kNN graph joins on the cell key
+    with NO cartesian product (only the explicit exact variant may
+    cross-join); mixture_plan touches the corpus in exactly one
+    aggregation exchange (the window runs on the groups frame)."""
+    from helix_db_spark import entry_queries as eq
+
+    sf = "/root/testdata/sf0.001"
+    qs = eq.queries()
+
+    def plan(name):
+        return qs[name](spark, sf)._jdf.queryExecution() \
+            .executedPlan().toString()
+
+    p = plan("text_lm_cross_entropy")
+    assert "BroadcastHashJoin" in p
+    assert "PythonUDF" not in p
+    p = plan("dsir_importance_weights")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    p = plan("source_mixture_plan")
+    assert "CartesianProduct" not in p
+
+    from helix_db_spark.operators.similarity import knn_graph
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    celled = knn_graph(emb, "vec_id", "embedding", k=3, max_cells=8)
+    pc = celled._jdf.queryExecution().executedPlan().toString()
+    # the pairwise stage is a HASH join on the cell key — the only
+    # nested-loop join allowed is ivf_assign's bounded centroid
+    # broadcast (vectors x sqrt(n)-capped centroid set)
+    assert "CartesianProduct" not in pc
+    assert "BroadcastHashJoin [_cell" in pc
