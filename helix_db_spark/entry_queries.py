@@ -2205,6 +2205,71 @@ def knn_graph_cosine(spark, sf_dir):
                       "cosine")
 
 
+@q("within_without_filters",
+   "SELECT 'within' AS mode, c_custkey FROM customer WHERE c_custkey IN "
+   "(SELECT o_custkey FROM orders) "
+   "UNION ALL "
+   "SELECT 'without' AS mode, c_custkey FROM customer WHERE c_custkey "
+   "NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)")
+def within_without_filters(spark, sf_dir):
+    """Merged graded slot for §2 row 14 (Within = semi join, Without =
+    anti join) — one value-hash covers both var-backed set filters; the
+    single-op variants stay below the cap."""
+    eng = engine_for(spark, sf_dir)
+    out = eng.execute_batch(
+        dsl.read_batch()
+        .var_as("buyers", g().n("orders").out("placed_by").dedup())
+        .var_as("big_buyers", g().n("orders")
+                .where(P.gt("o_totalprice", 300000.0))
+                .out("placed_by").dedup())
+        .var_as("w", g().n("customer").within("buyers")
+                .values("c_custkey"))
+        .var_as("wo", g().n("customer").without("big_buyers")
+                .values("c_custkey"))
+        .returning("w", "wo"))
+    return (out["w"].select(F.lit("within").alias("mode"), "c_custkey")
+            .unionByName(out["wo"].select(F.lit("without").alias("mode"),
+                                          "c_custkey")))
+
+
+@q("edge_search_modes",
+   "SELECT 'vector' AS kind, d.doc_id, "
+   "round(1.0 - list_cosine_similarity("
+   "e.embedding::DOUBLE[], (SELECT embedding::DOUBLE[] FROM embeddings "
+   "WHERE vec_id = 7)), 4) AS score "
+   "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id "
+   "ORDER BY score, d.doc_id LIMIT 5")
+def edge_search_modes(spark, sf_dir):
+    """Merged graded slot for §2 row 7 (VectorSearchEdges +
+    TextSearchEdges): both edge-target searches in one value-hash.
+    Each mode is a self-contained top-5 (vector ranked by $distance
+    ascending, BM25 by score descending — tagged by 'kind')."""
+    vec = _query_vector(spark, sf_dir)
+    eng = engine_for(spark, sf_dir)
+    v = eng.run(
+        g().vector_search("has_embedding", "embedding", vec, 5,
+                          target="edges")
+        .project_list([("doc_id", "$from.doc_id"),
+                       ("score", "$distance")]))
+    t = eng.run(
+        g().text_search("has_embedding", "text", "spark shuffle", 5,
+                        target="edges")
+        .project_list([("doc_id", "$from.doc_id"),
+                       ("score", "$distance")]))
+    return (v.select(F.lit("vector").alias("kind"), "doc_id",
+                     F.round("score", 4).alias("score"))
+            .unionByName(
+        t.select(F.lit("text").alias("kind"), "doc_id",
+                 F.round(-F.col("score"), 4).alias("score"))))
+
+
+REGISTRY["edge_search_modes"] = (
+    edge_search_modes,
+    "SELECT * FROM (" + REGISTRY["edge_search_modes"][1]
+    + ") UNION ALL SELECT 'text' AS kind, doc_id, score FROM ("
+    + _BM25_EDGE_ORACLE + ")")
+
+
 # ---------------------------------------------------------------------------
 # driver contract surface
 # ---------------------------------------------------------------------------
@@ -2227,8 +2292,11 @@ DRIVER_TOP50 = [
     "out_hop_group_count", "semantic_dedup_survivors",
     "edge_endpoint_projection",
     "edge_to_nodes_dedup", "other_n_provenance",
-    # vars / set ops / control flow (rows 15-17, 41-45)
-    "within_semi_join", "without_anti_join", "inject_var_union",
+    # vars / set ops / control flow (rows 15-17, 41-45).
+    # within_without_filters merges the semi-join + anti-join slots
+    # (§2 row 14 is ONE row: Within/Without) — both single-op variants
+    # stay below the cap; the freed slot grades DSIR data selection.
+    "within_without_filters", "inject_var_union",
     "union_branches", "choose_conditional", "coalesce_fallback",
     "optional_passthrough", "repeat_bfs",
     # ordering / paging / aggregation (rows 9, 32-40)
@@ -2239,7 +2307,9 @@ DRIVER_TOP50 = [
     "id_value_map", "project_bindings_rows",
     # search (rows 4-8)
     "vector_search_topk", "vector_search_ivf", "tenant_vector_search",
-    "bm25_text_search", "vector_search_edges", "text_search_edges",
+    # edge_search_modes merges VectorSearchEdges + TextSearchEdges
+    # (§2 row 7 is one row); the freed slot grades the kNN graph family.
+    "bm25_text_search", "edge_search_modes",
     # write path + batch machinery (rows 53-63)
     "write_batch_adds", "set_property_update", "drop_cascade_counts",
     "batch_condition_gate", "foreach_accumulate",
@@ -2262,6 +2332,10 @@ DRIVER_TOP50 = [
     # repetition gate, n-gram decontamination, and exact dedup in one row
     # (split_train_valid_test stays below the cap as local coverage).
     "curate_corpus_pipeline", "asof_purchase_features",
+    # hoisted via the r5 slot merges: DSIR importance weighting (data
+    # selection) and the exact kNN cosine graph (similarity substrate) —
+    # the two strongest previously-ungraded curation families.
+    "dsir_importance_weights", "knn_graph_cosine",
 ]
 
 _missing = [n for n in DRIVER_TOP50 if n not in REGISTRY]

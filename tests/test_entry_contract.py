@@ -38,14 +38,16 @@ def test_driver_top50_covers_survey_ops():
         "case_expression", "arithmetic_projection", "limit_by_param",
         "out_hop_group_count", "semantic_dedup_survivors",
         "edge_endpoint_projection",
-        "edge_to_nodes_dedup", "other_n_provenance", "within_semi_join",
-        "without_anti_join", "inject_var_union", "union_branches",
+        "edge_to_nodes_dedup", "other_n_provenance",
+        "within_without_filters",  # merged semi+anti slot (§2 row 14)
+        "inject_var_union", "union_branches",
         "choose_conditional", "coalesce_fallback", "optional_passthrough",
         "repeat_bfs", "order_limit_topk", "group_collect",
         "aggregate_stats", "id_value_map",
         "project_bindings_rows", "vector_search_topk", "vector_search_ivf",
-        "tenant_vector_search", "bm25_text_search", "vector_search_edges",
-        "text_search_edges", "write_batch_adds", "set_property_update",
+        "tenant_vector_search", "bm25_text_search",
+        "edge_search_modes",       # merged edge-target search slot (row 7)
+        "write_batch_adds", "set_property_update",
         "drop_cascade_counts", "batch_condition_gate", "foreach_accumulate",
         # LLM-pipeline + dataset-prep families (merged slots are the sole
         # graded representative of their operators)
@@ -57,6 +59,8 @@ def test_driver_top50_covers_survey_ops():
         # the composed curation slot grades split_assign + quality gate +
         # repetition gate + decontamination + exact dedup (r5)
         "curate_corpus_pipeline", "asof_purchase_features",
+        # r5 hoists into the merge-freed slots
+        "dsir_importance_weights", "knn_graph_cosine",
     }
     assert critical <= set(DRIVER_TOP50)
     # every top-50 entry has a DuckDB oracle (full value-hash grading)
