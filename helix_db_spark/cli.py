@@ -98,6 +98,62 @@ def cmd_card(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """One-shot corpus curation: run the full recipe (quality gate ->
+    repetition gate -> decontamination -> exact dedup -> split) over a
+    documents table, write the curated corpus as parquet partitioned by
+    split, and print a summary JSON (input/kept counts, per-split rows,
+    mean quality)."""
+    from pyspark.sql import functions as F
+
+    from .operators.pipeline import curate_corpus
+    from .session import get_spark
+
+    spark = get_spark("helix-spark-curate",
+                      **{"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{args.data}/documents.parquet")
+    kept = curate_corpus(docs, min_quality=args.min_quality)
+    out = kept.join(docs, on="doc_id")
+    if args.out:
+        out.write.mode("overwrite").partitionBy("split")            .parquet(args.out)
+    summary = (kept.groupBy("split")
+               .agg(F.count(F.lit(1)).alias("rows"),
+                    F.round(F.avg("quality"), 4).alias("mean_quality"))
+               .orderBy("split").collect())
+    print(json.dumps({
+        "input_docs": docs.count(),
+        "kept_docs": kept.count(),
+        "out": args.out,
+        "splits": [r.asDict() for r in summary]}, default=str))
+    return 0
+
+
+def cmd_dedup(args) -> int:
+    """Incremental dedup flow: ``--build-index`` writes the corpus's
+    on-disk dedup index; with ``--batch`` the batch parquet is classified
+    against it (exact / near / novel) and the annotations print as JSON
+    lines."""
+    from .operators.dedup import incremental_dedup, store_dedup_index
+    from .session import get_spark
+
+    spark = get_spark("helix-spark-dedup",
+                      **{"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{args.data}/documents.parquet")
+    if args.build_index:
+        store_dedup_index(docs, "doc_id", "text", args.index)
+        print(json.dumps({"index": args.index,
+                          "corpus_docs": docs.count()}))
+        return 0
+    batch = spark.read.parquet(args.batch)
+    out = incremental_dedup(spark, batch, "doc_id", "text", args.index,
+                            threshold=args.threshold)
+    for r in out.orderBy("doc_id").collect():
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
 def cmd_serve(args) -> int:
     from .server import HelixSparkServer, QueryBundle
 
@@ -120,7 +176,8 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="helix_db_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
     for name, fn in (("query", cmd_query), ("serve", cmd_serve),
-                     ("card", cmd_card)):
+                     ("card", cmd_card), ("curate", cmd_curate),
+                     ("dedup", cmd_dedup)):
         p = sub.add_parser(name)
         p.add_argument("--data", default="/root/testdata/sf0.001",
                        help="testdata dir to load as the graph")
@@ -133,6 +190,15 @@ def main(argv=None) -> int:
             p.add_argument("--host", default="127.0.0.1")
             p.add_argument("--port", type=int, default=6969)
             p.add_argument("--bundle", help="queries.json stored-route bundle")
+        elif name == "curate":
+            p.add_argument("--out", help="curated-output parquet dir")
+            p.add_argument("--min-quality", type=float, default=0.3)
+        elif name == "dedup":
+            p.add_argument("--index", required=True,
+                           help="on-disk dedup index dir")
+            p.add_argument("--build-index", action="store_true")
+            p.add_argument("--batch", help="delta batch parquet to check")
+            p.add_argument("--threshold", type=float, default=0.7)
         else:
             p.add_argument("--by", default="source",
                            help="grouping column for the per-source card")

@@ -72,3 +72,36 @@ def test_card_command(spark, capsys):
     assert rep["top_bigrams"][0]["occurrences"] >= \
         rep["top_bigrams"][-1]["occurrences"]
     assert rep["vocab"]["total_tokens"] == rows[None]["total_tokens"]
+
+
+def test_curate_command(spark, capsys, tmp_path):
+    out_dir = str(tmp_path / "curated")
+    rc, out, _ = _run(capsys, "curate", "--data", "/root/testdata/sf0.001",
+                      "--out", out_dir)
+    assert rc == 0
+    got = json.loads(out)
+    assert got["input_docs"] == 500
+    assert got["kept_docs"] == sum(s["rows"] for s in got["splits"])
+    assert {s["split"] for s in got["splits"]} == {"train", "valid", "test"}
+    # the written corpus is split-partitioned and re-readable
+    back = spark.read.parquet(out_dir)
+    assert back.count() == got["kept_docs"]
+    assert "split" in back.columns and "text" in back.columns
+
+
+def test_dedup_command_roundtrip(spark, capsys, tmp_path):
+    idx = str(tmp_path / "idx")
+    rc, out, _ = _run(capsys, "dedup", "--data", "/root/testdata/sf0.001",
+                      "--index", idx, "--build-index")
+    assert rc == 0
+    assert json.loads(out)["corpus_docs"] == 500
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batch = docs.limit(1).selectExpr("doc_id + 1000000 AS doc_id", "text")
+    bpath = str(tmp_path / "batch.parquet")
+    batch.write.parquet(bpath)
+    rc, out, _ = _run(capsys, "dedup", "--data", "/root/testdata/sf0.001",
+                      "--index", idx, "--batch", bpath)
+    assert rc == 0
+    rows = [json.loads(ln) for ln in out.strip().splitlines()]
+    assert len(rows) == 1 and rows[0]["dup_kind"] == "exact"
