@@ -679,3 +679,38 @@ def incremental_dedup(spark, new_docs: DataFrame, id_col: str,
         F.coalesce(F.col("_exact_id"), F.col("_near_id")).alias("match_id"),
         F.when(F.col("_exact_id").isNull(), F.col("_near_j"))
          .alias("jaccard_est"))
+
+
+def append_to_dedup_index(batch: DataFrame, id_col: str, text_col: str,
+                          root: str) -> None:
+    """Append a (typically already-classified) batch into an existing
+    dedup index — the maintenance half of continuous ingest: after
+    :func:`incremental_dedup` decides which delta rows to keep, the kept
+    rows join the index so the NEXT batch dedups against them too.
+    Appends land in the same md5-derived bucket directories the probes
+    prune to (bucket membership is a pure function of the value, so
+    append never reshuffles existing data — batch-sized cost, corpus
+    visibility)."""
+    import json
+    import os
+
+    from ..functions.text import bucket_col
+
+    with open(os.path.join(root, "meta.json")) as f:
+        meta = json.load(f)
+    nbuckets = meta["buckets"]
+    digests = batch.select(F.col(id_col).alias("corpus_id"),
+                           content_digest(F.col(text_col)).alias("digest"))
+    (digests.withColumn("_bucket", bucket_col(F.col("digest"), nbuckets))
+            .write.mode("append").partitionBy("_bucket")
+            .parquet(os.path.join(root, "digests")))
+    sigs = minhash_signatures(batch, id_col, text_col,
+                              meta["num_hashes"], meta["shingle_size"]) \
+        .select(F.col(id_col).alias("corpus_id"), "sig")
+    banded = band_rows(sigs, "corpus_id", meta["num_hashes"], meta["bands"])
+    (banded.withColumn("_bucket", bucket_col(F.col("bkey"), nbuckets))
+           .write.mode("append").partitionBy("_bucket")
+           .parquet(os.path.join(root, "bands")))
+    (sigs.withColumn("_bucket", bucket_col(F.col("corpus_id"), nbuckets))
+         .write.mode("append").partitionBy("_bucket")
+         .parquet(os.path.join(root, "sigs")))

@@ -209,3 +209,46 @@ def stream_curate(docs: DataFrame, bench: Optional[DataFrame],
     if bench is None:
         return gated
     return stream_decontaminate(gated, bench, id_col, text_col, n=contam_n)
+
+
+def stream_dedup_ingest(docs: DataFrame, id_col: str, text_col: str,
+                        index_root: str, out_path: str,
+                        threshold: float = 0.7,
+                        checkpoint: Optional[str] = None):
+    """Continuous-ingest deduplication: every micro-batch is classified
+    against the on-disk dedup index (operators/dedup.incremental_dedup —
+    exact / near / novel with the matched corpus id), the annotations
+    append to ``out_path``, and the NOVEL rows are appended into the
+    index (append_to_dedup_index) so later batches dedup against them
+    too. Returns the started StreamingQuery.
+
+    foreachBatch, not a stream-static join: the probe's partition-pruned
+    index slice depends on each batch's bucket set, and the index itself
+    must grow between batches — both outside what a fixed streaming plan
+    can express. Duplicates WITHIN one micro-batch are all novel w.r.t.
+    the index; compose batch exact_dedup upstream if intra-batch copies
+    matter (at ingest granularity they are usually the same event
+    re-delivered, which the idempotent digest append tolerates)."""
+    from ..operators.dedup import append_to_dedup_index, incremental_dedup
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        batch_df = batch_df.persist()
+        ann = incremental_dedup(batch_df.sparkSession, batch_df,
+                                id_col, text_col, index_root,
+                                threshold=threshold).persist()
+        ann.withColumn("_batch", F.lit(batch_id)) \
+           .write.mode("append").parquet(out_path)
+        novel = batch_df.join(
+            ann.filter(F.col("dup_kind").isNull()).select(id_col),
+            on=id_col, how="left_semi")
+        append_to_dedup_index(novel, id_col, text_col, index_root)
+        ann.unpersist()
+        batch_df.unpersist()
+
+    writer = docs.writeStream.foreachBatch(_process) \
+        .trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -255,3 +255,56 @@ def test_stream_curate_matches_batch_gates(spark, tmp_path):
                  .select(content_digest(F.col("text"))).distinct().count())
     assert len(rows) == n_digests
     assert {r["doc_id"] for r in rows} <= want
+
+
+def test_stream_dedup_ingest_grows_index(spark, tmp_path):
+    """Continuous-ingest dedup: micro-batch N+1 must dedup against the
+    NOVEL docs micro-batch N appended to the on-disk index."""
+    from pyspark.sql import functions as F
+
+    from helix_db_spark.operators.dedup import store_dedup_index
+    from helix_db_spark.streaming.ingest import stream_dedup_ingest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    root = str(tmp_path / "idx")
+    store_dedup_index(docs.filter(F.col("doc_id") < 100),
+                      "doc_id", "text", root)
+
+    base = {r["doc_id"]: r["text"]
+            for r in docs.filter(F.col("doc_id") < 2).collect()}
+    src = str(tmp_path / "feed")
+    # batch 1: an exact copy of corpus doc 0 + a genuinely novel doc
+    spark.createDataFrame(
+        [(500001, base[0]), (500002, "fresh unseen contents " * 10)],
+        "doc_id long, text string").coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    # batch 2: an exact copy of batch 1's NOVEL doc — only a dup if the
+    # stream appended batch 1's novelty into the index
+    spark.createDataFrame(
+        [(500003, "fresh unseen contents " * 10), (500004, base[1])],
+        "doc_id long, text string").coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.format("parquet")
+              .schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1")
+              .load(src))
+    out = str(tmp_path / "annotations")
+    q = stream_dedup_ingest(stream, "doc_id", "text", root, out,
+                            checkpoint=str(tmp_path / "ckpt"))
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    ann = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert len(ann) == 4
+    assert ann[500001]["dup_kind"] == "exact" and \
+        ann[500001]["match_id"] == 0
+    assert ann[500002]["dup_kind"] is None
+    assert ann[500004]["dup_kind"] == "exact" and \
+        ann[500004]["match_id"] == 1
+    # the cross-batch catch: 500003 duplicates 500002 from the PRIOR batch
+    assert ann[500003]["dup_kind"] == "exact" and \
+        ann[500003]["match_id"] == 500002
+    # batches processed separately (file-per-trigger)
+    assert ann[500001]["_batch"] != ann[500003]["_batch"]
