@@ -213,3 +213,87 @@ def test_pack_documents_matches_python(spark, sizes, budget):
         assert r["bin_start"] == off // budget
         assert r["bin_end"] == (off + max(n, 1) - 1) // budget
         off += n
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(_words, min_size=1, max_size=8),
+       n=st.integers(min_value=2, max_value=4))
+def test_duplicate_spans_matches_python(spark, docs, n):
+    """The span-hash join equals a direct set-based reference: a span is
+    duplicated iff its exact n-token window occurs in >= 2 docs."""
+    from collections import defaultdict
+
+    from helix_db_spark.operators.dedup import duplicate_spans
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in duplicate_spans(df, "doc_id", "text", n=n).collect()}
+    where = defaultdict(set)
+    spans = {}
+    for i, ws in enumerate(docs):
+        spans[i] = [" ".join(ws[j:j + n]) for j in range(len(ws) - n + 1)]
+        for sp in spans[i]:
+            where[sp].add(i)
+    for i, ws in enumerate(docs):
+        if len(ws) < n:
+            assert i not in got
+            continue
+        dup = sum(1 for sp in spans[i] if len(where[sp]) >= 2)
+        assert got[i]["n_spans"] == len(spans[i])
+        assert got[i]["dup_spans"] == dup
+        assert math.isclose(got[i]["dup_fraction"],
+                            round(dup / len(spans[i]), 6))
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(_words, min_size=1, max_size=10))
+def test_lm_cross_entropy_matches_python(spark, docs):
+    """avg(-ln P_mle(token)) equals the Counter-based reference."""
+    from collections import Counter
+
+    from helix_db_spark.operators.textstats import lm_cross_entropy
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in lm_cross_entropy(df, "doc_id", "text").collect()}
+    counts = Counter(w for ws in docs for w in ws)
+    total = sum(counts.values())
+    for i, ws in enumerate(docs):
+        if not ws:
+            assert i not in got
+            continue
+        ce = sum(-math.log(counts[w] / total) for w in ws) / len(ws)
+        assert got[i]["n_tokens"] == len(ws)
+        assert math.isclose(got[i]["cross_entropy"], round(ce, 6),
+                            abs_tol=2e-6)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(groups=st.lists(
+    st.tuples(st.sampled_from("abcdef"), st.integers(1, 500)),
+    min_size=1, max_size=12, unique_by=lambda t: t[0]))
+def test_mixture_plan_invariants(spark, groups):
+    """Downsampling-only plan properties on arbitrary group layouts:
+    fracs in (0, 1], the binding group keeps everything, kept units hit
+    the target ratios, shares sum to 1."""
+    from helix_db_spark.operators.sampling import mixture_plan
+
+    rows = [(f"{g}{i}", g, sz) for g, sz in groups for i in range(1)]
+    # one row per group with weight = group size (weights carry the mass)
+    df = spark.createDataFrame(rows, "id string, src string, w int")
+    out = mixture_plan(df, "src", size_col="w").collect()
+    assert len(out) == len(groups)
+    assert math.isclose(sum(r["share"] for r in out), 1.0, abs_tol=1e-4)
+    tgt = 1.0 / len(groups)
+    m = min(sz for _, sz in groups)
+    for r in out:
+        assert 0 < r["sample_frac"] <= 1.0
+        assert math.isclose(r["target_share"], round(tgt, 6), abs_tol=1e-6)
+        # every group keeps the binding group's unit mass (uniform target)
+        assert math.isclose(r["keep_units"], m, abs_tol=0.51)
+    assert any(r["sample_frac"] == 1.0 for r in out)
