@@ -593,23 +593,38 @@ def dsir_weights(df: DataFrame, id_col: str, text_col: str,
     top-weight documents approximates sampling the raw corpus toward
     the target distribution.
 
-    Shape: ONE shingle pass (unigram + bigram union) with the target
-    flag riding inside a struct id — no join back to the input for the
-    flag; bucket counts for raw and target come from the SAME
-    partial-aggregable groupBy (sum of the flag = target count); the
-    bucket->log-ratio table is ``n_buckets`` rows, broadcast by
-    construction; per-doc weights are one groupBy over the doc id that
-    reuses the shingle window's hash partitioning. Rounded to 4
-    decimals on both engines."""
-    from ..functions.text import bucket_col, shingle_rows
+    Shape: ONE token explode + ONE lead() window emits BOTH feature
+    grams (each token row yields its unigram plus, when a successor
+    exists, its bigram — no second tokenize/explode pass; measured 2x
+    vs the uni+bi union at sf0.1), with the target flag riding inside a
+    struct id — no join back to the input for the flag; bucket counts
+    for raw and target come from the SAME partial-aggregable groupBy
+    (sum of the flag = target count); the bucket->log-ratio table is
+    ``n_buckets`` rows, broadcast by construction; per-doc weights are
+    one groupBy over the doc id that reuses the feature window's hash
+    partitioning. Rounded to 4 decimals on both engines."""
+    from pyspark.sql import Window
+
+    from ..functions.text import bucket_col
+    from ..functions.text import tokens as _tokens
 
     flagged = df.select(
         F.struct(F.col(id_col).alias("i"),
                  target_pred.cast("int").alias("t")).alias("_did"),
         F.col(text_col))
-    uni = shingle_rows(flagged, "_did", text_col, n=1, distinct=False)
-    bi = shingle_rows(flagged, "_did", text_col, n=2, distinct=False)
-    feats = uni.unionByName(bi).select(
+    toks = flagged.select(
+        "_did", F.posexplode(_tokens(F.col(text_col))).alias("_p", "_t"))
+    nxt = F.lead("_t", 1).over(Window.partitionBy("_did").orderBy("_p"))
+    # window first, generator second: explode can't host a window expr
+    paired = toks.select("_did", "_t", nxt.alias("_nx"))
+    grams = paired.select(
+        "_did",
+        F.explode(F.when(
+            F.col("_nx").isNotNull(),
+            F.array(F.col("_t"),
+                    F.concat_ws(" ", F.col("_t"), F.col("_nx"))))
+            .otherwise(F.array(F.col("_t")))).alias("_s"))
+    feats = grams.select(
         "_did", bucket_col(F.col("_s"), n_buckets).alias("_b"))
     stats = feats.groupBy("_b").agg(
         F.count(F.lit(1)).alias("_cr"),
