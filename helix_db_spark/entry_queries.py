@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict, Optional, Tuple
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import dsl
@@ -2203,6 +2203,54 @@ def knn_graph_cosine(spark, sf_dir):
     out = knn_graph(emb, "vec_id", "embedding", k=3)
     return out.select("src", "dst", F.col("rank").alias("nn_rank"),
                       "cosine")
+
+
+@q("doc_length_histogram",
+   "SELECT source, CAST(floor(n_chars / 50) AS BIGINT) AS bin, "
+   "count(*)::BIGINT AS n_docs, min(n_chars) AS min_chars, "
+   "max(n_chars) AS max_chars "
+   "FROM documents GROUP BY source, bin")
+def doc_length_histogram(spark, sf_dir):
+    """Per-source document-length histogram (50-char-wide bins) —
+    the length-distribution panel of a dataset card; one
+    partial-aggregable shuffle on (source, bin)."""
+    d = _docs(spark, sf_dir)
+    return (d.groupBy("source",
+                      F.floor(F.col("n_chars") / 50).cast("long")
+                       .alias("bin"))
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.min("n_chars").alias("min_chars"),
+                  F.max("n_chars").alias("max_chars")))
+
+
+@q("text_zipf_fit",
+   f"""WITH t AS (SELECT unnest({_TOK.format(c='text')}) AS tok
+        FROM documents),
+c AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+r AS (SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, tok) AS DOUBLE))
+        AS lr, ln(CAST(c AS DOUBLE)) AS lc FROM c)
+SELECT count(*)::BIGINT AS vocab_size,
+  round(regr_slope(lc, lr), 4) AS zipf_slope,
+  round(regr_r2(lc, lr), 4) AS r2 FROM r""")
+def text_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit over the corpus frequency spectrum: OLS slope of
+    ln(count) on ln(rank) (natural text ~ -1; synthetic/templated
+    corpora flatten) plus R². One token groupBy; the rank window runs
+    over the VOCABULARY (bounded), not the corpus; slope/R² from
+    closed-form covariance aggregates — no driver-side math."""
+    from .functions.text import shingle_rows
+    toks = shingle_rows(_docs(spark, sf_dir), "doc_id", "text", n=1,
+                        distinct=False)
+    c = toks.groupBy(F.col("_s").alias("tok")) \
+            .agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    r = c.select(F.log(F.row_number().over(w).cast("double")).alias("lr"),
+                 F.log(F.col("c").cast("double")).alias("lc"))
+    slope = F.covar_pop("lc", "lr") / F.var_pop("lr")
+    corr2 = F.corr("lc", "lr") * F.corr("lc", "lr")
+    return r.agg(F.count(F.lit(1)).alias("vocab_size"),
+                 F.round(slope, 4).alias("zipf_slope"),
+                 F.round(corr2, 4).alias("r2"))
 
 
 @q("within_without_filters",
