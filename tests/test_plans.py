@@ -175,3 +175,23 @@ def test_curation_op_plan_shapes(spark):
     # broadcast (vectors x sqrt(n)-capped centroid set)
     assert "CartesianProduct" not in pc
     assert "BroadcastHashJoin [_cell" in pc
+
+
+def test_registry_wide_no_plan_antipatterns(spark):
+    """EVERY queries() entry compiles free of the two scale-killers:
+    CartesianProduct (unpartitionable quadratic — even the quadratic
+    oracle baselines broadcast one bounded side instead) and
+    BatchEvalPython (row-at-a-time Python UDF; all Python in the repo is
+    Arrow-batched). A new entry that regresses either fails here."""
+    from helix_db_spark import entry_queries as eq
+
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, fn in eq.queries().items():
+        p = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        flags = [f for f, marker in
+                 (("cartesian", "CartesianProduct"),
+                  ("row-python-udf", "BatchEvalPython")) if marker in p]
+        if flags:
+            offenders[name] = flags
+    assert offenders == {}, offenders
