@@ -113,17 +113,20 @@ def cmd_curate(args) -> int:
                       **{"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(f"{args.data}/documents.parquet")
-    kept = curate_corpus(docs, min_quality=args.min_quality)
-    out = kept.join(docs, on="doc_id")
+    kept = curate_corpus(docs, min_quality=args.min_quality).persist()
     if args.out:
-        out.write.mode("overwrite").partitionBy("split")            .parquet(args.out)
+        kept.join(docs, on="doc_id") \
+            .write.mode("overwrite").partitionBy("split") \
+            .parquet(args.out)
     summary = (kept.groupBy("split")
                .agg(F.count(F.lit(1)).alias("rows"),
                     F.round(F.avg("quality"), 4).alias("mean_quality"))
                .orderBy("split").collect())
+    kept.unpersist()
     print(json.dumps({
         "input_docs": docs.count(),
-        "kept_docs": kept.count(),
+        # every kept row carries a split, so the summary partitions kept
+        "kept_docs": sum(r["rows"] for r in summary),
         "out": args.out,
         "splits": [r.asDict() for r in summary]}, default=str))
     return 0
@@ -137,11 +140,15 @@ def cmd_dedup(args) -> int:
     from .operators.dedup import incremental_dedup, store_dedup_index
     from .session import get_spark
 
+    if not args.build_index and not args.batch:
+        print(json.dumps({"error": "pass --build-index or --batch"}),
+              file=sys.stderr)
+        return 2
     spark = get_spark("helix-spark-dedup",
                       **{"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
-    docs = spark.read.parquet(f"{args.data}/documents.parquet")
     if args.build_index:
+        docs = spark.read.parquet(f"{args.data}/documents.parquet")
         store_dedup_index(docs, "doc_id", "text", args.index)
         print(json.dumps({"index": args.index,
                           "corpus_docs": docs.count()}))

@@ -2140,20 +2140,23 @@ def dsir_importance_weights(spark, sf_dir):
 @q("dedup_duplicate_spans",
    f"""WITH t AS (SELECT doc_id, {_TOK.format(c='text')} AS ts
         FROM documents),
-s AS (SELECT doc_id, unnest([array_to_string(ts[i:i+5], ' ')
-        for i in generate_series(1, len(ts)-5)]) AS sp
-      FROM t WHERE len(ts) >= 6),
-c AS (SELECT sp, count(DISTINCT doc_id) AS d FROM s GROUP BY sp)
+s AS (SELECT doc_id, {_H60.format(x='sp')} AS h FROM
+      (SELECT doc_id, unnest([array_to_string(ts[i:i+5], ' ')
+         for i in generate_series(1, len(ts)-5)]) AS sp
+       FROM t WHERE len(ts) >= 6)),
+c AS (SELECT h, count(DISTINCT doc_id) AS d FROM s GROUP BY h)
 SELECT doc_id, count(*)::BIGINT AS n_spans,
   sum(CASE WHEN c.d >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_spans,
   round(sum(CASE WHEN c.d >= 2 THEN 1 ELSE 0 END)
         / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
-FROM s JOIN c USING (sp) GROUP BY doc_id""")
+FROM s JOIN c USING (h) GROUP BY doc_id""")
 def dedup_duplicate_spans(spark, sf_dir):
     """Exact-substring dedup profile (fixed 6-token-window approximation
     of Lee et al. 2021): per doc, how many of its n-token spans also
     occur in another document — the cross-document boilerplate gate
-    whole-doc exact dedup cannot see."""
+    whole-doc exact dedup cannot see. The oracle replays the SAME 60-bit
+    span hash the engine shuffles on, so a (astronomically rare) hash
+    collision marks both engines identically."""
     from .operators.dedup import duplicate_spans
     return duplicate_spans(_docs(spark, sf_dir), "doc_id", "text", n=6)
 

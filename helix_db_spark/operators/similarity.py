@@ -25,8 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 from ..catalog import _ID
-from ..functions.vector import cosine_distance, cosine_similarity_cols, \
-    cosine_similarity_exact, norm
+from ..functions.vector import cosine_distance, cosine_similarity_cols, norm
 
 LSH_SEED = 42
 # 16 bands x 6 bits: tuned for moderate-similarity neighborhoods

@@ -569,9 +569,13 @@ def lm_cross_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = shingle_rows(df, id_col, text_col, n=1, distinct=False)
     vocab = toks.groupBy(F.col("_s").alias("_t")) \
                 .agg(F.count(F.lit(1)).alias("_c"))
-    n_total = toks.count()
-    nll = -F.log(F.col("_c") / F.lit(float(n_total)))
+    # total token count as a LAZY 1-row broadcast (the oracle's CROSS
+    # JOIN shape) — an eager count() here would run a full tokenize
+    # pass at plan-construction time
+    total = vocab.agg(F.sum("_c").cast("double").alias("_n"))
+    nll = -F.log(F.col("_c") / F.col("_n"))
     per_doc = (toks.join(F.broadcast(vocab), toks["_s"] == F.col("_t"))
+                   .crossJoin(F.broadcast(total))
                    .groupBy(id_col)
                    .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
                         F.round(F.avg(nll), 6).alias("cross_entropy")))
@@ -629,13 +633,16 @@ def dsir_weights(df: DataFrame, id_col: str, text_col: str,
     stats = feats.groupBy("_b").agg(
         F.count(F.lit(1)).alias("_cr"),
         F.sum(F.col("_did.t")).alias("_ct"))
-    tot = stats.agg(F.sum("_cr").alias("r"), F.sum("_ct").alias("t")).first()
-    n_raw, n_tgt = float(tot["r"] or 0), float(tot["t"] or 0)
+    # model totals as a LAZY 1-row broadcast instead of a .first() at
+    # plan-construction time (same double arithmetic as the oracle's
+    # CROSS JOIN tot)
+    tot = stats.agg(F.sum("_cr").alias("_nr"), F.sum("_ct").alias("_nt"))
     a, b = float(smoothing), float(n_buckets)
-    ratio = stats.select(
+    ratio = stats.crossJoin(F.broadcast(tot)).select(
         "_b",
-        (F.log((F.col("_ct") + a) / F.lit(n_tgt + a * b))
-         - F.log((F.col("_cr") + a) / F.lit(n_raw + a * b))).alias("_lr"))
+        (F.log((F.col("_ct") + a) / (F.col("_nt") + F.lit(a * b)))
+         - F.log((F.col("_cr") + a) / (F.col("_nr") + F.lit(a * b))))
+        .alias("_lr"))
     return (feats.join(F.broadcast(ratio), on="_b")
                  .groupBy(F.col("_did.i").alias(id_col))
                  .agg(F.count(F.lit(1)).cast("long").alias("n_feats"),

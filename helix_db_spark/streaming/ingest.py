@@ -238,8 +238,12 @@ def stream_dedup_ingest(docs: DataFrame, id_col: str, text_col: str,
         ann = incremental_dedup(batch_df.sparkSession, batch_df,
                                 id_col, text_col, index_root,
                                 threshold=threshold).persist()
-        ann.withColumn("_batch", F.lit(batch_id)) \
-           .write.mode("append").parquet(out_path)
+        # per-batch directory + overwrite: a replayed micro-batch
+        # (foreachBatch is at-least-once) rewrites the SAME annotations
+        # instead of appending duplicates; readers see _batch as a
+        # partition column of out_path
+        ann.write.mode("overwrite") \
+           .parquet(f"{out_path}/_batch={int(batch_id)}")
         novel = batch_df.join(
             ann.filter(F.col("dup_kind").isNull()).select(id_col),
             on=id_col, how="left_semi")
