@@ -517,12 +517,17 @@ def pmi_collocations(df: DataFrame, id_col: str, text_col: str,
     toks = shingle_rows(df, id_col, text_col, n=1, distinct=False)
     uni = toks.groupBy(F.col("_s").alias("_t")) \
               .agg(F.count(F.lit(1)).alias("_cu"))
-    n_uni = toks.count()
     bi = shingle_rows(df, id_col, text_col, n=2, distinct=False)
     bic = (bi.groupBy(F.col("_s").alias("gram"))
              .agg(F.count(F.lit(1)).alias("occurrences"))
              .filter(F.col("occurrences") >= min_count))
-    n_bi = bi.count()
+    # occurrence totals as LAZY 1-row broadcasts (the oracle's CROSS
+    # JOIN nu/nb shape) — eager count()s here ran two extra tokenize
+    # passes at plan-construction time. n_bi counts ALL bigrams
+    # (before the min_count filter), so it aggregates bi, not bic.
+    tot = (uni.agg(F.sum("_cu").cast("double").alias("_nu"))
+              .crossJoin(bi.agg(F.count(F.lit(1)).cast("double")
+                                .alias("_nb"))))
     parts = F.split(F.col("gram"), " ")
     # F.get, not [..]: Catalyst can push this projection below
     # shingle_rows' completeness filter, evaluating it on the incomplete
@@ -537,9 +542,10 @@ def pmi_collocations(df: DataFrame, id_col: str, text_col: str,
                  .join(F.broadcast(uni.withColumnRenamed("_t", "_w2")
                                       .withColumnRenamed("_cu", "_c2")),
                        on="_w2"))
-    pmi = F.log((F.col("occurrences") / F.lit(float(n_bi)))
-                / ((F.col("_c1") / F.lit(float(n_uni)))
-                   * (F.col("_c2") / F.lit(float(n_uni)))))
+    joined = joined.crossJoin(F.broadcast(tot))
+    pmi = F.log((F.col("occurrences") / F.col("_nb"))
+                / ((F.col("_c1") / F.col("_nu"))
+                   * (F.col("_c2") / F.col("_nu"))))
     return (joined.withColumn("pmi", F.round(pmi, 4))
                   .select("gram", "occurrences", "pmi")
                   .orderBy(F.col("pmi").desc(), F.col("gram").asc())
