@@ -161,6 +161,28 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    """Print the executed physical plan for each returned variable of a
+    dynamic-query request — the observability hook for verifying
+    pushdown / broadcast / top-k shapes on a live catalog (the same
+    properties tests/test_plans.py pins in CI)."""
+    from .plans.wire import parse_request
+
+    request = _load_request(args)
+    engine = _engine(args)
+    try:
+        frames = engine.execute_batch(parse_request(request))
+    except Exception as ex:  # noqa: BLE001 — CLI boundary
+        print(json.dumps({"error": f"{type(ex).__name__}: {ex}"}),
+              file=sys.stderr)
+        return 1
+    engine.spark.conf.set("spark.sql.maxMetadataStringLength", "20000")
+    for name, df in frames.items():
+        print(f"== {name} ==")
+        print(df._jdf.queryExecution().executedPlan().toString())
+    return 0
+
+
 def cmd_serve(args) -> int:
     from .server import HelixSparkServer, QueryBundle
 
@@ -184,13 +206,13 @@ def main(argv=None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
     for name, fn in (("query", cmd_query), ("serve", cmd_serve),
                      ("card", cmd_card), ("curate", cmd_curate),
-                     ("dedup", cmd_dedup)):
+                     ("dedup", cmd_dedup), ("explain", cmd_explain)):
         p = sub.add_parser(name)
         p.add_argument("--data", default="/root/testdata/sf0.001",
                        help="testdata dir to load as the graph")
         p.add_argument("--store", help="saved catalog dir (sources/store.py)")
         p.set_defaults(fn=fn)
-        if name == "query":
+        if name in ("query", "explain"):
             p.add_argument("--json", help="inline request JSON")
             p.add_argument("--file", help="request JSON file")
         elif name == "serve":

@@ -105,3 +105,11 @@ def test_dedup_command_roundtrip(spark, capsys, tmp_path):
     assert rc == 0
     rows = [json.loads(ln) for ln in out.strip().splitlines()]
     assert len(rows) == 1 and rows[0]["dup_kind"] == "exact"
+
+
+def test_explain_command(spark, capsys):
+    rc, out, _ = _run(capsys, "explain", "--json", REQ,
+                      "--data", "/root/testdata/sf0.001")
+    assert rc == 0
+    assert "== r ==" in out
+    assert "FileScan parquet" in out and "region.parquet" in out
