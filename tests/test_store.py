@@ -283,3 +283,24 @@ def test_incremental_dedup_against_stored_index(spark, tmp_path):
     assert m is not None, plan
     vals = m.group(1) or m.group(2)
     assert {int(x) for x in vals.split(",")} == {bk}
+
+
+def test_incremental_dedup_degenerate_batches(spark, tmp_path):
+    """Empty and NULL-text batches must classify cleanly (empty result /
+    novel), never crash the probe planning."""
+    from helix_db_spark.operators.dedup import (incremental_dedup,
+                                                store_dedup_index)
+
+    root = str(tmp_path / "idx")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    store_dedup_index(docs, "doc_id", "text", root)
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = incremental_dedup(spark, empty, "doc_id", "text", root)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "dup_kind", "match_id", "jaccard_est"]
+
+    nulls = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    row = incremental_dedup(spark, nulls, "doc_id", "text", root).first()
+    # NULL text has a NULL digest and no shingles -> novel by definition
+    assert row["dup_kind"] is None and row["match_id"] is None
