@@ -535,8 +535,27 @@ def append_to_ivf_index(df: DataFrame, root: str) -> None:
         .parquet(_os.path.join(root, "cells"))
 
 
+def _assign_multi(df: DataFrame, id_col: str, vec_col: str,
+                  cents: DataFrame, nprobe: int) -> DataFrame:
+    """Top-``nprobe`` nearest-centroid assignment (one row per (id,
+    probed cell)) against a bounded broadcast centroid set — the
+    query-side fan-out that trades nprobe x candidate volume for IVF
+    recall. Same broadcast-join matmul pass as _assign_to; the rank
+    window partitions on the id (uniform, no skew)."""
+    dist = F.lit(1.0) - cosine_similarity_cols(F.col(vec_col),
+                                               F.col("_cvec"))
+    w = Window.partitionBy(id_col).orderBy("_cdist", "_cid")
+    return (df.join(F.broadcast(cents))
+              .withColumn("_cdist", dist)
+              .withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= nprobe)
+              .select(F.col(id_col), F.col(vec_col),
+                      F.col("_cid").alias("_cell")))
+
+
 def knn_graph(df: DataFrame, id_col: str, vec_col: str, k: int = 5,
-              max_cells: Optional[int] = None) -> DataFrame:
+              max_cells: Optional[int] = None,
+              nprobe: int = 1) -> DataFrame:
     """k-nearest-neighbor graph over an embedding corpus: for every
     vector, its top-k cosine neighbors as (src, dst, rank, cosine) —
     the substrate for graph-based curation (SemDeDup-style cluster
@@ -563,9 +582,22 @@ def knn_graph(df: DataFrame, id_col: str, vec_col: str, k: int = 5,
     v = F.col(vec_col).cast("array<double>")
     nrm = F.sqrt(_dot(v, v))
     if max_cells is not None:
-        assigned, _ = ivf_assign(df, id_col, vec_col, max_cells)
-        left = assigned.select(F.col(id_col).alias("src"),
-                               v.alias("_va"), nrm.alias("_na"), "_cell")
+        assigned, cents = ivf_assign(df, id_col, vec_col, max_cells)
+        if nprobe > 1:
+            # query side probes its nprobe nearest cells; the corpus
+            # side stays in its home cell, so each true neighbor is
+            # reachable through any of the query's probed cells —
+            # candidate volume grows nprobe x, recall follows the IVF
+            # curve. A (src, dst) pair can still only match once: dst
+            # lives in exactly one cell.
+            probed = _assign_multi(df, id_col, vec_col, cents, nprobe)
+            left = probed.select(F.col(id_col).alias("src"),
+                                 v.alias("_va"), nrm.alias("_na"),
+                                 "_cell")
+        else:
+            left = assigned.select(F.col(id_col).alias("src"),
+                                   v.alias("_va"), nrm.alias("_na"),
+                                   "_cell")
         right = assigned.select(F.col(id_col).alias("dst"),
                                 v.alias("_vb"), nrm.alias("_nb"), "_cell")
         joined = left.join(right, on="_cell")

@@ -179,3 +179,25 @@ def test_knn_graph_celled_recall_on_clusters(spark):
         assert s != d
         per_src[s] = per_src.get(s, 0) + 1
     assert max(per_src.values()) <= 3
+
+
+def test_knn_graph_nprobe_improves_recall(spark):
+    from helix_db_spark.operators.similarity import knn_graph
+
+    # looser clusters so single-cell search visibly misses neighbors
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)])
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {(r["src"], r["dst"])
+             for r in knn_graph(df, "vec_id", "embedding", k=3).collect()}
+
+    def recall(nprobe):
+        a = {(r["src"], r["dst"]) for r in
+             knn_graph(df, "vec_id", "embedding", k=3, max_cells=12,
+                       nprobe=nprobe).collect()}
+        return len(a & exact) / len(exact)
+
+    r1, r3 = recall(1), recall(3)
+    assert r3 >= r1
+    assert r3 >= 0.5  # isotropic data, 3/12 cells probed
