@@ -2208,6 +2208,49 @@ def knn_graph_cosine(spark, sf_dir):
                       "cosine")
 
 
+@q("events_value_quantiles",
+   "SELECT event_type, count(*)::BIGINT AS n, "
+   "round(quantile_cont(value, 0.5), 6) AS p50, "
+   "round(quantile_cont(value, 0.9), 6) AS p90, "
+   "round(quantile_cont(value, 0.99), 6) AS p99 "
+   "FROM events GROUP BY event_type")
+def events_value_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per event type (p50/p90/p99) —
+    the latency/value-distribution panel of an analytics dashboard.
+    Spark's exact percentile and DuckDB's quantile_cont share the
+    linear-interpolation definition, so the value hash pins it. One
+    partial shuffle on the (low-cardinality) event type; at true scale
+    swap to approx_percentile and a tolerance-gated check."""
+    ev = _events(spark, sf_dir)
+    pc = F.percentile(F.col("value"), F.array(F.lit(0.5), F.lit(0.9),
+                                              F.lit(0.99)))
+    return (ev.groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n"), pc.alias("_p"))
+              .select("event_type", "n",
+                      F.round(F.col("_p")[0], 6).alias("p50"),
+                      F.round(F.col("_p")[1], 6).alias("p90"),
+                      F.round(F.col("_p")[2], 6).alias("p99")))
+
+
+@q("events_user_running_sum",
+   "SELECT event_id, user_id, "
+   "round(sum(value) OVER (PARTITION BY user_id "
+   "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+   "CURRENT ROW), 4) AS running_value "
+   "FROM events WHERE user_id < 50")
+def events_user_running_sum(spark, sf_dir):
+    """Per-user cumulative value over time (rows-frame running sum,
+    ties broken by event_id so both engines accumulate in the same
+    order) — the sessionless user-trajectory primitive. One shuffle on
+    user_id; the frame is rows-based, so no range scan."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select("event_id", "user_id",
+                     F.round(F.sum("value").over(w), 4)
+                      .alias("running_value"))
+
+
 @q("doc_length_histogram",
    "SELECT source, CAST(floor(n_chars / 50) AS BIGINT) AS bin, "
    "count(*)::BIGINT AS n_docs, min(n_chars) AS min_chars, "
