@@ -1846,8 +1846,9 @@ def text_pmi_collocations(spark, sf_dir):
                             min_count=5, k=20)
 
 
-@q("text_semantic_dedup",
-   f"""WITH t AS (SELECT doc_id,
+# shared CTE chain: hash-embedding + deterministic IVF cell assignment
+# (replayed by text_semantic_dedup AND cluster_topic_cards)
+_HE_ASGN = f"""t AS (SELECT doc_id,
         list_transform({_TOK.format(c='text')},
             tk -> {_H32.format(x='tk')}) AS hs
         FROM documents),
@@ -1865,7 +1866,10 @@ ranked AS (SELECT e.doc_id, c.cid,
              row_number() OVER (PARTITION BY e.doc_id ORDER BY
                  1.0 - list_cosine_similarity(e.emb, c.cvec), c.cid) AS rn
            FROM e CROSS JOIN cent c),
-asgn AS (SELECT doc_id, cid AS cell FROM ranked WHERE rn = 1),
+asgn AS (SELECT doc_id, cid AS cell FROM ranked WHERE rn = 1)"""
+
+@q("text_semantic_dedup",
+   f"""WITH {_HE_ASGN},
 dropped AS (SELECT DISTINCT y.doc_id
             FROM asgn x JOIN asgn y ON x.cell = y.cell
                                    AND x.doc_id < y.doc_id
@@ -1886,6 +1890,36 @@ def text_semantic_dedup(spark, sf_dir):
         "doc_id", hash_embedding(F.col("text"), _HE_DIM).alias("emb"))
     out = semantic_dedup(emb, "doc_id", "emb", threshold=0.8)
     return out.select("doc_id", F.col("_cell").alias("cell"))
+
+
+@q("cluster_topic_cards",
+   f"""WITH {_HE_ASGN},
+tok AS (SELECT a.cell, unnest({_TOK.format(c='d.text')}) AS term
+        FROM documents d JOIN asgn a USING (doc_id)),
+pc AS (SELECT cell, term, count(*) AS ct FROM tok GROUP BY cell, term),
+ov AS (SELECT term, sum(ct) AS ot FROM pc GROUP BY term),
+cn AS (SELECT cell, sum(ct) AS cnn FROM pc GROUP BY cell),
+onn AS (SELECT CAST(sum(ot) AS DOUBLE) AS onv FROM ov),
+sz AS (SELECT cell, count(*) AS n_docs FROM asgn GROUP BY cell),
+sc AS (SELECT pc.cell, pc.term,
+         round((pc.ct / CAST(cn.cnn AS DOUBLE))
+               / (ov.ot / onn.onv), 4) AS lift
+       FROM pc JOIN ov USING (term) JOIN cn USING (cell)
+       CROSS JOIN onn WHERE pc.ct >= 5),
+r AS (SELECT cell, term, lift, row_number() OVER (PARTITION BY cell
+        ORDER BY lift DESC, term) AS term_rank FROM sc)
+SELECT r.cell, sz.n_docs::BIGINT AS n_docs, r.term, r.term_rank, r.lift
+FROM r JOIN sz USING (cell) WHERE term_rank <= 3""")
+def cluster_topic_cards(spark, sf_dir):
+    """Corpus topic map: deterministic clusters (hash embeddings -> IVF
+    cells, the text_semantic_dedup chain) described by their 3 most
+    distinctive tokens by frequency lift — the 'what is in this corpus'
+    table of a dataset card. The full chain (hashing trick, centroid
+    sample, assignment, counts, lift, per-cluster rank) replays in one
+    composed DuckDB oracle."""
+    from .operators.pipeline import cluster_topics
+    return cluster_topics(_docs(spark, sf_dir), "doc_id", "text",
+                          dim=_HE_DIM, k_terms=3, min_count=5)
 
 
 @q("dataset_card_by_source",

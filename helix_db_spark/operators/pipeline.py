@@ -60,3 +60,60 @@ def curate_corpus(docs: DataFrame, bench: Optional[DataFrame] = None,
     kept = exact_dedup(gated, id_col, text_col)
     return split_assign(kept, id_col, weights) \
         .select(F.col(id_col), "quality", "split")
+
+
+def cluster_topics(docs: DataFrame, id_col: str, text_col: str,
+                   dim: int = 64, max_cells: int = 4096,
+                   k_terms: int = 3, min_count: int = 5) -> DataFrame:
+    """Corpus topic map — the exploration report over an unlabeled
+    corpus: documents cluster deterministically (feature-hashing
+    embeddings -> IVF cell assignment, both SQL-replayable; no model,
+    no RNG), and each cluster is described by its ``k_terms`` most
+    DISTINCTIVE tokens by frequency lift
+    ``(P(tok | cluster) / P(tok))`` (min ``min_count`` occurrences in
+    the cluster guards small-sample lift). Output: (cell, n_docs, term,
+    term_rank, lift) — the table a dataset card prints as "what's in
+    this corpus".
+
+    Shape: embedding + assignment are one bounded-broadcast matmul pass
+    (similarity.ivf_assign); token counts are ONE shingle pass grouped
+    by (cell, token) with the overall token counts DERIVED from the
+    per-cluster counts (a second partial aggregate, not a second pass);
+    totals ride broadcast crossJoins; per-cluster ranking windows over
+    the (cluster, token) count table — vocabulary-bounded, never the
+    corpus."""
+    from pyspark.sql import Window
+
+    from ..functions.text import shingle_rows
+    from .similarity import ivf_assign
+    from .textstats import hash_embedding
+
+    emb = docs.select(F.col(id_col), F.col(text_col),
+                      hash_embedding(F.col(text_col), dim).alias("_e"))
+    assigned, _ = ivf_assign(emb, id_col, "_e", max_cells)
+    sizes = assigned.groupBy("_cell").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    keyed = assigned.select(
+        F.struct(F.col(id_col).alias("i"), F.col("_cell").alias("c"))
+        .alias("_did"), F.col(text_col))
+    toks = shingle_rows(keyed, "_did", text_col, n=1, distinct=False)
+    per_cluster = toks.groupBy(F.col("_did.c").alias("_cell"),
+                               F.col("_s").alias("term")) \
+                      .agg(F.count(F.lit(1)).alias("_ct"))
+    overall = per_cluster.groupBy("term").agg(F.sum("_ct").alias("_ot"))
+    ctot = per_cluster.groupBy("_cell").agg(F.sum("_ct").alias("_cn"))
+    otot = overall.agg(F.sum("_ot").cast("double").alias("_on"))
+    lift = ((F.col("_ct") / F.col("_cn"))
+            / (F.col("_ot") / F.col("_on")))
+    scored = (per_cluster.filter(F.col("_ct") >= min_count)
+              .join(F.broadcast(overall), on="term")
+              .join(F.broadcast(ctot), on="_cell")
+              .crossJoin(F.broadcast(otot))
+              .withColumn("lift", F.round(lift, 4)))
+    w = Window.partitionBy("_cell").orderBy(F.col("lift").desc(),
+                                            F.col("term").asc())
+    return (scored.withColumn("term_rank", F.row_number().over(w))
+                  .filter(F.col("term_rank") <= k_terms)
+                  .join(F.broadcast(sizes), on="_cell")
+                  .select(F.col("_cell").alias("cell"), "n_docs",
+                          "term", "term_rank", "lift"))

@@ -201,3 +201,27 @@ def test_knn_graph_nprobe_improves_recall(spark):
     r1, r3 = recall(1), recall(3)
     assert r3 >= r1
     assert r3 >= 0.5  # isotropic data, 3/12 cells probed
+
+
+def test_cluster_topics_surfaces_distinctive_terms(spark):
+    from helix_db_spark.operators.pipeline import cluster_topics
+
+    # two vocabularies -> clusters whose lift terms identify them
+    rows = [(i, "alpha beta alpha beta alpha beta gamma " * 3)
+            for i in range(20)]
+    rows += [(i + 100, "delta epsilon delta epsilon delta zeta " * 3)
+             for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cluster_topics(df, "doc_id", "text", dim=16, k_terms=2,
+                         min_count=5).collect()
+    assert out, "must produce topic rows"
+    by_cell = {}
+    for r in out:
+        assert r["term_rank"] <= 2 and r["lift"] > 0
+        by_cell.setdefault(r["cell"], []).append(r["term"])
+    # every emitted term belongs to exactly one vocabulary, and no
+    # cluster mixes the two vocabularies in its top terms
+    va = {"alpha", "beta", "gamma"}
+    vb = {"delta", "epsilon", "zeta"}
+    for terms in by_cell.values():
+        assert set(terms) <= va or set(terms) <= vb, terms
