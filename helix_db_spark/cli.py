@@ -93,8 +93,13 @@ def cmd_card(args) -> int:
              top_ngrams(docs, "doc_id", "text", n=2,
                         k=args.top).collect()]
     vocab = vocab_stats(docs, "doc_id", "text").collect()[0].asDict()
-    print(json.dumps({"card": card, "top_bigrams": grams,
-                      "vocab": vocab}, default=str))
+    out = {"card": card, "top_bigrams": grams, "vocab": vocab}
+    if args.topics:
+        from .operators.pipeline import cluster_topics
+        out["topics"] = [r.asDict() for r in
+                         cluster_topics(docs, "doc_id", "text")
+                         .orderBy("cell", "term_rank").collect()]
+    print(json.dumps(out, default=str))
     return 0
 
 
@@ -233,6 +238,8 @@ def main(argv=None) -> int:
                            help="grouping column for the per-source card")
             p.add_argument("--top", type=int, default=10,
                            help="top bigram count")
+            p.add_argument("--topics", action="store_true",
+                           help="include the cluster topic map")
     args = ap.parse_args(argv)
     return args.fn(args)
 
