@@ -2398,6 +2398,33 @@ REGISTRY["edge_search_modes"] = (
     + _BM25_EDGE_ORACLE + ")")
 
 
+@q("asof_next_purchase",
+   "SELECT l.event_id, l.user_id, round(r.value, 4) AS next_value, "
+   "CAST(epoch(date_trunc('second', r.ts)) AS BIGINT) AS next_epoch "
+   "FROM (SELECT event_id, user_id, ts FROM events "
+   "      WHERE event_type = 'click') l "
+   "LEFT JOIN LATERAL (SELECT value, ts FROM events r "
+   "  WHERE r.event_type = 'purchase' AND r.user_id = l.user_id "
+   "    AND r.ts >= l.ts ORDER BY r.ts LIMIT 1) r ON true")
+def asof_next_purchase(spark, sf_dir):
+    """FORWARD as-of join: each click joins the user's next purchase at
+    or after it (time-to-conversion lookups). Same one-window-scan
+    shape as the backward variant, run in reverse time order; the
+    oracle is a LATERAL next-event subquery."""
+    from .operators.sampling import asof_join
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("event_id", "user_id", "ts")
+    buys = ev.filter(F.col("event_type") == "purchase") \
+             .select("user_id", "ts", F.col("value").alias("next_value"))
+    out = asof_join(clicks, buys, on="ts", by="user_id",
+                    direction="forward")
+    return out.select(
+        "event_id", "user_id",
+        F.round("next_value", 4).alias("next_value"),
+        F.unix_timestamp("matched_ts").cast("long").alias("next_epoch"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract surface
 # ---------------------------------------------------------------------------

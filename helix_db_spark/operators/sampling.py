@@ -136,10 +136,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
               by: Optional[str] = None,
               right_cols: Optional[Sequence[str]] = None,
               tolerance: Optional[int] = None,
-              allow_global_sort: bool = False) -> DataFrame:
-    """Backward as-of join: each left row picks the latest right row with
-    ``right.on <= left.on`` (within the same ``by`` group when given) —
-    point-in-time correctness for feature lookups.
+              allow_global_sort: bool = False,
+              direction: str = "backward") -> DataFrame:
+    """As-of join: each left row picks the latest right row with
+    ``right.on <= left.on`` (``direction='backward'``, the default —
+    point-in-time correctness for feature lookups) or the earliest right
+    row with ``right.on >= left.on`` (``direction='forward'`` — the
+    next-event lookup, e.g. time-to-conversion).
 
     Spark-first shape: union both sides tagged, one window pass per ``by``
     group ordered by (on, side) carrying ``last(right value, ignorenulls)``
@@ -164,16 +167,24 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
                        *[F.col(c) for c in rcols])
     rt = right.select(*([by] if by else []), F.col(on),
                       payload.alias("_rv")).withColumn("_side", F.lit(0))
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     unioned = lt.unionByName(rt, allowMissingColumns=True)
+    # forward = the same one-window-scan trick run in reverse time order
+    # (right rows still sort before left at equal `on`, so >= matches)
+    order = (F.col(on).asc() if direction == "backward"
+             else F.col(on).desc())
     part = Window.partitionBy(*([by] if by else [])) \
-                 .orderBy(F.col(on).asc(), F.col("_side").asc()) \
+                 .orderBy(order, F.col("_side").asc()) \
                  .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     carried = unioned.withColumn("_m", F.last("_rv", ignorenulls=True)
                                  .over(part))
     out = carried.filter(F.col("_side") == 1)
     match = F.col("_m")
     if tolerance is not None:
-        match = F.when(F.col(on) - match["_rt"] <= F.lit(tolerance), match)
+        gap = (F.col(on) - match["_rt"] if direction == "backward"
+               else match["_rt"] - F.col(on))
+        match = F.when(gap <= F.lit(tolerance), match)
     return out.select(
         *[F.col(c) for c in left.columns],
         *[match[c].alias(c) for c in rcols],

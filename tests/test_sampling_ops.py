@@ -170,3 +170,26 @@ def test_weighted_sample(spark):
     again = {r["doc_id"] for r in
              weighted_sample(df, "doc_id", "w").collect()}
     assert again == kept                                      # exact replay
+
+
+def test_asof_join_forward_direction(spark):
+    from helix_db_spark.operators.sampling import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 10), (2, "u", 25), (3, "u", 99), (4, "v", 5)],
+        "id long, u string, t long")
+    right = spark.createDataFrame(
+        [("u", 10, 1.0), ("u", 20, 2.0), ("u", 30, 3.0), ("v", 4, 9.0)],
+        "u string, t long, val double")
+    out = {r["id"]: r for r in
+           asof_join(left, right, on="t", by="u",
+                     direction="forward").collect()}
+    assert out[1]["val"] == 1.0 and out[1]["matched_t"] == 10  # >= matches
+    assert out[2]["val"] == 3.0                                # next at 30
+    assert out[3]["val"] is None                               # nothing after
+    assert out[4]["val"] is None                               # v: only before
+    # forward tolerance nulls matches farther than `tolerance` ahead
+    tol = {r["id"]: r["val"] for r in
+           asof_join(left, right, on="t", by="u", direction="forward",
+                     tolerance=4).collect()}
+    assert tol[1] == 1.0 and tol[2] is None
