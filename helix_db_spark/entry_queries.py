@@ -2398,6 +2398,29 @@ REGISTRY["edge_search_modes"] = (
     + _BM25_EDGE_ORACLE + ")")
 
 
+@q("events_value_outliers",
+   "WITH s AS (SELECT event_type, avg(value) AS mu, "
+   "stddev_samp(value) AS sd FROM events GROUP BY event_type) "
+   "SELECT e.event_id, e.event_type, round(e.value, 4) AS value, "
+   "round((e.value - s.mu) / s.sd, 4) AS z "
+   "FROM events e JOIN s USING (event_type) "
+   "WHERE abs((e.value - s.mu) / s.sd) > 3")
+def events_value_outliers(spark, sf_dir):
+    """Data-quality anomaly flagging: events whose value sits more than
+    3 sample standard deviations from their type's mean. One
+    partial-aggregable stats pass over the (low-cardinality) type key,
+    broadcast back — the corpus is scanned twice but shuffled never."""
+    ev = _events(spark, sf_dir)
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("_mu"), F.stddev_samp("value").alias("_sd"))
+    z = (F.col("value") - F.col("_mu")) / F.col("_sd")
+    return (ev.join(F.broadcast(stats), on="event_type")
+              .filter(F.abs(z) > 3)
+              .select("event_id", "event_type",
+                      F.round("value", 4).alias("value"),
+                      F.round(z, 4).alias("z")))
+
+
 @q("asof_next_purchase",
    "SELECT l.event_id, l.user_id, round(r.value, 4) AS next_value, "
    "CAST(epoch(date_trunc('second', r.ts)) AS BIGINT) AS next_epoch "
