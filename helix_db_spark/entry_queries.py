@@ -2398,6 +2398,33 @@ REGISTRY["edge_search_modes"] = (
     + _BM25_EDGE_ORACLE + ")")
 
 
+@q("events_retention_cohorts",
+   "WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort "
+   "           FROM events GROUP BY user_id), "
+   "a AS (SELECT DISTINCT e.user_id, f.cohort, "
+   "        datediff('day', f.cohort, CAST(e.ts AS DATE)) AS age "
+   "      FROM events e JOIN f USING (user_id)) "
+   "SELECT cohort, age, count(*)::BIGINT AS active_users "
+   "FROM a WHERE age <= 7 GROUP BY cohort, age")
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen day, counted on
+    each of their first 8 active days — the classic retention triangle.
+    Two partial-aggregable shuffles (first-seen per user, then the
+    distinct (user, age) grid); the cohort table joins back on the
+    user id."""
+    ev = _events(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort"))
+    act = (ev.join(first, on="user_id")
+             .select("user_id", "cohort",
+                     F.datediff(F.to_date("ts"), F.col("cohort"))
+                      .alias("age"))
+             .distinct())
+    return (act.filter(F.col("age") <= 7)
+               .groupBy("cohort", "age")
+               .agg(F.count(F.lit(1)).alias("active_users")))
+
+
 @q("events_value_outliers",
    "WITH s AS (SELECT event_type, avg(value) AS mu, "
    "stddev_samp(value) AS sd FROM events GROUP BY event_type) "
