@@ -2398,6 +2398,40 @@ REGISTRY["edge_search_modes"] = (
     + _BM25_EDGE_ORACLE + ")")
 
 
+_URL_AUG_SQL = (
+    "text || ' see https://site' || (doc_id % 7) || '.example.com/p/'"
+    " || doc_id"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' and http://ref'"
+    " || (doc_id % 4) || '.example.org' ELSE '' END")
+
+@q("url_domain_stats",
+   "WITH aug AS (SELECT doc_id, " + _URL_AUG_SQL + " AS t FROM documents),"
+   " u AS (SELECT doc_id, unnest(regexp_extract_all(t,"
+   " 'https?://[a-zA-Z0-9.-]+(?:/[^\\s]*)?')) AS url FROM aug),"
+   " d AS (SELECT doc_id, regexp_extract(url,"
+   " 'https?://([a-zA-Z0-9.-]+)', 1) AS domain FROM u)"
+   " SELECT domain, count(*)::BIGINT AS n_urls,"
+   " count(DISTINCT doc_id) AS n_docs,"
+   " domain = 'ref0.example.org' AS blocked"
+   " FROM d GROUP BY domain")
+def url_domain_stats(spark, sf_dir):
+    """Per-domain link profile (C4/RefinedWeb domain-filtering input):
+    documents augmented with deterministic synthetic URLs (the corpus
+    contains none), URL extraction + host parse + per-domain counts run
+    the SAME regexes in both engines, one domain blocklisted."""
+    from .operators.textstats import domain_stats
+    d = F.col("doc_id")
+    aug = _docs(spark, sf_dir).select("doc_id", F.concat(
+        F.col("text"), F.lit(" see https://site"),
+        (d % 7).cast("string"), F.lit(".example.com/p/"),
+        d.cast("string"),
+        F.when(d % 3 == 0, F.concat(
+            F.lit(" and http://ref"), (d % 4).cast("string"),
+            F.lit(".example.org"))).otherwise(F.lit(""))).alias("text"))
+    return domain_stats(aug, "doc_id", "text",
+                        blocklist=("ref0.example.org",))
+
+
 @q("events_retention_cohorts",
    "WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort "
    "           FROM events GROUP BY user_id), "

@@ -653,3 +653,39 @@ def dsir_weights(df: DataFrame, id_col: str, text_col: str,
                  .groupBy(F.col("_did.i").alias(id_col))
                  .agg(F.count(F.lit(1)).cast("long").alias("n_feats"),
                       F.round(F.sum("_lr"), 4).alias("log_weight")))
+
+
+# URL shape shared by Java regex (Spark) and RE2 dialects (DuckDB oracle):
+# scheme, host chars, optional path up to whitespace.
+URL_RE = r"https?://[a-zA-Z0-9.-]+(?:/[^\s]*)?"
+_DOMAIN_RE = "https?://([a-zA-Z0-9.-]+)"
+
+
+def extract_urls(text: Column) -> Column:
+    """All URL occurrences in a text column (array<string>)."""
+    return F.regexp_extract_all(text, F.lit(URL_RE), 0)
+
+
+def url_domain(url: Column) -> Column:
+    """Host part of a URL string."""
+    return F.regexp_extract(url, _DOMAIN_RE, 1)
+
+
+def domain_stats(df: DataFrame, id_col: str, text_col: str,
+                 blocklist=()) -> DataFrame:
+    """Per-domain link profile of a corpus — the input to C4/RefinedWeb-
+    style domain filtering (drop or downweight documents that cite
+    blocklisted or over-represented hosts): (domain, n_urls, n_docs,
+    blocked). One regex extraction pass + one partial-aggregable
+    groupBy on the domain; the blocklist is a literal array membership
+    test (swap to a broadcast join for large lists — same semantics)."""
+    urls = df.select(F.col(id_col),
+                     F.explode(extract_urls(F.col(text_col))).alias("_u"))
+    dom = urls.select(F.col(id_col), url_domain(F.col("_u")).alias("domain"))
+    blocked = (F.array_contains(F.array(*[F.lit(b) for b in blocklist]),
+                                F.col("domain"))
+               if blocklist else F.lit(False))
+    return (dom.groupBy("domain")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_urls"),
+                    F.count_distinct(F.col(id_col)).alias("n_docs"))
+               .withColumn("blocked", blocked))

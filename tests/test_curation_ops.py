@@ -225,3 +225,20 @@ def test_cluster_topics_surfaces_distinctive_terms(spark):
     vb = {"delta", "epsilon", "zeta"}
     for terms in by_cell.values():
         assert set(terms) <= va or set(terms) <= vb, terms
+
+
+def test_domain_stats_extraction_and_blocklist(spark):
+    from helix_db_spark.operators.textstats import domain_stats
+
+    df = _mkdocs(spark, [
+        (1, "intro https://a.com/x words http://b.org more https://a.com/y"),
+        (2, "only http://b.org/path here"),
+        (3, "no links at all"),
+    ])
+    out = {r["domain"]: r for r in
+           domain_stats(df, "doc_id", "text",
+                        blocklist=("b.org",)).collect()}
+    assert out["a.com"]["n_urls"] == 2 and out["a.com"]["n_docs"] == 1
+    assert out["b.org"]["n_urls"] == 2 and out["b.org"]["n_docs"] == 2
+    assert out["b.org"]["blocked"] and not out["a.com"]["blocked"]
+    assert set(out) == {"a.com", "b.org"}
