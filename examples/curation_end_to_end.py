@@ -81,8 +81,8 @@ def main() -> None:
                 token_count(F.col("text")).alias("n_tok"))
     packed = pack_documents(train, "doc_id", "n_tok", budget=512,
                             by="source")
-    from pyspark.sql import functions as F2
-    n_bins = packed.agg((F2.max("bin_end") + 1).alias("n")).first()["n"]
+    n_bins = packed.agg(F.coalesce(F.max("bin_end") + 1, F.lit(0))
+                        .alias("n")).first()["n"]
     print(json.dumps({"step": "pack", "train_docs": train.count(),
                       "bins_in_largest_shard": int(n_bins)}))
 

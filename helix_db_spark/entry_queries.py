@@ -2465,7 +2465,7 @@ def events_retention_cohorts(spark, sf_dir):
    "SELECT e.event_id, e.event_type, round(e.value, 4) AS value, "
    "round((e.value - s.mu) / s.sd, 4) AS z "
    "FROM events e JOIN s USING (event_type) "
-   "WHERE abs((e.value - s.mu) / s.sd) > 3")
+   "WHERE s.sd <> 0 AND abs((e.value - s.mu) / s.sd) > 3")
 def events_value_outliers(spark, sf_dir):
     """Data-quality anomaly flagging: events whose value sits more than
     3 sample standard deviations from their type's mean. One
@@ -2475,8 +2475,10 @@ def events_value_outliers(spark, sf_dir):
     stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("_mu"), F.stddev_samp("value").alias("_sd"))
     z = (F.col("value") - F.col("_mu")) / F.col("_sd")
+    # sd=0 (constant-valued type) would raise under ANSI division; both
+    # engines drop those types explicitly instead
     return (ev.join(F.broadcast(stats), on="event_type")
-              .filter(F.abs(z) > 3)
+              .filter((F.col("_sd") != 0) & (F.abs(z) > 3))
               .select("event_id", "event_type",
                       F.round("value", 4).alias("value"),
                       F.round(z, 4).alias("z")))
@@ -2489,7 +2491,7 @@ def events_value_outliers(spark, sf_dir):
    "      WHERE event_type = 'click') l "
    "LEFT JOIN LATERAL (SELECT value, ts FROM events r "
    "  WHERE r.event_type = 'purchase' AND r.user_id = l.user_id "
-   "    AND r.ts >= l.ts ORDER BY r.ts LIMIT 1) r ON true")
+   "    AND r.ts >= l.ts ORDER BY r.ts, r.value LIMIT 1) r ON true")
 def asof_next_purchase(spark, sf_dir):
     """FORWARD as-of join: each click joins the user's next purchase at
     or after it (time-to-conversion lookups). Same one-window-scan

