@@ -303,3 +303,34 @@ def mixture_plan(df: DataFrame, group_col: str,
         F.round(F.least(F.lit(1.0), keep / F.col("n_units")), 6)
          .alias("sample_frac"),
         F.round(keep, 2).alias("keep_units"))
+
+
+def write_shards(df: DataFrame, out_path: str, n_shards: int,
+                 id_col: str, manifest: bool = True) -> dict:
+    """Write a frame as ``n_shards`` deterministic, roughly equal
+    training shards (plus a manifest) — the layout data loaders consume:
+    shard membership is ``md5(id) % n_shards`` (stable across reruns and
+    engines, unlike round-robin repartition), one file per shard via
+    repartition on the shard key, ``shard=N/`` directories for
+    partition-pruned single-shard reads. Returns the manifest dict
+    (per-shard row counts + total). One shuffle on the shard key."""
+    import json
+    import os
+
+    from ..functions.text import bucket_col
+
+    sharded = df.withColumn("shard", bucket_col(F.col(id_col), n_shards))
+    (sharded.repartition(n_shards, "shard")
+            .write.mode("overwrite").partitionBy("shard")
+            .parquet(out_path))
+    info = {"n_shards": n_shards, "id_col": id_col}
+    if manifest:
+        spark = df.sparkSession
+        counts = {int(r["shard"]): r["n"] for r in
+                  spark.read.parquet(out_path).groupBy("shard")
+                       .agg(F.count(F.lit(1)).alias("n")).collect()}
+        info["rows"] = sum(counts.values())
+        info["shards"] = {str(k): counts[k] for k in sorted(counts)}
+        with open(os.path.join(out_path, "_manifest.json"), "w") as f:
+            json.dump(info, f)
+    return info

@@ -193,3 +193,24 @@ def test_asof_join_forward_direction(spark):
            asof_join(left, right, on="t", by="u", direction="forward",
                      tolerance=4).collect()}
     assert tol[1] == 1.0 and tol[2] is None
+
+
+def test_write_shards_deterministic_layout(spark, tmp_path):
+    from helix_db_spark.operators.sampling import write_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "shards")
+    info = write_shards(docs, out, n_shards=8, id_col="doc_id")
+    assert info["rows"] == 500
+    assert sum(info["shards"].values()) == 500
+    assert len(info["shards"]) == 8
+    # rough balance: md5 spreads uniformly
+    assert max(info["shards"].values()) <= 3 * min(info["shards"].values())
+    # shard membership is a pure function of the id: rerun == same layout
+    info2 = write_shards(docs, str(tmp_path / "shards2"), 8, "doc_id")
+    assert info2["shards"] == info["shards"]
+    # single-shard read prunes to one directory
+    one = spark.read.parquet(out).filter("shard = 3")
+    import re
+    dirs = {re.search(r"shard=(\d+)", f).group(1) for f in one.inputFiles()}
+    assert one.count() == info["shards"]["3"]
