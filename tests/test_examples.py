@@ -1,0 +1,26 @@
+"""The shipped example walkthrough must keep running end-to-end."""
+
+import importlib.util
+import json
+import os
+import sys
+
+
+def test_curation_example_runs(spark, tmp_path, capsys):
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "curation_end_to_end.py")
+    spec = importlib.util.spec_from_file_location("curation_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    argv = sys.argv
+    sys.argv = [path, "/root/testdata/sf0.001", str(tmp_path)]
+    try:
+        mod.main()
+    finally:
+        sys.argv = argv
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    steps = [ln["step"] for ln in lines]
+    assert steps == ["card", "lm_scoring", "curate", "incremental_dedup",
+                     "pack"]
+    assert lines[2]["kept"] > 0 and "train" in lines[2]["splits"]
