@@ -161,7 +161,15 @@ def cmd_dedup(args) -> int:
     batch = spark.read.parquet(args.batch)
     out = incremental_dedup(spark, batch, "doc_id", "text", args.index,
                             threshold=args.threshold)
-    for r in out.orderBy("doc_id").collect():
+    rows = out.orderBy("doc_id").collect()
+    if args.append_novel:
+        from pyspark.sql import functions as F
+
+        from .operators.dedup import append_to_dedup_index
+        novel_ids = [r["doc_id"] for r in rows if r["dup_kind"] is None]
+        novel = batch.filter(F.col("doc_id").isin(novel_ids))
+        append_to_dedup_index(novel, "doc_id", "text", args.index)
+    for r in rows:
         print(json.dumps(r.asDict(), default=str))
     return 0
 
@@ -233,6 +241,8 @@ def main(argv=None) -> int:
             p.add_argument("--build-index", action="store_true")
             p.add_argument("--batch", help="delta batch parquet to check")
             p.add_argument("--threshold", type=float, default=0.7)
+            p.add_argument("--append-novel", action="store_true",
+                           help="append novel batch rows into the index")
         else:
             p.add_argument("--by", default="source",
                            help="grouping column for the per-source card")

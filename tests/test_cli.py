@@ -113,3 +113,25 @@ def test_explain_command(spark, capsys):
     assert rc == 0
     assert "== r ==" in out
     assert "FileScan parquet" in out and "region.parquet" in out
+
+
+def test_dedup_append_novel_grows_index(spark, capsys, tmp_path):
+    idx = str(tmp_path / "idx")
+    rc, _, _ = _run(capsys, "dedup", "--data", "/root/testdata/sf0.001",
+                    "--index", idx, "--build-index")
+    assert rc == 0
+    novel = spark.createDataFrame([(777, "appendable novel words " * 8)],
+                                  "doc_id long, text string")
+    b1 = str(tmp_path / "b1.parquet")
+    novel.write.parquet(b1)
+    rc, out, _ = _run(capsys, "dedup", "--data", "/root/testdata/sf0.001",
+                      "--index", idx, "--batch", b1, "--append-novel")
+    assert rc == 0
+    assert json.loads(out.strip().splitlines()[0])["dup_kind"] is None
+    # same content again: now a dup of the appended row
+    b2 = str(tmp_path / "b2.parquet")
+    novel.selectExpr("doc_id + 1 AS doc_id", "text").write.parquet(b2)
+    rc, out, _ = _run(capsys, "dedup", "--data", "/root/testdata/sf0.001",
+                      "--index", idx, "--batch", b2)
+    row = json.loads(out.strip().splitlines()[0])
+    assert row["dup_kind"] == "exact" and row["match_id"] == 777
