@@ -236,3 +236,33 @@ def test_warm_probe_ivf_method(spark):
     ivf_index(base, _ID, "emb")                # build -> cached by plan
     status, out = srv.handle("/v1/query", req, headers=warm_hdr)
     assert status == 200 and len(out["hits"]) == 2
+
+
+def test_concurrent_mixed_requests(server):
+    """20 interleaved dynamic + stored-route requests from 8 threads all
+    come back correct — the served engine shares one SparkSession across
+    handler threads (Spark jobs are thread-safe; catalog reads are
+    immutable frames)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    dyn = {"request_type": "read",
+           "query": {"queries": [{"Query": {
+               "name": "r",
+               "steps": [{"NWhere": {"Eq": ["$label", {"String": "User"}]}},
+                         "Count"],
+               "condition": None}}], "returns": ["r"]}}
+
+    def one(i):
+        if i % 2:
+            return _post(f"{server}/v1/query", dyn)
+        return _post(f"{server}/v1/query/adults",
+                     {"min_age": 30})
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(one, range(20)))
+    for i, (status, body) in enumerate(results):
+        assert status == 200, (i, body)
+        if i % 2:
+            assert body["r"] == [{"count": 2}]
+        else:
+            assert body["adults"] == [{"name": "alice"}]
