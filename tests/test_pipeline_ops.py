@@ -1306,3 +1306,22 @@ def test_pmi_collocations(spark):
     p_b = toks.count("network") / len(toks)
     want = round(m.log(p_ab / (p_a * p_b)), 4)
     assert abs(pmis["neural network"] - want) < 1e-9
+
+
+def test_connected_components_deep_chain(spark):
+    """A 60-deep chain (diameter >> the 20-round bound) must still
+    collapse to one component — pointer jumping gives log-convergence;
+    pure hop propagation would silently mislabel the tail (caught r5)."""
+    from helix_db_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(60)],
+                                  "a long, b long")
+    out = connected_components(chain)
+    assert {r["comp"] for r in out.collect()} == {0}
+    assert out.count() == 61
+    # two separate chains stay separate
+    two = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)]
+        + [(i, i + 1) for i in range(100, 110)], "a long, b long")
+    comps = {r["comp"] for r in connected_components(two).collect()}
+    assert comps == {0, 100}
