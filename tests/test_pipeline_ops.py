@@ -1325,3 +1325,20 @@ def test_connected_components_deep_chain(spark):
         + [(i, i + 1) for i in range(100, 110)], "a long, b long")
     comps = {r["comp"] for r in connected_components(two).collect()}
     assert comps == {0, 100}
+
+
+def test_curate_corpus_lm_band_gate(spark):
+    """The optional perplexity band gate drops the head and tail of the
+    cross-entropy distribution; default recipe is unchanged."""
+    from helix_db_spark.operators.pipeline import curate_corpus
+
+    docs = _docs(spark)
+    base = curate_corpus(docs)
+    banded = curate_corpus(docs, lm_band=(0.1, 0.9))
+    nb, nn = base.count(), banded.count()
+    assert nn < nb
+    # band keeps ~80% of docs pre-gates; survivors are a subset of base
+    base_ids = {r["doc_id"] for r in base.collect()}
+    band_ids = {r["doc_id"] for r in banded.collect()}
+    assert band_ids <= base_ids
+    assert nn >= int(0.6 * nb)
