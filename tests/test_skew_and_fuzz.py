@@ -83,3 +83,25 @@ def test_deep_nesting_handled():
                "name": "r", "steps": [{"N": "All"}, {"Where": steps}],
                "condition": None}}], "returns": ["r"]}}
     parse_request(raw)  # 200-deep predicate tree parses fine
+
+
+def test_duplicate_spans_viral_span_stays_linear(spark):
+    """A span shared by EVERY document (viral boilerplate) must not blow
+    up the hash join-back: candidate volume is per-occurrence (linear),
+    never per-pair (quadratic) — the count table aggregates first."""
+    from pyspark.sql import functions as F
+
+    from helix_db_spark.operators.dedup import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(i, f"{shared} unique{i} filler{i} more{i}") for i in range(400)],
+        "doc_id long, text string")
+    out = duplicate_spans(docs, "doc_id", "text", n=6)
+    rows = out.collect()
+    # output stays one row per doc — the join-back fans out per
+    # occurrence (400 rows for the viral span), not per pair (160k)
+    assert len(rows) == 400
+    assert all(r["dup_spans"] >= 1 for r in rows)
+    # the viral span is every doc's ONLY duplicated span
+    assert all(r["dup_spans"] == 1 for r in rows)
