@@ -176,8 +176,12 @@ def cmd_dedup(args) -> int:
         from pyspark.sql import functions as F
 
         from .operators.dedup import append_to_dedup_index
-        novel_ids = [r["doc_id"] for r in rows if r["dup_kind"] is None]
-        novel = batch.filter(F.col("doc_id").isin(novel_ids))
+        # distributed left_semi (same shape as stream_dedup_ingest), not
+        # collect + isin: a large delta batch would otherwise inline an
+        # unbounded literal list into the plan and sit on driver memory
+        novel = batch.join(
+            out.filter(F.col("dup_kind").isNull()).select("doc_id"),
+            on="doc_id", how="left_semi")
         append_to_dedup_index(novel, "doc_id", "text", args.index)
     for r in rows:
         print(json.dumps(r.asDict(), default=str))

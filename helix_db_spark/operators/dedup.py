@@ -627,7 +627,13 @@ def incremental_dedup(spark, new_docs: DataFrame, id_col: str,
     regardless of corpus size. The joins themselves broadcast the batch
     side. Exact matches take precedence over near matches; near
     candidates are verified with the stored signatures only (no corpus
-    text is read)."""
+    text is read).
+
+    Replay-safe: index rows whose ``corpus_id`` equals the batch row's
+    own id are ignored as matches. A re-delivered micro-batch (e.g. a
+    foreachBatch replay after the append landed but before the
+    annotation write committed) would otherwise match its OWN earlier
+    append and flip every novel row to an 'exact' self-duplicate."""
     import json
     import os
 
@@ -647,6 +653,7 @@ def incremental_dedup(spark, new_docs: DataFrame, id_col: str,
     digests = (spark.read.parquet(os.path.join(root, "digests"))
                .filter(F.col("_bucket").isin(dbks)))
     exact = (digests.join(F.broadcast(bd), on=["_bucket", "digest"])
+             .filter(F.col("corpus_id") != F.col(id_col))
              .groupBy(id_col)
              .agg(F.min("corpus_id").alias("_exact_id")))
 
@@ -662,6 +669,7 @@ def incremental_dedup(spark, new_docs: DataFrame, id_col: str,
                  .filter(F.col("_bucket").isin(bbks)))
     cands = (bands_idx.join(F.broadcast(banded_new),
                             on=["_bucket", "band", "bkey"])
+             .filter(F.col("corpus_id") != F.col(id_col))
              .select(F.col(id_col), "corpus_id").distinct())
     cbks = [r["_b"] for r in cands
             .select(bucket_col(F.col("corpus_id"), nbuckets).alias("_b"))

@@ -61,11 +61,15 @@ def curate_corpus(docs: DataFrame, bench: Optional[DataFrame] = None,
                                    F.array(F.lit(float(lo)),
                                            F.lit(float(hi))))
                       .alias("_c"))
-        band = (lm.crossJoin(F.broadcast(cuts))
-                  .filter(F.col("cross_entropy")
-                          .between(F.col("_c")[0], F.col("_c")[1]))
-                  .select(id_col))
-        gated = gated.join(band, on=id_col, how="left_semi")
+        # drop-out-of-band (anti), not keep-in-band (semi): token-less
+        # docs have no cross_entropy row at all (lm_cross_entropy joins
+        # on the token explode), and a perplexity gate that never judged
+        # a doc must not drop it — same behavior as lm_band=None
+        out_of_band = (lm.crossJoin(F.broadcast(cuts))
+                         .filter(~F.col("cross_entropy")
+                                 .between(F.col("_c")[0], F.col("_c")[1]))
+                         .select(id_col))
+        gated = gated.join(out_of_band, on=id_col, how="left_anti")
     # materialize once: contamination (shingles), its anti-join, the dedup
     # digest groupBy, and the final semi-join all consume `gated` — without
     # this the quality/repetition expression tree (the two priciest

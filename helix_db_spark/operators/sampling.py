@@ -295,13 +295,20 @@ def mixture_plan(df: DataFrame, group_col: str,
     ratio = F.when(F.col("_tgt") > 0, F.col("n_units") / F.col("_tgt"))
     g = g.withColumn("_scale", F.min(ratio).over(w))
     keep = F.col("_scale") * F.col("_tgt")
+    # ANSI mode raises DIVIDE_BY_ZERO on integer /0: a group whose
+    # size_col sums to 0 (or an all-zero frame) must degrade to a
+    # 0-share / 0-frac plan row, not an error
+    share = F.when(F.col("_tot") > 0,
+                   F.col("n_units") / F.col("_tot")).otherwise(F.lit(0.0))
+    frac = F.when(F.col("n_units") > 0,
+                  F.least(F.lit(1.0), keep / F.col("n_units"))) \
+            .otherwise(F.lit(0.0))
     return g.select(
         F.col(group_col),
         "n_docs", "n_units",
-        F.round(F.col("n_units") / F.col("_tot"), 6).alias("share"),
+        F.round(share, 6).alias("share"),
         F.round(F.col("_tgt"), 6).alias("target_share"),
-        F.round(F.least(F.lit(1.0), keep / F.col("n_units")), 6)
-         .alias("sample_frac"),
+        F.round(frac, 6).alias("sample_frac"),
         F.round(keep, 2).alias("keep_units"))
 
 

@@ -242,3 +242,23 @@ def test_domain_stats_extraction_and_blocklist(spark):
     assert out["b.org"]["n_urls"] == 2 and out["b.org"]["n_docs"] == 2
     assert out["b.org"]["blocked"] and not out["a.com"]["blocked"]
     assert set(out) == {"a.com", "b.org"}
+
+
+def test_mixture_plan_zero_unit_groups_degrade(spark):
+    """Zero-size groups / all-zero / empty frames produce degenerate
+    plan rows (0 share, 0 frac) instead of an ANSI DIVIDE_BY_ZERO."""
+    from helix_db_spark.operators.sampling import mixture_plan
+
+    rows = [(1, "a", 10), (2, "a", 10), (3, "z", 0), (4, "z", 0)]
+    df = spark.createDataFrame(rows, "id long, src string, w int")
+    out = {r["src"]: r for r in
+           mixture_plan(df, "src", size_col="w").collect()}
+    assert out["z"]["n_units"] == 0
+    assert out["z"]["sample_frac"] == 0.0
+    allz = mixture_plan(
+        spark.createDataFrame([(1, "a", 0)],
+                              "id long, src string, w int"),
+        "src", size_col="w").collect()
+    assert allz[0]["share"] == 0.0 and allz[0]["sample_frac"] == 0.0
+    empty = spark.createDataFrame([], "id long, src string, w int")
+    assert mixture_plan(empty, "src", size_col="w").count() == 0

@@ -1342,3 +1342,22 @@ def test_curate_corpus_lm_band_gate(spark):
     band_ids = {r["doc_id"] for r in banded.collect()}
     assert band_ids <= base_ids
     assert nn >= int(0.6 * nb)
+
+
+def test_curate_corpus_lm_band_keeps_tokenless_docs(spark):
+    """A doc the LM never judged (zero tokens -> no cross-entropy row)
+    must survive the band gate exactly as with lm_band=None: the gate
+    drops out-of-band docs, it does not require an in-band row."""
+    from helix_db_spark.operators.pipeline import curate_corpus
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "a different sentence with plenty of normal words here"),
+            (3, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {r["doc_id"] for r in
+            curate_corpus(docs, min_quality=0.0).collect()}
+    band = {r["doc_id"] for r in
+            curate_corpus(docs, min_quality=0.0,
+                          lm_band=(0.0, 1.0)).collect()}
+    assert 3 in base
+    assert band == base

@@ -304,3 +304,35 @@ def test_incremental_dedup_degenerate_batches(spark, tmp_path):
     row = incremental_dedup(spark, nulls, "doc_id", "text", root).first()
     # NULL text has a NULL digest and no shingles -> novel by definition
     assert row["dup_kind"] is None and row["match_id"] is None
+
+
+def test_incremental_dedup_replay_ignores_self_matches(spark, tmp_path):
+    """At-least-once replay: a batch that already appended to the index
+    (crash between append and annotation commit) must classify the same
+    on redelivery — matches where corpus_id == the row's own id are
+    self-entries, not duplicates."""
+    from helix_db_spark.operators.dedup import (
+        append_to_dedup_index, incremental_dedup, store_dedup_index)
+
+    root = str(tmp_path / "idx")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    store_dedup_index(docs, "doc_id", "text", root)
+    base0 = docs.filter(F.col("doc_id") == 0).first()["text"]
+    batch = spark.createDataFrame(
+        [(900001, base0), (900002, "never seen before text " * 6)],
+        "doc_id long, text string")
+
+    def classify():
+        return {r["doc_id"]: r for r in incremental_dedup(
+            spark, batch, "doc_id", "text", root,
+            threshold=0.5).collect()}
+
+    first = classify()
+    assert first[900001]["dup_kind"] == "exact"
+    assert first[900002]["dup_kind"] is None
+    # the crash-replay scenario: append landed, batch is redelivered
+    append_to_dedup_index(batch, "doc_id", "text", root)
+    replay = classify()
+    assert replay[900002]["dup_kind"] is None, "matched its own append"
+    assert replay[900001]["dup_kind"] == "exact"
+    assert replay[900001]["match_id"] == 0, "self-id shadowed the corpus"
