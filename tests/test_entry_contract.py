@@ -42,8 +42,9 @@ def test_driver_top50_covers_survey_ops():
         "within_without_filters",  # merged semi+anti slot (§2 row 14)
         "inject_var_union", "union_branches",
         "choose_conditional", "coalesce_fallback", "optional_passthrough",
-        "repeat_bfs", "order_limit_topk", "group_collect",
-        "aggregate_stats", "id_value_map",
+        "repeat_bfs", "order_limit_topk",
+        "group_aggregate_stats",   # merged Group + AggregateBy (rows 36+38)
+        "id_value_map",
         "project_bindings_rows", "vector_search_topk", "vector_search_ivf",
         "tenant_vector_search", "bm25_text_search",
         "edge_search_modes",       # merged edge-target search slot (row 7)
@@ -52,15 +53,22 @@ def test_driver_top50_covers_survey_ops():
         # LLM-pipeline + dataset-prep families (merged slots are the sole
         # graded representative of their operators)
         "dedup_pipeline_survivors",
-        "dedup_simhash_fingerprints", "dedup_ngram_jaccard_pairs",
-        "dedup_embedding_cosine_pairs", "text_stats_langid",
-        "text_winnow_overlap_pairs", "top_quality_docs_per_source",
+        "dedup_simhash_fingerprints",
+        # merged n-gram Jaccard + winnow pair mining (r6); the
+        # embedding-cosine near-dup family is graded through
+        # semantic_dedup_survivors (same cosine math, IVF-celled)
+        "overlap_pair_mining",
+        "text_stats_langid", "top_quality_docs_per_source",
         "multimodal_pipeline", "events_window_agg", "events_sessionize",
         # the composed curation slot grades split_assign + quality gate +
         # repetition gate + decontamination + exact dedup (r5)
         "curate_corpus_pipeline", "asof_purchase_features",
-        # r5 hoists into the merge-freed slots
-        "dsir_importance_weights", "knn_graph_cosine",
+        # r5/r6 hoists into the merge-freed slots: DSIR, the CELLED kNN
+        # scale path, on-disk incremental dedup, exact percentiles, and
+        # the CCNet perplexity gate
+        "dsir_importance_weights", "knn_graph_celled",
+        "incremental_dedup_classify", "events_value_quantiles",
+        "text_lm_cross_entropy",
     }
     assert critical <= set(DRIVER_TOP50)
     # every top-50 entry has a DuckDB oracle (full value-hash grading)
