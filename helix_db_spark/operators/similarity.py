@@ -238,13 +238,17 @@ def _ivf_cache_put(key, value) -> None:
 
 
 def ivf_index(df: DataFrame, id_col: str, vec_col: str,
-              max_cells: int = IVF_MAX_CELLS) -> tuple:
+              max_cells: int = IVF_MAX_CELLS,
+              refine_iters: int = 0) -> tuple:
     """Build-once IVF index: the assignment table persists and is keyed by
     the source plan, so repeated queries probe the same materialized cells
     (a served instance builds the index at CreateVectorIndex time, not per
-    query — config.rs:148-158 HNSW analogue)."""
+    query — config.rs:148-158 HNSW analogue). ``refine_iters`` > 0 runs
+    the distributed Lloyd refinement at build (the ef_construction
+    mapping, config.py) — part of the cache key, since refined and seed
+    assignments differ."""
     key = (df._jdf.queryExecution().analyzed().semanticHash(),
-           id_col, vec_col, max_cells)
+           id_col, vec_col, max_cells, refine_iters)
     hit = _IVF_CACHE.get(key)
     if hit is not None:
         assigned, cents = hit
@@ -255,7 +259,12 @@ def ivf_index(df: DataFrame, id_col: str, vec_col: str,
         _IVF_CACHE.pop(key)
         _IVF_CACHE[key] = (assigned, cents)
         return assigned, cents
-    assigned, cents = ivf_assign(df, id_col, vec_col, max_cells)
+    if refine_iters > 0:
+        assigned, cents = kmeans_refine(df, id_col, vec_col,
+                                        iters=refine_iters,
+                                        max_cells=max_cells)
+    else:
+        assigned, cents = ivf_assign(df, id_col, vec_col, max_cells)
     # centroids persist too: every probe ranks them, and rescanning the
     # source parquet per query wastes a scan (they are <= max_cells rows —
     # index metadata, cached alongside the assignment)
@@ -268,13 +277,16 @@ def ivf_index(df: DataFrame, id_col: str, vec_col: str,
 def ivf_topk(df: DataFrame, id_col: str, vec_col: str,
              query: Sequence[float], k: int, nprobe: int = 2,
              max_cells: int = IVF_MAX_CELLS,
-             pre_filter=None) -> DataFrame:
+             pre_filter=None, refine_iters: int = 0) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` cells whose centroids are
     closest to the query, exact cosine re-rank inside them. The scan
     touches ~nprobe/ncells of the data; recall depends on nprobe like any
     IVF index. ``pre_filter`` (e.g. a tenant condition) restricts
-    candidates inside the SHARED index before the rank."""
-    assigned, cents = ivf_index(df, id_col, vec_col, max_cells)
+    candidates inside the SHARED index before the rank; ``refine_iters``
+    selects the Lloyd-refined build (must match the build call so the
+    index cache hits)."""
+    assigned, cents = ivf_index(df, id_col, vec_col, max_cells,
+                                refine_iters=refine_iters)
     qdist = cosine_distance(F.col("_cvec"), query)
     probe = (cents.withColumn("_qd", qdist)
                   .orderBy(F.col("_qd").asc(), F.col("_cid").asc())
