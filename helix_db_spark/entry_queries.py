@@ -2392,6 +2392,34 @@ def source_mixture_plan(spark, sf_dir):
                         size_col="n_chars")
 
 
+@q("source_mixture_temperature",
+   """WITH g AS (SELECT source, count(*)::BIGINT AS n_docs,
+        sum(n_chars)::BIGINT AS n_units FROM documents GROUP BY source),
+t2 AS (SELECT sum(n_units) AS tot FROM g),
+pw AS (SELECT g.*, t2.tot,
+         pow(g.n_units / CAST(t2.tot AS DOUBLE), 1.0 / 2.0) AS p
+       FROM g CROSS JOIN t2),
+ps AS (SELECT sum(p) AS psum FROM pw),
+tg AS (SELECT pw.*, pw.p / ps.psum AS tgt FROM pw CROSS JOIN ps),
+sc AS (SELECT min(n_units / tgt) AS scale FROM tg WHERE tgt > 0)
+SELECT tg.source, tg.n_docs, tg.n_units,
+  round(tg.n_units / CAST(tg.tot AS DOUBLE), 6) AS share,
+  round(tg.tgt, 6) AS target_share,
+  round(least(CAST(1 AS DOUBLE), sc.scale * tg.tgt / tg.n_units), 6)
+    AS sample_frac,
+  round(sc.scale * tg.tgt, 2) AS keep_units
+FROM tg CROSS JOIN sc""")
+def source_mixture_temperature(spark, sf_dir):
+    """Temperature-sampled mixture plan (T=2): target_g ∝ share_g^(1/2)
+    — the multilingual exponential-smoothing rebalance (Conneau et al.
+    2020, public method). Flattens toward uniform without a hand-written
+    target map; still downsampling-only (the most over-squashed source
+    binds at frac 1)."""
+    from .operators.sampling import mixture_plan
+    return mixture_plan(_docs(spark, sf_dir), "source",
+                        size_col="n_chars", temperature=2.0)
+
+
 @q("knn_graph_cosine",
    """WITH p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
      round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])

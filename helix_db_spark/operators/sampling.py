@@ -259,17 +259,24 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
 
 def mixture_plan(df: DataFrame, group_col: str,
                  size_col: Optional[str] = None,
-                 target: Optional[dict] = None) -> DataFrame:
+                 target: Optional[dict] = None,
+                 temperature: Optional[float] = None) -> DataFrame:
     """Domain-mixture planning: per-group corpus shares plus the
     downsampling plan that hits a target mixture — the reweighting step
     behind multi-source training mixes (The Pile's per-set epochs, Gao
     et al. 2020; DoReMi's static reference weights, Xie et al. 2023 —
     public methods). ``target`` maps group -> desired fraction (defaults
     to the uniform mixture); groups absent from the map get 0 (dropped).
-    The plan is downsampling-only: ``_scale = min over groups of
-    units_g / target_g`` sizes the largest corpus achievable without
-    upsampling any group; ``sample_frac_g = _scale * target_g /
-    units_g`` (exactly 1 for the binding group).
+    ``temperature`` instead derives the target from the corpus itself:
+    ``target_g ∝ share_g^(1/T)`` — the standard temperature-sampling
+    rebalance (multilingual mBERT/XLM-R exponential smoothing, Conneau
+    et al. 2020, public): T=1 keeps natural proportions, T→∞ tends to
+    uniform, T<1 sharpens toward the biggest sources. Mutually
+    exclusive with ``target``. The plan is downsampling-only:
+    ``_scale = min over groups of units_g / target_g`` sizes the
+    largest corpus achievable without upsampling any group;
+    ``sample_frac_g = _scale * target_g / units_g`` (exactly 1 for the
+    binding group).
 
     Shape: ONE partial-aggregable groupBy over the group key; every
     derived column rides an unbounded window over the GROUPS frame,
@@ -277,6 +284,10 @@ def mixture_plan(df: DataFrame, group_col: str,
     tiny at any corpus scale, so the single-partition window is
     deliberate and safe (the 100 TB of documents are only touched by
     the first aggregate)."""
+    if target is not None and temperature is not None:
+        raise ValueError("pass target OR temperature, not both")
+    if temperature is not None and temperature <= 0:
+        raise ValueError(f"temperature must be > 0: {temperature}")
     sz = F.col(size_col) if size_col else F.lit(1)
     groups = df.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -287,6 +298,16 @@ def mixture_plan(df: DataFrame, group_col: str,
     if target:
         m = F.create_map(*[F.lit(x) for kv in target.items() for x in kv])
         tgt = F.coalesce(m[F.col(group_col)], F.lit(0.0))
+    elif temperature is not None:
+        # share^(1/T), renormalized over the (tiny) groups frame; a
+        # zero-unit group stays 0 (pow(0, x) = 0 for x > 0); all-zero
+        # frames degrade to a 0-target plan like the share guard below
+        p = F.when(F.col("_tot") > 0,
+                   F.pow(F.col("n_units") / F.col("_tot"),
+                         F.lit(1.0 / float(temperature)))) \
+             .otherwise(F.lit(0.0))
+        psum = F.sum(p).over(w)
+        tgt = F.when(psum > 0, p / psum).otherwise(F.lit(0.0))
     else:
         tgt = F.lit(1.0) / F.col("_ng")
     g = g.withColumn("_tgt", tgt)

@@ -262,3 +262,36 @@ def test_mixture_plan_zero_unit_groups_degrade(spark):
     assert allz[0]["share"] == 0.0 and allz[0]["sample_frac"] == 0.0
     empty = spark.createDataFrame([], "id long, src string, w int")
     assert mixture_plan(empty, "src", size_col="w").count() == 0
+
+
+def test_mixture_plan_temperature(spark):
+    """Temperature targets: T=1 reproduces natural shares, large T tends
+    to uniform, T<1 sharpens toward the big sources; exclusive with an
+    explicit target map."""
+    import math
+
+    import pytest as _pytest
+
+    from helix_db_spark.operators.sampling import mixture_plan
+
+    rows = ([(i, "big") for i in range(90)]
+            + [(i + 100, "small") for i in range(10)])
+    df = spark.createDataFrame(rows, "id long, src string")
+    t1 = {r["src"]: r for r in
+          mixture_plan(df, "src", temperature=1.0).collect()}
+    assert t1["big"]["target_share"] == t1["big"]["share"] == 0.9
+    assert t1["big"]["sample_frac"] == 1.0  # natural mix = no downsampling
+    t2 = {r["src"]: r for r in
+          mixture_plan(df, "src", temperature=2.0).collect()}
+    want_big = math.sqrt(0.9) / (math.sqrt(0.9) + math.sqrt(0.1))
+    assert abs(t2["big"]["target_share"] - want_big) < 1e-6
+    thuge = {r["src"]: r for r in
+             mixture_plan(df, "src", temperature=1000.0).collect()}
+    assert abs(thuge["big"]["target_share"] - 0.5) < 0.01
+    tsharp = {r["src"]: r for r in
+              mixture_plan(df, "src", temperature=0.5).collect()}
+    assert tsharp["big"]["target_share"] > 0.9
+    with _pytest.raises(ValueError):
+        mixture_plan(df, "src", target={"big": 1.0}, temperature=2.0)
+    with _pytest.raises(ValueError):
+        mixture_plan(df, "src", temperature=0.0)
