@@ -1835,6 +1835,48 @@ def events_window_agg(spark, sf_dir):
                       "event_type", "count", "total"))
 
 
+@q("stream_windowed_counts",
+   "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, "
+   "event_type, count(*) AS count, round(sum(value), 4) AS total "
+   "FROM events GROUP BY 1, 2")
+def stream_windowed_counts(spark, sf_dir):
+    """A REAL Structured Streaming run with a full value-hash oracle —
+    the streaming layer's first oracle-graded surface (previously
+    batch-twin tests only): the events table re-materializes with plain
+    timestamps (testdata parquet is TIMESTAMP(NANOS), unreadable by the
+    streaming schema reader), streams through the SAME tumbling-window
+    plan `events_window_agg` runs in batch (streaming/ingest.py
+    windowed_counts shape), and drives to completion with
+    trigger(availableNow) into a memory sink in COMPLETE mode — every
+    window emits (no watermark tail drop), so the final table equals the
+    batch aggregation exactly and DuckDB can pin it. At cluster scale
+    the source is Kafka and the sink a Delta/parquet table; the plan is
+    identical."""
+    import os
+    import re as _re
+    import tempfile
+
+    from .streaming.ingest import stream_events
+
+    tag = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.rstrip("/"))
+    src = os.path.join(tempfile.gettempdir(), f"helix_stream_ev{tag}")
+    _events(spark, sf_dir).coalesce(2).write.mode("overwrite").parquet(src)
+    agg = (stream_events(spark, src)
+           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("count"),
+                F.round(F.sum("value"), 4).alias("total"))
+           .select(F.unix_timestamp("w.start").alias("window_start"),
+                   "event_type", "count", "total"))
+    name = f"swc{tag}"
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 @q("events_sessionize",
    "WITH x AS (SELECT user_id, "
    "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
