@@ -133,7 +133,8 @@ def vector_search(compiler, step):
         if disk is not None:
             from .similarity import ivf_topk_disk
             hits = ivf_topk_disk(compiler.cat.spark, disk, query, k,
-                                 pre_filter=tenant_cond)
+                                 pre_filter=tenant_cond,
+                                 vector_config=compiler.cat.vector_config)
         else:
             from .similarity import ivf_index, ivf_topk
             frames = (compiler.cat.nodes(step.label)

@@ -456,27 +456,40 @@ def store_ivf_index(df: DataFrame, id_col: str, vec_col: str, root: str,
         .parquet(_os.path.join(root, "cells"))
     cents.write.mode("overwrite").parquet(_os.path.join(root, "centroids"))
     with open(_os.path.join(root, "meta.json"), "w") as fh:
+        # n_rows/ncells are probe-planning metadata: the ef_search ->
+        # nprobe mapping (config.py) needs the avg cell size without
+        # re-counting the stored corpus
         _json.dump({"id_col": id_col, "vec_col": vec_col,
                     "max_cells": max_cells,
                     "refine_iters": refine_iters,
-                    "quantized": bool(quantize)}, fh)
+                    "quantized": bool(quantize),
+                    "n_rows": df.count(),
+                    "ncells": cents.count()}, fh)
     return root
 
 
 def ivf_topk_disk(spark, root: str, query: Sequence[float], k: int,
-                  nprobe: int = 2, pre_filter=None) -> DataFrame:
+                  nprobe: int = 2, pre_filter=None,
+                  vector_config=None) -> DataFrame:
     """Probe an on-disk IVF index: rank the bounded centroid table against
     the query, collect the ``nprobe`` nearest cell ids (probe planning —
     nprobe integers of driver state, the same pattern as lsh_topk's
     bucket planning), then scan ``cells/`` filtered to those ids so
     partition pruning skips every other directory. Exact cosine re-rank
-    inside the probed cells."""
+    inside the probed cells. ``vector_config`` overrides ``nprobe`` via
+    the ef_search candidate-pool mapping using the stored n_rows/ncells
+    (older layouts without them fall back to the sqrt-budget estimate
+    n ~ ncells^2)."""
     import json as _json
     import os as _os
 
     with open(_os.path.join(root, "meta.json")) as fh:
         meta = _json.load(fh)
     cents = spark.read.parquet(_os.path.join(root, "centroids"))
+    if vector_config is not None:
+        ncells = meta.get("ncells") or cents.count()
+        n = meta.get("n_rows") or ncells * ncells
+        nprobe = vector_config.nprobe(n, ncells)
     qdist = cosine_distance(F.col("_cvec"), query)
     probe = [r["_cid"] for r in
              cents.withColumn("_qd", qdist)

@@ -101,3 +101,36 @@ def test_unconfigured_engine_unchanged(spark):
     out = eng.run(g().vector_search("emb", "embedding", qv, 5,
                                     method="ivf").id_())
     assert len(out.collect()) == 5
+
+
+def test_ef_search_applies_to_disk_ivf(spark, tmp_path):
+    """The stored-layout probe honors the same ef_search mapping: a
+    huge ef_search probes every cell (exact results), a tiny one probes
+    a single cell; stored n_rows/ncells plan the probe without
+    re-counting the corpus."""
+    import json
+    import os
+
+    from helix_db_spark.operators.similarity import (ivf_topk_disk,
+                                                     store_ivf_index)
+
+    df, centers, _ = _clustered_nodes(spark)
+    emb = df.select(df.k.alias("vec_id"), "embedding")
+    root = str(tmp_path / "ivf")
+    store_ivf_index(emb, "vec_id", "embedding", root)
+    with open(os.path.join(root, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["n_rows"] == 480 and meta["ncells"] == 22
+    qv = ((centers[3] + centers[7]) / 2.0).tolist()
+    exact = [r["vec_id"] for r in
+             ivf_topk_disk(spark, root, qv, 10,
+                           vector_config=VectorConfig(ef_search=10**9))
+             .collect()]
+    low = [r["vec_id"] for r in
+           ivf_topk_disk(spark, root, qv, 10,
+                         vector_config=VectorConfig(ef_search=1))
+           .collect()]
+    brute = [r["vec_id"] for r in
+             ivf_topk_disk(spark, root, qv, 10, nprobe=22).collect()]
+    assert exact == brute
+    assert low != exact  # single-cell probe misses the other cluster
