@@ -217,7 +217,17 @@ def cmd_serve(args) -> int:
     if args.bundle:
         with open(args.bundle) as fh:
             bundle = QueryBundle.from_json(json.load(fh))
-    server = HelixSparkServer(_engine(args), bundle)
+    engine = _engine(args)
+    if args.config:
+        from .config import VectorConfig
+
+        if args.config.endswith(".toml"):
+            vc = VectorConfig.from_toml(args.config, args.instance)
+        else:
+            vc = VectorConfig.from_json(args.config)
+        engine.catalog.configure(vc)
+        print(f"vector_config: {vc}", file=sys.stderr)
+    server = HelixSparkServer(engine, bundle)
     port = server.start(host=args.host, port=args.port)
     print(f"serving on http://{args.host}:{port}/v1/query", file=sys.stderr)
     try:
@@ -246,6 +256,10 @@ def main(argv=None) -> int:
             p.add_argument("--host", default="127.0.0.1")
             p.add_argument("--port", type=int, default=6969)
             p.add_argument("--bundle", help="queries.json stored-route bundle")
+            p.add_argument("--config", help="reference helix.toml (or JSON "
+                           "DbConfig) — wires vector_config knobs")
+            p.add_argument("--instance", help="helix.toml instance name "
+                           "to read vector_config from")
         elif name == "curate":
             p.add_argument("--out", help="curated-output parquet dir")
             p.add_argument("--min-quality", type=float, default=0.3)

@@ -66,6 +66,29 @@ class VectorConfig:
         with open(path) as f:
             return cls.from_dict(json.load(f))
 
+    @classmethod
+    def from_toml(cls, path: str,
+                  instance: "str | None" = None) -> "VectorConfig":
+        """Parse the reference's ``helix.toml`` (config.rs HelixConfig:
+        ``db_config`` is serde-flattened into each ``[local.<name>]`` /
+        ``[enterprise.<name>]`` instance, so the knobs live at
+        ``[local.dev.vector_config]``). ``instance`` selects one by
+        name; otherwise the first instance (sorted) with an explicit
+        vector_config wins, and a file with none yields the defaults —
+        the same behavior as the reference's serde defaults."""
+        import tomllib
+
+        with open(path, "rb") as f:
+            t = tomllib.load(f)
+        if "vector_config" in t:
+            return cls.from_dict(t)
+        insts = {**t.get("local", {}), **t.get("enterprise", {})}
+        if instance is not None:
+            return cls.from_dict(insts[instance])
+        sel = next((v for _, v in sorted(insts.items())
+                    if "vector_config" in v), None)
+        return cls.from_dict(sel) if sel is not None else cls()
+
     def nprobe(self, n: int, ncells: int) -> int:
         """ef_search -> IVF probe count via candidate-pool equivalence:
         probe enough cells that ~ef_search candidates get the exact

@@ -134,3 +134,21 @@ def test_ef_search_applies_to_disk_ivf(spark, tmp_path):
              ivf_topk_disk(spark, root, qv, 10, nprobe=22).collect()]
     assert exact == brute
     assert low != exact  # single-cell probe misses the other cluster
+
+
+def test_from_toml_reference_layout(tmp_path):
+    """A reference helix.toml parses: db_config is serde-flattened into
+    each instance, so the knobs live at [local.dev.vector_config]; a
+    file with no explicit block yields the defaults."""
+    p = tmp_path / "helix.toml"
+    p.write_text(
+        '[project]\nname = "demo"\n\n'
+        '[local.dev]\nport = 6969\n\n'
+        '[local.dev.vector_config]\n'
+        'm = 24\nef_construction = 256\nef_search = 1536\n')
+    vc = VectorConfig.from_toml(str(p))
+    assert (vc.m, vc.ef_construction, vc.ef_search) == (24, 256, 1536)
+    assert VectorConfig.from_toml(str(p), instance="dev") == vc
+    bare = tmp_path / "bare.toml"
+    bare.write_text('[project]\nname = "demo"\n\n[local.dev]\nport = 1\n')
+    assert VectorConfig.from_toml(str(bare)) == VectorConfig()
