@@ -297,3 +297,36 @@ def test_mixture_plan_invariants(spark, groups):
         # every group keeps the binding group's unit mass (uniform target)
         assert math.isclose(r["keep_units"], m, abs_tol=0.51)
     assert any(r["sample_frac"] == 1.0 for r in out)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(groups=st.lists(
+    st.tuples(st.sampled_from("abcdef"), st.integers(1, 500)),
+    min_size=1, max_size=8, unique_by=lambda t: t[0]),
+    temp=st.sampled_from([0.5, 1.0, 2.0, 5.0]))
+def test_mixture_plan_temperature_invariants(spark, groups, temp):
+    """Temperature targets on arbitrary layouts: targets sum to 1, fracs
+    in (0, 1], at least one binding group, and the temperature ordering
+    holds — T>1 lifts small groups' targets above their natural share,
+    T<1 lowers them (strict when shares differ)."""
+    from helix_db_spark.operators.sampling import mixture_plan
+
+    rows = [(f"{g}0", g, sz) for g, sz in groups]
+    df = spark.createDataFrame(rows, "id string, src string, w int")
+    out = mixture_plan(df, "src", size_col="w", temperature=temp).collect()
+    assert len(out) == len(groups)
+    assert math.isclose(sum(r["target_share"] for r in out), 1.0,
+                        abs_tol=1e-4)
+    for r in out:
+        assert 0 < r["sample_frac"] <= 1.0
+    assert any(r["sample_frac"] == 1.0 for r in out)
+    smallest = min(out, key=lambda r: r["share"])
+    if temp == 1.0:
+        for r in out:
+            assert math.isclose(r["target_share"], r["share"], abs_tol=2e-6)
+    elif len({r["share"] for r in out}) > 1:
+        if temp > 1.0:
+            assert smallest["target_share"] > smallest["share"] - 1e-9
+        else:
+            assert smallest["target_share"] < smallest["share"] + 1e-9
