@@ -8,11 +8,13 @@ stream batch-wise).
 
 Decode backends: PIL / soundfile / av when installed; built-in pure-stdlib
 fallbacks guarantee the REAL decode branch executes even in containers
-without media libraries — a PNG decoder (zlib + struct per the public PNG
-spec) for images, a PCM WAV decoder (``wave`` + numpy) for audio, and an
-uncompressed-AVI decoder (RIFF + BITMAPINFOHEADER per the public AVI/DIB
-spec) for video. ``deterministic_features`` stays the model-feature
-stand-in (sha256-seeded, SQL-reproducible for grading).
+without media libraries — PNG (zlib + struct per the public PNG spec,
+incl. palette images) and BASELINE JPEG (ITU-T T.81 sequential DCT:
+Huffman, chroma subsampling, restart intervals) for images, a PCM WAV
+decoder (``wave`` + numpy) for audio, and an uncompressed-AVI decoder
+(RIFF + BITMAPINFOHEADER per the public AVI/DIB spec) for video.
+``deterministic_features`` stays the model-feature stand-in
+(sha256-seeded, SQL-reproducible for grading).
 """
 
 from __future__ import annotations
