@@ -10,8 +10,8 @@ Decode backends: PIL / soundfile / av when installed; built-in pure-stdlib
 fallbacks guarantee the REAL decode branch executes even in containers
 without media libraries — PNG (zlib + struct per the public PNG spec,
 incl. palette images) and BASELINE JPEG (ITU-T T.81 sequential DCT:
-Huffman, chroma subsampling, restart intervals) for images, a PCM WAV
-decoder (``wave`` + numpy) for audio, and an uncompressed-AVI decoder
+Huffman, chroma subsampling, restart intervals) for images, PCM WAV plus
+AIFF/AIFC, Sun AU, and G.711 mu-law/A-law companding for audio, and an uncompressed-AVI decoder
 (RIFF + BITMAPINFOHEADER per the public AVI/DIB spec) for video.
 ``deterministic_features`` stays the model-feature stand-in
 (sha256-seeded, SQL-reproducible for grading).
@@ -433,6 +433,151 @@ class _MiniWavBackend:
         return data, rate
 
 
+def _mulaw_expand(codes: "np.ndarray") -> "np.ndarray":
+    """G.711 mu-law byte -> linear float64 in [-1, 1] (public ITU G.711
+    spec): complement, unpack sign/exponent/mantissa, rebuild the
+    segment-companded magnitude."""
+    u = (~codes.astype(np.int64)) & 0xFF
+    sign = (u >> 7) & 1
+    e = (u >> 4) & 7
+    m = u & 0x0F
+    mag = (((m << 3) + 0x84) << e) - 0x84
+    return np.where(sign == 1, -mag, mag).astype(np.float64) / 32768.0
+
+
+def _alaw_expand(codes: "np.ndarray") -> "np.ndarray":
+    """G.711 A-law byte -> linear float64 in [-1, 1]."""
+    a = codes.astype(np.int64) ^ 0x55
+    sign = (a >> 7) & 1
+    e = (a >> 4) & 7
+    m = a & 0x0F
+    mag = np.where(e > 0, ((m << 4) + 0x108) << np.maximum(e - 1, 0),
+                   (m << 4) + 8)
+    # A-law sign convention is inverted vs mu-law: MSB set => POSITIVE
+    return np.where(sign == 1, mag, -mag).astype(np.float64) / 32768.0
+
+
+def _be_pcm(raw: bytes, width: int) -> "np.ndarray":
+    if width == 1:
+        return np.frombuffer(raw, np.int8).astype(np.float64) / 128.0
+    if width == 2:
+        return np.frombuffer(raw, ">i2").astype(np.float64) / 32768.0
+    if width == 3:
+        b = np.frombuffer(raw, np.uint8)
+        b = b[:len(b) - len(b) % 3].reshape(-1, 3).astype(np.int32)
+        v = (b[:, 0] << 16) | (b[:, 1] << 8) | b[:, 2]
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        return v.astype(np.float64) / float(1 << 23)
+    if width == 4:
+        return np.frombuffer(raw, ">i4").astype(np.float64) / float(1 << 31)
+    raise ValueError(f"unsupported PCM width {width}")
+
+
+class _MiniAuBackend:
+    """Pure-stdlib Sun AU (.snd) decoder (public NeXT/Sun spec):
+    big-endian header, mu-law / A-law / 8..32-bit big-endian PCM."""
+
+    @staticmethod
+    def read(fp):
+        import struct
+
+        d = fp.read()
+        if d[:4] != b".snd":
+            raise ValueError("not an AU file")
+        off, size, enc, rate, ch = struct.unpack(">IIIII", d[4:24])
+        raw = d[off:off + size if size != 0xFFFFFFFF else len(d)]
+        if enc == 1:
+            data = _mulaw_expand(np.frombuffer(raw, np.uint8))
+        elif enc == 27:
+            data = _alaw_expand(np.frombuffer(raw, np.uint8))
+        elif enc in (2, 3, 4, 5):
+            data = _be_pcm(raw, enc - 1)
+        else:
+            raise ValueError(f"unsupported AU encoding {enc}")
+        if ch > 1:
+            data = data[:len(data) - len(data) % ch].reshape(-1, ch)
+        return data, int(rate)
+
+
+class _MiniAiffBackend:
+    """Pure-stdlib AIFF / AIFC decoder (public EA-IFF-85 / Apple AIFF-C
+    spec, struct only — no deprecated ``aifc`` module): COMM (channels,
+    width, 80-bit extended-float rate, AIFC compression type) + SSND;
+    big-endian PCM plus 'sowt' little-endian PCM and G.711 ulaw/alaw."""
+
+    @staticmethod
+    def _ext80(b: bytes) -> float:
+        import struct
+
+        se, mant = struct.unpack(">HQ", b)
+        exp = se & 0x7FFF
+        if exp == 0 and mant == 0:
+            return 0.0
+        val = mant * 2.0 ** (exp - 16383 - 63)
+        return -val if se >> 15 else val
+
+    @classmethod
+    def read(cls, fp):
+        import struct
+
+        d = fp.read()
+        if d[:4] != b"FORM" or d[8:12] not in (b"AIFF", b"AIFC"):
+            raise ValueError("not an AIFF file")
+        pos, comm, ssnd, comp = 12, None, None, b"NONE"
+        while pos + 8 <= len(d):
+            cid = d[pos:pos + 4]
+            (ln,) = struct.unpack(">I", d[pos + 4:pos + 8])
+            body = d[pos + 8:pos + 8 + ln]
+            pos += 8 + ln + (ln & 1)          # chunks are word-aligned
+            if cid == b"COMM":
+                ch, _nf, width_bits = struct.unpack(">hIh", body[:8])
+                rate = cls._ext80(body[8:18])
+                if len(body) > 18:            # AIFC: compression type
+                    comp = body[18:22]
+                comm = (ch, (width_bits + 7) // 8, rate)
+            elif cid == b"SSND":
+                off, _blk = struct.unpack(">II", body[:8])
+                ssnd = body[8 + off:]
+        if comm is None or ssnd is None:
+            raise ValueError("AIFF missing COMM/SSND")
+        ch, width, rate = comm
+        comp = comp.upper()
+        if comp == b"NONE":
+            data = _be_pcm(ssnd, width)
+        elif comp == b"SOWT":                 # little-endian PCM (Apple)
+            data = _be_pcm(ssnd[::-1], width)[::-1] if width == 1 else \
+                np.frombuffer(ssnd, f"<i{width}").astype(np.float64) \
+                / float(1 << (8 * width - 1))
+        elif comp == b"ULAW":
+            data = _mulaw_expand(np.frombuffer(ssnd, np.uint8))
+        elif comp == b"ALAW":
+            data = _alaw_expand(np.frombuffer(ssnd, np.uint8))
+        else:
+            raise ValueError(f"unsupported AIFC compression {comp!r}")
+        if ch > 1:
+            data = data[:len(data) - len(data) % ch].reshape(-1, ch)
+        return data, int(round(rate))
+
+
+class _MiniAudioBackend:
+    """Magic-byte dispatcher over the built-in audio decoders — the
+    soundfile-less audio backend: RIFF -> PCM WAV, FORM -> AIFF/AIFC,
+    .snd -> Sun AU (G.711 mu-law/A-law companding included)."""
+
+    @staticmethod
+    def read(fp):
+        import io
+
+        data = fp.read()
+        if data[:4] == b"RIFF":
+            return _MiniWavBackend.read(io.BytesIO(data))
+        if data[:4] == b"FORM":
+            return _MiniAiffBackend.read(io.BytesIO(data))
+        if data[:4] == b".snd":
+            return _MiniAuBackend.read(io.BytesIO(data))
+        raise ValueError("unsupported audio format")
+
+
 class _MiniAviVideo:
     """Probed video with the slice of surface decode_video uses."""
 
@@ -531,7 +676,7 @@ def _try_decode_backend(media_type: str):
         if media_type == "image":
             return _MiniImageBackend
         if media_type == "audio":
-            return _MiniWavBackend
+            return _MiniAudioBackend
         if media_type == "video":
             return _MiniAviBackend
     return None

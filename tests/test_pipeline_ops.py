@@ -1452,3 +1452,50 @@ def test_curate_corpus_lm_band_keeps_tokenless_docs(spark):
                           lm_band=(0.0, 1.0)).collect()}
     assert 3 in base
     assert band == base
+
+
+def test_miniaudio_aiff_au_g711_decode(spark):
+    """AIFF / AIFC / Sun AU with G.711 mu-law + A-law companding decode
+    without soundfile, cross-checked against the SAME clip's PCM16 WAV
+    twin (CPython's audiodata assets): PCM variants match to quantization
+    (<= 1e-4 for >=16-bit), companded variants to G.711 segment error,
+    and every variant agrees on shape/rate. Exercises the Spark
+    decode_audio path on an AIFC clip end-to-end."""
+    import os
+
+    import numpy as np
+    import pytest as _pytest
+
+    import test as _cpython_test
+    from helix_db_spark.operators import multimodal
+    from helix_db_spark.operators.multimodal import (_MiniAudioBackend,
+                                                     _MiniWavBackend)
+
+    base = os.path.join(os.path.dirname(_cpython_test.__file__),
+                        "audiodata")
+    wav = os.path.join(base, "pluck-pcm16.wav")
+    if not os.path.exists(wav):
+        _pytest.skip("CPython audio test assets not installed")
+    with open(wav, "rb") as f:
+        ref, rrate = _MiniWavBackend.read(f)
+    ref_m = ref.mean(axis=1)
+    tol = {"pluck-pcm16.aiff": 1e-4, "pluck-pcm24.aiff": 1e-4,
+           "pluck-pcm32.aiff": 1e-4, "pluck-pcm16.au": 1e-4,
+           "pluck-pcm8.aiff": 0.01, "pluck-ulaw.au": 0.02,
+           "pluck-ulaw.aifc": 0.02, "pluck-alaw.aifc": 0.02}
+    for name, t in tol.items():
+        with open(os.path.join(base, name), "rb") as f:
+            d, rate = _MiniAudioBackend.read(f)
+        assert rate == rrate and d.shape == ref.shape, name
+        err = float(np.abs(d.mean(axis=1) - ref_m).max())
+        assert err <= t, (name, err)
+
+    with open(os.path.join(base, "pluck-alaw.aifc"), "rb") as f:
+        clip = f.read()
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(clip), (0, 0, 300, "alaw"))],
+        multimodal.MEDIA_SCHEMA)
+    row = multimodal.decode_audio(media).collect()[0]
+    assert row["sample_rate"] == rrate and row["channels"] == 2
+    assert abs(row["duration_ms"] - 300) <= 1
+    assert row["mean_rms"] is not None and row["mean_rms"] > 0
