@@ -10,9 +10,10 @@ Decode backends: PIL / soundfile / av when installed; built-in pure-stdlib
 fallbacks guarantee the REAL decode branch executes even in containers
 without media libraries — PNG (zlib + struct per the public PNG spec,
 incl. palette images) and BASELINE JPEG (ITU-T T.81 sequential DCT:
-Huffman, chroma subsampling, restart intervals) for images, PCM WAV plus
-AIFF/AIFC, Sun AU, and G.711 mu-law/A-law companding for audio, and an uncompressed-AVI decoder
-(RIFF + BITMAPINFOHEADER per the public AVI/DIB spec) for video.
+Huffman, chroma subsampling, restart intervals) for images; PCM WAV plus
+AIFF/AIFC, Sun AU, and G.711 mu-law/A-law companding for audio; and an
+uncompressed-AVI decoder (RIFF + BITMAPINFOHEADER per the public AVI/DIB
+spec) for video.
 ``deterministic_features`` stays the model-feature stand-in
 (sha256-seeded, SQL-reproducible for grading).
 """
@@ -545,9 +546,18 @@ class _MiniAiffBackend:
         if comp == b"NONE":
             data = _be_pcm(ssnd, width)
         elif comp == b"SOWT":                 # little-endian PCM (Apple)
-            data = _be_pcm(ssnd[::-1], width)[::-1] if width == 1 else \
-                np.frombuffer(ssnd, f"<i{width}").astype(np.float64) \
-                / float(1 << (8 * width - 1))
+            if width in (1, 2, 4):
+                # single bytes are endian-free; 2/4 flip the dtype
+                dt = np.int8 if width == 1 else f"<i{width}"
+                data = np.frombuffer(ssnd, dt).astype(np.float64) \
+                    / float(1 << (8 * width - 1))
+            else:                             # packed LE 24-bit
+                b3 = np.frombuffer(ssnd, np.uint8)
+                b3 = b3[:len(b3) - len(b3) % 3].reshape(-1, 3) \
+                    .astype(np.int32)
+                v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+                v = np.where(v >= 1 << 23, v - (1 << 24), v)
+                data = v.astype(np.float64) / float(1 << 23)
         elif comp == b"ULAW":
             data = _mulaw_expand(np.frombuffer(ssnd, np.uint8))
         elif comp == b"ALAW":

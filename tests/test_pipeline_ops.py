@@ -1499,3 +1499,32 @@ def test_miniaudio_aiff_au_g711_decode(spark):
     assert row["sample_rate"] == rrate and row["channels"] == 2
     assert abs(row["duration_ms"] - 300) <= 1
     assert row["mean_rms"] is not None and row["mean_rms"] > 0
+
+
+def test_miniaiff_sowt_little_endian_exact():
+    """AIFC 'sowt' (Apple little-endian PCM) decodes byte-exactly from a
+    synthetic file — pins the endianness branch the pluck assets don't
+    cover."""
+    import io
+    import math
+    import struct
+
+    import numpy as np
+
+    from helix_db_spark.operators.multimodal import _MiniAiffBackend
+
+    def ext80(rate):
+        e = int(math.floor(math.log2(rate)))
+        mant = int(rate / 2.0 ** e * (1 << 63))
+        return struct.pack(">HQ", 16383 + e, mant)
+
+    samples = (np.sin(np.linspace(0, 20, 500)) * 20000).astype("<i2")
+    ssnd = struct.pack(">II", 0, 0) + samples.tobytes()
+    comm = struct.pack(">hIh", 1, len(samples), 16) + ext80(8000) \
+        + b"sowt" + b"\x00\x00"
+    chunks = (b"COMM" + struct.pack(">I", len(comm)) + comm
+              + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    form = b"FORM" + struct.pack(">I", 4 + len(chunks)) + b"AIFC" + chunks
+    d, rate = _MiniAiffBackend.read(io.BytesIO(form))
+    assert rate == 8000
+    assert float(np.abs(d - samples / 32768.0).max()) == 0.0
