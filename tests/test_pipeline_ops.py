@@ -381,7 +381,8 @@ def test_minijpeg_decodes_real_420_jpeg(spark):
     import numpy as np
     import pytest as _pytest
 
-    import test as _cpython_test
+    _cpython_test = _pytest.importorskip(
+        "test", reason="CPython test package stripped from this install")
     from helix_db_spark.operators import multimodal
     from helix_db_spark.operators.multimodal import (_MiniJpegBackend,
                                                      _MiniPngBackend)
@@ -1466,7 +1467,8 @@ def test_miniaudio_aiff_au_g711_decode(spark):
     import numpy as np
     import pytest as _pytest
 
-    import test as _cpython_test
+    _cpython_test = _pytest.importorskip(
+        "test", reason="CPython test package stripped from this install")
     from helix_db_spark.operators import multimodal
     from helix_db_spark.operators.multimodal import (_MiniAudioBackend,
                                                      _MiniWavBackend)
