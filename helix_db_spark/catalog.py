@@ -104,14 +104,18 @@ class GraphCatalog:
         with a ``vector_config`` block, or a VectorConfig) and wire the
         HNSW-style knobs onto the ANN parameters (config.py documents the
         ef_search -> nprobe / ef_construction -> refine-iters mapping).
-        Materialized vector indexes invalidate: new knobs, new build."""
+
+        Nothing is invalidated here: the knobs change PROBE planning and
+        the in-memory IVF build cache keys on refine_iters already, so a
+        new ef_construction naturally builds fresh — and the
+        ivf_disk/lsh_disk entries are LAYOUT registrations (pointers to
+        stored indexes), which the disk probe must keep using (popping
+        them silently downgraded every configured stored-catalog search
+        to an in-memory rebuild — caught in r6 review)."""
         from .config import VectorConfig
 
         self.vector_config = (config if isinstance(config, VectorConfig)
                               else VectorConfig.from_dict(config))
-        for key in [k for k in self._materialized
-                    if k[0] in ("vecnorm", "ivf_disk", "lsh", "lsh_disk")]:
-            self._materialized.pop(key, None)
         return self.vector_config
 
     # -- registration -----------------------------------------------------

@@ -82,8 +82,14 @@ class VectorConfig:
             t = tomllib.load(f)
         if "vector_config" in t:
             return cls.from_dict(t)
-        insts = {**t.get("local", {}), **t.get("enterprise", {})}
+        # local wins a (pathological) name collision with enterprise —
+        # the instance you can touch on this machine beats the remote one
+        insts = {**t.get("enterprise", {}), **t.get("local", {})}
         if instance is not None:
+            if instance not in insts:
+                raise ValueError(
+                    f"instance {instance!r} not in {path}; defined: "
+                    f"{sorted(insts) or '(none)'}")
             return cls.from_dict(insts[instance])
         sel = next((v for _, v in sorted(insts.items())
                     if "vector_config" in v), None)

@@ -239,6 +239,9 @@ class _MiniJpegBackend:
                 i += 1
                 continue
             m = d[i + 1]
+            if m == 0xFF:          # legal fill byte before a marker
+                i += 1             # (T.81 B.1.1.2) — not a segment
+                continue
             if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
                 i += 2
                 continue

@@ -136,7 +136,7 @@ def vector_search(compiler, step):
                                  pre_filter=tenant_cond,
                                  vector_config=compiler.cat.vector_config)
         else:
-            from .similarity import ivf_index, ivf_topk
+            from .similarity import ivf_index_stats, ivf_topk
             frames = (compiler.cat.nodes(step.label)
                       if step.target == "nodes"
                       else compiler.cat.edges(step.label))
@@ -146,14 +146,15 @@ def vector_search(compiler, step):
             # sizes the probe via the candidate-pool equivalence and
             # ef_construction selects the Lloyd-refined build (config.py);
             # unconfigured engines keep the deterministic nprobe=2 seed
-            # build the graded oracles replay.
+            # build the graded oracles replay. Stats memoize per build —
+            # no per-request count jobs (r6 review).
             vc = compiler.cat.vector_config
             nprobe, iters = 2, 0
             if vc is not None:
                 iters = vc.kmeans_iters()
-                assigned, cents = ivf_index(base, _ID, step.property,
+                n, ncells = ivf_index_stats(base, _ID, step.property,
                                             refine_iters=iters)
-                nprobe = vc.nprobe(assigned.count(), cents.count())
+                nprobe = vc.nprobe(n, ncells)
             # tenant restricts candidates inside the SHARED index (a
             # filtered base would key a per-tenant index build)
             hits = ivf_topk(base, _ID, step.property, query, k,

@@ -230,11 +230,36 @@ def _ivf_cache_put(key, value) -> None:
     while len(_IVF_CACHE) > _IVF_CACHE_MAX:
         old_key = next(iter(_IVF_CACHE))
         assigned, cents = _IVF_CACHE.pop(old_key)
+        _IVF_STATS.pop(old_key, None)
         for frame in (assigned, cents):
             try:
                 frame.unpersist()
             except Exception:
                 pass
+
+
+# (n_rows, ncells) per built index — probe planning (the ef_search ->
+# nprobe mapping) is a pure function of these, so a served engine
+# computes them ONCE per build instead of two Spark jobs per request
+# (r6 review); evicted alongside the index itself.
+_IVF_STATS: "dict" = {}
+
+
+def ivf_index_stats(df: DataFrame, id_col: str, vec_col: str,
+                    max_cells: int = IVF_MAX_CELLS,
+                    refine_iters: int = 0) -> tuple:
+    """(n_rows, ncells) of the (cached) IVF build — memoized under the
+    same key as the index, mirroring how the on-disk layout reads them
+    from meta.json."""
+    key = (df._jdf.queryExecution().analyzed().semanticHash(),
+           id_col, vec_col, max_cells, refine_iters)
+    st = _IVF_STATS.get(key)
+    if st is None:
+        assigned, cents = ivf_index(df, id_col, vec_col, max_cells,
+                                    refine_iters=refine_iters)
+        st = (assigned.count(), cents.count())
+        _IVF_STATS[key] = st
+    return st
 
 
 def ivf_index(df: DataFrame, id_col: str, vec_col: str,
@@ -455,16 +480,22 @@ def store_ivf_index(df: DataFrame, id_col: str, vec_col: str, root: str,
     assigned.write.mode("overwrite").partitionBy("_cell") \
         .parquet(_os.path.join(root, "cells"))
     cents.write.mode("overwrite").parquet(_os.path.join(root, "centroids"))
+    spark = df.sparkSession
     with open(_os.path.join(root, "meta.json"), "w") as fh:
         # n_rows/ncells are probe-planning metadata: the ef_search ->
         # nprobe mapping (config.py) needs the avg cell size without
-        # re-counting the stored corpus
+        # re-counting the stored corpus. Counting the JUST-WRITTEN
+        # parquet is a footer-metadata read, not a second pass over the
+        # source plan (r6 review: df.count() re-executed the whole
+        # assignment pipeline).
         _json.dump({"id_col": id_col, "vec_col": vec_col,
                     "max_cells": max_cells,
                     "refine_iters": refine_iters,
                     "quantized": bool(quantize),
-                    "n_rows": df.count(),
-                    "ncells": cents.count()}, fh)
+                    "n_rows": spark.read.parquet(
+                        _os.path.join(root, "cells")).count(),
+                    "ncells": spark.read.parquet(
+                        _os.path.join(root, "centroids")).count()}, fh)
     return root
 
 

@@ -1530,3 +1530,19 @@ def test_miniaiff_sowt_little_endian_exact():
     d, rate = _MiniAiffBackend.read(io.BytesIO(form))
     assert rate == 8000
     assert float(np.abs(d - samples / 32768.0).max()) == 0.0
+
+
+def test_minijpeg_tolerates_fill_bytes():
+    """Legal 0xFF fill bytes before a marker (T.81 B.1.1.2) must not
+    derail the marker scanner (r6 review finding)."""
+    import io
+
+    import numpy as np
+
+    from helix_db_spark.operators.multimodal import _MiniJpegBackend
+
+    plain = _flat_gray_jpeg(200)
+    # inject fill bytes before SOF0 (FFC0)
+    padded = plain.replace(b"\xff\xc0", b"\xff\xff\xff\xc0", 1)
+    img = _MiniJpegBackend.open(io.BytesIO(padded))
+    assert np.array_equal(np.asarray(img), np.full((8, 8), 200, np.uint8))

@@ -336,3 +336,47 @@ def test_incremental_dedup_replay_ignores_self_matches(spark, tmp_path):
     assert replay[900002]["dup_kind"] is None, "matched its own append"
     assert replay[900001]["dup_kind"] == "exact"
     assert replay[900001]["match_id"] == 0, "self-id shadowed the corpus"
+
+
+def test_configured_catalog_keeps_disk_probe(spark, tmp_path):
+    """catalog.configure() must NOT drop the ivf_disk layout
+    registration: a configured stored catalog still routes method='ivf'
+    to the cell-partitioned on-disk probe, with the nprobe derived from
+    ef_search via the stored n_rows/ncells (r6 review finding — the
+    invalidation silently downgraded every configured stored-catalog
+    search to an in-memory rebuild)."""
+    import re
+
+    from helix_db_spark.config import VectorConfig
+    from helix_db_spark.plans.compiler import ExecContext, StepCompiler
+    from helix_db_spark.sources.store import store_index
+
+    cat = load_graph(spark, SF_DIR)
+    cat.create_index(IndexEntry("node_vector", "embeddings", "embedding"))
+    root = str(tmp_path / "store")
+    save_catalog(cat, root, partitions=2)
+    store_index(StepCompiler(ExecContext(cat)), root)
+
+    cat2 = load_catalog(spark, root)
+    cat2.configure(VectorConfig(ef_search=10 ** 6))
+    assert ("ivf_disk", "nodes", "embeddings", "embedding") \
+        in cat2._materialized, "configure() dropped the disk layout"
+    emb_row = spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
+        .filter("vec_id = 7").head()
+    vec = [float(x) for x in emb_row["embedding"]]
+    q = g().vector_search("embeddings", "embedding", vec, 5,
+                          method="ivf").values("vec_id")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "20000")
+    try:
+        df = HelixSparkEngine(cat2).run(q)
+        assert len(df.collect()) == 5
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[[^\]]*_cell#\d+L? "
+                      r"(?:IN \(([0-9,]+)\)|INSET ([0-9, ]+))", plan)
+        assert m is not None, \
+            "configured catalog lost the on-disk _cell-pruned probe"
+        # ef_search=1e6 >> corpus: the probe covers every cell (exact)
+        vals = (m.group(1) or m.group(2)).replace(" ", "")
+        assert len([v for v in vals.split(",") if v]) >= 5
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
