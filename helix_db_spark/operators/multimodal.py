@@ -12,8 +12,9 @@ without media libraries — PNG (zlib + struct per the public PNG spec,
 incl. palette images) and BASELINE JPEG (ITU-T T.81 sequential DCT:
 Huffman, chroma subsampling, restart intervals) for images; PCM WAV plus
 AIFF/AIFC, Sun AU, and G.711 mu-law/A-law companding for audio; and an
-uncompressed-AVI decoder (RIFF + BITMAPINFOHEADER per the public AVI/DIB
-spec) for video.
+AVI decoder for video (RIFF + BITMAPINFOHEADER per the public AVI/DIB
+spec: uncompressed DIB frames plus Motion-JPEG via the JPEG backend,
+incl. table-less MJPEG frames that imply the Annex K tables).
 ``deterministic_features`` stays the model-feature stand-in
 (sha256-seeded, SQL-reproducible for grading).
 """
@@ -382,6 +383,76 @@ class _MiniJpegBackend:
         return _MiniPngImage(np.clip(rgb, 0, 255).astype(np.uint8), "RGB")
 
 
+def _std_dht_segments() -> bytes:
+    """The four baseline Huffman tables of ITU-T T.81 Annex K (Tables
+    K.3-K.6) as DHT segments — MJPEG AVI frames are allowed to omit DHT
+    and imply exactly these (public OpenDML/MJPEG convention)."""
+    dc_lum = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+              list(range(12)))
+    dc_chr = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+              list(range(12)))
+    ac_lum_syms = [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31,
+        0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32,
+        0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+        0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A,
+        0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57,
+        0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+        0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94,
+        0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+        0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+        0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA]
+    ac_lum = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+              ac_lum_syms)
+    ac_chr_syms = [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06,
+        0x12, 0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81,
+        0x08, 0x14, 0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33,
+        0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56,
+        0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A,
+        0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92,
+        0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6,
+        0xD7, 0xD8, 0xD9, 0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7,
+        0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA]
+    ac_chr = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+              ac_chr_syms)
+    out = b""
+    for tc_th, (counts, syms) in ((0x00, dc_lum), (0x10, ac_lum),
+                                  (0x01, dc_chr), (0x11, ac_chr)):
+        body = bytes([tc_th]) + bytes(counts) + bytes(syms)
+        out += b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
+    return out
+
+
+def _mjpeg_frame_bytes(b: bytes) -> bytes:
+    """Normalize an MJPEG AVI frame for the JPEG decoder: frames may
+    legally omit their Huffman tables (implying the Annex K standard
+    set) — splice the standard DHT segments before SOS when absent."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("MJPEG frame is not a JPEG")
+    sos = b.find(b"\xff\xda")
+    if sos < 0:
+        raise ValueError("MJPEG frame has no scan")
+    if b"\xff\xc4" in b[:sos]:                # has its own DHT
+        return b
+    return b[:sos] + _std_dht_segments() + b[sos:]
+
+
 class _MiniImageBackend:
     """Magic-byte dispatcher over the built-in decoders — the PIL-less
     image backend: PNG -> _MiniPngBackend, baseline JPEG ->
@@ -667,6 +738,21 @@ class _MiniAviBackend:
                 arr = arr.reshape(height, stride)[:, :width * 3]
                 arr = arr.reshape(height, width, 3)[::-1, :, ::-1]  # flip+BGR
                 frames.append(np.ascontiguousarray(arr))
+        elif comp == int.from_bytes(b"MJPG", "little"):
+            # Motion-JPEG: every frame is a baseline JPEG (tables may be
+            # omitted per the MJPEG convention — the Annex K standard set
+            # is implied and spliced back in). First COMPRESSED codec
+            # with a dependency-free decode path (r6, rides the stdlib
+            # baseline JPEG decoder).
+            import io as _io
+            for rf in raw_frames:
+                try:
+                    img = _MiniJpegBackend.open(
+                        _io.BytesIO(_mjpeg_frame_bytes(bytes(rf))))
+                    frames.append(np.asarray(img.convert("RGB"),
+                                             dtype=np.uint8))
+                except ValueError:
+                    continue          # undecodable frame: keep counting
         return _MiniAviVideo(width, height, len(raw_frames), fps, frames)
 
 

@@ -1546,3 +1546,71 @@ def test_minijpeg_tolerates_fill_bytes():
     padded = plain.replace(b"\xff\xc0", b"\xff\xff\xff\xc0", 1)
     img = _MiniJpegBackend.open(io.BytesIO(padded))
     assert np.array_equal(np.asarray(img), np.full((8, 8), 200, np.uint8))
+
+
+def _mjpg_avi_bytes(jpeg_frames, w, h, fps=10):
+    """Minimal MJPEG AVI writer (biCompression='MJPG', one baseline JPEG
+    per '00dc' chunk) — mirrors _avi_bytes."""
+    import struct
+
+    def chunk(fourcc, payload):
+        return (fourcc + struct.pack("<I", len(payload)) + payload
+                + (b"\x00" if len(payload) & 1 else b""))
+
+    def lst(kind, payload):
+        return chunk(b"LIST", kind + payload)
+
+    comp = int.from_bytes(b"MJPG", "little")
+    avih = struct.pack("<14I", 1_000_000 // fps, 0, 0, 0,
+                       len(jpeg_frames), 0, 1, 0, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+                                            1, fps, 0, len(jpeg_frames),
+                                            0, 0, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<iiiHHIIiiII", 40, w, h, 1, 24, comp,
+                       0, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = b"".join(chunk(b"00dc", j) for j in jpeg_frames)
+    body = hdrl + lst(b"movi", movi)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+def test_miniavi_mjpeg_frames_decode():
+    """Motion-JPEG AVI — the first COMPRESSED video codec with a
+    dependency-free decode path: per-frame baseline JPEGs decode through
+    the stdlib JPEG backend, including frames that omit their Huffman
+    tables (the MJPEG convention: ITU T.81 Annex K tables implied)."""
+    import io
+
+    import numpy as np
+
+    from helix_db_spark.operators.multimodal import _MiniAviBackend
+
+    # frames carrying their own (custom) tables
+    avi = _mjpg_avi_bytes([_flat_gray_jpeg(200), _flat_gray_jpeg(129)],
+                          8, 8, fps=4)
+    vid = _MiniAviBackend.open(io.BytesIO(avi))
+    assert (vid.width, vid.height, vid.frame_count) == (8, 8, 2)
+    got = list(vid.frames())
+    assert len(got) == 2
+    assert np.array_equal(got[0], np.full((8, 8, 3), 200, np.uint8))
+    assert np.array_equal(got[1], np.full((8, 8, 3), 129, np.uint8))
+
+    # a TABLE-LESS frame coded with the standard Annex K tables:
+    # DC cat-10 code '11111110', magnitude 576, EOB '1010', pad 1s
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + b"\x01" * 64
+    out += (b"\xff\xc0" + (11).to_bytes(2, "big")
+            + b"\x08" + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+            + b"\x01" + b"\x01\x11\x00")
+    out += (b"\xff\xda" + (8).to_bytes(2, "big")
+            + b"\x01" + b"\x01\x00" + b"\x00\x3f\x00")
+    bits = "11111110" + format(576, "010b") + "1010"
+    bits += "1" * (-len(bits) % 8)
+    out += int(bits, 2).to_bytes(len(bits) // 8, "big") + b"\xff\xd9"
+    vid2 = _MiniAviBackend.open(io.BytesIO(
+        _mjpg_avi_bytes([bytes(out)], 8, 8)))
+    got2 = list(vid2.frames())
+    assert len(got2) == 1
+    assert np.array_equal(got2[0], np.full((8, 8, 3), 200, np.uint8))
