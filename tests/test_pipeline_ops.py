@@ -1614,3 +1614,46 @@ def test_miniavi_mjpeg_frames_decode():
     got2 = list(vid2.frames())
     assert len(got2) == 1
     assert np.array_equal(got2[0], np.full((8, 8, 3), 200, np.uint8))
+
+
+def test_minijpeg_restart_intervals():
+    """DRI/RSTn: a 2-MCU grayscale JPEG with restart interval 1 decodes
+    both blocks exactly — pins the bit-reader re-alignment and the DC
+    predictor reset at each restart marker (T.81 F.2.2.5)."""
+    import io
+
+    import numpy as np
+
+    from helix_db_spark.operators.multimodal import _MiniJpegBackend
+
+    # both blocks must share a DC category (the one-code table maps
+    # only category 10): (200-128)*8 = 576 and (228-128)*8 = 800 are
+    # both 10-bit magnitudes
+    v1, v2 = 200, 228
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + b"\x01" * 64
+    out += (b"\xff\xc0" + (11).to_bytes(2, "big")     # 8 x 16, 2 MCUs
+            + b"\x08" + (8).to_bytes(2, "big") + (16).to_bytes(2, "big")
+            + b"\x01" + b"\x01\x11\x00")
+    counts = bytearray(16)
+    counts[0] = 1
+    out += b"\xff\xc4" + (20).to_bytes(2, "big") + b"\x00" \
+        + bytes(counts) + bytes([10])
+    out += b"\xff\xc4" + (20).to_bytes(2, "big") + b"\x10" \
+        + bytes(counts) + b"\x00"
+    out += b"\xff\xdd" + (4).to_bytes(2, "big") + (1).to_bytes(2, "big")
+    out += (b"\xff\xda" + (8).to_bytes(2, "big")
+            + b"\x01" + b"\x01\x00" + b"\x00\x3f\x00")
+
+    def ent(v):
+        dc = (v - 128) * 8
+        bits = "0" + format(dc, "010b") + "0"
+        bits += "1" * (-len(bits) % 8)
+        return int(bits, 2).to_bytes(len(bits) // 8, "big")
+
+    out += ent(v1) + b"\xff\xd0" + ent(v2) + b"\xff\xd9"
+    img = _MiniJpegBackend.open(io.BytesIO(bytes(out)))
+    arr = np.asarray(img)
+    assert arr.shape == (8, 16)
+    assert np.array_equal(arr[:, :8], np.full((8, 8), v1, np.uint8))
+    assert np.array_equal(arr[:, 8:], np.full((8, 8), v2, np.uint8))
