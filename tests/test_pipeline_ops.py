@@ -1657,3 +1657,42 @@ def test_minijpeg_restart_intervals():
     assert arr.shape == (8, 16)
     assert np.array_equal(arr[:, :8], np.full((8, 8), v1, np.uint8))
     assert np.array_equal(arr[:, 8:], np.full((8, 8), v2, np.uint8))
+
+
+def test_minijpeg_422_sampling_exact():
+    """4:2:2 (Y h=2,v=1; Cb/Cr 1,1): a handcrafted flat-gray JPEG pins
+    multi-block-per-MCU ordering, per-component DC predictors, and
+    horizontal chroma upsampling. DC table: '0' -> category 10,
+    '1' -> category 0 (zero diff); gray means Cb=Cr=128 -> dc 0."""
+    import io
+
+    import numpy as np
+
+    from helix_db_spark.operators.multimodal import _MiniJpegBackend
+
+    v = 200                                   # dc = 576, category 10
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + b"\x01" * 64
+    out += (b"\xff\xc0" + (17).to_bytes(2, "big")   # 8 x 16, one MCU
+            + b"\x08" + (8).to_bytes(2, "big") + (16).to_bytes(2, "big")
+            + b"\x03" + b"\x01\x21\x00" + b"\x02\x11\x00" + b"\x03\x11\x00")
+    counts = bytearray(16)
+    counts[0] = 2                             # two length-1 codes
+    out += b"\xff\xc4" + (21).to_bytes(2, "big") + b"\x00" \
+        + bytes(counts) + bytes([10, 0])      # '0'->cat10, '1'->cat0
+    ac_counts = bytearray(16)
+    ac_counts[0] = 1
+    out += b"\xff\xc4" + (20).to_bytes(2, "big") + b"\x10" \
+        + bytes(ac_counts) + b"\x00"          # '0' -> EOB
+    out += (b"\xff\xda" + (12).to_bytes(2, "big")
+            + b"\x03" + b"\x01\x00" + b"\x02\x00" + b"\x03\x00"
+            + b"\x00\x3f\x00")
+    # MCU: Y1 (cat10 + 576 + EOB), Y2 (diff 0: cat0 + EOB),
+    #      Cb (cat0 + EOB), Cr (cat0 + EOB)
+    bits = ("0" + format(576, "010b") + "0") + "10" + "10" + "10"
+    bits += "1" * (-len(bits) % 8)
+    out += int(bits, 2).to_bytes(len(bits) // 8, "big") + b"\xff\xd9"
+    img = _MiniJpegBackend.open(io.BytesIO(bytes(out)))
+    assert (img.width, img.height, img.mode) == (16, 8, "RGB")
+    arr = np.asarray(img)
+    assert np.array_equal(arr, np.full((8, 16, 3), v, np.uint8))
