@@ -1977,6 +1977,27 @@ FROM r
 """
 
 
+@q("quality_curriculum_bins",
+   "WITH q AS (" + _quality_oracle() + "),\n"
+   "c AS (SELECT quantile_cont(quality, "
+   "[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs FROM q)\n"
+   "SELECT doc_id, quality, "
+   "CAST(len(list_filter(cs, x -> quality > x)) AS BIGINT) AS bin "
+   "FROM q CROSS JOIN c")
+def quality_curriculum_bins(spark, sf_dir):
+    """Curriculum-learning decile bins over the quality score WITHOUT a
+    global sort (sampling.quantile_bins): one exact-percentile aggregate
+    computes the 9 interior cuts, they broadcast back, and bin = #cuts
+    strictly below the value — ntile()'s single-partition sort replaced
+    by a map-side fold. Both engines interpolate percentiles identically
+    over the 6-decimal-rounded quality, so bin edges hash-match."""
+    from .operators.sampling import quantile_bins
+    from .operators.textstats import quality_score
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality"))
+    return quantile_bins(d, "quality", bins=10)
+
+
 @q("quality_weighted_sample",
    "WITH q AS (" + _quality_oracle() + ")\n"
    "SELECT doc_id, quality FROM q WHERE "

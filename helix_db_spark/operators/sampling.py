@@ -362,3 +362,25 @@ def write_shards(df: DataFrame, out_path: str, n_shards: int,
         with open(os.path.join(out_path, "_manifest.json"), "w") as f:
             json.dump(info, f)
     return info
+
+
+def quantile_bins(df: DataFrame, col: str, bins: int = 10) -> DataFrame:
+    """Quantile-bin assignment (curriculum-learning buckets, difficulty
+    tiers): each row gets the bin index of ``col``'s empirical quantile,
+    WITHOUT a global sort — one partial-aggregable exact-percentile pass
+    computes the ``bins - 1`` interior cuts, they broadcast back (a
+    1-row frame), and ``bin = #cuts strictly below the value``. The
+    ntile() alternative is a single-partition global sort — the
+    anti-pattern at 100 TB; this shape is one agg + a map-side fold.
+    Ties at a cut land deterministically in the lower bin on any engine
+    (pure comparison, no rank). Appends a ``bin`` column (0-based)."""
+    qs = [i / float(bins) for i in range(1, bins)]
+    cuts = df.agg(F.percentile(F.col(col),
+                               F.array(*[F.lit(q) for q in qs]))
+                  .alias("_cuts"))
+    bin_col = F.aggregate(
+        "_cuts", F.lit(0).cast("long"),
+        lambda acc, c: acc + F.when(F.col(col) > c, 1).otherwise(0))
+    return (df.crossJoin(F.broadcast(cuts))
+              .withColumn("bin", bin_col)
+              .drop("_cuts"))

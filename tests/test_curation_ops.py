@@ -295,3 +295,25 @@ def test_mixture_plan_temperature(spark):
         mixture_plan(df, "src", target={"big": 1.0}, temperature=2.0)
     with _pytest.raises(ValueError):
         mixture_plan(df, "src", temperature=0.0)
+
+
+def test_quantile_bins_no_global_sort(spark):
+    """quantile_bins: decile sizes within interpolation tolerance, bins
+    monotone in the value, and the physical plan has NO global-sort
+    ntile window — the cuts ride a 1-row broadcast."""
+    from helix_db_spark.operators.sampling import quantile_bins
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(1000)],
+                               "id long, v double")
+    out = quantile_bins(df, "v", bins=10)
+    rows = out.collect()
+    sizes = {}
+    for r in rows:
+        sizes[r["bin"]] = sizes.get(r["bin"], 0) + 1
+    assert set(sizes) == set(range(10))
+    assert all(90 <= n <= 110 for n in sizes.values()), sizes
+    by_v = sorted(rows, key=lambda r: r["v"])
+    assert all(a["bin"] <= b["bin"] for a, b in zip(by_v, by_v[1:]))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "quantile_bins must not run a window"
+    assert "CartesianProduct" not in plan
