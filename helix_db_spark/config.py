@@ -83,8 +83,14 @@ class VectorConfig:
         if "vector_config" in t:
             return cls.from_dict(t)
         # local wins a (pathological) name collision with enterprise —
-        # the instance you can touch on this machine beats the remote one
-        insts = {**t.get("enterprise", {}), **t.get("local", {})}
+        # the instance you can touch on this machine beats the remote
+        # one. Only TABLE values are instances: a stray scalar key at
+        # the [local]/[enterprise] level (e.g. `port = 1`) must not
+        # turn the membership checks into TypeErrors (ADVICE r6).
+        def _tables(x):
+            return {k: v for k, v in x.items()
+                    if isinstance(v, dict)} if isinstance(x, dict) else {}
+        insts = {**_tables(t.get("enterprise")), **_tables(t.get("local"))}
         if instance is not None:
             if instance not in insts:
                 raise ValueError(

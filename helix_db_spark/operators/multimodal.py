@@ -442,13 +442,36 @@ def _std_dht_segments() -> bytes:
 def _mjpeg_frame_bytes(b: bytes) -> bytes:
     """Normalize an MJPEG AVI frame for the JPEG decoder: frames may
     legally omit their Huffman tables (implying the Annex K standard
-    set) — splice the standard DHT segments before SOS when absent."""
+    set) — splice the standard DHT segments before SOS when absent.
+
+    The SOS offset and DHT presence come from walking the marker
+    segments by their length fields (as _MiniJpegBackend.open does) —
+    a raw substring find() can hit FF DA / FF C4 byte pairs inside an
+    earlier segment's payload (APP0 thumbnails, comments) and mis-splice
+    (ADVICE r6)."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("MJPEG frame is not a JPEG")
-    sos = b.find(b"\xff\xda")
+    pos, has_dht, sos = 2, False, -1
+    while pos + 2 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("MJPEG frame: lost marker sync")
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:  # fill bytes
+            pos += 1
+        marker = b[pos + 1]
+        if marker == 0xDA:
+            sos = pos
+            break
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            pos += 2                          # standalone, no length field
+            continue
+        if pos + 4 > len(b):
+            break
+        if marker == 0xC4:
+            has_dht = True
+        pos += 2 + int.from_bytes(b[pos + 2:pos + 4], "big")
     if sos < 0:
         raise ValueError("MJPEG frame has no scan")
-    if b"\xff\xc4" in b[:sos]:                # has its own DHT
+    if has_dht:                               # has its own DHT
         return b
     return b[:sos] + _std_dht_segments() + b[sos:]
 

@@ -152,3 +152,12 @@ def test_from_toml_reference_layout(tmp_path):
     bare = tmp_path / "bare.toml"
     bare.write_text('[project]\nname = "demo"\n\n[local.dev]\nport = 1\n')
     assert VectorConfig.from_toml(str(bare)) == VectorConfig()
+    # a stray scalar at the [local] level is skipped, not a TypeError
+    # (ADVICE r6); scalar-only [local] still yields the defaults
+    stray = tmp_path / "stray.toml"
+    stray.write_text(
+        '[local]\nport = 1\n\n[local.dev.vector_config]\nm = 24\n')
+    assert VectorConfig.from_toml(str(stray)).m == 24
+    only = tmp_path / "only.toml"
+    only.write_text('[local]\nport = 1\n')
+    assert VectorConfig.from_toml(str(only)) == VectorConfig()

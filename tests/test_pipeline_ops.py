@@ -1616,6 +1616,39 @@ def test_miniavi_mjpeg_frames_decode():
     assert np.array_equal(got2[0], np.full((8, 8, 3), 200, np.uint8))
 
 
+def test_mjpeg_splice_walks_marker_segments():
+    """A table-less MJPEG frame whose COM payload contains FF DA and
+    FF C4 byte pairs still gets the Annex K tables spliced at the TRUE
+    SOS offset: the splice walks marker length fields instead of
+    substring find (ADVICE r6 — a find() would see the payload's FF C4,
+    skip the splice, and the frame would fail to decode)."""
+    import io
+
+    import numpy as np
+
+    from helix_db_spark.operators.multimodal import (_MiniJpegBackend,
+                                                     _mjpeg_frame_bytes)
+
+    payload = b"thumb\xff\xda\xff\xc4bytes"    # decoys inside the payload
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xfe" + (len(payload) + 2).to_bytes(2, "big") + payload
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + b"\x01" * 64
+    out += (b"\xff\xc0" + (11).to_bytes(2, "big")
+            + b"\x08" + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+            + b"\x01" + b"\x01\x11\x00")
+    out += (b"\xff\xda" + (8).to_bytes(2, "big")
+            + b"\x01" + b"\x01\x00" + b"\x00\x3f\x00")
+    bits = "11111110" + format(576, "010b") + "1010"   # Annex K codes
+    bits += "1" * (-len(bits) % 8)
+    out += int(bits, 2).to_bytes(len(bits) // 8, "big") + b"\xff\xd9"
+    fixed = _mjpeg_frame_bytes(bytes(out))
+    assert fixed.count(b"\xff\xc4") > out.count(b"\xff\xc4")  # spliced
+    img = _MiniJpegBackend.open(io.BytesIO(fixed))
+    assert np.array_equal(np.asarray(img), np.full((8, 8), 200, np.uint8))
+    # and a frame that DOES carry its own DHT passes through unchanged
+    assert _mjpeg_frame_bytes(_flat_gray_jpeg(200)) == _flat_gray_jpeg(200)
+
+
 def test_minijpeg_restart_intervals():
     """DRI/RSTn: a 2-MCU grayscale JPEG with restart interval 1 decodes
     both blocks exactly — pins the bit-reader re-alignment and the DC
