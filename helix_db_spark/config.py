@@ -19,9 +19,17 @@ silently inert (VERDICT r5 'missing' #3):
   (similarity.kmeans_refine): ``iters = min(4, ef_construction // 64)``
   (reference default 128 -> 2 iterations; 0 disables refinement and
   keeps the plain deterministic seed assignment).
-- ``m`` — HNSW graph degree. IVF builds no neighbor graph, so ``m`` is
-  accepted and carried (it sizes ``knn_graph``'s default k when a
-  neighbor-graph artifact is requested) but does not affect search.
+- ``m`` — HNSW graph degree: the number of neighbor links each vector
+  maintains in the index structure itself. IVF has no per-vector
+  neighbor links — its index structure is the centroid table — so there
+  is NOTHING in IVF search for ``m`` to tune, and search behavior is
+  deliberately invariant in it (asserted by
+  tests/test_config.py::test_m_knob_documented_behavior; recall/latency
+  tuning goes through ``ef_search``). ``m`` is still honored where the
+  engine genuinely builds a neighbor graph: it is the default degree of
+  ``knn_graph`` artifacts (``knn_k()``) — the same quantity HNSW's
+  ``m`` controls (Malkov & Yashunin 2016, §4). README "Configuration"
+  states this contract for reference users.
 - ``db_max_size_gb`` — storage sizing; accepted and carried, Spark
   storage is elastic.
 
@@ -111,6 +119,14 @@ class VectorConfig:
         avg_cell = max(1.0, n / float(ncells))
         return max(1, min(int(ncells),
                           int(math.ceil(self.ef_search / avg_cell))))
+
+    def knn_k(self) -> int:
+        """``m`` -> default neighbor-graph degree: HNSW's ``m`` is the
+        per-node link count of the graph the index maintains; when this
+        engine builds an explicit kNN graph (operators/similarity
+        .knn_graph) the configured ``m`` is that same degree. Search is
+        invariant in ``m`` by design — IVF keeps no per-vector links."""
+        return self.m
 
     def kmeans_iters(self) -> int:
         """ef_construction -> Lloyd refinement iterations (bounded: each

