@@ -1532,6 +1532,262 @@ def test_miniaiff_sowt_little_endian_exact():
     assert float(np.abs(d - samples / 32768.0).max()) == 0.0
 
 
+# --- minimal INDEPENDENT FLAC encoder (test-side ground-truth builder,
+# written straight from the public spec — RFC 9639 / xiph format doc).
+# The product decoder never sees this code: encode here, decode there,
+# compare against the WAV twin. CRCs are re-implemented here too so the
+# check is not circular.
+
+
+class _FlacEnc:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def w(self, v, nbits):
+        self.acc = (self.acc << nbits) | (v & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            self.n -= 8
+            self.out.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def align(self):
+        if self.n:
+            self.w(0, 8 - self.n)
+
+
+def _crc8_ref(b):
+    c = 0
+    for x in b:
+        c ^= x
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07 if c & 0x80 else c << 1) & 0xFF
+    return c
+
+
+def _crc16_ref(b):
+    c = 0
+    for x in b:
+        c ^= x << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005 if c & 0x8000 else c << 1) & 0xFFFF
+    return c
+
+
+def _enc_residual(enc, res, p, porder=0, order=0):
+    """Rice-coded residual, optionally partitioned; p may be a list of
+    per-partition params (15 = escape with 17 raw bits)."""
+    enc.w(0, 2)                       # 4-bit rice params
+    enc.w(porder, 4)
+    nparts = 1 << porder
+    params = p if isinstance(p, list) else [p] * nparts
+    total = len(res) + order
+    taken = 0
+    for i, pp in enumerate(params):
+        cnt = (total >> porder) - (order if i == 0 else 0)
+        part = res[taken:taken + cnt]
+        taken += cnt
+        enc.w(pp, 4)
+        if pp == 15:                  # escape: raw 17-bit samples
+            enc.w(17, 5)
+            for v in part:
+                enc.w(v, 17)
+        else:
+            for v in part:
+                u = v * 2 if v >= 0 else -v * 2 - 1
+                enc.w(1, (u >> pp) + 1)     # unary quotient
+                enc.w(u & ((1 << pp) - 1), pp)
+
+
+def _enc_subframe(enc, a, bps, mode):
+    if mode[0] == "const":
+        enc.w(0, 1 + 6 + 1)
+        enc.w(a[0], bps)
+    elif mode[0] == "const_wasted":
+        wasted = mode[1]
+        enc.w(0, 1)
+        enc.w(0, 6)
+        enc.w(1, 1)                   # wasted-bits flag
+        enc.w(1, wasted)              # unary(wasted-1): zeros then 1
+        enc.w(a[0] >> wasted, bps - wasted)
+    elif mode[0] == "verbatim":
+        enc.w(1 << 1, 1 + 6 + 1)      # pad=0 | type=1 | no wasted
+        for v in a:
+            enc.w(v, bps)
+    elif mode[0] == "fixed":
+        order, p, porder = mode[1], mode[2], (mode[3] if len(mode) > 3
+                                              else 0)
+        coef = {0: (), 1: (1,), 2: (2, -1), 3: (3, -3, 1),
+                4: (4, -6, 4, -1)}[order]
+        enc.w((8 + order) << 1, 8)    # pad=0 | type=8+order | no wasted
+        for v in a[:order]:
+            enc.w(v, bps)
+        res = [a[i] - sum(c * a[i - 1 - j] for j, c in enumerate(coef))
+               for i in range(order, len(a))]
+        _enc_residual(enc, res, p, porder, order)
+    elif mode[0] == "lpc":
+        coefs, shift, prec, p = mode[1], mode[2], mode[3], mode[4]
+        order = len(coefs)
+        enc.w(0, 1)
+        enc.w(32 | (order - 1), 6)
+        enc.w(0, 1)
+        for v in a[:order]:
+            enc.w(v, bps)
+        enc.w(prec - 1, 4)
+        enc.w(shift, 5)
+        for c in coefs:
+            enc.w(c, prec)
+        res = [a[i] - (sum(c * a[i - 1 - j]
+                           for j, c in enumerate(coefs)) >> shift)
+               for i in range(order, len(a))]
+        _enc_residual(enc, res, p, 0, order)
+    else:
+        raise AssertionError(mode)
+
+
+def _enc_frame(idx, chans, bps, ch_mode, sub_modes):
+    """chans: per-channel int sample lists; ch_mode: 'indep' | 'leftside'
+    | 'rightside' | 'midside'."""
+    bs = len(chans[0])
+    if ch_mode == "indep":
+        asgn, subs = len(chans) - 1, [(c, bps) for c in chans]
+    else:
+        left, right = chans
+        side = [l - r for l, r in zip(left, right)]
+        if ch_mode == "leftside":
+            asgn, subs = 8, [(left, bps), (side, bps + 1)]
+        elif ch_mode == "rightside":
+            asgn, subs = 9, [(side, bps + 1), (right, bps)]
+        else:
+            mid = [(l + r) >> 1 for l, r in zip(left, right)]
+            asgn, subs = 10, [(mid, bps), (side, bps + 1)]
+    hdr = _FlacEnc()
+    hdr.w(0x3FFE, 14)
+    hdr.w(0, 2)                       # reserved + fixed blocking
+    hdr.w(7, 4)                       # 16-bit blocksize-1 follows
+    hdr.w(0, 4)                       # rate from STREAMINFO
+    hdr.w(asgn, 4)
+    hdr.w({8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps], 3)
+    hdr.w(0, 1)
+    hdr.w(idx, 8)                     # frame number (< 128)
+    hdr.w(bs - 1, 16)
+    hb = bytes(hdr.out) + bytes([_crc8_ref(bytes(hdr.out))])
+    body = _FlacEnc()
+    for (samples, sub_bps), sm in zip(subs, sub_modes):
+        _enc_subframe(body, samples, sub_bps, sm)
+    body.align()
+    fb = hb + bytes(body.out)
+    return fb + _crc16_ref(fb).to_bytes(2, "big")
+
+
+def _enc_stream(frames, rate, ch, bps, total, blocksize):
+    si = _FlacEnc()
+    si.w(blocksize, 16)
+    si.w(blocksize, 16)
+    si.w(0, 48)                       # min/max frame size unknown
+    si.w(rate, 20)
+    si.w(ch - 1, 3)
+    si.w(bps - 1, 5)
+    si.w(total, 36)
+    body = bytes(si.out) + b"\x00" * 16     # md5 unset
+    return (b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big")
+            + body + b"".join(frames))
+
+
+def test_miniflac_wav_twin_roundtrip(spark):
+    """FLAC decode pinned against the CPython-asset WAV twin: the REAL
+    pluck-pcm16.wav samples are FLAC-encoded by the independent test-side
+    encoder — fixed predictors (orders 0-2) with every stereo
+    decorrelation mode across frames — and the product decoder must
+    recover them BIT-EXACTLY (same floats as the WAV decode, same rate).
+    Also drives one FLAC clip through the Spark decode_audio path."""
+    import io
+    import os
+
+    import numpy as np
+    import pytest as _pytest
+
+    _cpython_test = _pytest.importorskip(
+        "test", reason="CPython test package stripped from this install")
+    from helix_db_spark.operators import multimodal
+    from helix_db_spark.operators.multimodal import (_MiniAudioBackend,
+                                                     _MiniWavBackend)
+
+    wav = os.path.join(os.path.dirname(_cpython_test.__file__),
+                       "audiodata", "pluck-pcm16.wav")
+    if not os.path.exists(wav):
+        _pytest.skip("CPython audio test assets not installed")
+    with open(wav, "rb") as f:
+        ref, rrate = _MiniWavBackend.read(f)
+    ints = np.round(ref * 32768.0).astype(np.int64)      # exact int16
+    n, bs = len(ints), 1024
+    frames, modes = [], ["indep", "leftside", "rightside", "midside"]
+    for i, off in enumerate(range(0, n, bs)):
+        blk = ints[off:off + bs]
+        chans = [blk[:, 0].tolist(), blk[:, 1].tolist()]
+        order = i % 3                 # fixed orders 0..2 across frames
+        frames.append(_enc_frame(i, chans, 16, modes[i % 4],
+                                 [("fixed", order, 7)] * 2))
+    flac = _enc_stream(frames, rrate, 2, 16, n, bs)
+    got, grate = _MiniAudioBackend.read(io.BytesIO(flac))
+    assert grate == rrate and got.shape == ref.shape
+    assert float(np.abs(got - ref).max()) == 0.0, "must be bit-exact"
+
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(flac), (0, 0, 300, "flac"))],
+        multimodal.MEDIA_SCHEMA)
+    row = multimodal.decode_audio(media).collect()[0]
+    assert row["sample_rate"] == rrate and row["channels"] == 2
+    assert row["mean_rms"] is not None and row["mean_rms"] > 0
+
+
+def test_miniflac_subframe_matrix():
+    """Every remaining FLAC subframe/residual shape on synthetic
+    signals: constant, verbatim, LPC (quantized coefficients + shift),
+    Rice partition order > 0 with per-partition params, the raw-bits
+    escape partition, and wasted-bits shifts — each frame's decode must
+    equal the encoder's input exactly."""
+    import io
+
+    import numpy as np
+
+    from helix_db_spark.operators.multimodal import _MiniFlacBackend
+
+    rng = np.random.RandomState(7)
+    bs = 64
+    sig = (rng.standard_normal(bs * 5) * 5000).astype(np.int64).tolist()
+    fr = []
+    exp = []
+    # 0: constant
+    fr.append(_enc_frame(0, [[-777] * bs], 16, "indep", [("const",)]))
+    exp += [-777] * bs
+    # 1: verbatim
+    fr.append(_enc_frame(1, [sig[:bs]], 16, "indep", [("verbatim",)]))
+    exp += sig[:bs]
+    # 2: LPC order 2, coefs [5, -3], shift 2, precision 4
+    fr.append(_enc_frame(2, [sig[bs:2 * bs]], 16, "indep",
+                         [("lpc", [5, -3], 2, 4, 9)]))
+    exp += sig[bs:2 * bs]
+    # 3: fixed order 1, partition order 2, distinct per-partition params
+    fr.append(_enc_frame(3, [sig[2 * bs:3 * bs]], 16, "indep",
+                         [("fixed", 1, [6, 8, 10, 12], 2)]))
+    exp += sig[2 * bs:3 * bs]
+    # 4: escape partitions (raw 17-bit residuals)
+    fr.append(_enc_frame(4, [sig[3 * bs:4 * bs]], 16, "indep",
+                         [("fixed", 2, [15, 15], 1)]))
+    exp += sig[3 * bs:4 * bs]
+    # 5: wasted bits (all samples share 3 trailing zero bits)
+    fr.append(_enc_frame(5, [[4096] * bs], 16, "indep",
+                         [("const_wasted", 3)]))
+    exp += [4096] * bs
+    flac = _enc_stream(fr, 8000, 1, 16, len(exp), bs)
+    got, rate = _MiniFlacBackend.read(io.BytesIO(flac))
+    assert rate == 8000
+    assert float(np.abs(got * 32768.0 - np.array(exp)).max()) == 0.0
+
+
 def test_minijpeg_tolerates_fill_bytes():
     """Legal 0xFF fill bytes before a marker (T.81 B.1.1.2) must not
     derail the marker scanner (r6 review finding)."""
