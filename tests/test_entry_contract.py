@@ -85,6 +85,46 @@ def test_driver_top50_covers_survey_ops():
     assert rows_only == set()
 
 
+def test_artifact_dir_memoizes_per_session(spark):
+    """Graded probe entries build their on-disk artifacts ONCE per
+    (session, sf, kind) into a pid-tagged collision-safe dir (ADVICE r6:
+    the old fixed /tmp path raced across concurrent sessions); repeat
+    invocations are probe-only."""
+    import os
+
+    from helix_db_spark.entry_queries import _artifact_dir
+
+    calls = []
+    r1 = _artifact_dir(spark, "/x", "t1", calls.append)
+    r2 = _artifact_dir(spark, "/x", "t1", calls.append)
+    assert r1 == r2 and len(calls) == 1, "second call must not rebuild"
+    r3 = _artifact_dir(spark, "/x", "t2", calls.append)
+    assert r3 != r1 and len(calls) == 2
+    assert str(os.getpid()) in r1
+
+
+def test_watermarked_stream_entry_plan_and_equivalence(spark):
+    """The graded streaming entry's plan carries an EventTimeWatermark
+    node (the state-bounding operator a 100 TB run needs) and its
+    append-mode file-sink output equals the batch aggregation exactly —
+    the sentinel closes every real window."""
+    from helix_db_spark.entry_queries import (events_window_agg,
+                                              stream_watermarked_counts)
+    from helix_db_spark.streaming.ingest import (stream_events,
+                                                 windowed_counts)
+
+    sf = "/root/testdata/sf0.001"
+    agg = windowed_counts(stream_events(
+        spark, f"{sf}/events.parquet"), window="1 hour",
+        watermark="2 hours")
+    assert "EventTimeWatermark" in agg._jdf.queryExecution().analyzed() \
+        .toString()
+    got = sorted(tuple(r) for r in
+                 stream_watermarked_counts(spark, sf).collect())
+    want = sorted(tuple(r) for r in events_window_agg(spark, sf).collect())
+    assert got == want
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_contract(name, spark, oracle):
     df = QUERIES[name](spark, SF_DIR)
