@@ -1831,6 +1831,61 @@ def vector_search_ivf_disk(spark, sf_dir):
                       F.round("_distance", 4).alias("distance"))
 
 
+_IVF_APPEND_ORACLE = """
+WITH corpus AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 0),
+cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM corpus
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         LIMIT least(4096, CAST(ceil(sqrt(
+             (SELECT count(*) FROM corpus))) AS BIGINT))),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+ranked AS (SELECT e.vec_id, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                      1.0 - list_cosine_similarity(e.embedding::DOUBLE[],
+                                                   c.cvec), c.cid) AS rn
+           FROM embeddings e CROSS JOIN cent c),
+asgn AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+probe AS (SELECT cid FROM cent CROSS JOIN q
+          ORDER BY 1.0 - list_cosine_similarity(cvec, qv), cid LIMIT 2)
+SELECT e.vec_id, round(1.0 - list_cosine_similarity(e.embedding::DOUBLE[],
+                                                    qv), 4) AS distance
+FROM embeddings e
+JOIN asgn a ON e.vec_id = a.vec_id
+JOIN probe p ON a.cell = p.cid
+CROSS JOIN q
+ORDER BY distance, e.vec_id LIMIT 5
+"""
+
+
+@q("vector_search_ivf_append", _IVF_APPEND_ORACLE)
+def vector_search_ivf_append(spark, sf_dir):
+    """The on-disk IVF APPEND path graded — the maintenance half of the
+    served-index lifecycle (build -> probe -> incremental add): the
+    index is built from 90% of the corpus, the remaining vectors are
+    appended against the EXISTING centroids (no retrain — the standard
+    IVF add; similarity.append_to_ivf_index), and the probe sees the
+    appended rows with no metadata refresh. The oracle replays the
+    deterministic build centroids (md5 sample of the CORPUS only) and
+    assigns corpus UNION batch to them in SQL, so the value hash pins
+    that appended vectors land in the same cells and rank identically.
+    Append cost scales with the batch, not the corpus — only the cell
+    directories the new vectors land in receive files."""
+    from .operators.similarity import (append_to_ivf_index, ivf_topk_disk,
+                                       store_ivf_index)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def build(r):
+        store_ivf_index(emb.filter(F.col("vec_id") % 10 != 0),
+                        "vec_id", "embedding", r)
+        append_to_ivf_index(emb.filter(F.col("vec_id") % 10 == 0), r)
+
+    root = _artifact_dir(spark, sf_dir, "ivf_app", build)
+    vec = _query_vector(spark, sf_dir)
+    out = ivf_topk_disk(spark, root, vec, k=5, nprobe=2)
+    return out.select("vec_id",
+                      F.round("_distance", 4).alias("distance"))
+
+
 @q("vector_search_edges",
    "SELECT d.doc_id, e.vec_id, round(1.0 - list_cosine_similarity("
    "e.embedding::DOUBLE[], (SELECT embedding::DOUBLE[] FROM embeddings "
