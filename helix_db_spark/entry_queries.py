@@ -544,7 +544,11 @@ _SERVED: Dict[tuple, HelixSparkEngine] = {}
 def _served_engine(spark: SparkSession, sf_dir: str) -> HelixSparkEngine:
     key = (spark.sparkContext.applicationId, sf_dir)
     eng = _SERVED.get(key)
-    if eng is None:
+    # stale-session guard (same as engine_for): a second SparkSession in
+    # the same app must not reuse an engine bound to the old session's
+    # state — the round-1 session-portability failure class. The on-disk
+    # artifact is reused; only the catalog reload is repeated.
+    if eng is None or eng.spark is not spark:
         from .catalog import GraphCatalog, IndexEntry
         from .plans.compiler import ExecContext, StepCompiler
         from .sources.store import load_catalog, save_catalog, store_index
@@ -1788,7 +1792,8 @@ FROM embeddings e
 JOIN asgn a ON e.vec_id = a.vec_id
 JOIN probe p ON a.cell = p.cid
 CROSS JOIN q
-ORDER BY distance, e.vec_id LIMIT 5
+ORDER BY 1.0 - list_cosine_similarity(e.embedding::DOUBLE[], qv), e.vec_id
+LIMIT 5
 """
 
 
@@ -1852,7 +1857,8 @@ FROM embeddings e
 JOIN asgn a ON e.vec_id = a.vec_id
 JOIN probe p ON a.cell = p.cid
 CROSS JOIN q
-ORDER BY distance, e.vec_id LIMIT 5
+ORDER BY 1.0 - list_cosine_similarity(e.embedding::DOUBLE[], qv), e.vec_id
+LIMIT 5
 """
 
 
@@ -2056,7 +2062,11 @@ def stream_windowed_counts(spark, sf_dir):
         q.awaitTermination()
     finally:
         q.stop()
-    return spark.table(name)
+    # eager checkpoint + drop the per-invocation memory-sink view:
+    # repeated calls must not accumulate one driver-memory table each
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 @q("stream_watermarked_counts",
@@ -2119,8 +2129,17 @@ def stream_watermarked_counts(spark, sf_dir):
         q.awaitTermination()
     finally:
         q.stop()
-    return (spark.read.parquet(os.path.join(run, "out"))
-            .filter(F.col("event_type") != "__sentinel__"))
+    # NULL-safe sentinel filter (a plain != would drop NULL-typed rows
+    # the oracle's GROUP BY keeps); eager checkpoint so the checkpoint
+    # and sink dirs can be deleted — repeated invocations in a long
+    # session must not accumulate /tmp state.
+    out = (spark.read.parquet(os.path.join(run, "out"))
+           .filter(F.col("event_type").isNull()
+                   | (F.col("event_type") != "__sentinel__"))
+           .localCheckpoint(eager=True))
+    import shutil
+    shutil.rmtree(run, ignore_errors=True)
+    return out
 
 
 @q("events_sessionize",

@@ -463,7 +463,7 @@ def _mjpeg_frame_bytes(b: bytes) -> bytes:
         if marker == 0xDA:
             sos = pos
             break
-        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD9:
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:   # TEM/RSTn/SOI/EOI
             pos += 2                          # standalone, no length field
             continue
         if pos + 4 > len(b):
@@ -856,7 +856,12 @@ class _MiniFlacBackend:
             rate = br.read(16) * 10
         else:
             raise ValueError("invalid sample rate code")
-        bps = info["bps"] if ss_code == 0 else cls._SSIZE[ss_code]
+        if ss_code == 0:
+            bps = info["bps"]
+        elif ss_code in cls._SSIZE:
+            bps = cls._SSIZE[ss_code]
+        else:
+            raise ValueError(f"reserved sample size code {ss_code}")
         crc8 = br.read(8)
         if crc8 != cls._crc8(d[start:br.pos - 1]):
             raise ValueError("frame header CRC-8 mismatch")
