@@ -1788,6 +1788,49 @@ def test_miniflac_subframe_matrix():
     assert float(np.abs(got * 32768.0 - np.array(exp)).max()) == 0.0
 
 
+def test_miniflac_property_roundtrip():
+    """Property test: random signals x random (subframe mode, Rice
+    param, partition order, stereo mode) encodings all decode
+    bit-exactly — the combinatorial coverage the hand-built matrix
+    can't enumerate."""
+    import io
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from helix_db_spark.operators.multimodal import _MiniFlacBackend
+
+    mode_st = st.one_of(
+        st.just(("verbatim",)),
+        st.tuples(st.just("fixed"), st.integers(0, 4),
+                  st.integers(0, 12)),
+        st.tuples(st.just("fixed"), st.integers(0, 2),
+                  st.just([15, 15]), st.just(1)),
+        st.tuples(st.just("lpc"),
+                  st.lists(st.integers(-7, 7), min_size=1, max_size=4),
+                  st.integers(0, 3), st.just(4), st.integers(4, 12)))
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(0, 2 ** 32 - 1), mode_st,
+           st.sampled_from(["indep", "leftside", "rightside", "midside"]),
+           # multiples of 4: partition order must divide the block size
+           st.integers(4, 16).map(lambda x: x * 4))
+    def run(seed, mode, ch_mode, bs):
+        rng = np.random.RandomState(seed)
+        left = (rng.standard_normal(bs) * 3000).astype(np.int64)
+        right = (rng.standard_normal(bs) * 3000).astype(np.int64)
+        frame = _enc_frame(0, [left.tolist(), right.tolist()], 16,
+                           ch_mode, [mode, mode])
+        flac = _enc_stream([frame], 8000, 2, 16, bs, bs)
+        got, rate = _MiniFlacBackend.read(io.BytesIO(flac))
+        want = np.stack([left, right], axis=1) / 32768.0
+        assert rate == 8000 and got.shape == want.shape
+        assert float(np.abs(got - want).max()) == 0.0
+
+    run()
+
+
 def test_minijpeg_tolerates_fill_bytes():
     """Legal 0xFF fill bytes before a marker (T.81 B.1.1.2) must not
     derail the marker scanner (r6 review finding)."""
