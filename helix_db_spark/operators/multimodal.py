@@ -11,7 +11,8 @@ fallbacks guarantee the REAL decode branch executes even in containers
 without media libraries — PNG (zlib + struct per the public PNG spec,
 incl. palette images), BASELINE JPEG (ITU-T T.81 sequential DCT:
 Huffman, chroma subsampling, restart intervals), GIF (LZW, interlace,
-transparency), BMP, and binary netpbm for images; PCM WAV plus
+transparency), BMP, TIFF (uncompressed + LZW, predictor), and binary
+netpbm for images; PCM WAV plus
 AIFF/AIFC, Sun AU, G.711 mu-law/A-law companding, and FLAC (RFC 9639:
 fixed/LPC prediction, Rice residuals, stereo decorrelation — the first
 COMPRESSED audio codec decodable dependency-free) for audio; and an
@@ -702,10 +703,125 @@ class _MiniNetpbmBackend:
         return _MiniPngImage(arr.copy(), "RGB")
 
 
+class _MiniTiffBackend:
+    """Pure-stdlib baseline TIFF decoder (public TIFF 6.0 spec): both
+    byte orders, uncompressed and LZW strips (TIFF-variant LZW:
+    MSB-first codes, early width change), the horizontal-differencing
+    predictor, 8-bit gray (both photometric polarities), palette, RGB
+    and RGBA, chunky planar config, multi-strip images."""
+
+    @staticmethod
+    def _lzw(data: bytes) -> bytes:
+        clear, eoi = 256, 257
+        width = 9
+        table = {i: bytes([i]) for i in range(256)}
+        next_code = 258
+        out = bytearray()
+        acc = nbits = 0
+        prev = None
+        for byte in data:
+            acc = (acc << 8) | byte
+            nbits += 8
+            while nbits >= width:
+                code = (acc >> (nbits - width)) & ((1 << width) - 1)
+                nbits -= width
+                if code == clear:
+                    table = {i: bytes([i]) for i in range(256)}
+                    next_code = 258
+                    width = 9
+                    prev = None
+                    continue
+                if code == eoi:
+                    return bytes(out)
+                if prev is None:
+                    entry = table[code]
+                elif code in table:
+                    entry = table[code]
+                    table[next_code] = prev + entry[:1]
+                    next_code += 1
+                elif code == next_code:
+                    entry = prev + prev[:1]
+                    table[next_code] = entry
+                    next_code += 1
+                else:
+                    raise ValueError("corrupt TIFF LZW stream")
+                out += entry
+                prev = entry
+                # early change: the writer widens when it ADDS code
+                # 2^width - 1, so the reader follows one code early
+                if next_code == (1 << width) - 1 and width < 12:
+                    width += 1
+        return bytes(out)
+
+    @classmethod
+    def open(cls, fp) -> _MiniPngImage:
+        import struct
+
+        d = fp.read()
+        if d[:2] == b"II":
+            fmt = "<"
+        elif d[:2] == b"MM":
+            fmt = ">"
+        else:
+            raise ValueError("not a TIFF")
+        if struct.unpack(fmt + "H", d[2:4])[0] != 42:
+            raise ValueError("bad TIFF magic number")
+        (off,) = struct.unpack(fmt + "I", d[4:8])
+        (n,) = struct.unpack(fmt + "H", d[off:off + 2])
+        tags = {}
+        sizes = {1: "B", 3: "H", 4: "I"}
+        for i in range(n):
+            e = d[off + 2 + 12 * i:off + 14 + 12 * i]
+            tag, typ, cnt = struct.unpack(fmt + "HHI", e[:8])
+            ch = sizes.get(typ)
+            if ch is None:
+                continue
+            total = struct.calcsize(ch) * cnt
+            if total <= 4:
+                raw = e[8:8 + total]
+            else:
+                (voff,) = struct.unpack(fmt + "I", e[8:12])
+                raw = d[voff:voff + total]
+            tags[tag] = struct.unpack(fmt + ch * cnt, raw)
+        w, h = tags[256][0], tags[257][0]
+        comp = tags.get(259, (1,))[0]
+        photo = tags.get(262, (1,))[0]
+        spp = tags.get(277, (1,))[0]
+        if any(b != 8 for b in tags.get(258, (8,) * spp)):
+            raise ValueError("non-8-bit TIFF unsupported")
+        if tags.get(284, (1,))[0] != 1:
+            raise ValueError("planar TIFF unsupported")
+        if comp not in (1, 5):
+            raise ValueError(f"unsupported TIFF compression {comp}")
+        raw = b"".join(
+            cls._lzw(d[o:o + c]) if comp == 5 else d[o:o + c]
+            for o, c in zip(tags[273], tags[279]))
+        arr = np.frombuffer(raw[:w * h * spp], np.uint8) \
+            .reshape(h, w, spp)
+        if tags.get(317, (1,))[0] == 2:      # horizontal differencing
+            arr = (np.cumsum(arr.astype(np.uint32), axis=1)
+                   & 0xFF).astype(np.uint8)
+        if photo == 3:                       # palette: 16-bit RGB planes
+            cmap = np.array(tags[320], np.uint16).reshape(3, -1).T >> 8
+            return _MiniPngImage(
+                np.ascontiguousarray(
+                    cmap[arr[..., 0]].astype(np.uint8)), "RGB")
+        if spp == 1:
+            g = arr[..., 0]
+            if photo == 0:                   # white-is-zero
+                g = 255 - g
+            return _MiniPngImage(np.ascontiguousarray(g), "L")
+        if spp == 3:
+            return _MiniPngImage(np.ascontiguousarray(arr), "RGB")
+        if spp == 4:
+            return _MiniPngImage(np.ascontiguousarray(arr), "RGBA")
+        raise ValueError(f"unsupported samples per pixel {spp}")
+
+
 class _MiniImageBackend:
     """Magic-byte dispatcher over the built-in decoders — the PIL-less
     image backend: PNG -> _MiniPngBackend, baseline JPEG ->
-    _MiniJpegBackend, GIF, BMP, binary netpbm."""
+    _MiniJpegBackend, GIF, BMP, TIFF, binary netpbm."""
 
     @classmethod
     def open(cls, fp) -> _MiniPngImage:
@@ -720,6 +836,8 @@ class _MiniImageBackend:
             return _MiniGifBackend.open(io.BytesIO(data))
         if data[:2] == b"BM":
             return _MiniBmpBackend.open(io.BytesIO(data))
+        if data[:4] in (b"II*\x00", b"MM\x00*"):
+            return _MiniTiffBackend.open(io.BytesIO(data))
         if data[:2] in (b"P4", b"P5", b"P6"):
             return _MiniNetpbmBackend.open(io.BytesIO(data))
         raise ValueError("unsupported image format")

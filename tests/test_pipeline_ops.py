@@ -2097,6 +2097,99 @@ def test_minibmp_synthetic_exact():
     assert a3.tolist() == [[[3, 2, 1, 255], [6, 5, 4, 128]]]
 
 
+def test_minitiff_twin_and_synthetic():
+    """TIFF decode: the CPython python.tiff twin (uncompressed RGBA,
+    little-endian) is pixel-EXACT vs python.png; synthetic fixtures pin
+    the LZW path (incl. the KwKwK/table-growth case via a hand-computed
+    code stream), the horizontal-differencing predictor, big-endian
+    byte order, and white-is-zero grayscale."""
+    import io
+    import os
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from helix_db_spark.operators.multimodal import (_MiniImageBackend,
+                                                     _MiniTiffBackend)
+
+    _cpython_test = _pytest.importorskip(
+        "test", reason="CPython test package stripped from this install")
+    base = os.path.join(os.path.dirname(_cpython_test.__file__),
+                        "imghdrdata")
+    if os.path.exists(os.path.join(base, "python.tiff")):
+        with open(os.path.join(base, "python.png"), "rb") as f:
+            png = np.asarray(_MiniImageBackend.open(f).convert("RGB"))
+        with open(os.path.join(base, "python.tiff"), "rb") as f:
+            tif = _MiniImageBackend.open(f)
+        assert tif.mode == "RGBA"
+        assert np.array_equal(np.asarray(tif.convert("RGB")), png)
+
+    def tiff(w, h, strips, fmt="<", extra_tags=(), spp=1, photo=1,
+             comp=1):
+        entries = []
+        data_parts = []
+        # place strip data after the 8-byte header
+        pos = 8
+        offs, cnts = [], []
+        for s in strips:
+            offs.append(pos)
+            cnts.append(len(s))
+            data_parts.append(s)
+            pos += len(s)
+        ifd_off = pos
+        tags = [(256, 3, [w]), (257, 3, [h]), (258, 3, [8] * spp),
+                (259, 3, [comp]), (262, 3, [photo]), (277, 3, [spp]),
+                (273, 4, offs), (279, 4, cnts),
+                (278, 3, [h])] + list(extra_tags)
+        tags.sort()
+        ch = {1: "B", 3: "H", 4: "I"}
+        overflow = b""
+        ov_off = ifd_off + 2 + 12 * len(tags) + 4
+        for tag, typ, vals in tags:
+            raw = struct.pack(fmt + ch[typ] * len(vals), *vals)
+            if len(raw) <= 4:
+                inline = raw + b"\x00" * (4 - len(raw))
+            else:
+                inline = struct.pack(fmt + "I", ov_off + len(overflow))
+                overflow += raw
+            entries.append(struct.pack(fmt + "HHI", tag, typ, len(vals))
+                           + inline)
+        hdr = (b"II" if fmt == "<" else b"MM") \
+            + struct.pack(fmt + "HI", 42, ifd_off)
+        return (hdr + b"".join(data_parts)
+                + struct.pack(fmt + "H", len(tags)) + b"".join(entries)
+                + struct.pack(fmt + "I", 0) + overflow)
+
+    # hand-computed TIFF-LZW stream: codes [256, 65, 258, 259, 257]
+    # decode to b'A' * 6 (KwKwK then growth) — 9-bit MSB-first packing
+    acc, nbits, enc = 0, 0, bytearray()
+    for c in (256, 65, 258, 259, 257):
+        acc = (acc << 9) | c
+        nbits += 9
+        while nbits >= 8:
+            enc.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        enc.append((acc << (8 - nbits)) & 0xFF)
+    assert _MiniTiffBackend._lzw(bytes(enc)) == b"A" * 6
+    img = _MiniTiffBackend.open(io.BytesIO(
+        tiff(6, 1, [bytes(enc)], comp=5)))
+    assert np.asarray(img).tolist() == [[65] * 6]
+
+    # horizontal-differencing predictor on RGB, big-endian
+    row = bytes([100, 50, 25, 10, 256 - 20, 5])     # 2 px: deltas
+    img2 = _MiniTiffBackend.open(io.BytesIO(
+        tiff(2, 1, [row], fmt=">", spp=3, photo=2,
+             extra_tags=[(317, 3, [2])])))
+    assert np.asarray(img2).tolist() == [[[100, 50, 25], [110, 30, 30]]]
+
+    # white-is-zero grayscale inverts
+    img3 = _MiniTiffBackend.open(io.BytesIO(
+        tiff(2, 1, [bytes([0, 255])], photo=0)))
+    assert np.asarray(img3).tolist() == [[255, 0]]
+
+
 def test_mjpeg_splice_walks_marker_segments():
     """A table-less MJPEG frame whose COM payload contains FF DA and
     FF C4 byte pairs still gets the Annex K tables spliced at the TRUE
