@@ -18,7 +18,8 @@ fixed/LPC prediction, Rice residuals, stereo decorrelation — the first
 COMPRESSED audio codec decodable dependency-free) for audio; and an
 AVI decoder for video (RIFF + BITMAPINFOHEADER per the public AVI/DIB
 spec: uncompressed DIB frames plus Motion-JPEG via the JPEG backend,
-incl. table-less MJPEG frames that imply the Annex K tables).
+incl. table-less MJPEG frames that imply the Annex K tables) and
+animated GIF with GIF89a disposal compositing.
 ``deterministic_features`` stays the model-feature stand-in
 (sha256-seeded, SQL-reproducible for grading).
 """
@@ -534,10 +535,12 @@ class _MiniGifBackend:
         return out
 
     @classmethod
-    def open(cls, fp) -> _MiniPngImage:
+    def _parse(cls, d, max_frames=None):
+        """Screen descriptor + per-image-descriptor frames: each frame is
+        (ix, iy, idx array, color table, transparent idx, delay_cs,
+        disposal)."""
         import struct
 
-        d = fp.read()
         if d[:6] not in (b"GIF87a", b"GIF89a"):
             raise ValueError("not a GIF")
         w, h = struct.unpack("<HH", d[6:10])
@@ -547,7 +550,8 @@ class _MiniGifBackend:
             n = 2 << (flags & 7)
             gct = np.frombuffer(d[pos:pos + 3 * n], np.uint8).reshape(-1, 3)
             pos += 3 * n
-        transparent = None
+        frames = []
+        transparent, delay, disposal = None, 0, 0
         while pos < len(d):
             b0 = d[pos]
             if b0 == 0x3B:                   # trailer
@@ -555,8 +559,11 @@ class _MiniGifBackend:
             if b0 == 0x21:                   # extension
                 label = d[pos + 1]
                 pos += 2
-                if label == 0xF9 and d[pos] >= 4 and (d[pos + 1] & 1):
-                    transparent = d[pos + 4]
+                if label == 0xF9 and d[pos] >= 4:
+                    blk = d[pos + 1:pos + 5]
+                    disposal = (blk[0] >> 2) & 7
+                    (delay,) = struct.unpack("<H", blk[1:3])
+                    transparent = blk[3] if blk[0] & 1 else None
                 while True:                  # skip sub-blocks
                     sz = d[pos]
                     pos += 1 + sz
@@ -586,6 +593,8 @@ class _MiniGifBackend:
                     break
                 data += d[pos:pos + sz]
                 pos += sz
+            if max_frames is not None and len(frames) >= max_frames:
+                continue                     # count descriptors, skip work
             idx = np.array(cls._lzw(bytes(data), min_code, iw * ih),
                            np.uint8)
             if len(idx) < iw * ih:
@@ -597,18 +606,60 @@ class _MiniGifBackend:
                 deint = np.empty_like(idx)
                 deint[order] = idx
                 idx = deint
-            canvas = np.full((h, w), bg if gct is not None else 0,
-                             np.uint8)
-            canvas[iy:iy + ih, ix:ix + iw] = idx
-            rgb = table[np.minimum(canvas, len(table) - 1)]
+            frames.append((ix, iy, idx, table, transparent, delay,
+                           disposal))
+            transparent, delay, disposal = None, 0, 0
+        if not frames:
+            raise ValueError("GIF has no image descriptor")
+        return w, h, bg, gct, frames
+
+    @classmethod
+    def open(cls, fp) -> _MiniPngImage:
+        d = fp.read()
+        w, h, bg, gct, frames = cls._parse(d, max_frames=1)
+        ix, iy, idx, table, transparent, _delay, _disp = frames[0]
+        canvas = np.full((h, w), bg if gct is not None else 0, np.uint8)
+        canvas[iy:iy + idx.shape[0], ix:ix + idx.shape[1]] = idx
+        rgb = table[np.minimum(canvas, len(table) - 1)]
+        if transparent is not None:
+            alpha = np.where(canvas == transparent, 0, 255) \
+                .astype(np.uint8)
+            return _MiniPngImage(
+                np.ascontiguousarray(np.dstack([rgb, alpha])), "RGBA")
+        return _MiniPngImage(np.ascontiguousarray(rgb), "RGB")
+
+    @classmethod
+    def open_video(cls, fp) -> "_MiniAviVideo":
+        """Animated GIF as a video: frames composited onto the
+        logical-screen canvas with GIF89a disposal semantics (1 = leave,
+        2 = restore background, 3 = restore previous); transparent
+        pixels show through from the current canvas. fps derives from
+        the Graphic Control delays (centiseconds)."""
+        d = fp.read()
+        w, h, bg, gct, raw = cls._parse(d)
+        bg_rgb = (gct[min(bg, len(gct) - 1)] if gct is not None
+                  else np.zeros(3, np.uint8))
+        canvas = np.full((h, w, 3), bg_rgb, np.uint8)
+        out, delays = [], []
+        for ix, iy, idx, table, transparent, delay, disposal in raw:
+            ih, iw = idx.shape
+            saved = canvas.copy() if disposal == 3 else None
+            rgb = table[np.minimum(idx, len(table) - 1)]
+            region = canvas[iy:iy + ih, ix:ix + iw]
             if transparent is not None:
-                alpha = np.where(canvas == transparent, 0, 255) \
-                    .astype(np.uint8)
-                return _MiniPngImage(
-                    np.ascontiguousarray(
-                        np.dstack([rgb, alpha])), "RGBA")
-            return _MiniPngImage(np.ascontiguousarray(rgb), "RGB")
-        raise ValueError("GIF has no image descriptor")
+                mask = idx != transparent
+                region[mask] = rgb[mask]
+            else:
+                region[:] = rgb
+            out.append(canvas.copy())
+            delays.append(delay)
+            if disposal == 2:
+                canvas[iy:iy + ih, ix:ix + iw] = bg_rgb
+            elif disposal == 3:
+                canvas = saved
+        mean_cs = sum(delays) / len(delays) if delays else 0
+        fps = (100.0 / mean_cs) if mean_cs > 0 else None
+        return _MiniAviVideo(w, h, len(out), fps, out)
 
 
 class _MiniBmpBackend:
@@ -1325,9 +1376,14 @@ class _MiniAviBackend:
 
     @classmethod
     def open(cls, fp) -> _MiniAviVideo:
+        import io
         import struct
 
         data = fp.read()
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            # animated GIF: a real multi-frame container — composited
+            # with GIF89a disposal by the GIF backend
+            return _MiniGifBackend.open_video(io.BytesIO(data))
         if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
             raise ValueError("not an AVI")
 

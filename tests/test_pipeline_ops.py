@@ -2097,6 +2097,73 @@ def test_minibmp_synthetic_exact():
     assert a3.tolist() == [[[3, 2, 1, 255], [6, 5, 4, 128]]]
 
 
+def test_minigif_animated_video_frames(spark):
+    """Animated GIF through the VIDEO path: frames composite onto the
+    canvas with GIF89a disposal (leave / restore-background /
+    restore-previous), transparency shows the prior canvas through, fps
+    derives from the Graphic Control delays, and a clip drives the
+    Spark decode_video path end-to-end."""
+    import io
+    import struct
+
+    import numpy as np
+
+    from helix_db_spark.operators import multimodal
+    from helix_db_spark.operators.multimodal import _MiniAviBackend
+
+    def sub_blocks(data):
+        out = bytearray()
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        return bytes(out + b"\x00")
+
+    lct = bytes(v for i in range(256) for v in (i, i, i))
+
+    def gce(disposal, delay_cs, transparent=None):
+        flags = (disposal << 2) | (1 if transparent is not None else 0)
+        return (b"\x21\xF9\x04"
+                + bytes([flags]) + struct.pack("<H", delay_cs)
+                + bytes([transparent or 0]) + b"\x00")
+
+    def frame(ix, iy, iw, ih, indices):
+        return (b"\x2C" + struct.pack("<HHHH", ix, iy, iw, ih)
+                + bytes([0x00]) + bytes([8])   # min code 8: 256 literals
+                + sub_blocks(_gif_literal_stream(indices, min_code=8)))
+
+    # 2x2 canvas, bg=0 (black). Frame 1 fills with 100 (disposal 1:
+    # leave). Frame 2 paints (0,0)=200, transparent elsewhere (disposal
+    # 3: restore previous afterwards). Frame 3 paints (1,1)=50 with
+    # disposal 2 (restore background over its region). Frame 4 is fully
+    # transparent — it shows the canvas after frame 3's bg-restore.
+    gif = (b"GIF89a" + struct.pack("<HH", 2, 2) + bytes([0x87, 0, 0])
+           + lct
+           + gce(1, 10) + frame(0, 0, 2, 2, [100] * 4)
+           + gce(3, 10, transparent=9) + frame(0, 0, 2, 2, [200, 9, 9, 9])
+           + gce(2, 10) + frame(1, 1, 1, 1, [50])
+           + gce(1, 10, transparent=9) + frame(0, 0, 1, 1, [9])
+           + b"\x3B")
+    vid = _MiniAviBackend.open(io.BytesIO(gif))
+    assert (vid.width, vid.height, vid.frame_count) == (2, 2, 4)
+    assert abs(vid.fps - 10.0) < 1e-9         # 10 cs per frame
+    f1, f2, f3, f4 = [f[..., 0] for f in vid.frames()]
+    assert f1.tolist() == [[100, 100], [100, 100]]
+    # frame 2: (0,0)=200 painted; transparent pixels show frame-1 canvas
+    assert f2.tolist() == [[200, 100], [100, 100]]
+    # frame 3 starts from the frame-1 canvas (disposal 3 restored it),
+    # then paints (1,1)=50
+    assert f3.tolist() == [[100, 100], [100, 50]]
+    # frame 3's disposal 2 restored bg over (1,1) only
+    assert f4.tolist() == [[100, 100], [100, 0]]
+
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(gif), (2, 2, 0, "gif"))],
+        multimodal.MEDIA_SCHEMA)
+    row = multimodal.decode_video(media).collect()[0]
+    assert row["frame_count"] == 4 and row["decoded_width"] == 2
+    assert row["mean_luma"] is not None
+
+
 def test_minitiff_twin_and_synthetic():
     """TIFF decode: the CPython python.tiff twin (uncompressed RGBA,
     little-endian) is pixel-EXACT vs python.png; synthetic fixtures pin
