@@ -602,6 +602,37 @@ def vector_search_lsh_disk(spark, sf_dir):
         .values("vec_id"))
 
 
+@q("warc_ingest_extract",
+   "SELECT doc_id, CAST(200 AS INTEGER) AS http_status, "
+   "'doc ' || trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text_out "
+   "FROM documents")
+def warc_ingest_extract(spark, sf_dir):
+    """Common Crawl-shaped ingestion, end to end (sources/warc.py): the
+    documents table is serialized into per-partition ``.warc.gz``
+    archives (per-record gzip members, HTTP-wrapped HTML pages — the
+    distributed fixture writer; at 100 TB the crawl already exists and
+    you only run the read side), then ``read_warc`` parses the archives
+    file-parallel via binaryFile + mapInPandas and ``extract_text``
+    strips the HTML back to clean text. The oracle recomputes the
+    expected extraction (title + whitespace-collapsed body) straight
+    from documents, so the value hash pins record framing, gzip-member
+    handling, HTTP header splitting, entity round-tripping and the tag
+    stripper in one row. Fixture built once per (session, sf) via
+    _artifact_dir."""
+    from .sources.warc import extract_text, read_warc, write_warc_fixture
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    root = _artifact_dir(
+        spark, sf_dir, "warc",
+        lambda r: write_warc_fixture(docs, "doc_id", "text", r))
+    recs = read_warc(spark, root).filter(F.col("warc_type") == "response")
+    out = extract_text(recs, "payload", "text_out")
+    return out.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long").alias("doc_id"),
+        "http_status", "text_out")
+
+
 @q("text_contains",
    "SELECT doc_id FROM documents WHERE text LIKE '%window%'")
 def text_contains(spark, sf_dir):

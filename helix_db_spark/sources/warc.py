@@ -1,0 +1,260 @@
+"""WARC (Web ARChive, ISO 28500 / the public WARC 1.0-1.1 spec) source —
+the container format of Common Crawl, the canonical raw input of an LLM
+text pipeline.
+
+Scale shape: a crawl dump is tens of thousands of ``.warc.gz`` files of
+~1 GB each, and each file is a sequence of PER-RECORD gzip members —
+not splittable mid-file, so the parallelism unit is the FILE (exactly
+how Common Crawl is processed in practice: one task per archive file).
+``read_warc`` loads files with Spark's binaryFile source and parses
+records in an Arrow-batched ``mapInPandas`` fan-out (one input file row
+-> many record rows); nothing touches the driver. Downstream of the
+parse, everything (filtering, language ID, dedup, curation) runs on the
+ordinary DataFrame operators in this repo.
+
+HTML payload extraction (``extract_text``) is a stdlib
+``html.parser``-based tag stripper: script/style/noscript subtrees are
+dropped, entities decoded, whitespace collapsed — the dependency-free
+stand-in for readability-style extractors, same contract (bytes ->
+clean text column).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WARC_SCHEMA = ("path string, warc_type string, record_id string, "
+               "target_uri string, warc_date string, http_status int, "
+               "http_content_type string, content_length long, "
+               "payload binary")
+
+
+def gunzip_members(data: bytes) -> Iterator[bytes]:
+    """Decompress a concatenation of gzip members (the WARC convention:
+    one member per record, so byte-range reads can start at any record).
+    Plain (uncompressed) input yields itself."""
+    if data[:2] != b"\x1f\x8b":
+        yield data
+        return
+    import zlib
+
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(31)
+        yield d.decompress(data[pos:])
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+
+
+def iter_warc_records(raw: bytes) -> Iterator[Tuple[dict, bytes]]:
+    """(headers, body) per WARC record in an uncompressed stream: a
+    version line, CRLF header lines to a blank line, ``Content-Length``
+    octets of body, then the record separator."""
+    pos = 0
+    while True:
+        idx = raw.find(b"WARC/", pos)
+        if idx < 0:
+            break
+        hdr_end = raw.find(b"\r\n\r\n", idx)
+        if hdr_end < 0:
+            break
+        headers = {}
+        for line in raw[idx:hdr_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("ascii", "replace")] = \
+                v.strip().decode("utf-8", "replace")
+        try:
+            clen = int(headers.get("content-length", "0"))
+        except ValueError:
+            clen = 0
+        body = raw[hdr_end + 4:hdr_end + 4 + clen]
+        yield headers, body
+        pos = hdr_end + 4 + clen
+
+
+def split_http_payload(body: bytes) -> Tuple[Optional[int], Optional[str],
+                                             bytes]:
+    """An ``application/http`` record body -> (status, content-type,
+    entity payload). Non-HTTP bodies pass through with (None, None)."""
+    if not body.startswith((b"HTTP/1.1", b"HTTP/1.0", b"HTTP/2")):
+        return None, None, body
+    hdr_end = body.find(b"\r\n\r\n")
+    if hdr_end < 0:
+        return None, None, body
+    lines = body[:hdr_end].split(b"\r\n")
+    try:
+        status = int(lines[0].split()[1])
+    except (IndexError, ValueError):
+        status = None
+    ctype = None
+    for line in lines[1:]:
+        k, _, v = line.partition(b":")
+        if k.strip().lower() == b"content-type":
+            ctype = v.strip().decode("utf-8", "replace")
+    return status, ctype, body[hdr_end + 4:]
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Parse ``.warc`` / ``.warc.gz`` files under ``path`` into one row
+    per record: (path, warc_type, record_id, target_uri, warc_date,
+    http_status, http_content_type, content_length, payload) — the
+    payload of ``application/http`` response records is the HTTP entity
+    body (headers parsed off into the status/content-type columns)."""
+
+    bf = spark.read.format("binaryFile").load(path) \
+        .select("path", "content")
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                raw = b"".join(gunzip_members(bytes(content)))
+                for headers, body in iter_warc_records(raw):
+                    status, ctype, payload = (None, None, body)
+                    if "application/http" in headers.get("content-type",
+                                                         ""):
+                        status, ctype, payload = split_http_payload(body)
+                    rows.append((
+                        p, headers.get("warc-type"),
+                        headers.get("warc-record-id"),
+                        headers.get("warc-target-uri"),
+                        headers.get("warc-date"), status, ctype,
+                        int(headers.get("content-length", "0") or 0),
+                        payload))
+            yield pd.DataFrame(rows, columns=[
+                "path", "warc_type", "record_id", "target_uri",
+                "warc_date", "http_status", "http_content_type",
+                "content_length", "payload"])
+
+    return bf.mapInPandas(parse, WARC_SCHEMA)
+
+
+class _TextExtractor:
+    """stdlib HTML -> text: drops script/style/noscript subtrees,
+    decodes entities, collapses whitespace."""
+
+    _SKIP = {"script", "style", "noscript", "template"}
+
+    def __init__(self):
+        from html.parser import HTMLParser
+
+        outer = self
+
+        class P(HTMLParser):
+            def __init__(self):
+                super().__init__(convert_charrefs=True)
+                self.depth = 0
+                self.parts = []
+
+            def handle_starttag(self, tag, attrs):
+                if tag in outer._SKIP:
+                    self.depth += 1
+                else:
+                    self.parts.append(" ")   # tag boundary separates text
+
+            def handle_endtag(self, tag):
+                if tag in outer._SKIP:
+                    if self.depth:
+                        self.depth -= 1
+                else:
+                    self.parts.append(" ")
+
+            def handle_data(self, data):
+                # NB: "".join below — a text node split at an entity
+                # boundary must re-glue without inventing whitespace;
+                # the tag-boundary separators above add the real breaks
+                if not self.depth:
+                    self.parts.append(data)
+
+        self._P = P
+
+    def __call__(self, html: bytes) -> str:
+        p = self._P()
+        p.feed(html.decode("utf-8", "replace"))
+        return re.sub(r"\s+", " ", "".join(p.parts)).strip()
+
+
+def extract_text(df: DataFrame, payload_col: str = "payload",
+                 out_col: str = "text") -> DataFrame:
+    """HTML payload bytes -> clean ``text`` column via an Arrow-batched
+    pandas UDF (HTML parsing is inherently procedural; the batch shape
+    keeps it off the row-at-a-time path)."""
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def to_text(payloads: pd.Series) -> pd.Series:
+        ex = _TextExtractor()
+        return payloads.map(
+            lambda b: None if b is None else ex(bytes(b)))
+
+    return df.withColumn(out_col, to_text(F.col(payload_col)))
+
+
+def warc_record_bytes(uri: str, record_id: str, payload: bytes,
+                      warc_type: str = "response",
+                      date: str = "2024-01-01T00:00:00Z",
+                      http_content_type: str =
+                      "text/html; charset=utf-8") -> bytes:
+    """One WARC response record wrapping an HTTP 200 payload — the
+    fixture/writer half (a production pipeline READS crawls; this
+    serializer exists for tests, round-trips, and re-sharding)."""
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: "
+            + http_content_type.encode() + b"\r\n\r\n" + payload)
+    hdr = ("WARC/1.0\r\n"
+           f"WARC-Type: {warc_type}\r\n"
+           f"WARC-Record-ID: <{record_id}>\r\n"
+           f"WARC-Date: {date}\r\n"
+           f"WARC-Target-URI: {uri}\r\n"
+           "Content-Type: application/http; msgtype=response\r\n"
+           f"Content-Length: {len(http)}\r\n\r\n").encode()
+    return hdr + http + b"\r\n\r\n"
+
+
+def write_warc_fixture(df: DataFrame, id_col: str, text_col: str,
+                       root: str, partitions: int = 4) -> None:
+    """Serialize (id, text) rows into per-partition ``.warc.gz`` files
+    under ``root``: text is HTML-escaped into a minimal page, each
+    record its own gzip member (the crawl convention). Runs
+    distributed — each partition writes one archive file, mirroring how
+    a crawl re-shard would (executors write to shared storage)."""
+    import gzip
+    import html as _html
+    import os
+    import uuid
+
+
+    os.makedirs(root, exist_ok=True)
+    src = df.select(F.col(id_col).alias("_id"),
+                    F.col(text_col).alias("_text")).repartition(partitions)
+
+    def write_part(batches):
+        import hashlib
+
+        buf = bytearray()
+        n = 0
+        for pdf in batches:
+            for i, t in zip(pdf["_id"], pdf["_text"]):
+                page = ("<html><head><title>doc</title>"
+                        "<script>var x=1;</script></head><body><p>"
+                        + _html.escape(str(t)) +
+                        "</p></body></html>").encode()
+                rid = ("urn:uuid:"
+                       + hashlib.md5(str(i).encode()).hexdigest())
+                rec = warc_record_bytes(
+                    f"https://example.com/doc/{int(i)}", rid, page)
+                buf += gzip.compress(rec)
+                n += 1
+        if n:
+            out = os.path.join(root, f"part-{uuid.uuid4().hex}.warc.gz")
+            with open(out, "wb") as fh:
+                fh.write(bytes(buf))
+        yield pd.DataFrame({"n": [n]})
+
+    src.mapInPandas(write_part, "n long").agg(F.sum("n")).collect()

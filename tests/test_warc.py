@@ -1,0 +1,87 @@
+"""WARC source (sources/warc.py): record framing, per-record gzip
+members, HTTP payload splitting, HTML text extraction, and the
+distributed read path — the Common Crawl ingestion shape."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+
+from helix_db_spark.sources.warc import (_TextExtractor, gunzip_members,
+                                         iter_warc_records, read_warc,
+                                         split_http_payload,
+                                         warc_record_bytes,
+                                         write_warc_fixture)
+
+
+def test_record_roundtrip_plain_and_gzip(tmp_path):
+    recs = [warc_record_bytes(f"https://x.test/{i}", f"urn:uuid:{i:032x}",
+                              f"<p>page {i}</p>".encode())
+            for i in range(3)]
+    plain = b"".join(recs)
+    # plain stream
+    got = list(iter_warc_records(plain))
+    assert [h["warc-target-uri"] for h, _ in got] == \
+        [f"https://x.test/{i}" for i in range(3)]
+    # per-record gzip members (the crawl convention)
+    gz = b"".join(gzip.compress(r) for r in recs)
+    members = list(gunzip_members(gz))
+    assert len(members) == 3 and b"".join(members) == plain
+    got2 = list(iter_warc_records(b"".join(members)))
+    assert len(got2) == 3
+    # HTTP splitting
+    headers, body = got2[1]
+    assert headers["warc-type"] == "response"
+    assert int(headers["content-length"]) == len(body)
+    status, ctype, payload = split_http_payload(body)
+    assert status == 200 and ctype.startswith("text/html")
+    assert payload == b"<p>page 1</p>"
+    # non-HTTP bodies pass through
+    assert split_http_payload(b"raw bytes") == (None, None, b"raw bytes")
+
+
+def test_text_extractor_semantics():
+    ex = _TextExtractor()
+    # script/style subtrees dropped, entities decoded, whitespace folded
+    html = (b"<html><head><title>T</title><style>p{}</style>"
+            b"<script>var a = '<p>fake</p>';</script></head>"
+            b"<body><p>a&amp;b</p>\n\n<div>c &lt;d&gt;</div></body></html>")
+    assert ex(html) == "T a&b c <d>"
+    # a text node split at an entity must not gain a space
+    assert ex(b"<p>x&amp;y</p>") == "x&y"
+    # HTML CDATA semantics: script content ends at the FIRST </script>
+    # (the inner <script> is raw data, not a tag), so what follows is
+    # visible text — matching browser behavior
+    assert ex(b"<script><script></script>hidden</script>ok") == "hiddenok"
+    assert "fake" not in ex(b"<script>var a='<p>fake</p>';</script>vis")
+
+
+def test_read_warc_and_fixture_distributed(spark, tmp_path):
+    root = str(tmp_path / "warc")
+    docs = spark.createDataFrame(
+        [(i, f"text of document {i} & more") for i in range(20)],
+        "doc_id long, text string")
+    write_warc_fixture(docs, "doc_id", "text", root, partitions=3)
+    files = [f for f in os.listdir(root) if f.endswith(".warc.gz")]
+    assert 1 <= len(files) <= 3            # one archive per partition
+    recs = read_warc(spark, root)
+    rows = {r["target_uri"]: r for r in recs.collect()}
+    assert len(rows) == 20
+    r = rows["https://example.com/doc/7"]
+    assert r["warc_type"] == "response" and r["http_status"] == 200
+    assert b"text of document 7 &amp; more" in bytes(r["payload"])
+    assert r["http_content_type"].startswith("text/html")
+    assert r["warc_date"] == "2024-01-01T00:00:00Z"
+
+
+def test_read_warc_tolerates_garbage(spark, tmp_path):
+    root = str(tmp_path / "w2")
+    os.makedirs(root)
+    good = warc_record_bytes("https://x.test/1", "urn:uuid:1",
+                             b"<p>ok</p>")
+    with open(os.path.join(root, "a.warc"), "wb") as f:
+        f.write(b"junk prefix" + good + b"trailing garbage")
+    rows = read_warc(spark, root).collect()
+    assert len(rows) == 1 and rows[0]["target_uri"] == "https://x.test/1"
