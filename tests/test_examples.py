@@ -6,6 +6,26 @@ import os
 import sys
 
 
+def test_warc_example_runs(spark, tmp_path, capsys):
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "warc_to_corpus.py")
+    spec = importlib.util.spec_from_file_location("warc_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    argv = sys.argv
+    sys.argv = [path, "/root/testdata/sf0.001", str(tmp_path)]
+    try:
+        mod.main()
+    finally:
+        sys.argv = argv
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    steps = [ln["step"] for ln in lines]
+    assert steps == ["fixture", "parse", "extract", "gate", "dedup"]
+    assert lines[1]["records"] == lines[1]["http_200"] > 0
+    assert lines[4]["survivors"] > 0
+
+
 def test_curation_example_runs(spark, tmp_path, capsys):
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "examples", "curation_end_to_end.py")
