@@ -188,6 +188,38 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_warc(args) -> int:
+    """Crawl ingestion: parse .warc/.warc.gz archives under ``--in``
+    file-parallel, extract clean text from HTTP response payloads, and
+    write a (doc_id, url, text) parquet corpus to ``--out`` (doc ids are
+    md5-derived from the record URI — stable across re-runs). Prints a
+    summary JSON."""
+    from pyspark.sql import functions as F
+
+    from .session import get_spark
+    from .sources.warc import extract_text, read_warc
+
+    spark = get_spark("helix-spark-warc",
+                      **{"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    recs = read_warc(spark, args.warc_in) \
+        .filter(F.col("warc_type") == "response")
+    if args.http_ok_only:
+        recs = recs.filter(F.col("http_status") == 200)
+    out = extract_text(recs, "payload", "text").select(
+        F.conv(F.substring(F.md5("target_uri"), 1, 15), 16, 10)
+        .cast("long").alias("doc_id"),
+        F.col("target_uri").alias("url"), "text")
+    out.write.mode("overwrite").parquet(args.out)
+    written = spark.read.parquet(args.out)
+    print(json.dumps({
+        "records": written.count(),
+        "out": args.out,
+        "mean_text_chars": written.agg(
+            F.round(F.avg(F.length("text")), 1)).first()[0]}, default=str))
+    return 0
+
+
 def cmd_explain(args) -> int:
     """Print the executed physical plan for each returned variable of a
     dynamic-query request — the observability hook for verifying
@@ -243,7 +275,8 @@ def main(argv=None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
     for name, fn in (("query", cmd_query), ("serve", cmd_serve),
                      ("card", cmd_card), ("curate", cmd_curate),
-                     ("dedup", cmd_dedup), ("explain", cmd_explain)):
+                     ("dedup", cmd_dedup), ("warc", cmd_warc),
+                     ("explain", cmd_explain)):
         p = sub.add_parser(name)
         p.add_argument("--data", default="/root/testdata/sf0.001",
                        help="testdata dir to load as the graph")
@@ -275,6 +308,13 @@ def main(argv=None) -> int:
             p.add_argument("--threshold", type=float, default=0.7)
             p.add_argument("--append-novel", action="store_true",
                            help="append novel batch rows into the index")
+        elif name == "warc":
+            p.add_argument("--in", dest="warc_in", required=True,
+                           help=".warc/.warc.gz archive dir")
+            p.add_argument("--out", required=True,
+                           help="output parquet corpus dir")
+            p.add_argument("--http-ok-only", action="store_true",
+                           help="keep only HTTP 200 responses")
         else:
             p.add_argument("--by", default="source",
                            help="grouping column for the per-source card")

@@ -107,6 +107,27 @@ def test_dedup_command_roundtrip(spark, capsys, tmp_path):
     assert len(rows) == 1 and rows[0]["dup_kind"] == "exact"
 
 
+def test_warc_command_ingests_archives(spark, capsys, tmp_path):
+    """cli warc: archive dir -> extracted parquet corpus with stable
+    md5-derived ids."""
+    from helix_db_spark.sources.warc import write_warc_fixture
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .limit(40)
+    root = str(tmp_path / "crawl")
+    write_warc_fixture(docs, "doc_id", "text", root, partitions=2)
+    out_dir = str(tmp_path / "corpus")
+    rc, out, _ = _run(capsys, "warc", "--in", root, "--out", out_dir,
+                      "--http-ok-only")
+    assert rc == 0
+    summary = json.loads(out)
+    assert summary["records"] == 40
+    corpus = spark.read.parquet(out_dir)
+    row = corpus.filter(corpus.url == "https://example.com/doc/1").first()
+    assert row is not None and row["text"].startswith("doc ")
+    assert corpus.select("doc_id").distinct().count() == 40
+
+
 def test_explain_command(spark, capsys):
     rc, out, _ = _run(capsys, "explain", "--json", REQ,
                       "--data", "/root/testdata/sf0.001")
