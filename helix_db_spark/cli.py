@@ -196,6 +196,7 @@ def cmd_warc(args) -> int:
     summary JSON."""
     from pyspark.sql import functions as F
 
+    from .functions.text import md5_long
     from .session import get_spark
     from .sources.warc import extract_text, read_warc
 
@@ -207,8 +208,7 @@ def cmd_warc(args) -> int:
     if args.http_ok_only:
         recs = recs.filter(F.col("http_status") == 200)
     out = extract_text(recs, "payload", "text").select(
-        F.conv(F.substring(F.md5("target_uri"), 1, 15), 16, 10)
-        .cast("long").alias("doc_id"),
+        md5_long(F.col("target_uri")).alias("doc_id"),
         F.col("target_uri").alias("url"), "text")
     out.write.mode("overwrite").parquet(args.out)
     written = spark.read.parquet(args.out)

@@ -603,9 +603,13 @@ def vector_search_lsh_disk(spark, sf_dir):
 
 
 @q("warc_ingest_extract",
+   # outer trim: an empty/whitespace-only document must yield 'doc'
+   # (the extractor's final strip), not 'doc '. \s is safe on BOTH
+   # sides: the extractor collapses ASCII whitespace only (the HTML5
+   # definition), matching RE2's ASCII \s exactly.
    "SELECT doc_id, CAST(200 AS INTEGER) AS http_status, "
-   "'doc ' || trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text_out "
-   "FROM documents")
+   "trim('doc ' || trim(regexp_replace(text, '\\s+', ' ', 'g'))) "
+   "AS text_out FROM documents")
 def warc_ingest_extract(spark, sf_dir):
     """Common Crawl-shaped ingestion, end to end (sources/warc.py): the
     documents table is serialized into per-partition ``.warc.gz``

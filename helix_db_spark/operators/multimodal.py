@@ -618,12 +618,20 @@ class _MiniGifBackend:
         d = fp.read()
         w, h, bg, gct, frames = cls._parse(d, max_frames=1)
         ix, iy, idx, table, transparent, _delay, _disp = frames[0]
-        canvas = np.full((h, w), bg if gct is not None else 0, np.uint8)
-        canvas[iy:iy + idx.shape[0], ix:ix + idx.shape[1]] = idx
-        rgb = table[np.minimum(canvas, len(table) - 1)]
+        ih, iw = idx.shape
+        # background pixels color through the GLOBAL table (the bg index
+        # refers to it); only the frame region uses the frame's table —
+        # a first frame with a local table must not recolor the border
+        bg_rgb = (gct[min(bg, len(gct) - 1)] if gct is not None
+                  else np.zeros(3, np.uint8))
+        rgb = np.full((h, w, 3), bg_rgb, np.uint8)
+        rgb[iy:iy + ih, ix:ix + iw] = table[np.minimum(idx,
+                                                       len(table) - 1)]
         if transparent is not None:
-            alpha = np.where(canvas == transparent, 0, 255) \
-                .astype(np.uint8)
+            alpha = np.full((h, w), 0 if bg == transparent else 255,
+                            np.uint8)
+            alpha[iy:iy + ih, ix:ix + iw] = \
+                np.where(idx == transparent, 0, 255)
             return _MiniPngImage(
                 np.ascontiguousarray(np.dstack([rgb, alpha])), "RGBA")
         return _MiniPngImage(np.ascontiguousarray(rgb), "RGB")
@@ -735,7 +743,12 @@ class _MiniNetpbmBackend:
             while pos < len(d) and not d[pos:pos + 1].isspace():
                 pos += 1
             fields.append(int(d[start:pos]))
-        pos += 1                             # single whitespace before raster
+        # single whitespace before the raster; tolerate a CRLF pair
+        # (Windows text-mode writers) so the first pixel isn't a '\n'
+        if d[pos:pos + 2] == b"\r\n":
+            pos += 2
+        else:
+            pos += 1
         w, h = fields[0], fields[1]
         if magic == b"P4":
             stride = (w + 7) // 8
@@ -1376,14 +1389,9 @@ class _MiniAviBackend:
 
     @classmethod
     def open(cls, fp) -> _MiniAviVideo:
-        import io
         import struct
 
         data = fp.read()
-        if data[:6] in (b"GIF87a", b"GIF89a"):
-            # animated GIF: a real multi-frame container — composited
-            # with GIF89a disposal by the GIF backend
-            return _MiniGifBackend.open_video(io.BytesIO(data))
         if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
             raise ValueError("not an AVI")
 
@@ -1448,6 +1456,24 @@ class _MiniAviBackend:
         return _MiniAviVideo(width, height, len(raw_frames), fps, frames)
 
 
+class _MiniVideoBackend:
+    """Magic-byte dispatcher over the built-in video decoders — the
+    PyAV-less video backend, mirroring the image/audio dispatchers:
+    RIFF 'AVI ' -> _MiniAviBackend (uncompressed DIB + Motion-JPEG),
+    GIF87a/89a -> animated GIF with GIF89a disposal compositing."""
+
+    @staticmethod
+    def open(fp) -> _MiniAviVideo:
+        import io
+
+        data = fp.read()
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            return _MiniGifBackend.open_video(io.BytesIO(data))
+        if data[:4] == b"RIFF":
+            return _MiniAviBackend.open(io.BytesIO(data))
+        raise ValueError("unsupported video format")
+
+
 def _try_decode_backend(media_type: str):
     """Real decoders: PIL/soundfile/av when installed; every media type
     has at least a built-in pure-python backend (PNG / PCM WAV /
@@ -1469,7 +1495,7 @@ def _try_decode_backend(media_type: str):
         if media_type == "audio":
             return _MiniAudioBackend
         if media_type == "video":
-            return _MiniAviBackend
+            return _MiniVideoBackend
     return None
 
 

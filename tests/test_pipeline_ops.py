@@ -1969,6 +1969,20 @@ def test_miniimage_gif_bmp_netpbm_twins(spark):
     assert row["mode"] == "RGBA" and row["mean_luma"] is not None
 
 
+def test_mininetpbm_crlf_header():
+    """A CRLF after the maxval (Windows text-mode writers) must not
+    shift the raster by one byte (r7 review finding)."""
+    import io
+
+    import numpy as np
+
+    from helix_db_spark.operators.multimodal import _MiniNetpbmBackend
+
+    raster = bytes(range(6))
+    img = _MiniNetpbmBackend.open(io.BytesIO(b"P5\n3 2\n255\r\n" + raster))
+    assert np.asarray(img).tolist() == [[0, 1, 2], [3, 4, 5]]
+
+
 def _gif_literal_stream(indices, min_code=7):
     """LZW stream that emits CLEAR before every literal code — valid GIF
     LZW with no compression, so the test encoder stays independent of
@@ -2022,7 +2036,10 @@ def test_minigif_synthetic_exact():
     img = _MiniGifBackend.open(io.BytesIO(gif))
     a = np.asarray(img)
     assert a.shape == (4, 4, 3)
-    assert a[0, 0, 0] == 200 * 5 % 256 or True  # bg = GCT[5] clamped
+    # background pixels color through the GLOBAL table (bg index 5
+    # clamps to the 2-entry GCT's last entry = 200), NOT the frame's
+    # local gray table (r7 review finding)
+    assert a[0, 0].tolist() == [200, 200, 200]
     assert [int(a[1, 1, 0]), int(a[1, 2, 0]),
             int(a[2, 1, 0]), int(a[2, 2, 0])] == idx
 
@@ -2109,7 +2126,7 @@ def test_minigif_animated_video_frames(spark):
     import numpy as np
 
     from helix_db_spark.operators import multimodal
-    from helix_db_spark.operators.multimodal import _MiniAviBackend
+    from helix_db_spark.operators.multimodal import _MiniVideoBackend
 
     def sub_blocks(data):
         out = bytearray()
@@ -2143,7 +2160,7 @@ def test_minigif_animated_video_frames(spark):
            + gce(2, 10) + frame(1, 1, 1, 1, [50])
            + gce(1, 10, transparent=9) + frame(0, 0, 1, 1, [9])
            + b"\x3B")
-    vid = _MiniAviBackend.open(io.BytesIO(gif))
+    vid = _MiniVideoBackend.open(io.BytesIO(gif))
     assert (vid.width, vid.height, vid.frame_count) == (2, 2, 4)
     assert abs(vid.fps - 10.0) < 1e-9         # 10 cs per frame
     f1, f2, f3, f4 = [f[..., 0] for f in vid.frames()]
