@@ -11,8 +11,8 @@ fallbacks guarantee the REAL decode branch executes even in containers
 without media libraries — PNG (zlib + struct per the public PNG spec,
 incl. palette images), BASELINE JPEG (ITU-T T.81 sequential DCT:
 Huffman, chroma subsampling, restart intervals), GIF (LZW, interlace,
-transparency), BMP, TIFF (uncompressed + LZW, predictor), and binary
-netpbm for images; PCM WAV plus
+transparency), BMP, TIFF (uncompressed + LZW, predictor), Sun raster,
+SGI, XBM, and binary netpbm for images; PCM WAV plus
 AIFF/AIFC, Sun AU, G.711 mu-law/A-law companding, and FLAC (RFC 9639:
 fixed/LPC prediction, Rice residuals, stereo decorrelation — the first
 COMPRESSED audio codec decodable dependency-free) for audio; and an
@@ -721,6 +721,143 @@ class _MiniBmpBackend:
         return _MiniPngImage(np.ascontiguousarray(arr), mode)
 
 
+class _MiniRasBackend:
+    """Pure-stdlib Sun Raster decoder (public rasterfile spec):
+    1/8/24/32-bit standard, byte-RLE, and RT_FORMAT_RGB variants, RGB
+    color maps, 16-bit row alignment."""
+
+    _MAGIC = b"\x59\xa6\x6a\x95"
+
+    @classmethod
+    def open(cls, fp) -> _MiniPngImage:
+        import struct
+
+        d = fp.read()
+        if d[:4] != cls._MAGIC:
+            raise ValueError("not a Sun raster file")
+        w, h, depth, _length, rtype, maptype, maplen = \
+            struct.unpack(">7i", d[4:32])
+        if rtype not in (0, 1, 2, 3):
+            raise ValueError(f"unsupported raster type {rtype}")
+        pos = 32
+        pal = None
+        if maptype == 1 and maplen:          # RGB planes
+            n = maplen // 3
+            pm = np.frombuffer(d[pos:pos + maplen], np.uint8)
+            pal = np.stack([pm[:n], pm[n:2 * n], pm[2 * n:3 * n]], axis=1)
+            pos += maplen
+        raw = d[pos:]
+        if rtype == 2:                       # byte RLE: 0x80 <cnt> <val>
+            out = bytearray()
+            i = 0
+            while i < len(raw):
+                b = raw[i]
+                if b != 0x80:
+                    out.append(b)
+                    i += 1
+                elif i + 1 < len(raw) and raw[i + 1] == 0:
+                    out.append(0x80)         # escaped literal 0x80
+                    i += 2
+                else:
+                    out += bytes([raw[i + 2]]) * (raw[i + 1] + 1)
+                    i += 3
+            raw = bytes(out)
+        stride = ((w * depth + 15) // 16) * 2    # rows pad to 16 bits
+        rows = np.frombuffer(raw[:stride * h], np.uint8).reshape(h, stride)
+        if depth == 1:                       # 1 = foreground (black)
+            bits = np.unpackbits(rows, axis=1)[:, :w]
+            return _MiniPngImage(
+                np.where(bits == 1, 0, 255).astype(np.uint8), "L")
+        if depth == 8:
+            idx = rows[:, :w]
+            if pal is not None:
+                return _MiniPngImage(
+                    np.ascontiguousarray(pal[idx]), "RGB")
+            return _MiniPngImage(idx.copy(), "L")
+        if depth == 24:                      # BGR; RT_FORMAT_RGB = RGB
+            px = rows[:, :w * 3].reshape(h, w, 3)
+            arr = px if rtype == 3 else px[..., ::-1]
+            return _MiniPngImage(np.ascontiguousarray(arr), "RGB")
+        if depth == 32:                      # pad,B,G,R / pad,R,G,B
+            px = rows[:, :w * 4].reshape(h, w, 4)[..., 1:]
+            arr = px if rtype == 3 else px[..., ::-1]
+            return _MiniPngImage(np.ascontiguousarray(arr), "RGB")
+        raise ValueError(f"unsupported raster depth {depth}")
+
+
+class _MiniSgiBackend:
+    """Pure-stdlib SGI image decoder (public SGI image file format
+    spec): 8-bit verbatim and RLE storage, 1-3 dimensions, gray / RGB /
+    RGBA planes, bottom-up row order."""
+
+    @classmethod
+    def open(cls, fp) -> _MiniPngImage:
+        import struct
+
+        d = fp.read()
+        magic, storage, bpc = struct.unpack(">HBB", d[:4])
+        if magic != 474:
+            raise ValueError("not an SGI image")
+        if bpc != 1:
+            raise ValueError("16-bit SGI unsupported")
+        _dim, w, h, z = struct.unpack(">HHHH", d[4:12])
+        z = max(1, z)
+        planes = np.empty((z, h, w), np.uint8)
+        if storage == 0:                     # verbatim
+            raw = np.frombuffer(d[512:512 + w * h * z], np.uint8)
+            planes = raw.reshape(z, h, w)
+        else:                                # RLE: per-(row, channel)
+            n = h * z
+            starts = struct.unpack(f">{n}I", d[512:512 + 4 * n])
+            for c in range(z):
+                for y in range(h):
+                    i = starts[c * h + y]
+                    row = bytearray()
+                    while i < len(d):
+                        b = d[i]
+                        cnt = b & 0x7F
+                        i += 1
+                        if cnt == 0:
+                            break
+                        if b & 0x80:         # literal run
+                            row += d[i:i + cnt]
+                            i += cnt
+                        else:                # repeat run
+                            row += bytes([d[i]]) * cnt
+                            i += 1
+                    planes[c, y, :w] = np.frombuffer(
+                        bytes(row[:w]).ljust(w, b"\x00"), np.uint8)
+        planes = planes[:, ::-1]             # rows stored bottom-up
+        if z == 1:
+            return _MiniPngImage(np.ascontiguousarray(planes[0]), "L")
+        arr = np.ascontiguousarray(np.transpose(planes[:4], (1, 2, 0)))
+        return _MiniPngImage(arr, "RGBA" if z >= 4 else "RGB")
+
+
+class _MiniXbmBackend:
+    """Pure-stdlib XBM decoder (the public X BitMap C-source format):
+    width/height from the #define lines, LSB-first bit packing, 1 =
+    foreground (black)."""
+
+    @classmethod
+    def open(cls, fp) -> _MiniPngImage:
+        import re as _re
+
+        text = fp.read().decode("ascii", "replace")
+        dims = dict(_re.findall(
+            r"#define\s+\w*?_?(width|height)\s+(\d+)", text))
+        if "width" not in dims or "height" not in dims:
+            raise ValueError("XBM missing width/height defines")
+        w, h = int(dims["width"]), int(dims["height"])
+        vals = [int(x, 16) for x in _re.findall(r"0[xX][0-9a-fA-F]+",
+                                                text)]
+        stride = (w + 7) // 8
+        rows = np.array(vals[:stride * h], np.uint8).reshape(h, stride)
+        bits = np.unpackbits(rows, axis=1, bitorder="little")[:, :w]
+        return _MiniPngImage(
+            np.where(bits == 1, 0, 255).astype(np.uint8), "L")
+
+
 class _MiniNetpbmBackend:
     """Pure-stdlib netpbm decoder (public PBM/PGM/PPM spec): binary
     P4 (1-bit), P5 (gray) and P6 (RGB), 8-bit maxval, comments."""
@@ -904,6 +1041,12 @@ class _MiniImageBackend:
             return _MiniTiffBackend.open(io.BytesIO(data))
         if data[:2] in (b"P4", b"P5", b"P6"):
             return _MiniNetpbmBackend.open(io.BytesIO(data))
+        if data[:4] == _MiniRasBackend._MAGIC:
+            return _MiniRasBackend.open(io.BytesIO(data))
+        if data[:2] == b"\x01\xda":
+            return _MiniSgiBackend.open(io.BytesIO(data))
+        if data[:7] == b"#define":
+            return _MiniXbmBackend.open(io.BytesIO(data))
         raise ValueError("unsupported image format")
 
 

@@ -1969,6 +1969,74 @@ def test_miniimage_gif_bmp_netpbm_twins(spark):
     assert row["mode"] == "RGBA" and row["mean_luma"] is not None
 
 
+def test_miniimage_ras_sgi_xbm_twins():
+    """Sun raster and SGI decode PIXEL-EXACT vs the python.png twin;
+    XBM equals the python.pbm 1-bit twin bit-for-bit. Synthetic
+    fixtures pin the branches the twins don't reach: RAS byte-RLE with
+    the escaped-0x80 literal and an 8-bit palette; SGI verbatim
+    grayscale; RLE repeat+literal runs."""
+    import io
+    import os
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    _cpython_test = _pytest.importorskip(
+        "test", reason="CPython test package stripped from this install")
+    from helix_db_spark.operators.multimodal import (_MiniImageBackend,
+                                                     _MiniRasBackend,
+                                                     _MiniSgiBackend)
+
+    base = os.path.join(os.path.dirname(_cpython_test.__file__),
+                        "imghdrdata")
+    if os.path.exists(os.path.join(base, "python.png")):
+        def dec(name):
+            with open(os.path.join(base, name), "rb") as f:
+                return _MiniImageBackend.open(io.BytesIO(f.read()))
+        png = np.asarray(dec("python.png").convert("RGB"))
+        assert np.array_equal(
+            np.asarray(dec("python.ras").convert("RGB")), png)
+        assert np.array_equal(
+            np.asarray(dec("python.sgi").convert("RGB")), png)
+        assert np.array_equal(np.asarray(dec("python.xbm")),
+                              np.asarray(dec("python.pbm")))
+
+    # RAS byte-RLE + palette: 4x1 indices [1, 0x80-escape, run of 0]
+    # encoded as: 01 | 80 00 (literal 0x80 -> clamps) ... use indices
+    # [1, 2, 2, 2]: literal 01, then 80 02 02 (run of three 2s);
+    # stride pads 4 -> 4 (16-bit aligned already)
+    pal = bytes([10, 11, 12]) + bytes([20, 21, 22]) + bytes([30, 31, 32])
+    hdr = _MiniRasBackend._MAGIC + struct.pack(
+        ">7i", 4, 1, 8, 4, 2, 1, 9)
+    ras = hdr + pal + bytes([0x01, 0x80, 0x02, 0x02])
+    a = np.asarray(_MiniRasBackend.open(io.BytesIO(ras)))
+    # planar map: pal entries are (R plane)(G plane)(B plane)
+    assert a.tolist() == [[[11, 21, 31], [12, 22, 32],
+                           [12, 22, 32], [12, 22, 32]]]
+    # escaped literal 0x80 in gray (no map): bytes 80 00 -> pixel 0x80
+    hdr2 = _MiniRasBackend._MAGIC + struct.pack(">7i", 2, 1, 8, 2, 2,
+                                                0, 0)
+    a2 = np.asarray(_MiniRasBackend.open(io.BytesIO(
+        hdr2 + bytes([0x80, 0x00, 0x07]))))
+    assert a2.tolist() == [[0x80, 0x07]]
+
+    # SGI verbatim gray 3x2 (rows bottom-up)
+    sgi = (struct.pack(">HBBHHHH", 474, 0, 1, 2, 3, 2, 1)
+           + b"\x00" * 500 + bytes([1, 2, 3, 4, 5, 6]))
+    g = np.asarray(_MiniSgiBackend.open(io.BytesIO(sgi)))
+    assert g.tolist() == [[4, 5, 6], [1, 2, 3]]
+
+    # SGI RLE gray 4x1: repeat run (2 x 9) + literal run (0x80|2, 7, 8)
+    row = bytes([0x02, 9, 0x82, 7, 8, 0x00])
+    sgi2 = (struct.pack(">HBBHHHH", 474, 1, 1, 2, 4, 1, 1)
+            + b"\x00" * 500
+            + struct.pack(">I", 512 + 8) + struct.pack(">I", len(row))
+            + row)
+    g2 = np.asarray(_MiniSgiBackend.open(io.BytesIO(sgi2)))
+    assert g2.tolist() == [[9, 9, 7, 8]]
+
+
 def test_mininetpbm_crlf_header():
     """A CRLF after the maxval (Windows text-mode writers) must not
     shift the raster by one byte (r7 review finding)."""
