@@ -746,6 +746,8 @@ class _MiniRasBackend:
             pm = np.frombuffer(d[pos:pos + maplen], np.uint8)
             pal = np.stack([pm[:n], pm[n:2 * n], pm[2 * n:3 * n]], axis=1)
             pos += maplen
+        elif maplen:                         # RMT_RAW etc.: skip, no color
+            pos += maplen
         raw = d[pos:]
         if rtype == 2:                       # byte RLE: 0x80 <cnt> <val>
             out = bytearray()

@@ -2021,6 +2021,13 @@ def test_miniimage_ras_sgi_xbm_twins():
         hdr2 + bytes([0x80, 0x00, 0x07]))))
     assert a2.tolist() == [[0x80, 0x07]]
 
+    # non-RGB (RMT_RAW) colormap must be SKIPPED, not read as raster
+    hdr3 = _MiniRasBackend._MAGIC + struct.pack(">7i", 2, 1, 8, 2, 1,
+                                                2, 3)
+    a3 = np.asarray(_MiniRasBackend.open(io.BytesIO(
+        hdr3 + b"\xff\xff\xff" + bytes([5, 6]))))
+    assert a3.tolist() == [[5, 6]]
+
     # SGI verbatim gray 3x2 (rows bottom-up)
     sgi = (struct.pack(">HBBHHHH", 474, 0, 1, 2, 3, 2, 1)
            + b"\x00" * 500 + bytes([1, 2, 3, 4, 5, 6]))
