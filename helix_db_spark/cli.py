@@ -220,6 +220,46 @@ def cmd_warc(args) -> int:
     return 0
 
 
+def cmd_bpe(args) -> int:
+    """Tokenizer flow: ``--train`` learns BPE merges from the corpus's
+    documents table (one distributed word-count pass, driver-side merge
+    loop on the bounded type dict) and saves them under ``--model``;
+    ``--encode`` tokenizes a parquet of (doc_id, text) with a saved
+    model and writes (doc_id, bpe_tokens, n_tokens) parquet to
+    ``--out``."""
+    from pyspark.sql import functions as F
+
+    from .operators.tokenizer import BpeModel, bpe_encode, bpe_train
+    from .session import get_spark
+
+    if not args.train and not args.encode:
+        print(json.dumps({"error": "pass --train or --encode <parquet>"}),
+              file=sys.stderr)
+        return 2
+    spark = get_spark("helix-spark-bpe",
+                      **{"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.train:
+        docs = spark.read.parquet(f"{args.data}/documents.parquet")
+        model = bpe_train(docs, num_merges=args.merges,
+                          max_words=args.max_words)
+        model.save(spark, args.model)
+        print(json.dumps({"model": args.model,
+                          "merges": len(model.merges)}))
+        return 0
+    model = BpeModel.load(spark, args.model)
+    docs = spark.read.parquet(args.encode)
+    out = bpe_encode(docs, model).withColumn(
+        "n_tokens", F.size("bpe_tokens"))
+    out.write.mode("overwrite").parquet(args.out)
+    stats = spark.read.parquet(args.out).agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tokens").alias("total_tokens")).first()
+    print(json.dumps({"out": args.out, "docs": stats["docs"],
+                      "total_tokens": stats["total_tokens"]}, default=str))
+    return 0
+
+
 def cmd_explain(args) -> int:
     """Print the executed physical plan for each returned variable of a
     dynamic-query request — the observability hook for verifying
@@ -276,7 +316,7 @@ def main(argv=None) -> int:
     for name, fn in (("query", cmd_query), ("serve", cmd_serve),
                      ("card", cmd_card), ("curate", cmd_curate),
                      ("dedup", cmd_dedup), ("warc", cmd_warc),
-                     ("explain", cmd_explain)):
+                     ("bpe", cmd_bpe), ("explain", cmd_explain)):
         p = sub.add_parser(name)
         p.add_argument("--data", default="/root/testdata/sf0.001",
                        help="testdata dir to load as the graph")
@@ -315,6 +355,15 @@ def main(argv=None) -> int:
                            help="output parquet corpus dir")
             p.add_argument("--http-ok-only", action="store_true",
                            help="keep only HTTP 200 responses")
+        elif name == "bpe":
+            p.add_argument("--model", required=True,
+                           help="merges parquet dir (save/load)")
+            p.add_argument("--train", action="store_true")
+            p.add_argument("--merges", type=int, default=4000)
+            p.add_argument("--max-words", type=int, default=200_000)
+            p.add_argument("--encode", help="(doc_id, text) parquet "
+                           "to tokenize")
+            p.add_argument("--out", help="encoded-output parquet dir")
         else:
             p.add_argument("--by", default="source",
                            help="grouping column for the per-source card")

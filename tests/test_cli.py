@@ -156,3 +156,31 @@ def test_dedup_append_novel_grows_index(spark, capsys, tmp_path):
                       "--index", idx, "--batch", b2)
     row = json.loads(out.strip().splitlines()[0])
     assert row["dup_kind"] == "exact" and row["match_id"] == 777
+
+
+def test_bpe_command_train_then_encode(spark, capsys, tmp_path):
+    """cli bpe: --train learns merges from the documents table and
+    saves them; --encode tokenizes a parquet with the saved model and
+    the reported total equals a driver-side re-encode."""
+    model_dir = str(tmp_path / "merges")
+    rc, out, _ = _run(capsys, "bpe", "--data", "/root/testdata/sf0.001",
+                      "--model", model_dir, "--train", "--merges", "120")
+    assert rc == 0
+    trained = json.loads(out)
+    assert 0 < trained["merges"] <= 120
+
+    enc_out = str(tmp_path / "enc")
+    rc, out, _ = _run(capsys, "bpe", "--model", model_dir,
+                      "--encode",
+                      "/root/testdata/sf0.001/documents.parquet",
+                      "--out", enc_out)
+    assert rc == 0
+    summary = json.loads(out)
+    assert summary["docs"] == 500
+
+    from helix_db_spark.operators.tokenizer import BpeModel
+    m = BpeModel.load(spark, model_dir)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").collect()
+    assert summary["total_tokens"] == \
+        sum(len(m.encode_text(r["text"])) for r in docs)
