@@ -198,18 +198,23 @@ def cmd_warc(args) -> int:
 
     from .functions.text import md5_long
     from .session import get_spark
-    from .sources.warc import extract_text, read_warc
+    from .sources.warc import extract_text, read_warc, read_wet
 
     spark = get_spark("helix-spark-warc",
                       **{"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
-    recs = read_warc(spark, args.warc_in) \
-        .filter(F.col("warc_type") == "response")
-    if args.http_ok_only:
-        recs = recs.filter(F.col("http_status") == 200)
-    out = extract_text(recs, "payload", "text").select(
-        md5_long(F.col("target_uri")).alias("doc_id"),
-        F.col("target_uri").alias("url"), "text")
+    if args.wet:
+        wet = read_wet(spark, args.warc_in)
+        out = wet.select(md5_long(F.col("url")).alias("doc_id"),
+                         "url", "text")
+    else:
+        recs = read_warc(spark, args.warc_in) \
+            .filter(F.col("warc_type") == "response")
+        if args.http_ok_only:
+            recs = recs.filter(F.col("http_status") == 200)
+        out = extract_text(recs, "payload", "text").select(
+            md5_long(F.col("target_uri")).alias("doc_id"),
+            F.col("target_uri").alias("url"), "text")
     out.write.mode("overwrite").parquet(args.out)
     written = spark.read.parquet(args.out)
     print(json.dumps({
@@ -355,6 +360,9 @@ def main(argv=None) -> int:
                            help="output parquet corpus dir")
             p.add_argument("--http-ok-only", action="store_true",
                            help="keep only HTTP 200 responses")
+            p.add_argument("--wet", action="store_true",
+                           help="read WET conversion records (text "
+                           "pre-extracted by the crawl provider)")
         elif name == "bpe":
             p.add_argument("--model", required=True,
                            help="merges parquet dir (save/load)")

@@ -144,6 +144,33 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return bf.mapInPandas(parse, WARC_SCHEMA)
 
 
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """WET (``.warc.wet.gz``) — the Common Crawl sibling distribution
+    whose ``conversion`` records carry ALREADY-EXTRACTED plain text
+    (``Content-Type: text/plain``), no HTTP envelope. Same file-parallel
+    parse as ``read_warc``; this just selects conversion records and
+    decodes the payload, yielding (path, record_id, url, text) — the
+    cheaper ingestion path when the crawl provider pre-extracted."""
+    recs = read_warc(spark, path).filter(F.col("warc_type") == "conversion")
+    return recs.select(
+        "path", "record_id", F.col("target_uri").alias("url"),
+        F.decode(F.col("payload"), "UTF-8").alias("text"))
+
+
+def wet_record_bytes(uri: str, record_id: str, text: str,
+                     date: str = "2024-01-01T00:00:00Z") -> bytes:
+    """One WET conversion record (fixture/re-shard serializer)."""
+    body = text.encode("utf-8")
+    hdr = ("WARC/1.0\r\n"
+           "WARC-Type: conversion\r\n"
+           f"WARC-Record-ID: <{record_id}>\r\n"
+           f"WARC-Date: {date}\r\n"
+           f"WARC-Target-URI: {uri}\r\n"
+           "Content-Type: text/plain\r\n"
+           f"Content-Length: {len(body)}\r\n\r\n").encode()
+    return hdr + body + b"\r\n\r\n"
+
+
 class _TextExtractor:
     """stdlib HTML -> text: drops script/style/noscript subtrees,
     decodes entities, collapses whitespace."""
@@ -265,6 +292,41 @@ def write_warc_fixture(df: DataFrame, id_col: str, text_col: str,
                 n += 1
         if n:
             out = os.path.join(root, f"part-{uuid.uuid4().hex}.warc.gz")
+            with open(out, "wb") as fh:
+                fh.write(bytes(buf))
+        yield pd.DataFrame({"n": [n]})
+
+    src.mapInPandas(write_part, "n long").agg(F.sum("n")).collect()
+
+
+def write_wet_fixture(df: DataFrame, id_col: str, text_col: str,
+                      root: str, partitions: int = 4) -> None:
+    """Serialize (id, text) rows into per-partition ``.warc.wet.gz``
+    files of conversion records (plain text, one gzip member each)."""
+    import gzip
+    import os
+    import uuid
+
+    os.makedirs(root, exist_ok=True)
+    src = df.select(F.col(id_col).alias("_id"),
+                    F.col(text_col).alias("_text")).repartition(partitions)
+
+    def write_part(batches):
+        import hashlib
+
+        buf = bytearray()
+        n = 0
+        for pdf in batches:
+            for i, t in zip(pdf["_id"], pdf["_text"]):
+                rid = ("urn:uuid:"
+                       + hashlib.md5(str(i).encode()).hexdigest())
+                rec = wet_record_bytes(
+                    f"https://example.com/doc/{int(i)}", rid, str(t))
+                buf += gzip.compress(rec)
+                n += 1
+        if n:
+            out = os.path.join(root,
+                               f"part-{uuid.uuid4().hex}.warc.wet.gz")
             with open(out, "wb") as fh:
                 fh.write(bytes(buf))
         yield pd.DataFrame({"n": [n]})

@@ -85,3 +85,35 @@ def test_read_warc_tolerates_garbage(spark, tmp_path):
         f.write(b"junk prefix" + good + b"trailing garbage")
     rows = read_warc(spark, root).collect()
     assert len(rows) == 1 and rows[0]["target_uri"] == "https://x.test/1"
+
+
+def test_read_wet_conversion_records(spark, tmp_path):
+    """WET: conversion records round-trip pre-extracted text verbatim
+    (no HTML strip, no HTTP split), and mixed WARC+WET dirs keep the
+    two record populations separable by warc_type."""
+    from helix_db_spark.sources.warc import read_wet, write_wet_fixture
+
+    root = str(tmp_path / "wet")
+    docs = spark.createDataFrame(
+        [(i, f"plain text {i}\nwith a newline & <no> markup") for i in
+         range(12)],
+        "doc_id long, text string")
+    write_wet_fixture(docs, "doc_id", "text", root, partitions=2)
+    files = [f for f in os.listdir(root) if f.endswith(".warc.wet.gz")]
+    assert 1 <= len(files) <= 2
+    wet = read_wet(spark, root)
+    rows = {r["url"]: r["text"] for r in wet.collect()}
+    assert len(rows) == 12
+    # text survives byte-exact: newlines, ampersands, angle brackets
+    assert rows["https://example.com/doc/3"] == \
+        "plain text 3\nwith a newline & <no> markup"
+
+    # a response record dropped into the same dir is NOT a conversion
+    warc_path = os.path.join(root, "mixed.warc")
+    with open(warc_path, "wb") as f:
+        f.write(warc_record_bytes("https://x.test/h", "urn:uuid:9",
+                                  b"<p>html</p>"))
+    assert read_wet(spark, root).count() == 12
+    both = read_warc(spark, root)
+    assert both.filter("warc_type = 'response'").count() == 1
+    assert both.filter("warc_type = 'conversion'").count() == 12
