@@ -2652,3 +2652,78 @@ def test_miniwav_float_g711_extensible_tags():
     got, rate = _MiniWavBackend.read(io.BytesIO(ext))
     assert rate == 44100 and got.shape == (600, 2)
     assert float(np.abs(got[:, 0] * 32768.0 - pcm).max()) <= 1.0
+
+
+def test_miniwav_ms_adpcm_decode():
+    """MS ADPCM (format tag 2): decoder output equals an INDEPENDENT
+    spec-side encoder's reconstruction bit-exactly, mono and stereo,
+    across predictor coefficient pairs."""
+    import io
+    import struct
+
+    import numpy as np
+
+    from helix_db_spark.operators.multimodal import _MiniWavBackend
+
+    COEFS = ((256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+             (460, -208), (392, -232))
+    ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230)
+
+    def trunc256(q):
+        return q // 256 if q >= 0 else -((-q) // 256)
+
+    def encode(sig16, ch, balign, pred_idx):
+        spb = (balign - 7 * ch) * 2 // ch + 2
+        n = sig16.shape[0]
+        payload = bytearray()
+        recon = [[] for _ in range(ch)]
+        for b0 in range(0, n, spb):
+            chunk = sig16[b0:b0 + spb]
+            delta = [64] * ch
+            s2 = [int(chunk[0, c]) for c in range(ch)]
+            s1 = [int(chunk[1, c]) if len(chunk) > 1 else 0
+                  for c in range(ch)]
+            payload += bytes(pred_idx for _ in range(ch))
+            payload += struct.pack(f"<{ch}h", *delta)
+            payload += struct.pack(f"<{ch}h", *s1)
+            payload += struct.pack(f"<{ch}h", *s2)
+            for c in range(ch):
+                recon[c] += [s2[c], s1[c]]
+            nibs = []
+            for i in range(2, spb):
+                for c in range(ch):
+                    s = int(chunk[i, c]) if i < len(chunk) else 0
+                    c1, c2 = COEFS[pred_idx]
+                    pred = trunc256(s1[c] * c1 + s2[c] * c2)
+                    err = s - pred
+                    code = max(-8, min(7, int(round(err / delta[c]))))
+                    nib = code & 0x0F
+                    samp = max(-32768, min(32767, pred + code * delta[c]))
+                    recon[c].append(samp)
+                    s2[c], s1[c] = s1[c], samp
+                    delta[c] = max(16, (ADAPT[nib] * delta[c]) >> 8)
+                    nibs.append(nib)
+            for k in range(0, len(nibs), 2):
+                hi = nibs[k]
+                lo = nibs[k + 1] if k + 1 < len(nibs) else 0
+                payload.append((hi << 4) | lo)
+        return bytes(payload), [np.asarray(r, np.int64) for r in recon]
+
+    t = np.arange(3000)
+    base = np.round(11000 * np.sin(2 * np.pi * t / 120)
+                    - 4000 * np.cos(2 * np.pi * t / 17)).astype(np.int16)
+    for ch, balign in ((1, 7 + 32), (2, 14 + 64)):
+        sig = (base.reshape(-1, 1) if ch == 1 else
+               np.stack([base, np.roll(base, 11)], axis=1))
+        for pred_idx in (0, 1, 3, 6):
+            payload, recon = encode(sig, ch, balign, pred_idx)
+            wav = _wav_container(0x02, ch, 16000, 4, balign, payload)
+            got, rate = _MiniWavBackend.read(io.BytesIO(wav))
+            assert rate == 16000
+            got16 = np.round(got * 32768.0).astype(np.int64)
+            got16 = got16.reshape(-1, ch)
+            for c in range(ch):
+                m = min(len(recon[c]), got16.shape[0])
+                assert np.array_equal(got16[:m, c], recon[c][:m]), \
+                    (ch, pred_idx, c)
