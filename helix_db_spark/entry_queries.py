@@ -2676,6 +2676,38 @@ def text_lm_cross_entropy(spark, sf_dir):
     return lm_cross_entropy(_docs(spark, sf_dir), "doc_id", "text")
 
 
+@q("text_bigram_cross_entropy",
+   f"""WITH t AS (SELECT doc_id, {_TOK.format(c='text')} AS ts
+        FROM documents),
+u AS (SELECT doc_id, unnest(ts) AS w FROM t),
+c1 AS (SELECT w, count(*) AS c FROM u GROUP BY w),
+n AS (SELECT count(*) AS n FROM u),
+b AS (SELECT doc_id, unnest(ts[1:len(ts)-1]) AS v,
+             unnest(ts[2:len(ts)]) AS w2
+      FROM t WHERE len(ts) >= 2),
+c2 AS (SELECT v, w2, count(*) AS c FROM b GROUP BY v, w2),
+cc AS (SELECT v, count(*) AS c FROM b GROUP BY v)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+  round(avg(-ln(CAST(0.7 AS DOUBLE) * (c2.c / CAST(cc.c AS DOUBLE))
+              + CAST(0.3 AS DOUBLE) * (c1.c / CAST(n.n AS DOUBLE)))), 6)
+    AS cross_entropy,
+  round(exp(round(avg(-ln(CAST(0.7 AS DOUBLE)
+              * (c2.c / CAST(cc.c AS DOUBLE))
+              + CAST(0.3 AS DOUBLE) * (c1.c / CAST(n.n AS DOUBLE)))),
+            6)), 4) AS ppl
+FROM b JOIN c2 USING (v, w2) JOIN cc USING (v)
+JOIN c1 ON c1.w = b.w2 CROSS JOIN n GROUP BY doc_id""")
+def text_bigram_cross_entropy(spark, sf_dir):
+    """Interpolated bigram-LM cross-entropy (Jelinek-Mercer, lam=0.7)
+    — the word-order-aware step above the graded unigram slot: one
+    posexplode+lead pass feeds bigram/context/unigram counts, vocab
+    tables broadcast back, bigram join planner-chosen. The whole chain
+    (three count tables, interpolation, per-doc mean) replays in SQL."""
+    from .operators.textstats import bigram_cross_entropy
+    return bigram_cross_entropy(_docs(spark, sf_dir), "doc_id", "text",
+                                lam=0.7, lam_c=0.3)
+
+
 _DSIR_B = 1024
 
 @q("dsir_importance_weights",

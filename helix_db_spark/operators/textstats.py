@@ -588,6 +588,57 @@ def lm_cross_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return per_doc.withColumn("ppl", F.round(F.exp("cross_entropy"), 4))
 
 
+def bigram_cross_entropy(df: DataFrame, id_col: str, text_col: str,
+                         lam: float = 0.7,
+                         lam_c: float | None = None) -> DataFrame:
+    """Per-document cross-entropy under a Jelinek-Mercer interpolated
+    bigram LM fit on the corpus itself — one step up the CCNet ladder
+    from ``lm_cross_entropy``'s unigram model (real CCNet uses a KenLM
+    5-gram; the 2-gram captures the word-order signal a unigram cannot:
+    shuffled text scores like normal text under a unigram LM but not
+    here). P(w | v) = lam * c(v,w)/c(v,·) + (1-lam) * c(w)/N, scored
+    over bigram positions (documents need >= 2 tokens to appear).
+
+    Shape: ONE posexplode + lead() window emits (doc, v, w) rows that
+    feed ALL THREE count tables (bigram, context, unigram) as
+    partial-aggregable groupBys; the unigram/total tables broadcast
+    back, the bigram join keys on (v, w) — at web scale the bigram
+    table is not broadcastable, so that join is left to the planner
+    (sort-merge/AQE), same semantics."""
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col),
+                     F.posexplode(tokens(F.col(text_col)))
+                      .alias("_p", "_w"))
+    w = Window.partitionBy(id_col).orderBy("_p")
+    pairs = toks.select(F.col(id_col), F.col("_w").alias("_v"),
+                        F.lead("_w", 1).over(w).alias("_w2")) \
+                .filter(F.col("_w2").isNotNull())
+    uni = toks.groupBy(F.col("_w").alias("_u")) \
+              .agg(F.count(F.lit(1)).alias("_cu"))
+    total = uni.agg(F.sum("_cu").cast("double").alias("_n"))
+    big = pairs.groupBy("_v", "_w2").agg(F.count(F.lit(1)).alias("_cb"))
+    ctx = pairs.groupBy(F.col("_v").alias("_cv")) \
+               .agg(F.count(F.lit(1)).alias("_cc"))
+    # lam_c is passed explicitly when an oracle spells the complement
+    # as a decimal literal: 1.0 - 0.7 is 0.30000000000000004 in IEEE
+    # while SQL CAST(0.3 AS DOUBLE) is exactly 0.3 — a knife-edge
+    # rounding divergence a value-hash would catch
+    if lam_c is None:
+        lam_c = 1.0 - lam
+    p = (F.lit(float(lam)) * (F.col("_cb") / F.col("_cc"))
+         + F.lit(float(lam_c)) * (F.col("_cu") / F.col("_n")))
+    return (pairs
+            .join(big, ["_v", "_w2"])
+            .join(F.broadcast(ctx), pairs["_v"] == F.col("_cv"))
+            .join(F.broadcast(uni), pairs["_w2"] == F.col("_u"))
+            .crossJoin(F.broadcast(total))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                 F.round(F.avg(-F.log(p)), 6).alias("cross_entropy"))
+            .withColumn("ppl", F.round(F.exp("cross_entropy"), 4)))
+
+
 def dsir_weights(df: DataFrame, id_col: str, text_col: str,
                  target_pred: Column, n_buckets: int = 1024,
                  smoothing: float = 1.0) -> DataFrame:

@@ -317,3 +317,34 @@ def test_quantile_bins_no_global_sort(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, "quantile_bins must not run a window"
     assert "CartesianProduct" not in plan
+
+
+def test_bigram_cross_entropy_word_order_signal(spark):
+    """The bigram LM captures word order where the unigram LM cannot:
+    a document made of another doc's SHUFFLED tokens keeps its unigram
+    cross-entropy but scores strictly worse (higher) under the bigram
+    model; repeated coherent text scores better than both."""
+    from helix_db_spark.operators.textstats import (bigram_cross_entropy,
+                                                    lm_cross_entropy)
+
+    sent = "the quick brown fox jumps over the lazy dog"
+    # the corpus is dominated by the coherent word order (8 copies);
+    # doc 9 is the same bag of words REVERSED, appearing once — its
+    # bigrams are corpus-rare while its unigrams are corpus-common
+    rows = [(i, sent) for i in range(1, 9)] \
+        + [(9, " ".join(reversed(sent.split())))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uni = {r["doc_id"]: r["cross_entropy"]
+           for r in lm_cross_entropy(df, "doc_id", "text").collect()}
+    bi = {r["doc_id"]: r["cross_entropy"]
+          for r in bigram_cross_entropy(df, "doc_id", "text").collect()}
+    # same bag of words -> identical unigram score: the unigram LM is
+    # blind to the scramble
+    assert abs(uni[1] - uni[9]) < 1e-9
+    # ...but the bigram LM is not
+    assert bi[9] > bi[1] + 0.5
+    out = bigram_cross_entropy(df, "doc_id", "text").collect()[0]
+    assert set(out.asDict()) == {"doc_id", "n_bigrams", "cross_entropy",
+                                 "ppl"}
+    assert out["n_bigrams"] == len(sent.split()) - 1
