@@ -200,6 +200,11 @@ def cmd_warc(args) -> int:
     from .session import get_spark
     from .sources.warc import extract_text, read_warc, read_wet
 
+    if args.wet and args.http_ok_only:
+        print(json.dumps({"error": "--http-ok-only applies to WARC "
+                          "response records; WET conversion records "
+                          "carry no HTTP status"}), file=sys.stderr)
+        return 2
     spark = get_spark("helix-spark-warc",
                       **{"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
@@ -239,6 +244,15 @@ def cmd_bpe(args) -> int:
 
     if not args.train and not args.encode:
         print(json.dumps({"error": "pass --train or --encode <parquet>"}),
+              file=sys.stderr)
+        return 2
+    if args.train and args.encode:
+        print(json.dumps({"error": "--train and --encode are separate "
+                          "steps; run them one at a time"}),
+              file=sys.stderr)
+        return 2
+    if args.encode and not args.out:
+        print(json.dumps({"error": "--encode requires --out"}),
               file=sys.stderr)
         return 2
     spark = get_spark("helix-spark-bpe",

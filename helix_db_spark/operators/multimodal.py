@@ -1124,12 +1124,14 @@ class _MiniWavBackend:
         d = fp.read()
         if d[:4] != b"RIFF" or d[8:12] != b"WAVE":
             raise ValueError("not a RIFF WAVE file")
-        fmt = data = None
+        fmt = data = fact = None
         for cid, body in cls._chunks(d):
             if cid == b"fmt ":
                 fmt = body
             elif cid == b"data":
                 data = body
+            elif cid == b"fact" and len(body) >= 4:
+                fact = struct.unpack("<I", body[:4])[0]
         if fmt is None or data is None:
             raise ValueError("WAV missing fmt/data chunk")
         tag, ch, rate, _br, balign, bits = struct.unpack("<HHIIHH",
@@ -1138,9 +1140,13 @@ class _MiniWavBackend:
             tag = struct.unpack("<H", fmt[24:26])[0]  # the SubFormat GUID
         if tag in (0x02, 0x11):
             dec = cls._ms_adpcm if tag == 0x02 else cls._ima_adpcm
-            data16 = dec(data, ch, balign).astype(np.float64) / 32768.0
+            pcm = dec(data, ch, balign)
+            if fact is not None:             # encoders zero-pad the last
+                pcm = pcm[:fact * ch]        # block; fact = real frames
+            data16 = pcm.astype(np.float64) / 32768.0
             if ch > 1:
-                data16 = data16.reshape(-1, ch)
+                data16 = data16[:len(data16) - len(data16) % ch] \
+                    .reshape(-1, ch)
             return data16, int(rate)
         if tag == 6:
             out = _alaw_expand(np.frombuffer(data, np.uint8))
@@ -1154,7 +1160,9 @@ class _MiniWavBackend:
             else:
                 raise ValueError(f"unsupported float WAV bits {bits}")
         elif tag == 1:
-            width = bits // 8
+            # ceil: 12-bit PCM rides 2-byte containers (wave-module
+            # behavior this parser replaced)
+            width = (bits + 7) // 8
             if width == 1:   # WAV 8-bit is unsigned, midpoint 128
                 out = (np.frombuffer(data, np.uint8).astype(np.float64)
                        - 128.0) / 128.0
@@ -1235,7 +1243,10 @@ class _MiniWavBackend:
             chans = []
             for c in range(ch):
                 s0, idx, _r = struct.unpack_from("<hBB", blk, c * 4)
-                chans.append([[s0], s0, idx])  # samples, pred, index
+                # clamp the header seed like the per-nibble update: a
+                # corrupt index byte > 88 must raise ValueError (via
+                # later checks), not IndexError out of the step table
+                chans.append([[s0], s0, min(idx, 88)])
             body = blk[4 * ch:]
             # groups of 4 bytes per channel, channels interleaved
             for g in range(0, len(body) - (len(body) % (4 * ch)),

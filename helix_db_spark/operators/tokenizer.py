@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
+from functools import cached_property
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -34,6 +35,12 @@ from .textstats import BPE_PRETOKEN_RE
 # produced by BPE_PRETOKEN_RE (pre-tokens never contain both '<' and
 # letters), so it is unambiguous in the symbol stream.
 EOW = "</w>"
+
+# re.ASCII: Python's \s is Unicode-aware but Java's (Spark, where
+# word_frequencies runs the same pattern) is ASCII-only — without the
+# flag, U+00A0/U+3000 etc. are pre-tokens on the train side and skipped
+# on the encode side
+_PRETOK = re.compile(BPE_PRETOKEN_RE, re.ASCII)
 
 
 def word_frequencies(docs: DataFrame, text_col: str = "text",
@@ -85,8 +92,11 @@ class BpeModel:
 
     merges: tuple[tuple[str, str], ...]
 
-    @property
+    @cached_property
     def ranks(self) -> dict[tuple[str, str], int]:
+        # cached_property writes through __dict__, which frozen
+        # dataclasses permit; without the cache every encode_word call
+        # would rebuild an O(num_merges) dict
         return {p: r for r, p in enumerate(self.merges)}
 
     def encode_word(self, word: str,
@@ -107,7 +117,7 @@ class BpeModel:
 
     def encode_text(self, text: str) -> list[str]:
         toks: list[str] = []
-        for w in re.findall(BPE_PRETOKEN_RE, text):
+        for w in _PRETOK.findall(text):
             toks.extend(self.encode_word(w))
         return toks
 
@@ -195,7 +205,7 @@ def bpe_encode(docs: DataFrame, model: BpeModel, text_col: str = "text",
 
         def one(t):
             toks: list[str] = []
-            for w in re.findall(BPE_PRETOKEN_RE, t or ""):
+            for w in _PRETOK.findall(t or ""):
                 got = memo.get(w)
                 if got is None:
                     got = memo[w] = m.encode_word(w, ranks)

@@ -256,18 +256,17 @@ def warc_record_bytes(uri: str, record_id: str, payload: bytes,
     return hdr + http + b"\r\n\r\n"
 
 
-def write_warc_fixture(df: DataFrame, id_col: str, text_col: str,
-                       root: str, partitions: int = 4) -> None:
-    """Serialize (id, text) rows into per-partition ``.warc.gz`` files
-    under ``root``: text is HTML-escaped into a minimal page, each
-    record its own gzip member (the crawl convention). Runs
-    distributed — each partition writes one archive file, mirroring how
-    a crawl re-shard would (executors write to shared storage)."""
+def _write_archive_fixture(df: DataFrame, id_col: str, text_col: str,
+                           root: str, partitions: int, suffix: str,
+                           record_fn) -> None:
+    """Shared fixture-writer skeleton: (id, text) rows -> per-partition
+    gzip-member archives under ``root``. Runs distributed — each
+    partition writes one archive file, mirroring how a crawl re-shard
+    would (executors write to shared storage). ``record_fn(uri,
+    record_id, text) -> bytes`` picks the record flavor."""
     import gzip
-    import html as _html
     import os
     import uuid
-
 
     os.makedirs(root, exist_ok=True)
     src = df.select(F.col(id_col).alias("_id"),
@@ -280,55 +279,42 @@ def write_warc_fixture(df: DataFrame, id_col: str, text_col: str,
         n = 0
         for pdf in batches:
             for i, t in zip(pdf["_id"], pdf["_text"]):
-                page = ("<html><head><title>doc</title>"
-                        "<script>var x=1;</script></head><body><p>"
-                        + _html.escape(str(t)) +
-                        "</p></body></html>").encode()
                 rid = ("urn:uuid:"
                        + hashlib.md5(str(i).encode()).hexdigest())
-                rec = warc_record_bytes(
-                    f"https://example.com/doc/{int(i)}", rid, page)
+                rec = record_fn(f"https://example.com/doc/{i}", rid,
+                                str(t))
                 buf += gzip.compress(rec)
                 n += 1
         if n:
-            out = os.path.join(root, f"part-{uuid.uuid4().hex}.warc.gz")
+            out = os.path.join(root,
+                               f"part-{uuid.uuid4().hex}{suffix}")
             with open(out, "wb") as fh:
                 fh.write(bytes(buf))
         yield pd.DataFrame({"n": [n]})
 
     src.mapInPandas(write_part, "n long").agg(F.sum("n")).collect()
+
+
+def write_warc_fixture(df: DataFrame, id_col: str, text_col: str,
+                       root: str, partitions: int = 4) -> None:
+    """Serialize (id, text) rows into per-partition ``.warc.gz`` files
+    under ``root``: text is HTML-escaped into a minimal page, each
+    record its own gzip member (the crawl convention)."""
+    import html as _html
+
+    def rec(uri, rid, text):
+        page = ("<html><head><title>doc</title>"
+                "<script>var x=1;</script></head><body><p>"
+                + _html.escape(text) + "</p></body></html>").encode()
+        return warc_record_bytes(uri, rid, page)
+
+    _write_archive_fixture(df, id_col, text_col, root, partitions,
+                           ".warc.gz", rec)
 
 
 def write_wet_fixture(df: DataFrame, id_col: str, text_col: str,
                       root: str, partitions: int = 4) -> None:
     """Serialize (id, text) rows into per-partition ``.warc.wet.gz``
     files of conversion records (plain text, one gzip member each)."""
-    import gzip
-    import os
-    import uuid
-
-    os.makedirs(root, exist_ok=True)
-    src = df.select(F.col(id_col).alias("_id"),
-                    F.col(text_col).alias("_text")).repartition(partitions)
-
-    def write_part(batches):
-        import hashlib
-
-        buf = bytearray()
-        n = 0
-        for pdf in batches:
-            for i, t in zip(pdf["_id"], pdf["_text"]):
-                rid = ("urn:uuid:"
-                       + hashlib.md5(str(i).encode()).hexdigest())
-                rec = wet_record_bytes(
-                    f"https://example.com/doc/{int(i)}", rid, str(t))
-                buf += gzip.compress(rec)
-                n += 1
-        if n:
-            out = os.path.join(root,
-                               f"part-{uuid.uuid4().hex}.warc.wet.gz")
-            with open(out, "wb") as fh:
-                fh.write(bytes(buf))
-        yield pd.DataFrame({"n": [n]})
-
-    src.mapInPandas(write_part, "n long").agg(F.sum("n")).collect()
+    _write_archive_fixture(df, id_col, text_col, root, partitions,
+                           ".warc.wet.gz", wet_record_bytes)

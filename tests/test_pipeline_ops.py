@@ -2727,3 +2727,46 @@ def test_miniwav_ms_adpcm_decode():
                 m = min(len(recon[c]), got16.shape[0])
                 assert np.array_equal(got16[:m, c], recon[c][:m]), \
                     (ch, pred_idx, c)
+
+
+def test_miniwav_fact_chunk_and_edge_tags():
+    """Review-pass regressions: (a) a fact chunk truncates ADPCM pad
+    samples to the real frame count; (b) 12-bit PCM rides 2-byte
+    containers (ceil, the wave-module behavior); (c) a corrupt IMA
+    header step index > 88 clamps instead of raising IndexError."""
+    import io
+    import struct
+
+    import numpy as np
+
+    from helix_db_spark.operators.multimodal import _MiniWavBackend
+
+    sig = np.round(8000 * np.sin(2 * np.pi * np.arange(100) / 25)) \
+        .astype(np.int16).reshape(-1, 1)
+    payload, recon = _ima_test_encoder(sig, 1, 4 + 32)  # 65/block -> pads
+    wav = _wav_container(0x11, 1, 8000, 4, 4 + 32, payload)
+    # splice a fact chunk declaring the true 100 frames
+    assert wav[8:12] == b"WAVE"
+    fact = b"fact" + struct.pack("<II", 4, 100)
+    rest = wav[12:]
+    wav_fact = (b"RIFF" + struct.pack("<I", len(rest) + len(fact) + 4)
+                + b"WAVE" + fact + rest)
+    got, _ = _MiniWavBackend.read(io.BytesIO(wav_fact))
+    assert got.shape == (100,)              # padded twin decodes 130
+    got_nofact, _ = _MiniWavBackend.read(io.BytesIO(wav))
+    assert got_nofact.shape[0] == 130
+
+    # 12-bit PCM: samples in 2-byte containers
+    vals = np.array([-2048, 0, 1024, 2047], "<i2")
+    wav12 = _wav_container(1, 1, 8000, 12, 2, vals.tobytes())
+    got, _ = _MiniWavBackend.read(io.BytesIO(wav12))
+    assert got.shape == (4,)
+    assert float(np.abs(got * 32768.0 - vals.astype(np.float64)).max()) \
+        < 1e-9
+
+    # corrupt IMA header index 200: clamped, decodes without crashing
+    bad = bytearray(payload)
+    bad[2] = 200
+    got, _ = _MiniWavBackend.read(io.BytesIO(
+        _wav_container(0x11, 1, 8000, 4, 4 + 32, bytes(bad))))
+    assert got.shape[0] == 130

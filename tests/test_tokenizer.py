@@ -84,7 +84,7 @@ def test_roundtrip_property(text):
     m = bpe_train_from_frequencies(SENNRICH, num_merges=10)
     toks = m.encode_text(text)
     assert "".join(toks).replace(EOW, " ").strip() == \
-        " ".join(re.findall(BPE_PRETOKEN_RE, text))
+        " ".join(re.findall(BPE_PRETOKEN_RE, text, flags=re.ASCII))
     # every emitted token ends a word iff it carries the EOW marker
     assert all(EOW not in t or t.endswith(EOW) for t in toks)
 
@@ -102,7 +102,7 @@ def test_distributed_train_encode_decode(spark, tmp_path):
     pdf = docs.toPandas()
     expect: dict = {}
     for t in pdf["text"]:
-        for w in re.findall(BPE_PRETOKEN_RE, t or ""):
+        for w in re.findall(BPE_PRETOKEN_RE, t or "", flags=re.ASCII):
             expect[w] = expect.get(w, 0) + 1
     assert wf == expect
 
@@ -116,7 +116,7 @@ def test_distributed_train_encode_decode(spark, tmp_path):
                      bpe_decode_col("toks").alias("rt")).toPandas()
     by_id = dict(zip(pdf["doc_id"], pdf["text"]))
     for _, row in out.iterrows():
-        src = " ".join(re.findall(BPE_PRETOKEN_RE, by_id[row["doc_id"]]))
+        src = " ".join(re.findall(BPE_PRETOKEN_RE, by_id[row["doc_id"]], flags=re.ASCII))
         assert row["rt"] == src
         # spark-side encode == driver-side encode
     one = pdf.iloc[0]
