@@ -2770,3 +2770,67 @@ def test_miniwav_fact_chunk_and_edge_tags():
     got, _ = _MiniWavBackend.read(io.BytesIO(
         _wav_container(0x11, 1, 8000, 4, 4 + 32, bytes(bad))))
     assert got.shape[0] == 130
+
+
+def test_pq_encode_adc_and_rerank(spark):
+    """Product quantization: codes are valid and deterministic; the ADC
+    score of any row equals a numpy recompute; exact-rerank over the
+    oversampled ADC candidates recovers (near-)exact top-10 on
+    clustered data while the corpus scan reads only the codes column."""
+    import numpy as np
+
+    from helix_db_spark.operators.similarity import (pq_adc_topk,
+                                                     pq_codebooks,
+                                                     pq_encode,
+                                                     pq_refine_codebooks,
+                                                     pq_rerank_topk)
+
+    rng = np.random.default_rng(42)
+    centers = rng.normal(0, 1, (24, 64))
+    X = np.repeat(centers, 25, axis=0) + rng.normal(0, 0.15, (600, 64))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(600)],
+        "vec_id long, embedding array<double>")
+
+    raw = pq_codebooks(df, "vec_id", "embedding", m=4, k=16)
+    assert len(raw) == 4 and len(raw[0]) == 16 and len(raw[0][0]) == 16
+    cbs = pq_refine_codebooks(df, "vec_id", "embedding", raw)
+    enc = pq_encode(df, "vec_id", "embedding", cbs).cache()
+
+    rows = {r["vec_id"]: list(r["_pq"]) for r in enc.collect()}
+    C = [np.asarray(cb) for cb in cbs]
+    assert all(0 <= c < 16 for codes in rows.values() for c in codes)
+    # codes match a numpy argmin recompute (ties impossible at random)
+    for i in (0, 100, 599):
+        for s in range(4):
+            d = ((C[s] - X[i, s * 16:(s + 1) * 16]) ** 2).sum(axis=1)
+            assert rows[i][s] == int(d.argmin()), (i, s)
+
+    r_adc, r_rr = [], []
+    for qi in (3, 77, 200, 311, 555):
+        q = X[qi]
+        exact = set(np.argsort(((X - q) ** 2).sum(1),
+                               kind="stable")[:10].tolist())
+        adc = pq_adc_topk(enc, cbs, list(q), 10, id_col="vec_id")
+        rr = pq_rerank_topk(enc, cbs, list(q), 10, id_col="vec_id")
+        got_adc = {r["vec_id"] for r in adc.collect()}
+        got_rr = {r["vec_id"] for r in rr.collect()}
+        r_adc.append(len(exact & got_adc) / 10)
+        r_rr.append(len(exact & got_rr) / 10)
+        # ADC score of the returned rows == numpy recompute
+        for r in adc.collect():
+            want = sum(((C[s][rows[r["vec_id"]][s]]
+                         - q[s * 16:(s + 1) * 16]) ** 2).sum()
+                       for s in range(4))
+            assert abs(r["_adc"] - want) < 1e-9
+    # measured 1.0 on this fixture; gate with headroom. ADC-only is the
+    # coarse filter (tiny 16-bit codes), the rerank is the contract
+    assert sum(r_rr) / len(r_rr) >= 0.9, r_rr
+    assert sum(r_adc) / len(r_adc) >= 0.2, r_adc
+
+    # the ADC scan must be a projection + TakeOrderedAndProject — no
+    # join, no Python eval
+    plan = pq_adc_topk(enc, cbs, list(X[0]), 10, id_col="vec_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "Join" not in plan
