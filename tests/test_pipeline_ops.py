@@ -2834,3 +2834,48 @@ def test_pq_encode_adc_and_rerank(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "Join" not in plan
+
+
+def test_pq_composes_with_ivf_cells(spark):
+    """IVF x PQ (the paper's IVFADC): assign vectors to cells, encode
+    PQ codes, and serve a query by pruning to nprobe cells BEFORE the
+    ADC scan — same top-k as the unpruned ADC scan on this fixture
+    (neighbors live in the probed cells), with the scan reading only
+    (cell, codes)."""
+    import numpy as np
+
+    from helix_db_spark.operators.similarity import (ivf_assign,
+                                                     pq_adc_topk,
+                                                     pq_codebooks,
+                                                     pq_encode,
+                                                     pq_refine_codebooks)
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0, 1, (16, 64))
+    X = np.repeat(centers, 30, axis=0) + rng.normal(0, 0.1, (480, 64))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(480)],
+        "vec_id long, embedding array<double>")
+
+    assigned, cents = ivf_assign(df, "vec_id", "embedding")
+    cbs = pq_refine_codebooks(df, "vec_id", "embedding",
+                              pq_codebooks(df, "vec_id", "embedding",
+                                           m=4, k=16))
+    enc = pq_encode(assigned, "vec_id", "embedding", cbs).cache()
+
+    q = X[123]
+    # probe: nearest 4 cells by exact distance to the bounded centroids
+    crows = cents.collect()
+    cd = sorted(((float(((np.asarray(r["_cvec"]) - q) ** 2).sum()),
+                  r["_cid"]) for r in crows))
+    probe = {cid for _, cid in cd[:4]}
+    pruned = enc.filter(F.col("_cell").isin([int(c) for c in probe]))
+
+    full = [r["vec_id"] for r in
+            pq_adc_topk(enc, cbs, list(q), 10, id_col="vec_id").collect()]
+    cellwise = [r["vec_id"] for r in
+                pq_adc_topk(pruned, cbs, list(q), 10,
+                            id_col="vec_id").collect()]
+    assert cellwise == full
+    # and the pruned scan touched a strict subset of rows
+    assert pruned.count() < enc.count()
