@@ -1134,11 +1134,22 @@ class _MiniWavBackend:
                 fact = struct.unpack("<I", body[:4])[0]
         if fmt is None or data is None:
             raise ValueError("WAV missing fmt/data chunk")
+        if len(fmt) < 16:
+            raise ValueError("WAV fmt chunk truncated")
         tag, ch, rate, _br, balign, bits = struct.unpack("<HHIIHH",
                                                          fmt[:16])
+        if ch < 1:
+            raise ValueError("WAV channel count must be >= 1")
         if tag == 0xFFFE:                    # EXTENSIBLE: real tag leads
-            tag = struct.unpack("<H", fmt[24:26])[0]  # the SubFormat GUID
+            if len(fmt) < 26:                # the SubFormat GUID
+                raise ValueError("EXTENSIBLE fmt chunk truncated")
+            tag = struct.unpack("<H", fmt[24:26])[0]
         if tag in (0x02, 0x11):
+            hdr = 7 * ch if tag == 0x02 else 4 * ch
+            if balign < hdr:                 # block must hold its header
+                raise ValueError(
+                    f"ADPCM block align {balign} too small for "
+                    f"{ch} channel(s)")
             dec = cls._ms_adpcm if tag == 0x02 else cls._ima_adpcm
             pcm = dec(data, ch, balign)
             if fact is not None:             # encoders zero-pad the last

@@ -2879,3 +2879,36 @@ def test_pq_composes_with_ivf_cells(spark):
     assert cellwise == full
     # and the pruned scan touched a strict subset of rows
     assert pruned.count() < enc.count()
+
+
+def test_miniwav_fuzz_only_valueerror():
+    """The WAV parser's error contract under adversarial fmt fields
+    (tag/channels/bits/block-align fuzz + random payloads): decode or
+    ValueError — never IndexError / ZeroDivisionError / struct.error
+    (decode_audio's null-row path keys on controlled failure)."""
+    import io
+    import os
+    import random
+    import struct
+    import warnings
+
+    from helix_db_spark.operators.multimodal import _MiniWavBackend
+
+    rng = random.Random(2024)
+    for _ in range(1500):
+        tag = rng.choice([0, 1, 2, 3, 6, 7, 0x11, 0xFFFE, 0x55])
+        ch = rng.randrange(0, 5)
+        bits = rng.choice([0, 1, 4, 8, 12, 16, 24, 32, 64])
+        balign = rng.randrange(0, 70)
+        payload = os.urandom(rng.randrange(0, 300))
+        fmt = struct.pack("<HHIIHH", tag, ch, 8000, 8000 * balign,
+                          balign, bits)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(payload)) + payload)
+        blob = b"RIFF" + struct.pack("<I", len(body)) + body
+        try:
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                _MiniWavBackend.read(io.BytesIO(blob))
+        except ValueError:
+            pass
