@@ -448,6 +448,34 @@ def vector_search_topk(spark, sf_dir):
     return df.select("vec_id", F.round("distance", 4).alias("distance"))
 
 
+@q("vector_rag_traversal",
+   "WITH topv AS (SELECT vec_id FROM embeddings "
+   "ORDER BY 1.0 - list_cosine_similarity(embedding, "
+   "(SELECT embedding FROM embeddings WHERE vec_id = 7)), vec_id LIMIT 8) "
+   "SELECT d.doc_id, d.source, d.lang, d.n_chars "
+   "FROM documents d JOIN topv ON d.doc_id = topv.vec_id "
+   "WHERE d.lang = 'en'")
+def vector_rag_traversal(spark, sf_dir):
+    """HelixDB's signature hybrid query — vector search THEN graph
+    traversal in one compiled plan (the RAG shape the reference's
+    SearchV<Type>(...)::In<Edge> HQL composes; sdks/python/src/helixdb
+    dsl chains SearchV into traversal steps the same way): exact top-8
+    over the embeddings label, hop backwards across ``has_embedding`` to
+    the source documents, filter by a document predicate, project
+    document properties. Plan-wise the hop is a broadcast join of the
+    8-row frontier against documents (frontier << dim table), so the
+    whole retrieval costs one embedding scan + one pruned doc lookup —
+    the same shape at 100 TB with an ANN method swapped in via
+    vector_config."""
+    vec = _query_vector(spark, sf_dir)
+    return engine_for(spark, sf_dir).run(
+        g().vector_search("embeddings", "embedding", vec, 8)
+        .in_("has_embedding")
+        .where(P.eq("lang", "en"))
+        .project(doc_id="doc_id", source="source", lang="lang",
+                 n_chars="n_chars"))
+
+
 def _lsh_oracle() -> str:
     """Deterministic LSH grading: the fixed-seed hyperplanes are embedded as
     SQL literals, so DuckDB replays the exact band keys (sign of plane .
@@ -2228,6 +2256,61 @@ def stream_watermarked_counts(spark, sf_dir):
                    | (F.col("event_type") != "__sentinel__"))
            .localCheckpoint(eager=True))
     import shutil
+    shutil.rmtree(run, ignore_errors=True)
+    return out
+
+
+@q("stream_incremental_dedup", _incr_dedup_oracle())
+def stream_incremental_dedup(spark, sf_dir):
+    """Continuous-ingest dedup as a REAL Structured Streaming run
+    (streaming/ingest.stream_dedup_ingest): the same corpus/batch split
+    `incremental_dedup_classify` grades, but the delta batch arrives as
+    a file-source micro-batch and foreachBatch classifies it against the
+    on-disk index, appends the annotations to a parquet sink, and folds
+    the novel rows back into the index — the steady-state loop a 100 TB
+    ingest pipeline runs against Kafka. Determinism: the batch is ONE
+    parquet file, so availableNow yields exactly one micro-batch and
+    every row classifies against the corpus-only index (no intra-stream
+    ordering effects), making the batch entry's SQL oracle apply
+    verbatim. The index is a per-invocation private copy (NOT the
+    memoized _artifact_dir one) because the stream MUTATES it — the
+    novel-append would poison the shared artifact other entries probe.
+    All dirs carry a pid+uuid token and are removed afterwards."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .operators.dedup import store_dedup_index
+    from .streaming.ingest import stream_dedup_ingest
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    planted_exact = d.filter(F.col("doc_id").isin([1, 11, 21, 31, 41])) \
+        .select((F.col("doc_id") + 900000).alias("doc_id"), "text")
+    planted_near = d.filter(F.col("doc_id").isin([3, 13, 23, 33, 43])) \
+        .select((F.col("doc_id") + 910000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" extra token"))
+                 .alias("text"))
+    batch = d.filter(F.col("doc_id") % 10 == 0) \
+        .unionByName(planted_exact).unionByName(planted_near)
+
+    run = os.path.join(tempfile.gettempdir(),
+                       f"helix_sdd_{os.getpid()}_{uuid.uuid4().hex[:8]}")
+    idx, src = os.path.join(run, "idx"), os.path.join(run, "src")
+    store_dedup_index(corpus, "doc_id", "text", idx)
+    batch.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = stream_dedup_ingest(stream, "doc_id", "text", idx,
+                            os.path.join(run, "out"), threshold=0.5,
+                            checkpoint=os.path.join(run, "ckpt"))
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    out = (spark.read.parquet(os.path.join(run, "out"))
+           .select("doc_id", "dup_kind", "match_id", "jaccard_est")
+           .localCheckpoint(eager=True))
     shutil.rmtree(run, ignore_errors=True)
     return out
 
