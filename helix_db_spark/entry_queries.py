@@ -1520,6 +1520,119 @@ def multimodal_pipeline(spark, sf_dir):
     return frames.join(feats, on="media_id")
 
 
+# Audio content features through the REAL decode path: the clip bytes are
+# deterministic PCM16 WAVs (multimodal._synth_pcm16 — the audio analogue
+# of the xorshift feature stand-in), so the oracle regenerates the exact
+# waveform with a list comprehension and every feature but rms is pure
+# integer arithmetic; rms is one IEEE sqrt+div over exact integers,
+# identical across engines.
+_AUDIO_FEATURES_ORACLE = """
+WITH base AS (
+  SELECT doc_id, doc_id % 65536 AS d, 256 + (doc_id % 16) * 64 AS n
+  FROM documents
+), xs AS (
+  SELECT doc_id, n,
+    [ (d * 40503 + i * 2654435761 + 12345) % 65536
+      for i in generate_series(0, n - 1) ] AS xl
+  FROM base
+), samp AS (
+  SELECT doc_id, n,
+    [ xl[i + 1] * xl[i + 1] % 65536 - 32768
+      for i in generate_series(0, n - 1) ] AS s
+  FROM xs
+)
+SELECT doc_id AS media_id,
+  CAST(n AS BIGINT) AS n_samples,
+  CAST(round(n * 1000.0 / 8000) AS BIGINT) AS duration_ms,
+  CAST(list_sum([CASE WHEN (s[i] < 0) != (s[i + 1] < 0) THEN 1 ELSE 0 END
+                 for i in generate_series(1, n - 1)]) AS BIGINT) AS zcr,
+  CAST(list_max([abs(x) for x in s]) AS BIGINT) AS peak,
+  CAST(list_sum([x * x for x in s]) AS BIGINT) AS energy,
+  round(sqrt(CAST(list_sum([x * x for x in s]) AS DOUBLE) / n)
+        / 32768.0, 6) AS rms
+FROM samp
+"""
+
+
+@q("audio_decode_features", _AUDIO_FEATURES_ORACLE)
+def audio_decode_features(spark, sf_dir):
+    """Synth WAV -> real RIFF decode -> exact time-domain audio features
+    (the silence / clipping / tonal-vs-noisy curation gates). The FFT
+    spectral twin (audio_spectral_features) is pytest-pinned against an
+    independent naive DFT — non-SQL-expressible by nature."""
+    from .operators.multimodal import audio_time_features, synth_wav_pcm16
+    wav = synth_wav_pcm16(_docs(spark, sf_dir))
+    return audio_time_features(wav).select(
+        "media_id", "n_samples", "duration_ms", "zcr", "peak", "energy",
+        F.round("rms", 6).alias("rms"))
+
+
+# Image near-dup dedup through the REAL decode path: deterministic
+# grayscale PNGs planted with even/odd near-duplicate pairs
+# (multimodal.synth_png_gray), aHash in exact integer arithmetic, and the
+# banded Hamming join replayed in SQL (the LSH band-key-replay oracle
+# pattern) — candidates are pairs sharing one of four 16-bit bands, the
+# verify is a 64-position bit compare.
+_IMAGE_NEARDUP_ORACLE = """
+WITH base AS (
+  SELECT doc_id, (doc_id - (doc_id % 2)) % 65536 AS d, doc_id % 2 AS odd
+  FROM documents
+), xs AS (
+  SELECT doc_id, odd,
+    [ (d * 48271 + i * 69621 + 7) % 65536
+      for i in generate_series(0, 255) ] AS xl
+  FROM base
+), px AS (
+  SELECT doc_id,
+    [ xl[i + 1] * xl[i + 1] % 251
+      + CASE WHEN odd = 1 AND i % 37 = 0 THEN 4 ELSE 0 END
+      for i in generate_series(0, 255) ] AS p
+  FROM xs
+), blk AS (
+  SELECT doc_id,
+    [ p[(k // 8) * 32 + (k % 8) * 2 + 1] + p[(k // 8) * 32 + (k % 8) * 2 + 2]
+    + p[(k // 8) * 32 + (k % 8) * 2 + 17] + p[(k // 8) * 32 + (k % 8) * 2 + 18]
+      for k in generate_series(0, 63) ] AS b,
+    list_sum(p) AS t
+  FROM px
+), bits AS (
+  SELECT doc_id,
+    [CASE WHEN 64 * x > t THEN 1 ELSE 0 END for x in b] AS bits
+  FROM blk
+), bands AS (
+  SELECT doc_id, bits, j AS band_idx,
+    list_sum([bits[16 * j + m + 1] * (1 << m)
+              for m in generate_series(0, 15)]) AS band_val
+  FROM bits, generate_series(0, 3) AS g(j)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT * FROM (
+  SELECT id_a, id_b,
+    CAST(list_sum([CASE WHEN ba.bits[i] != bb.bits[i] THEN 1 ELSE 0 END
+                   for i in generate_series(1, 64)]) AS BIGINT) AS hamming
+  FROM cand JOIN bits ba ON ba.doc_id = cand.id_a
+            JOIN bits bb ON bb.doc_id = cand.id_b
+) WHERE hamming <= 16
+"""
+
+
+@q("image_neardup_phash", _IMAGE_NEARDUP_ORACLE)
+def image_neardup_phash(spark, sf_dir):
+    """Synth PNG -> real decode -> integer-exact aHash64 -> banded Hamming
+    self-join (image near-duplicate dedup, the visual analogue of
+    minhash_lsh_pairs). dhash64 rides the same operator, pytest-pinned."""
+    from .operators.multimodal import (image_near_dup_pairs,
+                                       image_perceptual_hashes,
+                                       synth_png_gray)
+    hashes = image_perceptual_hashes(synth_png_gray(_docs(spark, sf_dir)))
+    return image_near_dup_pairs(hashes.select("media_id", "ahash64"),
+                                max_hamming=16)
+
+
 # ---------------------------------------------------------------------------
 # 9. write path
 # ---------------------------------------------------------------------------

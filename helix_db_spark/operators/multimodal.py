@@ -2106,3 +2106,444 @@ def synth_media_from_text(df: DataFrame, id_col: str, text_col: str,
             (ln * 100).cast("long").alias("duration_ms"),
             F.lit("synthetic").alias("codec"),
         ).alias("meta"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic media synthesis (SQL-regenerable) + content-level features
+# ---------------------------------------------------------------------------
+
+AUDIO_SYNTH_RATE = 8000
+
+
+def _synth_pcm16(media_id: int) -> "np.ndarray":
+    """The shared PCM lattice: ``x = (d*40503 + i*2654435761 + 12345) %
+    65536; s[i] = x*x % 65536 - 32768`` with ``d = id % 65536`` and ``n =
+    256 + (id % 16) * 64``. The square feeds the 2*d*i cross-term back
+    into the low 16 bits, so clips differ in SHAPE per id, not just phase
+    (an affine-in-i lattice makes every clip the same sawtooth shifted).
+    Pure 64-bit-safe integer arithmetic (x < 2^16 so x*x < 2^32; the
+    pre-mod sum < 2^45), so a SQL oracle regenerates the exact waveform
+    with a list comprehension while the engine round-trips it through a
+    REAL RIFF encode + decode."""
+    d = int(media_id) % 65536
+    n = 256 + (int(media_id) % 16) * 64
+    i = np.arange(n, dtype=np.int64)
+    x = (d * 40503 + i * 2654435761 + 12345) % 65536
+    return (x * x) % 65536 - 32768
+
+
+def synth_wav_pcm16(df: DataFrame, id_col: str = "doc_id",
+                    rate: int = AUDIO_SYNTH_RATE) -> DataFrame:
+    """Fabricate mono PCM16 WAV clips whose samples are a pure-integer
+    function of the id (``_synth_pcm16``) — the audio analogue of
+    ``multimodal_features``' xorshift stand-in: deterministic, exactly
+    SQL-reproducible, but the bytes go through a real RIFF container so
+    downstream decode is the production path, not a fake. Arrow-batched
+    mapInPandas; one ~0.6-2.4 KB clip per row."""
+    import struct
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta", MEDIA_SCHEMA["meta"].dataType),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, metas = [], [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                s = _synth_pcm16(mid).astype("<i2")
+                data = s.tobytes()
+                hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) +
+                       b"WAVEfmt " +
+                       struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2,
+                                   2, 16) +
+                       b"data" + struct.pack("<I", len(data)))
+                ids.append(mid)
+                blobs.append(hdr + data)
+                metas.append({"width": None, "height": None,
+                              "duration_ms": int(len(s) * 1000 // rate),
+                              "codec": "pcm_s16le"})
+            yield pd.DataFrame({"media_id": ids,
+                                "media_type": "audio",
+                                "content": blobs,
+                                "meta": metas})
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema)
+
+
+def audio_time_features(df: DataFrame,
+                        content_col: str = "content") -> DataFrame:
+    """Decode (real backend) -> EXACT time-domain features over the
+    recovered 16-bit integer lattice: sample count, duration, zero
+    crossings (sign flips between adjacent samples), peak |s|, integer
+    energy sum(s^2), and rms = sqrt(energy/n)/32768. All but rms are pure
+    integers, and rms is one IEEE sqrt+div over exact integers — so a SQL
+    oracle that regenerates the waveform matches value-for-value (the
+    audio-curation gates: silence = low rms/peak, tonal vs noisy = zcr).
+    For non-PCM16 sources the 16-bit lattice is a quantization (np.rint);
+    for PCM16 it is the codec's own lattice, i.e. lossless."""
+    backend = _try_decode_backend("audio")
+
+    schema = T.StructType(list(df.schema.fields) + [
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("zcr", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import math
+
+        for pdf in batches:
+            cols = {k: [] for k in ("n_samples", "duration_ms", "zcr",
+                                    "peak", "energy", "rms")}
+
+            def null_row():
+                for v in cols.values():
+                    v.append(None)
+
+            for b in pdf[content_col]:
+                if b is None:
+                    null_row()
+                    continue
+                try:
+                    data, rate = backend.read(io.BytesIO(bytes(b)))
+                    arr = np.asarray(data, dtype=np.float64)
+                    if arr.ndim > 1:          # feature channel: first only
+                        arr = arr[:, 0]
+                    s = np.rint(arr * 32768.0).astype(np.int64)
+                    n = int(s.shape[0])
+                    if n == 0 or not rate:
+                        null_row()
+                        continue
+                    energy = int(np.dot(s, s))
+                    cols["n_samples"].append(n)
+                    cols["duration_ms"].append(int(round(n * 1000.0 / rate)))
+                    cols["zcr"].append(int(np.count_nonzero(
+                        (s[:-1] < 0) != (s[1:] < 0))))
+                    cols["peak"].append(int(np.abs(s).max()))
+                    cols["energy"].append(energy)
+                    cols["rms"].append(math.sqrt(energy / n) / 32768.0)
+                except Exception:   # undecodable -> null row, not a crash
+                    null_row()
+            for k in ("n_samples", "duration_ms", "zcr", "peak", "energy"):
+                pdf[k] = pd.array(cols[k], dtype="Int64")
+            pdf["rms"] = cols["rms"]
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+def audio_spectral_features(df: DataFrame, content_col: str = "content",
+                            n_fft: int = 256, hop: int = 128,
+                            n_mels: int = 8) -> DataFrame:
+    """Decode -> framed FFT -> spectral summary per clip, Arrow-batched.
+
+    The numeric hot path is numpy ``rfft`` over Hann-windowed frames
+    inside ``mapInPandas`` — per-clip independent, embarrassingly
+    parallel, zero shuffle, so the plan at 100 TB is one scan + one
+    MapInPandas stage. Emits the descriptors an audio-curation pipeline
+    gates on:
+
+    - ``n_frames`` — hop-aligned frame count (clips shorter than one
+      frame yield null features, never a crash),
+    - ``spectral_centroid_hz`` / ``spectral_bandwidth_hz`` — power-
+      weighted mean / std of frequency over the clip-mean spectrum
+      (bright vs dull, tonal vs broadband),
+    - ``spectral_rolloff_hz`` — 85th-percentile cumulative-power edge,
+    - ``spectral_flatness`` — geometric/arithmetic mean ratio of the
+      clip-mean spectrum (→1 noise, →0 pure tone),
+    - ``mel_energies`` — ``n_mels`` log10 triangular mel-band energies
+      (HTK mel scale, 2595·log10(1+f/700)), the standard front-end for
+      audio classifiers.
+
+    FFT features are genuinely non-SQL-expressible, so the correctness
+    contract is pytest: an INDEPENDENT naive O(n^2) DFT in the test plus
+    closed-form gates (pure sine at f0 -> centroid≈f0, tone flatness <<
+    noise flatness). Parity target: the reference treats media as opaque
+    blobs with model-side featurization; this is the Spark-side front end
+    a training pipeline needs before embedding.
+    """
+    backend = _try_decode_backend("audio")
+
+    schema = T.StructType(list(df.schema.fields) + [
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("spectral_centroid_hz", T.DoubleType()),
+        T.StructField("spectral_bandwidth_hz", T.DoubleType()),
+        T.StructField("spectral_rolloff_hz", T.DoubleType()),
+        T.StructField("spectral_flatness", T.DoubleType()),
+        T.StructField("mel_energies", T.ArrayType(T.DoubleType())),
+    ])
+
+    def mel_bank(rate: int) -> "np.ndarray":
+        # HTK mel filterbank: n_mels triangles, 0 .. rate/2
+        def hz_to_mel(f):
+            return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+
+        def mel_to_hz(m):
+            return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+
+        n_bins = n_fft // 2 + 1
+        mel_pts = np.linspace(0.0, float(hz_to_mel(rate / 2.0)), n_mels + 2)
+        hz_pts = mel_to_hz(mel_pts)
+        bins = np.floor((n_fft + 1) * hz_pts / rate).astype(int)
+        bank = np.zeros((n_mels, n_bins))
+        for m in range(n_mels):
+            lo, mid, hi = bins[m], bins[m + 1], bins[m + 2]
+            for k in range(lo, min(mid, n_bins)):
+                if mid > lo:
+                    bank[m, k] = (k - lo) / (mid - lo)
+            for k in range(mid, min(hi, n_bins)):
+                if hi > mid:
+                    bank[m, k] = (hi - k) / (hi - mid)
+        return bank
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        window = np.hanning(n_fft)
+        banks = {}          # rate -> filterbank (tiny, per-executor)
+        keys = ("n_frames", "spectral_centroid_hz", "spectral_bandwidth_hz",
+                "spectral_rolloff_hz", "spectral_flatness", "mel_energies")
+        for pdf in batches:
+            cols = {k: [] for k in keys}
+
+            def null_row():
+                for v in cols.values():
+                    v.append(None)
+
+            for b in pdf[content_col]:
+                if b is None:
+                    null_row()
+                    continue
+                try:
+                    data, rate = backend.read(io.BytesIO(bytes(b)))
+                    arr = np.asarray(data, dtype=np.float64)
+                    if arr.ndim > 1:
+                        arr = arr[:, 0]
+                    n = int(arr.shape[0])
+                    if n < n_fft or not rate:
+                        null_row()
+                        continue
+                    m = 1 + (n - n_fft) // hop
+                    idx = (np.arange(m)[:, None] * hop +
+                           np.arange(n_fft)[None, :])
+                    frames = arr[idx] * window
+                    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                    spec = power.mean(axis=0)            # clip-mean spectrum
+                    freqs = np.fft.rfftfreq(n_fft, d=1.0 / rate)
+                    total = float(spec.sum())
+                    if total <= 0.0:                     # digital silence
+                        cols["n_frames"].append(m)
+                        cols["spectral_centroid_hz"].append(0.0)
+                        cols["spectral_bandwidth_hz"].append(0.0)
+                        cols["spectral_rolloff_hz"].append(0.0)
+                        cols["spectral_flatness"].append(1.0)
+                        cols["mel_energies"].append(
+                            [-10.0] * n_mels)
+                        continue
+                    cen = float((freqs * spec).sum() / total)
+                    bw = float(np.sqrt(((freqs - cen) ** 2 * spec).sum()
+                                       / total))
+                    roll = float(freqs[np.searchsorted(
+                        np.cumsum(spec), 0.85 * total)])
+                    eps = 1e-12
+                    flat = float(np.exp(np.mean(np.log(spec + eps)))
+                                 / (spec.mean() + eps))
+                    if rate not in banks:
+                        banks[rate] = mel_bank(int(rate))
+                    mel = np.log10(banks[rate] @ spec + 1e-10)
+                    cols["n_frames"].append(m)
+                    cols["spectral_centroid_hz"].append(cen)
+                    cols["spectral_bandwidth_hz"].append(bw)
+                    cols["spectral_rolloff_hz"].append(roll)
+                    cols["spectral_flatness"].append(flat)
+                    cols["mel_energies"].append([float(x) for x in mel])
+                except Exception:   # undecodable -> null row, not a crash
+                    null_row()
+            pdf["n_frames"] = pd.array(cols["n_frames"], dtype="Int32")
+            for k in keys[1:]:
+                pdf[k] = cols[k]
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+def synth_png_gray(df: DataFrame, id_col: str = "doc_id",
+                   side: int = 16) -> DataFrame:
+    """Fabricate grayscale PNGs whose pixels are a pure-integer function
+    of the id: ``x = (d*48271 + i*69621 + 7) % 65536; p[i] = x*x % 251``
+    with ``d = (id - id%2) % 65536`` — consecutive even/odd ids share a
+    base image, and the odd one is perturbed (+4 on every 37th pixel),
+    planting near-duplicate pairs a perceptual-hash dedup must find. The
+    square's 2*d*i cross-term decorrelates images across ids (affine-in-i
+    pixels would make every image the same ramp shifted, colliding
+    unrelated ids at low Hamming). Exactly SQL-regenerable (x < 2^16 so
+    x*x < 2^32), but the bytes go through a REAL PNG encode
+    (zlib, filter 0) + decode, so downstream hashing exercises the
+    production path. Arrow-batched mapInPandas."""
+    import struct
+    import zlib
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta", MEDIA_SCHEMA["meta"].dataType),
+    ])
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body +
+                struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_px = side * side
+        i = np.arange(n_px, dtype=np.int64)
+        for pdf in batches:
+            ids, blobs, metas = [], [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                d = (mid - mid % 2) % 65536
+                x = (d * 48271 + i * 69621 + 7) % 65536
+                p = (x * x) % 251
+                if mid % 2 == 1:
+                    p = p + np.where(i % 37 == 0, 4, 0)
+                raster = p.astype(np.uint8).reshape(side, side)
+                raw = b"".join(b"\x00" + row.tobytes() for row in raster)
+                ihdr = struct.pack(">IIBBBBB", side, side, 8, 0, 0, 0, 0)
+                png = (_MiniPngBackend._MAGIC + chunk(b"IHDR", ihdr) +
+                       chunk(b"IDAT", zlib.compress(raw)) +
+                       chunk(b"IEND", b""))
+                ids.append(mid)
+                blobs.append(png)
+                metas.append({"width": side, "height": side,
+                              "duration_ms": None, "codec": "png"})
+            yield pd.DataFrame({"media_id": ids,
+                                "media_type": "image",
+                                "content": blobs,
+                                "meta": metas})
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema)
+
+
+def image_perceptual_hashes(df: DataFrame,
+                            content_col: str = "content") -> DataFrame:
+    """Decode (real backend) -> 64-bit perceptual hashes per image,
+    computed in EXACT integer arithmetic so a SQL oracle over regenerable
+    pixels matches bit-for-bit:
+
+    - ``ahash64`` — average hash: integer luma (``(299r+587g+114b)//1000``,
+      the identity on grayscale sources), an 8x8 grid of contiguous block
+      sums (``np.array_split``, so any size works without float resize),
+      bit k = r*8+c set iff block k's mean exceeds the image mean — tested
+      by exact cross-multiplication ``B*total_px > T*block_px``.
+    - ``dhash64`` — difference hash: the standard 9x8-grid horizontal
+      gradient (8 comparisons x 8 rows), adjacent-column means compared by
+      the same cross-multiplication.
+
+    Hashes are two's-complement int64 (bit 63 may set the sign); band
+    extraction downstream uses UNSIGNED shifts, and Hamming distance via
+    ``bit_count(a ^ b)`` is sign-agnostic. Undecodable bytes yield null
+    hashes, never a crash."""
+    backend = _try_decode_backend("image")
+
+    schema = T.StructType(list(df.schema.fields) + [
+        T.StructField("ahash64", T.LongType()),
+        T.StructField("dhash64", T.LongType()),
+    ])
+
+    def to_i64(v: int) -> int:
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def grid_sums(gray: "np.ndarray", rows: int, cols: int):
+        """(block_sum, block_area) over a rows x cols contiguous split."""
+        sums = np.zeros((rows, cols), dtype=np.int64)
+        areas = np.zeros((rows, cols), dtype=np.int64)
+        rsplit = np.array_split(gray, rows, axis=0)
+        for r, rblk in enumerate(rsplit):
+            for c, blk in enumerate(np.array_split(rblk, cols, axis=1)):
+                sums[r, c] = int(blk.sum())
+                areas[r, c] = blk.size
+        return sums, areas
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in batches:
+            ah, dh = [], []
+            for b in pdf[content_col]:
+                if b is None:
+                    ah.append(None); dh.append(None)
+                    continue
+                try:
+                    img = backend.open(io.BytesIO(bytes(b)))
+                    arr = np.asarray(img.convert("RGB"),
+                                     dtype=np.int64)
+                    gray = (arr[..., 0] * 299 + arr[..., 1] * 587 +
+                            arr[..., 2] * 114) // 1000
+                    total = int(gray.sum())
+                    n_px = gray.size
+                    bsum, barea = grid_sums(gray, 8, 8)
+                    a = 0
+                    for k in range(64):
+                        r, c = k // 8, k % 8
+                        if bsum[r, c] * n_px > total * barea[r, c]:
+                            a |= 1 << k
+                    gsum, garea = grid_sums(gray, 8, 9)
+                    v = 0
+                    for r in range(8):
+                        for c in range(8):
+                            if (gsum[r, c] * garea[r, c + 1] >
+                                    gsum[r, c + 1] * garea[r, c]):
+                                v |= 1 << (r * 8 + c)
+                    ah.append(to_i64(a)); dh.append(to_i64(v))
+                except Exception:   # undecodable -> null row, not a crash
+                    ah.append(None); dh.append(None)
+            pdf["ahash64"] = pd.array(ah, dtype="Int64")
+            pdf["dhash64"] = pd.array(dh, dtype="Int64")
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+def image_near_dup_pairs(hashes: DataFrame, id_col: str = "media_id",
+                         hash_col: str = "ahash64",
+                         max_hamming: int = 16,
+                         max_bucket: Optional[int] = None) -> DataFrame:
+    """Near-duplicate image pairs by banded Hamming join over a 64-bit
+    perceptual hash — the image analogue of ``minhash_lsh_pairs``: split
+    the hash into four 16-bit bands (unsigned shifts), self-join on band
+    equality (pigeonhole guarantees recall for hamming <= 3; near-dup
+    perturbations cluster far below ``max_hamming``), then verify with
+    JVM-side ``bit_count(a ^ b)``. ``max_bucket`` caps hot band buckets
+    (dedup._cap_buckets). Scale shape: narrow (id, hash, band) shuffle,
+    no signatures to re-join — the hash IS 8 bytes."""
+    from .dedup import _cap_buckets
+
+    h = F.col(hash_col)
+    banded = hashes.select(
+        F.col(id_col), h.alias("_h"),
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("band_idx"),
+                     F.shiftrightunsigned(h, 16 * j)
+                      .bitwiseAND(F.lit(65535)).alias("band_val"))
+            for j in range(4)])).alias("_b")) \
+        .select(id_col, "_h", "_b.band_idx", "_b.band_val")
+    banded = _cap_buckets(banded, ["band_idx", "band_val"], max_bucket)
+    left = banded.select(F.col(id_col).alias("id_a"),
+                         F.col("_h").alias("_ha"), "band_idx", "band_val")
+    right = banded.select(F.col(id_col).alias("id_b"),
+                          F.col("_h").alias("_hb"), "band_idx", "band_val")
+    return (left.join(right, on=["band_idx", "band_val"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b",
+                        F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+                         .cast("long").alias("hamming"))
+                .dropDuplicates(["id_a", "id_b"])
+                .filter(F.col("hamming") <= max_hamming))

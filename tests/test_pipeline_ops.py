@@ -2912,3 +2912,185 @@ def test_miniwav_fuzz_only_valueerror():
                 _MiniWavBackend.read(io.BytesIO(blob))
         except ValueError:
             pass
+
+
+def _pack_wav_pcm16(samples, rate=8000):
+    """Independent test-side RIFF writer (not the library's)."""
+    import struct
+
+    import numpy as _np
+
+    data = _np.asarray(samples, dtype="<i2").tobytes()
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt " +
+            struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16) +
+            b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_audio_time_features_exact(spark):
+    """Engine features vs an INDEPENDENT recompute of the synth formula
+    (re-derived here, not imported), plus undecodable-bytes null rows."""
+    import math
+
+    import numpy as np
+
+    from helix_db_spark.operators import multimodal
+    from helix_db_spark.operators.multimodal import (audio_time_features,
+                                                     synth_wav_pcm16)
+
+    docs = spark.createDataFrame([(i,) for i in range(24)], "doc_id long")
+    out = {r.media_id: r for r in
+           audio_time_features(synth_wav_pcm16(docs)).collect()}
+    assert len(out) == 24
+    for mid in (0, 7, 15, 23):
+        d, n = mid % 65536, 256 + (mid % 16) * 64
+        i = np.arange(n, dtype=np.int64)
+        x = (d * 40503 + i * 2654435761 + 12345) % 65536
+        s = (x * x) % 65536 - 32768
+        r = out[mid]
+        assert r.n_samples == n
+        assert r.duration_ms == n * 1000 // 8000
+        assert r.zcr == int(np.count_nonzero((s[:-1] < 0) != (s[1:] < 0)))
+        assert r.peak == int(np.abs(s).max())
+        assert r.energy == int((s * s).sum())
+        assert r.rms == math.sqrt(int((s * s).sum()) / n) / 32768.0
+    # distinct ids produce genuinely distinct waveforms (the x*x mixing)
+    assert len({r.zcr for r in out.values()}) == 24
+
+    junk = spark.createDataFrame(
+        [(1, "audio", bytearray(b"not a wav"), None),
+         (2, "audio", None, None)], multimodal.MEDIA_SCHEMA)
+    rows = {r.media_id: r for r in audio_time_features(junk).collect()}
+    assert rows[1].rms is None and rows[1].zcr is None
+    assert rows[2].energy is None
+
+
+def _naive_spectral(samples, rate, n_fft=256, hop=128):
+    """Independent O(n^2) DFT reference for the spectral features."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64) / 32768.0
+    w = np.hanning(n_fft)
+    m = 1 + (len(x) - n_fft) // hop
+    n_bins = n_fft // 2 + 1
+    power = np.zeros(n_bins)
+    for f in range(m):
+        fr = x[f * hop:f * hop + n_fft] * w
+        for k in range(n_bins):
+            ang = -2j * np.pi * k * np.arange(n_fft) / n_fft
+            power[k] += abs((fr * np.exp(ang)).sum()) ** 2
+    spec = power / m
+    freqs = np.arange(n_bins) * rate / n_fft
+    total = spec.sum()
+    cen = (freqs * spec).sum() / total
+    bw = np.sqrt(((freqs - cen) ** 2 * spec).sum() / total)
+    roll = freqs[np.searchsorted(np.cumsum(spec), 0.85 * total)]
+    flat = np.exp(np.mean(np.log(spec + 1e-12))) / (spec.mean() + 1e-12)
+    return cen, bw, roll, flat
+
+
+def test_audio_spectral_features(spark):
+    import numpy as np
+
+    from helix_db_spark.operators import multimodal
+    from helix_db_spark.operators.multimodal import (
+        _synth_pcm16, audio_spectral_features, synth_wav_pcm16)
+
+    # 1. vs the independent naive-DFT reference on a synth clip
+    docs = spark.createDataFrame([(3,)], "doc_id long")
+    row = audio_spectral_features(synth_wav_pcm16(docs)).collect()[0]
+    cen, bw, roll, flat = _naive_spectral(_synth_pcm16(3), 8000)
+    assert row.n_frames == 1 + (len(_synth_pcm16(3)) - 256) // 128
+    assert abs(row.spectral_centroid_hz - cen) < 1e-6 * max(cen, 1.0)
+    assert abs(row.spectral_bandwidth_hz - bw) < 1e-6 * max(bw, 1.0)
+    assert row.spectral_rolloff_hz == roll
+    assert abs(row.spectral_flatness - flat) < 1e-9
+    assert len(row.mel_energies) == 8
+
+    # 2. closed forms: a pure 1 kHz sine is narrowband at 1 kHz and far
+    # less flat than wideband pseudo-noise; digital silence is flat.
+    rate = 8000
+    t = np.arange(2048)
+    sine = np.rint(20000 * np.sin(2 * np.pi * 1000 * t / rate))
+    noise = ((t * 2654435761 + 987) % 65536) * \
+        ((t * 2654435761 + 987) % 65536) % 65536 - 32768
+    clips = spark.createDataFrame(
+        [(1, "audio", bytearray(_pack_wav_pcm16(sine, rate)), None),
+         (2, "audio", bytearray(_pack_wav_pcm16(noise, rate)), None),
+         (3, "audio", bytearray(_pack_wav_pcm16([0] * 512, rate)), None),
+         (4, "audio", bytearray(_pack_wav_pcm16([5] * 100, rate)), None)],
+        multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in audio_spectral_features(clips).collect()}
+    assert abs(out[1].spectral_centroid_hz - 1000.0) < 40.0
+    assert out[1].spectral_bandwidth_hz < 200.0
+    assert abs(out[1].spectral_rolloff_hz - 1000.0) < 40.0
+    assert out[1].spectral_flatness < 0.01
+    assert out[2].spectral_flatness > 0.2
+    assert out[2].spectral_bandwidth_hz > out[1].spectral_bandwidth_hz
+    # mel energies: the sine's hottest mel band contains 1 kHz
+    mel = np.array(out[1].mel_energies)
+    assert mel.argmax() in (2, 3)       # HTK mel bands around 1 kHz @ 8 kHz
+    assert out[3].spectral_flatness == 1.0 and out[3].n_frames == 3
+    assert out[4].n_frames is None      # shorter than one frame -> nulls
+
+
+def test_image_perceptual_hashes_exact(spark):
+    """aHash/dHash vs an INDEPENDENT bit-by-bit recompute from the pixel
+    formula; planted near-dup pairs hash close, unrelated images far."""
+    import numpy as np
+
+    from helix_db_spark.operators import multimodal
+    from helix_db_spark.operators.multimodal import (
+        image_near_dup_pairs, image_perceptual_hashes, synth_png_gray)
+
+    docs = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    hashes = image_perceptual_hashes(synth_png_gray(docs))
+    out = {r.media_id: (r.ahash64, r.dhash64) for r in hashes.collect()}
+
+    def ref_hashes(mid):
+        d = (mid - mid % 2) % 65536
+        i = np.arange(256, dtype=np.int64)
+        x = (d * 48271 + i * 69621 + 7) % 65536
+        p = (x * x) % 251 + np.where((i % 37 == 0) & (mid % 2 == 1), 4, 0)
+        g = p.reshape(16, 16)
+        blk = g.reshape(8, 2, 8, 2).sum(axis=(1, 3))
+        total = int(g.sum())
+        a = sum(1 << (r * 8 + c) for r in range(8) for c in range(8)
+                if 64 * int(blk[r, c]) > total)
+        csplit = np.array_split(g, 9, axis=1)
+        cols = np.array([[int(cs[2 * r:2 * r + 2].sum()) for cs in csplit]
+                         for r in range(8)])
+        areas = np.array([cs[0:2].size for cs in csplit])
+        v = sum(1 << (r * 8 + c) for r in range(8) for c in range(8)
+                if cols[r, c] * areas[c + 1] > cols[r, c + 1] * areas[c])
+        s = (lambda u: u - (1 << 64) if u >= (1 << 63) else u)
+        return s(a), s(v)
+
+    for mid in (0, 1, 13, 28):
+        assert out[mid] == ref_hashes(mid), mid
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    for even in range(0, 30, 2):        # planted pairs: both hashes close
+        assert ham(out[even][0], out[even + 1][0]) <= 6
+        assert ham(out[even][1], out[even + 1][1]) <= 6
+    far = [ham(out[a][0], out[b][0])
+           for a in range(0, 30, 2) for b in range(a + 2, 30, 2)]
+    assert np.mean(far) > 20            # unrelated images are far apart
+
+    # banded join == brute force at this threshold (every planted pair is
+    # within the 4-band pigeonhole guarantee since hamming <= 3 here)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in image_near_dup_pairs(
+        hashes.select("media_id", "ahash64"), max_hamming=16).collect()}
+    for even in range(0, 30, 2):
+        assert (even, even + 1) in pairs
+    brute = {(a, b): ham(out[a][0], out[b][0])
+             for a in range(30) for b in range(a + 1, 30)
+             if ham(out[a][0], out[b][0]) <= 3}
+    for k, v in brute.items():
+        assert pairs.get(k) == v        # pigeonhole recall floor
+
+    junk = spark.createDataFrame(
+        [(1, "image", bytearray(b"not a png"), None)],
+        multimodal.MEDIA_SCHEMA)
+    assert image_perceptual_hashes(junk).collect()[0].ahash64 is None
