@@ -1633,6 +1633,76 @@ def image_neardup_phash(spark, sf_dir):
                                 max_hamming=16)
 
 
+# Audio near-dup dedup: paired PCM16 clips (even/odd share a base
+# waveform, the odd one's every-61st pre-shift sample XORs its low
+# nibble), 64-window integer energy fingerprint through the real RIFF
+# decode, banded Hamming join replayed in SQL — the third leg of the
+# near-dup triad (text minhash, image aHash, audio energy fingerprint),
+# all with exact band-replay oracles.
+_AUDIO_NEARDUP_ORACLE = """
+WITH base AS (
+  SELECT doc_id, (doc_id - doc_id % 2) % 65536 AS d,
+         256 + ((doc_id - doc_id % 2) % 16) * 64 AS n,
+         doc_id % 2 AS odd
+  FROM documents
+), xs AS (
+  SELECT doc_id, odd, n,
+    [ (d * 40503 + i * 2654435761 + 12345) % 65536
+      for i in generate_series(0, n - 1) ] AS xl
+  FROM base
+), sq AS (
+  SELECT doc_id, n,
+    [ CASE WHEN odd = 1 AND (i % 61) = 0
+           THEN (xor(xl[i + 1] * xl[i + 1] % 65536, 15) - 32768)
+              * (xor(xl[i + 1] * xl[i + 1] % 65536, 15) - 32768)
+           ELSE (xl[i + 1] * xl[i + 1] % 65536 - 32768)
+              * (xl[i + 1] * xl[i + 1] % 65536 - 32768) END
+      for i in generate_series(0, n - 1) ] AS q
+  FROM xs
+), en AS (
+  SELECT doc_id,
+    [ list_sum(q[k * (n // 64) + 1 : k * (n // 64) + (n // 64)])
+      for k in generate_series(0, 63) ] AS e,
+    list_sum(q) AS t
+  FROM sq
+), bits AS (
+  SELECT doc_id,
+    [CASE WHEN 64 * x > t THEN 1 ELSE 0 END for x in e] AS bits
+  FROM en
+), bands AS (
+  SELECT doc_id, bits, j AS band_idx,
+    list_sum([bits[16 * j + m + 1] * (1 << m)
+              for m in generate_series(0, 15)]) AS band_val
+  FROM bits, generate_series(0, 3) AS g(j)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT * FROM (
+  SELECT id_a, id_b,
+    CAST(list_sum([CASE WHEN ba.bits[i] != bb.bits[i] THEN 1 ELSE 0 END
+                   for i in generate_series(1, 64)]) AS BIGINT) AS hamming
+  FROM cand JOIN bits ba ON ba.doc_id = cand.id_a
+            JOIN bits bb ON bb.doc_id = cand.id_b
+) WHERE hamming <= 16
+"""
+
+
+@q("audio_neardup_fingerprint", _AUDIO_NEARDUP_ORACLE)
+def audio_neardup_fingerprint(spark, sf_dir):
+    """Paired synth WAV -> real decode -> integer-exact 64-window energy
+    fingerprint -> the SAME banded Hamming join as image/text near-dup
+    (dedup.hamming_near_dup_pairs)."""
+    from .operators.dedup import hamming_near_dup_pairs
+    from .operators.multimodal import audio_fingerprint64, synth_wav_pcm16
+    wav = synth_wav_pcm16(_docs(spark, sf_dir), paired=True)
+    fp = audio_fingerprint64(wav)
+    return hamming_near_dup_pairs(fp.select("media_id", "afp64"),
+                                  "media_id", "afp64", max_hamming=16)
+
+
 # ---------------------------------------------------------------------------
 # 9. write path
 # ---------------------------------------------------------------------------

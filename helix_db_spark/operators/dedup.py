@@ -739,3 +739,40 @@ def append_to_dedup_index(batch: DataFrame, id_col: str, text_col: str,
     (sigs.withColumn("_bucket", bucket_col(F.col("corpus_id"), nbuckets))
          .write.mode("append").partitionBy("_bucket")
          .parquet(os.path.join(root, "sigs")))
+
+
+def hamming_near_dup_pairs(hashes: DataFrame, id_col: str, hash_col: str,
+                           max_hamming: int = 16, bands: int = 4,
+                           max_bucket: Optional[int] = None) -> DataFrame:
+    """Near-duplicate pairs by banded Hamming join over a 64-bit
+    fingerprint column — minhash_lsh_pairs for the fixed-width-hash
+    family (image aHash, audio energy fingerprints, SimHash-style
+    sketches): split the hash into ``bands`` equal bit-bands (UNSIGNED
+    shifts, so a set sign bit is just bit 63), self-join on band equality
+    (pigeonhole guarantees recall for hamming < bands), verify with
+    JVM-side ``bit_count(a ^ b)``. ``max_bucket`` caps hot band buckets
+    (_cap_buckets). Scale shape: the fingerprint IS 8 bytes, so the band
+    shuffle carries (id, hash, band) and nothing re-joins afterwards."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = F.col(hash_col)
+    banded = hashes.select(
+        F.col(id_col), h.alias("_h"),
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("band_idx"),
+                     F.shiftrightunsigned(h, width * j)
+                      .bitwiseAND(F.lit(mask)).alias("band_val"))
+            for j in range(bands)])).alias("_b")) \
+        .select(id_col, "_h", "_b.band_idx", "_b.band_val")
+    banded = _cap_buckets(banded, ["band_idx", "band_val"], max_bucket)
+    left = banded.select(F.col(id_col).alias("id_a"),
+                         F.col("_h").alias("_ha"), "band_idx", "band_val")
+    right = banded.select(F.col(id_col).alias("id_b"),
+                          F.col("_h").alias("_hb"), "band_idx", "band_val")
+    return (left.join(right, on=["band_idx", "band_val"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b",
+                        F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+                         .cast("long").alias("hamming"))
+                .dropDuplicates(["id_a", "id_b"])
+                .filter(F.col("hamming") <= max_hamming))

@@ -2115,7 +2115,7 @@ def synth_media_from_text(df: DataFrame, id_col: str, text_col: str,
 AUDIO_SYNTH_RATE = 8000
 
 
-def _synth_pcm16(media_id: int) -> "np.ndarray":
+def _synth_pcm16(media_id: int, paired: bool = False) -> "np.ndarray":
     """The shared PCM lattice: ``x = (d*40503 + i*2654435761 + 12345) %
     65536; s[i] = x*x % 65536 - 32768`` with ``d = id % 65536`` and ``n =
     256 + (id % 16) * 64``. The square feeds the 2*d*i cross-term back
@@ -2124,22 +2124,36 @@ def _synth_pcm16(media_id: int) -> "np.ndarray":
     Pure 64-bit-safe integer arithmetic (x < 2^16 so x*x < 2^32; the
     pre-mod sum < 2^45), so a SQL oracle regenerates the exact waveform
     with a list comprehension while the engine round-trips it through a
-    REAL RIFF encode + decode."""
-    d = int(media_id) % 65536
-    n = 256 + (int(media_id) % 16) * 64
+    REAL RIFF encode + decode.
+
+    ``paired=True`` plants audio near-duplicates the way synth_png_gray
+    plants image ones: consecutive even/odd ids share a base clip (d and
+    n derive from ``id - id%2``) and the odd one XORs the low nibble of
+    every 61st pre-shift sample (``x*x%65536 ^ 15`` — stays in [0, 65536),
+    so no clamp breaks SQL exactness; a ±15 wiggle barely moves window
+    energies, so fingerprints land a few bits apart)."""
+    mid = int(media_id)
+    base = mid - mid % 2 if paired else mid
+    d = base % 65536
+    n = 256 + (base % 16) * 64
     i = np.arange(n, dtype=np.int64)
     x = (d * 40503 + i * 2654435761 + 12345) % 65536
-    return (x * x) % 65536 - 32768
+    p = (x * x) % 65536
+    if paired and mid % 2 == 1:
+        p = np.where(i % 61 == 0, p ^ 15, p)
+    return p - 32768
 
 
 def synth_wav_pcm16(df: DataFrame, id_col: str = "doc_id",
-                    rate: int = AUDIO_SYNTH_RATE) -> DataFrame:
+                    rate: int = AUDIO_SYNTH_RATE,
+                    paired: bool = False) -> DataFrame:
     """Fabricate mono PCM16 WAV clips whose samples are a pure-integer
     function of the id (``_synth_pcm16``) — the audio analogue of
     ``multimodal_features``' xorshift stand-in: deterministic, exactly
     SQL-reproducible, but the bytes go through a real RIFF container so
     downstream decode is the production path, not a fake. Arrow-batched
-    mapInPandas; one ~0.6-2.4 KB clip per row."""
+    mapInPandas; one ~0.6-2.4 KB clip per row. ``paired=True`` plants
+    even/odd near-duplicate clips (see _synth_pcm16)."""
     import struct
 
     schema = T.StructType([
@@ -2154,7 +2168,7 @@ def synth_wav_pcm16(df: DataFrame, id_col: str = "doc_id",
             ids, blobs, metas = [], [], []
             for mid in pdf[id_col]:
                 mid = int(mid)
-                s = _synth_pcm16(mid).astype("<i2")
+                s = _synth_pcm16(mid, paired=paired).astype("<i2")
                 data = s.tobytes()
                 hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) +
                        b"WAVEfmt " +
@@ -2235,6 +2249,58 @@ def audio_time_features(df: DataFrame,
             for k in ("n_samples", "duration_ms", "zcr", "peak", "energy"):
                 pdf[k] = pd.array(cols[k], dtype="Int64")
             pdf["rms"] = cols["rms"]
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+def audio_fingerprint64(df: DataFrame,
+                        content_col: str = "content") -> DataFrame:
+    """Decode (real backend) -> 64-bit energy fingerprint per clip in
+    EXACT integer arithmetic: split the recovered 16-bit lattice into 64
+    equal windows (trailing remainder truncated), bit k set iff window
+    k's energy exceeds the clip mean — tested by cross-multiplication
+    ``64*E_k > E_total``, so a SQL oracle over a regenerable waveform
+    matches bit-for-bit. The audio analogue of image aHash: re-encodes /
+    small edits barely move window energies, so near-duplicate clips land
+    a few Hamming bits apart and dedup.hamming_near_dup_pairs finds them
+    with the same banded join as image/text near-dup. Undecodable bytes
+    yield a null fingerprint, never a crash."""
+    backend = _try_decode_backend("audio")
+
+    schema = T.StructType(list(df.schema.fields) + [
+        T.StructField("afp64", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in batches:
+            fps = []
+            for b in pdf[content_col]:
+                if b is None:
+                    fps.append(None)
+                    continue
+                try:
+                    data, _rate = backend.read(io.BytesIO(bytes(b)))
+                    arr = np.asarray(data, dtype=np.float64)
+                    if arr.ndim > 1:
+                        arr = arr[:, 0]
+                    s = np.rint(arr * 32768.0).astype(np.int64)
+                    n = int(s.shape[0]) - int(s.shape[0]) % 64
+                    if n == 0:
+                        fps.append(None)
+                        continue
+                    e = (s[:n] * s[:n]).reshape(64, n // 64).sum(axis=1)
+                    total = int(e.sum())
+                    v = 0
+                    for k in range(64):
+                        if 64 * int(e[k]) > total:
+                            v |= 1 << k
+                    fps.append(v - (1 << 64) if v >= (1 << 63) else v)
+                except Exception:   # undecodable -> null, not a crash
+                    fps.append(None)
+            pdf["afp64"] = pd.array(fps, dtype="Int64")
             yield pdf
 
     return df.mapInPandas(run, schema)
@@ -2521,29 +2587,10 @@ def image_near_dup_pairs(hashes: DataFrame, id_col: str = "media_id",
     the hash into four 16-bit bands (unsigned shifts), self-join on band
     equality (pigeonhole guarantees recall for hamming <= 3; near-dup
     perturbations cluster far below ``max_hamming``), then verify with
-    JVM-side ``bit_count(a ^ b)``. ``max_bucket`` caps hot band buckets
-    (dedup._cap_buckets). Scale shape: narrow (id, hash, band) shuffle,
-    no signatures to re-join — the hash IS 8 bytes."""
-    from .dedup import _cap_buckets
+    JVM-side ``bit_count(a ^ b)``. Thin front for the shared
+    dedup.hamming_near_dup_pairs (same engine as audio fingerprints)."""
+    from .dedup import hamming_near_dup_pairs
 
-    h = F.col(hash_col)
-    banded = hashes.select(
-        F.col(id_col), h.alias("_h"),
-        F.explode(F.array(*[
-            F.struct(F.lit(j).alias("band_idx"),
-                     F.shiftrightunsigned(h, 16 * j)
-                      .bitwiseAND(F.lit(65535)).alias("band_val"))
-            for j in range(4)])).alias("_b")) \
-        .select(id_col, "_h", "_b.band_idx", "_b.band_val")
-    banded = _cap_buckets(banded, ["band_idx", "band_val"], max_bucket)
-    left = banded.select(F.col(id_col).alias("id_a"),
-                         F.col("_h").alias("_ha"), "band_idx", "band_val")
-    right = banded.select(F.col(id_col).alias("id_b"),
-                          F.col("_h").alias("_hb"), "band_idx", "band_val")
-    return (left.join(right, on=["band_idx", "band_val"])
-                .filter(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b",
-                        F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
-                         .cast("long").alias("hamming"))
-                .dropDuplicates(["id_a", "id_b"])
-                .filter(F.col("hamming") <= max_hamming))
+    return hamming_near_dup_pairs(hashes, id_col, hash_col,
+                                  max_hamming=max_hamming,
+                                  max_bucket=max_bucket)

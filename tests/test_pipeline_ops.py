@@ -3094,3 +3094,65 @@ def test_image_perceptual_hashes_exact(spark):
         [(1, "image", bytearray(b"not a png"), None)],
         multimodal.MEDIA_SCHEMA)
     assert image_perceptual_hashes(junk).collect()[0].ahash64 is None
+
+
+def test_audio_fingerprint_neardup(spark):
+    """Fingerprint vs an INDEPENDENT recompute; paired clips land a few
+    Hamming bits apart, unrelated clips far; banded join finds all
+    planted pairs and nothing below the brute-force threshold is lost."""
+    import numpy as np
+
+    from helix_db_spark.operators.dedup import hamming_near_dup_pairs
+    from helix_db_spark.operators.multimodal import (audio_fingerprint64,
+                                                     synth_wav_pcm16)
+
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    fp = audio_fingerprint64(synth_wav_pcm16(docs, paired=True))
+    out = {r.media_id: r.afp64 for r in fp.collect()}
+
+    def ref_fp(mid):
+        base = mid - mid % 2
+        d, n = base % 65536, 256 + (base % 16) * 64
+        i = np.arange(n, dtype=np.int64)
+        p = ((d * 40503 + i * 2654435761 + 12345) % 65536) ** 2 % 65536
+        if mid % 2 == 1:
+            p = np.where(i % 61 == 0, p ^ 15, p)
+        s = p - 32768
+        e = (s * s).reshape(64, n // 64).sum(axis=1)
+        t = int(e.sum())
+        v = sum(1 << k for k in range(64) if 64 * int(e[k]) > t)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    for mid in (0, 1, 9, 18):
+        assert out[mid] == ref_fp(mid), mid
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    for even in range(0, 20, 2):
+        assert ham(out[even], out[even + 1]) <= 6
+    far = [ham(out[a], out[b])
+           for a in range(0, 20, 2) for b in range(a + 2, 20, 2)]
+    assert np.mean(far) > 20
+
+    pairs = {(r.id_a, r.id_b): r.hamming for r in hamming_near_dup_pairs(
+        fp.select("media_id", "afp64"), "media_id", "afp64",
+        max_hamming=16).collect()}
+    for even in range(0, 20, 2):
+        assert (even, even + 1) in pairs
+    brute = {(a, b): ham(out[a], out[b])
+             for a in range(20) for b in range(a + 1, 20)
+             if ham(out[a], out[b]) <= 3}
+    for k, v in brute.items():
+        assert pairs.get(k) == v        # 4-band pigeonhole recall floor
+
+    # unpaired synth remains the audio_decode_features lattice (no pairs)
+    fp2 = {r.media_id: r.afp64 for r in
+           audio_fingerprint64(synth_wav_pcm16(docs)).collect()}
+    assert ham(fp2[0], fp2[1]) > 6      # distinct clips, not near-dups
+    # clips shorter than 64 samples -> null fingerprint
+    from helix_db_spark.operators import multimodal
+    short = spark.createDataFrame(
+        [(1, "audio", bytearray(_pack_wav_pcm16([100] * 63)), None)],
+        multimodal.MEDIA_SCHEMA)
+    assert audio_fingerprint64(short).collect()[0].afp64 is None
