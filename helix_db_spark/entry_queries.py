@@ -1582,12 +1582,17 @@ WITH base AS (
     [ (d * 48271 + i * 69621 + 7) % 65536
       for i in generate_series(0, 255) ] AS xl
   FROM base
+), ys AS (
+  SELECT doc_id, odd,
+    [ (xl[i + 1] * xl[i + 1] + i) % 65536
+      for i in generate_series(0, 255) ] AS yl
+  FROM xs
 ), px AS (
   SELECT doc_id,
-    [ xl[i + 1] * xl[i + 1] % 251
+    [ yl[i + 1] * yl[i + 1] % 251
       + CASE WHEN odd = 1 AND i % 37 = 0 THEN 4 ELSE 0 END
       for i in generate_series(0, 255) ] AS p
-  FROM xs
+  FROM ys
 ), blk AS (
   SELECT doc_id,
     [ p[(k // 8) * 32 + (k % 8) * 2 + 1] + p[(k // 8) * 32 + (k % 8) * 2 + 2]
@@ -1616,7 +1621,7 @@ SELECT * FROM (
                    for i in generate_series(1, 64)]) AS BIGINT) AS hamming
   FROM cand JOIN bits ba ON ba.doc_id = cand.id_a
             JOIN bits bb ON bb.doc_id = cand.id_b
-) WHERE hamming <= 16
+) WHERE hamming <= 8
 """
 
 
@@ -1629,8 +1634,11 @@ def image_neardup_phash(spark, sf_dir):
                                        image_perceptual_hashes,
                                        synth_png_gray)
     hashes = image_perceptual_hashes(synth_png_gray(_docs(spark, sf_dir)))
+    # max_hamming=8: planted pairs peak at hamming 3 (sf0.1 sweep) while
+    # a loose 16 admits correlated-bit collisions that grow ~n^2 — the
+    # tight threshold is what keeps the banded join linear at scale.
     return image_near_dup_pairs(hashes.select("media_id", "ahash64"),
-                                max_hamming=16)
+                                max_hamming=8)
 
 
 # Audio near-dup dedup: paired PCM16 clips (even/odd share a base
@@ -1686,7 +1694,7 @@ SELECT * FROM (
                    for i in generate_series(1, 64)]) AS BIGINT) AS hamming
   FROM cand JOIN bits ba ON ba.doc_id = cand.id_a
             JOIN bits bb ON bb.doc_id = cand.id_b
-) WHERE hamming <= 16
+) WHERE hamming <= 8
 """
 
 
@@ -1699,8 +1707,10 @@ def audio_neardup_fingerprint(spark, sf_dir):
     from .operators.multimodal import audio_fingerprint64, synth_wav_pcm16
     wav = synth_wav_pcm16(_docs(spark, sf_dir), paired=True)
     fp = audio_fingerprint64(wav)
+    # max_hamming=8: planted pairs peak at hamming 1 (sf0.1 sweep);
+    # see image_neardup_phash for why loose thresholds go quadratic.
     return hamming_near_dup_pairs(fp.select("media_id", "afp64"),
-                                  "media_id", "afp64", max_hamming=16)
+                                  "media_id", "afp64", max_hamming=8)
 
 
 # ---------------------------------------------------------------------------

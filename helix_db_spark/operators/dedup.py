@@ -752,10 +752,14 @@ def hamming_near_dup_pairs(hashes: DataFrame, id_col: str, hash_col: str,
     (pigeonhole guarantees recall for hamming < bands), verify with
     JVM-side ``bit_count(a ^ b)``. ``max_bucket`` caps hot band buckets
     (_cap_buckets). Scale shape: the fingerprint IS 8 bytes, so the band
-    shuffle carries (id, hash, band) and nothing re-joins afterwards."""
+    shuffle carries (id, hash, band) and nothing re-joins afterwards.
+    The hash input is _mat()-materialized: both sides of the band
+    self-join read it, and recomputing it re-runs the upstream
+    decode+hash mapInPandas chain twice (the minhash sigs lesson)."""
     width = 64 // bands
     mask = (1 << width) - 1
     h = F.col(hash_col)
+    hashes = _mat(hashes.select(id_col, hash_col))
     banded = hashes.select(
         F.col(id_col), h.alias("_h"),
         F.explode(F.array(*[

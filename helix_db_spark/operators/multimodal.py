@@ -2444,14 +2444,17 @@ def audio_spectral_features(df: DataFrame, content_col: str = "content",
 def synth_png_gray(df: DataFrame, id_col: str = "doc_id",
                    side: int = 16) -> DataFrame:
     """Fabricate grayscale PNGs whose pixels are a pure-integer function
-    of the id: ``x = (d*48271 + i*69621 + 7) % 65536; p[i] = x*x % 251``
-    with ``d = (id - id%2) % 65536`` — consecutive even/odd ids share a
-    base image, and the odd one is perturbed (+4 on every 37th pixel),
-    planting near-duplicate pairs a perceptual-hash dedup must find. The
-    square's 2*d*i cross-term decorrelates images across ids (affine-in-i
-    pixels would make every image the same ramp shifted, colliding
-    unrelated ids at low Hamming). Exactly SQL-regenerable (x < 2^16 so
-    x*x < 2^32), but the bytes go through a REAL PNG encode
+    of the id: ``x = (d*48271 + i*69621 + 7) % 65536; y = (x*x + i) %
+    65536; p[i] = y*y % 251`` with ``d = (id - id%2) % 65536`` —
+    consecutive even/odd ids share a base image, and the odd one is
+    perturbed (+4 on every 37th pixel), planting near-duplicate pairs a
+    perceptual-hash dedup must find. TWO squaring rounds with index
+    re-injection: one round leaves images whose offsets differ by
+    structured deltas correlated (a 2500-base sweep found 4052 base pairs
+    within Hamming 8; two rounds -> 0), and uncorrelated unrelated images
+    are what keeps the banded join linear at corpus scale. Exactly
+    SQL-regenerable (x, y < 2^16 so the squares < 2^32), but the bytes go
+    through a REAL PNG encode
     (zlib, filter 0) + decode, so downstream hashing exercises the
     production path. Arrow-batched mapInPandas."""
     import struct
@@ -2477,7 +2480,8 @@ def synth_png_gray(df: DataFrame, id_col: str = "doc_id",
                 mid = int(mid)
                 d = (mid - mid % 2) % 65536
                 x = (d * 48271 + i * 69621 + 7) % 65536
-                p = (x * x) % 251
+                y = (x * x + i) % 65536
+                p = (y * y) % 251
                 if mid % 2 == 1:
                     p = p + np.where(i % 37 == 0, 4, 0)
                 raster = p.astype(np.uint8).reshape(side, side)
@@ -2528,15 +2532,17 @@ def image_perceptual_hashes(df: DataFrame,
         return v - (1 << 64) if v >= (1 << 63) else v
 
     def grid_sums(gray: "np.ndarray", rows: int, cols: int):
-        """(block_sum, block_area) over a rows x cols contiguous split."""
-        sums = np.zeros((rows, cols), dtype=np.int64)
-        areas = np.zeros((rows, cols), dtype=np.int64)
-        rsplit = np.array_split(gray, rows, axis=0)
-        for r, rblk in enumerate(rsplit):
-            for c, blk in enumerate(np.array_split(rblk, cols, axis=1)):
-                sums[r, c] = int(blk.sum())
-                areas[r, c] = blk.size
-        return sums, areas
+        """(block_sum, block_area) over a rows x cols contiguous split —
+        np.array_split boundaries, summed in two reduceat passes (exact
+        int64, no per-block Python loop)."""
+        h, w = gray.shape
+        roff = np.array([len(h_) for h_ in np.array_split(range(h), rows)])
+        coff = np.array([len(c_) for c_ in np.array_split(range(w), cols)])
+        rix = np.concatenate(([0], np.cumsum(roff)[:-1]))
+        cix = np.concatenate(([0], np.cumsum(coff)[:-1]))
+        sums = np.add.reduceat(np.add.reduceat(gray, rix, axis=0),
+                               cix, axis=1)
+        return sums, np.outer(roff, coff)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io

@@ -3050,7 +3050,8 @@ def test_image_perceptual_hashes_exact(spark):
         d = (mid - mid % 2) % 65536
         i = np.arange(256, dtype=np.int64)
         x = (d * 48271 + i * 69621 + 7) % 65536
-        p = (x * x) % 251 + np.where((i % 37 == 0) & (mid % 2 == 1), 4, 0)
+        y = (x * x + i) % 65536
+        p = (y * y) % 251 + np.where((i % 37 == 0) & (mid % 2 == 1), 4, 0)
         g = p.reshape(16, 16)
         blk = g.reshape(8, 2, 8, 2).sum(axis=(1, 3))
         total = int(g.sum())
