@@ -1713,6 +1713,47 @@ def audio_neardup_fingerprint(spark, sf_dir):
                                   "media_id", "afp64", max_hamming=8)
 
 
+# Video through the REAL RIFF AVI + DIB decode: per-frame integer luma
+# over regenerable pixels (gray-as-RGB makes ITU-601 luma the identity),
+# so all three media decode paths — PNG, WAV, AVI — are pinned against
+# arithmetic oracles, not fixtures. Per-frame aHash rides the same
+# operator, pytest-pinned.
+_VIDEO_FRAMES_ORACLE = """
+WITH base AS (
+  SELECT doc_id, doc_id % 65536 AS d, 2 + doc_id % 4 AS nf FROM documents
+), fr AS (
+  SELECT doc_id, d,
+         unnest([f for f in generate_series(0, nf - 1)]) AS f
+  FROM base
+), xs AS (
+  SELECT doc_id, f,
+    [ (d * 40503 + f * 1299721 + i * 69621 + 7) % 65536
+      for i in generate_series(0, 255) ] AS xl
+  FROM fr
+), ys AS (
+  SELECT doc_id, f,
+    [ (xl[i + 1] * xl[i + 1] + i) % 65536
+      for i in generate_series(0, 255) ] AS yl
+  FROM xs
+)
+SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+  CAST(list_sum([yl[i + 1] * yl[i + 1] % 251
+                 for i in generate_series(0, 255)]) AS BIGINT) AS luma_sum,
+  CAST(256 AS INT) AS n_px
+FROM ys
+"""
+
+
+@q("video_decode_frames", _VIDEO_FRAMES_ORACLE)
+def video_decode_frames(spark, sf_dir):
+    """Synth AVI -> real RIFF/DIB decode -> one row per frame with exact
+    integer luma (the black-frame / scene-change curation gates)."""
+    from .operators.multimodal import synth_avi_dib, video_frame_stats
+    vid = synth_avi_dib(_docs(spark, sf_dir))
+    return video_frame_stats(vid).select(
+        "media_id", "frame_idx", "luma_sum", "n_px")
+
+
 # ---------------------------------------------------------------------------
 # 9. write path
 # ---------------------------------------------------------------------------

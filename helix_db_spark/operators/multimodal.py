@@ -2600,3 +2600,157 @@ def image_near_dup_pairs(hashes: DataFrame, id_col: str = "media_id",
     return hamming_near_dup_pairs(hashes, id_col, hash_col,
                                   max_hamming=max_hamming,
                                   max_bucket=max_bucket)
+
+
+def synth_avi_dib(df: DataFrame, id_col: str = "doc_id",
+                  side: int = 16, fps: int = 10) -> DataFrame:
+    """Fabricate uncompressed-DIB AVI clips (2 + id%4 frames of side x
+    side gray-as-RGB pixels) whose per-frame pixels are a pure-integer
+    function of (id, frame, index): ``x = (d*40503 + f*1299721 + i*69621
+    + 7) % 65536; y = (x*x + i) % 65536; v = y*y % 256`` — the
+    double-square decorrelation of synth_png_gray, extended with a frame
+    term. r=g=b=v makes ITU-601 integer luma the identity, so a SQL
+    oracle regenerates the exact per-frame luma while the bytes go
+    through the REAL RIFF AVI + BITMAPINFOHEADER decode path (bottom-up
+    BGR rows, 4-byte stride). Arrow-batched mapInPandas."""
+    import struct
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta", MEDIA_SCHEMA["meta"].dataType),
+    ])
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return (b"LIST" + struct.pack("<I", 4 + len(body)) + kind + body)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_px = side * side
+        i = np.arange(n_px, dtype=np.int64)
+        stride = (side * 3 + 3) & ~3
+        for pdf in batches:
+            ids, blobs, metas = [], [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                d = mid % 65536
+                nf = 2 + mid % 4
+                frames = []
+                for f in range(nf):
+                    x = (d * 40503 + f * 1299721 + i * 69621 + 7) % 65536
+                    y = (x * x + i) % 65536
+                    v = ((y * y) % 251).astype(np.uint8).reshape(side, side)
+                    bgr = np.repeat(v[::-1, :, None], 3, axis=2)  # bottom-up
+                    rows = bgr.reshape(side, side * 3)
+                    if stride > side * 3:
+                        rows = np.hstack([rows, np.zeros(
+                            (side, stride - side * 3), np.uint8)])
+                    frames.append(chunk(b"00db", rows.tobytes()))
+                strh = (b"vids" + b"DIB " + b"\x00" * 12 +
+                        struct.pack("<II", 1, fps) + b"\x00" * 28)
+                strf = struct.pack("<IiiHHI", 40, side, side, 1, 24, 0) \
+                    + b"\x00" * 20
+                avih = struct.pack("<I", 1000000 // fps) + b"\x00" * 52
+                hdrl = lst(b"hdrl", chunk(b"avih", avih) +
+                           lst(b"strl", chunk(b"strh", strh) +
+                               chunk(b"strf", strf)))
+                movi = lst(b"movi", b"".join(frames))
+                body = b"AVI " + hdrl + movi
+                blob = b"RIFF" + struct.pack("<I", len(body)) + body
+                ids.append(mid)
+                blobs.append(blob)
+                metas.append({"width": side, "height": side,
+                              "duration_ms": int(nf * 1000 // fps),
+                              "codec": "rawvideo"})
+            yield pd.DataFrame({"media_id": ids,
+                                "media_type": "video",
+                                "content": blobs,
+                                "meta": metas})
+
+    return df.select(F.col(id_col)).mapInPandas(run, schema)
+
+
+def video_frame_stats(df: DataFrame,
+                      content_col: str = "content") -> DataFrame:
+    """Decode (real backend) -> one row per decoded frame with EXACT
+    integer stats and a perceptual hash: ``luma_sum`` (ITU-601 integer
+    luma summed over the frame — SQL-matchable when pixels are
+    regenerable), ``n_px``, and ``ahash64`` (the image aHash applied
+    per frame, feeding video near-dup via hamming_near_dup_pairs on any
+    frame-hash aggregation). Clips that decode to zero frames yield one
+    null row (provenance preserved); undecodable bytes likewise."""
+    backend = _try_decode_backend("video")
+
+    schema = T.StructType(list(df.schema.fields) + [
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("luma_sum", T.LongType()),
+        T.StructField("n_px", T.IntegerType()),
+        T.StructField("ahash64", T.LongType()),
+    ])
+
+    def frame_ahash(gray: "np.ndarray") -> int:
+        total = int(gray.sum())
+        n_px = gray.size
+        roff = np.array([len(r_) for r_ in
+                         np.array_split(range(gray.shape[0]), 8)])
+        coff = np.array([len(c_) for c_ in
+                         np.array_split(range(gray.shape[1]), 8)])
+        rix = np.concatenate(([0], np.cumsum(roff)[:-1]))
+        cix = np.concatenate(([0], np.cumsum(coff)[:-1]))
+        sums = np.add.reduceat(np.add.reduceat(gray, rix, axis=0),
+                               cix, axis=1).ravel()
+        areas = np.outer(roff, coff).ravel()
+        v = sum(1 << k for k in range(64)
+                if sums[k] * n_px > total * areas[k])
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        src_cols = None
+        for pdf in batches:
+            if src_cols is None:
+                src_cols = list(pdf.columns)
+            out = {c: [] for c in src_cols}
+            extra = {"frame_idx": [], "luma_sum": [], "n_px": [],
+                     "ahash64": []}
+
+            def emit(row, fi=None, ls=None, npx=None, ah=None):
+                for c in src_cols:
+                    out[c].append(row[c])
+                extra["frame_idx"].append(fi)
+                extra["luma_sum"].append(ls)
+                extra["n_px"].append(npx)
+                extra["ahash64"].append(ah)
+
+            for _, row in pdf.iterrows():
+                b = row[content_col]
+                if b is None:
+                    emit(row)
+                    continue
+                try:
+                    vid = backend.open(io.BytesIO(bytes(b)))
+                    decoded = list(vid.frames())
+                    if not decoded:
+                        emit(row)
+                        continue
+                    for fi, fr in enumerate(decoded):
+                        a = np.asarray(fr, dtype=np.int64)
+                        gray = (a[..., 0] * 299 + a[..., 1] * 587 +
+                                a[..., 2] * 114) // 1000
+                        emit(row, fi, int(gray.sum()), int(gray.size),
+                             frame_ahash(gray))
+                except Exception:   # undecodable -> null row, not a crash
+                    emit(row)
+            res = pd.DataFrame(out)
+            res["frame_idx"] = pd.array(extra["frame_idx"], dtype="Int32")
+            res["luma_sum"] = pd.array(extra["luma_sum"], dtype="Int64")
+            res["n_px"] = pd.array(extra["n_px"], dtype="Int32")
+            res["ahash64"] = pd.array(extra["ahash64"], dtype="Int64")
+            yield res
+
+    return df.mapInPandas(run, schema)

@@ -3157,3 +3157,39 @@ def test_audio_fingerprint_neardup(spark):
         [(1, "audio", bytearray(_pack_wav_pcm16([100] * 63)), None)],
         multimodal.MEDIA_SCHEMA)
     assert audio_fingerprint64(short).collect()[0].afp64 is None
+
+
+def test_video_frame_stats_exact(spark):
+    """Per-frame luma vs an INDEPENDENT recompute of the synth formula
+    through the real AVI/DIB decode; per-frame aHash distinct across
+    frames; undecodable/empty inputs yield null rows."""
+    import numpy as np
+
+    from helix_db_spark.operators import multimodal
+    from helix_db_spark.operators.multimodal import (synth_avi_dib,
+                                                     video_frame_stats)
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    out = video_frame_stats(synth_avi_dib(docs)).select(
+        "media_id", "frame_idx", "luma_sum", "n_px", "ahash64").collect()
+    rows = {(r.media_id, r.frame_idx): r for r in out}
+    i = np.arange(256, dtype=np.int64)
+    n_frames = 0
+    for mid in range(10):
+        for f in range(2 + mid % 4):
+            x = (mid % 65536 * 40503 + f * 1299721 + i * 69621 + 7) % 65536
+            y = (x * x + i) % 65536
+            v = (y * y) % 251
+            r = rows[(mid, f)]
+            assert r.luma_sum == int(v.sum()) and r.n_px == 256
+            n_frames += 1
+    assert len(out) == n_frames                 # 2 + id%4 frames per clip
+    # the prime-modulus lesson: every frame is a distinct image, and the
+    # per-frame perceptual hashes are distinct too (no mod-2^k collapse)
+    assert len({r.ahash64 for r in out}) == len(out)
+
+    junk = spark.createDataFrame(
+        [(1, "video", bytearray(b"RIFFxxxxAVI not really"), None),
+         (2, "video", None, None)], multimodal.MEDIA_SCHEMA)
+    jr = {r.media_id: r for r in video_frame_stats(junk).collect()}
+    assert jr[1].frame_idx is None and jr[2].luma_sum is None
