@@ -2502,47 +2502,83 @@ def synth_png_gray(df: DataFrame, id_col: str = "doc_id",
     return df.select(F.col(id_col)).mapInPandas(run, schema)
 
 
+def _to_i64(v: int) -> int:
+    """Two's-complement fold: a 64-bit hash with bit 63 set is a negative
+    int64 (band extraction downstream uses UNSIGNED shifts, and Hamming
+    via ``bit_count(a ^ b)`` is sign-agnostic)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _int_gray(img) -> "np.ndarray":
+    """Integer ITU-601 luma (``(299r+587g+114b)//1000``) — the identity
+    on grayscale sources, so hashes over synthetic gray pixels are exact."""
+    arr = np.asarray(img.convert("RGB"), dtype=np.int64)
+    return (arr[..., 0] * 299 + arr[..., 1] * 587 + arr[..., 2] * 114) \
+        // 1000
+
+
+def _grid_sums(gray: "np.ndarray", rows: int, cols: int):
+    """(block_sum, block_area) over a rows x cols contiguous split —
+    np.array_split boundaries, summed in two reduceat passes (exact
+    int64, no per-block Python loop). Requires gray.shape >= (rows,
+    cols): an empty split segment would repeat a reduceat offset past
+    the axis end (IndexError) — callers null the hash below grid size."""
+    h, w = gray.shape
+    roff = np.array([len(h_) for h_ in np.array_split(range(h), rows)])
+    coff = np.array([len(c_) for c_ in np.array_split(range(w), cols)])
+    rix = np.concatenate(([0], np.cumsum(roff)[:-1]))
+    cix = np.concatenate(([0], np.cumsum(coff)[:-1]))
+    sums = np.add.reduceat(np.add.reduceat(gray, rix, axis=0),
+                           cix, axis=1)
+    return sums, np.outer(roff, coff)
+
+
+def _ahash64(gray: "np.ndarray") -> Optional[int]:
+    """Integer-exact 8x8 average hash: bit k = r*8+c set iff block k's
+    mean exceeds the image mean, tested by cross-multiplication
+    ``B*total_px > T*block_px`` (exact for ANY block size mix). None for
+    images smaller than the grid — a 64-bit grid hash over fewer than
+    8x8 pixels is undefined, and nulling beats crashing mid-scan."""
+    if gray.shape[0] < 8 or gray.shape[1] < 8:
+        return None
+    total = int(gray.sum())
+    n_px = gray.size
+    sums, areas = _grid_sums(gray, 8, 8)
+    s, a = sums.ravel(), areas.ravel()
+    return _to_i64(sum(1 << k for k in range(64)
+                       if s[k] * n_px > total * a[k]))
+
+
+def _dhash64(gray: "np.ndarray") -> Optional[int]:
+    """Integer-exact difference hash: the standard 9x8-grid horizontal
+    gradient (8 comparisons x 8 rows), adjacent-column means compared by
+    cross-multiplication. None below grid size (needs 9 columns)."""
+    if gray.shape[0] < 8 or gray.shape[1] < 9:
+        return None
+    sums, areas = _grid_sums(gray, 8, 9)
+    v = 0
+    for r in range(8):
+        for c in range(8):
+            if sums[r, c] * areas[r, c + 1] > sums[r, c + 1] * areas[r, c]:
+                v |= 1 << (r * 8 + c)
+    return _to_i64(v)
+
+
 def image_perceptual_hashes(df: DataFrame,
                             content_col: str = "content") -> DataFrame:
     """Decode (real backend) -> 64-bit perceptual hashes per image,
     computed in EXACT integer arithmetic so a SQL oracle over regenerable
-    pixels matches bit-for-bit:
-
-    - ``ahash64`` — average hash: integer luma (``(299r+587g+114b)//1000``,
-      the identity on grayscale sources), an 8x8 grid of contiguous block
-      sums (``np.array_split``, so any size works without float resize),
-      bit k = r*8+c set iff block k's mean exceeds the image mean — tested
-      by exact cross-multiplication ``B*total_px > T*block_px``.
-    - ``dhash64`` — difference hash: the standard 9x8-grid horizontal
-      gradient (8 comparisons x 8 rows), adjacent-column means compared by
-      the same cross-multiplication.
-
-    Hashes are two's-complement int64 (bit 63 may set the sign); band
-    extraction downstream uses UNSIGNED shifts, and Hamming distance via
-    ``bit_count(a ^ b)`` is sign-agnostic. Undecodable bytes yield null
-    hashes, never a crash."""
+    pixels matches bit-for-bit: ``ahash64`` (_ahash64 over integer luma)
+    and ``dhash64`` (_dhash64) — the same helpers video_frame_stats
+    applies per frame, so identical pixels hash identically across
+    modalities. Undecodable bytes or images smaller than the hash grid
+    yield null hashes, never a crash."""
     backend = _try_decode_backend("image")
 
     schema = T.StructType(list(df.schema.fields) + [
         T.StructField("ahash64", T.LongType()),
         T.StructField("dhash64", T.LongType()),
     ])
-
-    def to_i64(v: int) -> int:
-        return v - (1 << 64) if v >= (1 << 63) else v
-
-    def grid_sums(gray: "np.ndarray", rows: int, cols: int):
-        """(block_sum, block_area) over a rows x cols contiguous split —
-        np.array_split boundaries, summed in two reduceat passes (exact
-        int64, no per-block Python loop)."""
-        h, w = gray.shape
-        roff = np.array([len(h_) for h_ in np.array_split(range(h), rows)])
-        coff = np.array([len(c_) for c_ in np.array_split(range(w), cols)])
-        rix = np.concatenate(([0], np.cumsum(roff)[:-1]))
-        cix = np.concatenate(([0], np.cumsum(coff)[:-1]))
-        sums = np.add.reduceat(np.add.reduceat(gray, rix, axis=0),
-                               cix, axis=1)
-        return sums, np.outer(roff, coff)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -2554,27 +2590,8 @@ def image_perceptual_hashes(df: DataFrame,
                     ah.append(None); dh.append(None)
                     continue
                 try:
-                    img = backend.open(io.BytesIO(bytes(b)))
-                    arr = np.asarray(img.convert("RGB"),
-                                     dtype=np.int64)
-                    gray = (arr[..., 0] * 299 + arr[..., 1] * 587 +
-                            arr[..., 2] * 114) // 1000
-                    total = int(gray.sum())
-                    n_px = gray.size
-                    bsum, barea = grid_sums(gray, 8, 8)
-                    a = 0
-                    for k in range(64):
-                        r, c = k // 8, k % 8
-                        if bsum[r, c] * n_px > total * barea[r, c]:
-                            a |= 1 << k
-                    gsum, garea = grid_sums(gray, 8, 9)
-                    v = 0
-                    for r in range(8):
-                        for c in range(8):
-                            if (gsum[r, c] * garea[r, c + 1] >
-                                    gsum[r, c + 1] * garea[r, c]):
-                                v |= 1 << (r * 8 + c)
-                    ah.append(to_i64(a)); dh.append(to_i64(v))
+                    gray = _int_gray(backend.open(io.BytesIO(bytes(b))))
+                    ah.append(_ahash64(gray)); dh.append(_dhash64(gray))
                 except Exception:   # undecodable -> null row, not a crash
                     ah.append(None); dh.append(None)
             pdf["ahash64"] = pd.array(ah, dtype="Int64")
@@ -2607,9 +2624,12 @@ def synth_avi_dib(df: DataFrame, id_col: str = "doc_id",
     """Fabricate uncompressed-DIB AVI clips (2 + id%4 frames of side x
     side gray-as-RGB pixels) whose per-frame pixels are a pure-integer
     function of (id, frame, index): ``x = (d*40503 + f*1299721 + i*69621
-    + 7) % 65536; y = (x*x + i) % 65536; v = y*y % 256`` — the
+    + 7) % 65536; y = (x*x + i) % 65536; v = y*y % 251`` — the
     double-square decorrelation of synth_png_gray, extended with a frame
-    term. r=g=b=v makes ITU-601 integer luma the identity, so a SQL
+    term. The final modulus must be the PRIME 251, not 256: squares mod
+    2^k depend only on the input's low k-1 bits, so ``% 256`` collapses
+    every frame to a function of one constant mod 64 (measured: 8 clips'
+    28 frames yielded 9 distinct images). r=g=b=v makes ITU-601 integer luma the identity, so a SQL
     oracle regenerates the exact per-frame luma while the bytes go
     through the REAL RIFF AVI + BITMAPINFOHEADER decode path (bottom-up
     BGR rows, 4-byte stride). Arrow-batched mapInPandas."""
@@ -2679,78 +2699,69 @@ def video_frame_stats(df: DataFrame,
     """Decode (real backend) -> one row per decoded frame with EXACT
     integer stats and a perceptual hash: ``luma_sum`` (ITU-601 integer
     luma summed over the frame — SQL-matchable when pixels are
-    regenerable), ``n_px``, and ``ahash64`` (the image aHash applied
-    per frame, feeding video near-dup via hamming_near_dup_pairs on any
-    frame-hash aggregation). Clips that decode to zero frames yield one
-    null row (provenance preserved); undecodable bytes likewise."""
+    regenerable), ``n_px``, and ``ahash64`` (the SAME _ahash64 the image
+    operator uses, so identical pixels hash identically across
+    modalities; feeds video near-dup via hamming_near_dup_pairs on any
+    frame-hash aggregation). Output drops the content column: each clip
+    explodes into many frame rows, and replicating megabyte blobs per
+    frame through Arrow is the kind of write amplification no downstream
+    select can undo — join provenance back by id when needed. Clips that
+    decode to zero frames yield one null row; undecodable bytes likewise.
+    PyAV, when installed, takes priority (full codec coverage); the
+    pure-stdlib AVI/GIF backends otherwise."""
     backend = _try_decode_backend("video")
+    use_av = backend.__name__ == "av" if hasattr(backend, "__name__") \
+        else False
 
-    schema = T.StructType(list(df.schema.fields) + [
+    kept = [f for f in df.schema.fields if f.name != content_col]
+    schema = T.StructType(kept + [
         T.StructField("frame_idx", T.IntegerType()),
         T.StructField("luma_sum", T.LongType()),
         T.StructField("n_px", T.IntegerType()),
         T.StructField("ahash64", T.LongType()),
     ])
+    kept_names = [f.name for f in kept]
 
-    def frame_ahash(gray: "np.ndarray") -> int:
-        total = int(gray.sum())
-        n_px = gray.size
-        roff = np.array([len(r_) for r_ in
-                         np.array_split(range(gray.shape[0]), 8)])
-        coff = np.array([len(c_) for c_ in
-                         np.array_split(range(gray.shape[1]), 8)])
-        rix = np.concatenate(([0], np.cumsum(roff)[:-1]))
-        cix = np.concatenate(([0], np.cumsum(coff)[:-1]))
-        sums = np.add.reduceat(np.add.reduceat(gray, rix, axis=0),
-                               cix, axis=1).ravel()
-        areas = np.outer(roff, coff).ravel()
-        v = sum(1 << k for k in range(64)
-                if sums[k] * n_px > total * areas[k])
-        return v - (1 << 64) if v >= (1 << 63) else v
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def frames_of(b: bytes):
         import io
 
-        src_cols = None
+        if use_av:  # pragma: no cover — PyAV absent in this container
+            with backend.open(io.BytesIO(b)) as container:
+                vs = container.streams.video[0]
+                return [f.to_ndarray(format="rgb24")
+                        for f in container.decode(vs)]
+        return list(backend.open(io.BytesIO(b)).frames())
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if src_cols is None:
-                src_cols = list(pdf.columns)
-            out = {c: [] for c in src_cols}
-            extra = {"frame_idx": [], "luma_sum": [], "n_px": [],
-                     "ahash64": []}
+            reps, fi, ls, npx, ah = [], [], [], [], []
 
-            def emit(row, fi=None, ls=None, npx=None, ah=None):
-                for c in src_cols:
-                    out[c].append(row[c])
-                extra["frame_idx"].append(fi)
-                extra["luma_sum"].append(ls)
-                extra["n_px"].append(npx)
-                extra["ahash64"].append(ah)
+            def emit(idx, f=None, lum=None, n=None, a=None):
+                reps.append(idx)
+                fi.append(f); ls.append(lum); npx.append(n); ah.append(a)
 
-            for _, row in pdf.iterrows():
-                b = row[content_col]
+            for idx, b in enumerate(pdf[content_col]):
                 if b is None:
-                    emit(row)
+                    emit(idx)
                     continue
                 try:
-                    vid = backend.open(io.BytesIO(bytes(b)))
-                    decoded = list(vid.frames())
+                    decoded = frames_of(bytes(b))
                     if not decoded:
-                        emit(row)
+                        emit(idx)
                         continue
-                    for fi, fr in enumerate(decoded):
+                    for f, fr in enumerate(decoded):
                         a = np.asarray(fr, dtype=np.int64)
                         gray = (a[..., 0] * 299 + a[..., 1] * 587 +
                                 a[..., 2] * 114) // 1000
-                        emit(row, fi, int(gray.sum()), int(gray.size),
-                             frame_ahash(gray))
+                        emit(idx, f, int(gray.sum()), int(gray.size),
+                             _ahash64(gray))
                 except Exception:   # undecodable -> null row, not a crash
-                    emit(row)
-            res = pd.DataFrame(out)
-            res["frame_idx"] = pd.array(extra["frame_idx"], dtype="Int32")
-            res["luma_sum"] = pd.array(extra["luma_sum"], dtype="Int64")
-            res["n_px"] = pd.array(extra["n_px"], dtype="Int32")
-            res["ahash64"] = pd.array(extra["ahash64"], dtype="Int64")
+                    emit(idx)
+            res = pdf[kept_names].iloc[reps].reset_index(drop=True)
+            res["frame_idx"] = pd.array(fi, dtype="Int32")
+            res["luma_sum"] = pd.array(ls, dtype="Int64")
+            res["n_px"] = pd.array(npx, dtype="Int32")
+            res["ahash64"] = pd.array(ah, dtype="Int64")
             yield res
 
     return df.mapInPandas(run, schema)

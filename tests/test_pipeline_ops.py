@@ -3096,6 +3096,29 @@ def test_image_perceptual_hashes_exact(spark):
         multimodal.MEDIA_SCHEMA)
     assert image_perceptual_hashes(junk).collect()[0].ahash64 is None
 
+    # below-grid-size images: defined nulls, not an IndexError mid-scan
+    # (8x8 fills aHash but not dHash's 9 columns; 4x4 fills neither)
+    import io
+    import struct
+    import zlib
+
+    def tiny_png(side):
+        raw = b"".join(b"\x00" + bytes(range(side)) for _ in range(side))
+        ihdr = struct.pack(">IIBBBBB", side, side, 8, 0, 0, 0, 0)
+        def ch(tag, body):
+            return (struct.pack(">I", len(body)) + tag + body +
+                    struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+        return (b"\x89PNG\r\n\x1a\n" + ch(b"IHDR", ihdr) +
+                ch(b"IDAT", zlib.compress(raw)) + ch(b"IEND", b""))
+
+    small = spark.createDataFrame(
+        [(8, "image", bytearray(tiny_png(8)), None),
+         (4, "image", bytearray(tiny_png(4)), None)],
+        multimodal.MEDIA_SCHEMA)
+    sm = {r.media_id: r for r in image_perceptual_hashes(small).collect()}
+    assert sm[8].ahash64 is not None and sm[8].dhash64 is None
+    assert sm[4].ahash64 is None and sm[4].dhash64 is None
+
 
 def test_audio_fingerprint_neardup(spark):
     """Fingerprint vs an INDEPENDENT recompute; paired clips land a few
