@@ -1754,6 +1754,75 @@ def video_decode_frames(spark, sf_dir):
         "media_id", "frame_idx", "luma_sum", "n_px")
 
 
+# Composed media curation: the curate_corpus_pipeline of the media world
+# — per doc, gate the audio clip (too-short / clipping), drop image
+# near-duplicates (keep the smaller id of each aHash pair), and gate the
+# video (mean frame luma below threshold = black-ish footage), all
+# through the REAL decode paths; every gate is exact integer arithmetic
+# so the composed oracle is three CTE reuses plus boolean algebra.
+_MEDIA_CURATE_ORACLE = f"""
+WITH afeat AS ({_AUDIO_FEATURES_ORACLE}),
+ipairs AS ({_IMAGE_NEARDUP_ORACLE}),
+vframes AS ({_VIDEO_FRAMES_ORACLE})
+SELECT d.doc_id,
+  (a.duration_ms >= 60 AND 2 * a.zcr <= a.n_samples) AS audio_ok,
+  d.doc_id NOT IN (SELECT id_b FROM ipairs) AS image_keep,
+  v.video_ok,
+  ((a.duration_ms >= 60 AND 2 * a.zcr <= a.n_samples)
+   AND d.doc_id NOT IN (SELECT id_b FROM ipairs)
+   AND v.video_ok) AS keep
+FROM documents d
+JOIN afeat a ON a.media_id = d.doc_id
+JOIN (SELECT media_id,
+             sum(luma_sum) >= 118 * sum(n_px) AS video_ok
+      FROM vframes GROUP BY media_id) v ON v.media_id = d.doc_id
+"""
+
+
+@q("media_curation_pipeline", _MEDIA_CURATE_ORACLE)
+def media_curation_pipeline(spark, sf_dir):
+    """Merged media-curation slot: one row per doc with the three modal
+    gates and the composed keep flag — audio (duration + clipping over
+    exact time-domain features), image (aHash near-dup survivorship),
+    video (mean-luma black-footage gate via integer cross-multiply) —
+    every modality through its real decode path in one graded plan."""
+    from .operators.multimodal import (audio_time_features,
+                                       image_near_dup_pairs,
+                                       image_perceptual_hashes,
+                                       synth_avi_dib, synth_png_gray,
+                                       synth_wav_pcm16, video_frame_stats)
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    # gates are median splits of the synthetic feature distributions
+    # (every clip touches -32768 somewhere, so a clipping gate would be
+    # vacuous): too-short OR zcr-rate > 1/2 (noise-like) drops audio;
+    # mean frame luma < 118 (the corpus median) drops dark footage.
+    audio = audio_time_features(synth_wav_pcm16(docs)).select(
+        F.col("media_id").alias("doc_id"),
+        ((F.col("duration_ms") >= 60) & (2 * F.col("zcr") <= F.col("n_samples")))
+        .alias("audio_ok"))
+
+    hashes = image_perceptual_hashes(synth_png_gray(docs))
+    dup_b = image_near_dup_pairs(hashes.select("media_id", "ahash64"),
+                                 max_hamming=8) \
+        .select(F.col("id_b").alias("doc_id")).distinct()
+
+    video = video_frame_stats(synth_avi_dib(docs)) \
+        .groupBy(F.col("media_id").alias("doc_id")) \
+        .agg((F.sum("luma_sum") >= 118 * F.sum("n_px"))
+             .alias("video_ok"))
+
+    out = (docs.join(audio, "doc_id")
+               .join(dup_b.withColumn("_dup", F.lit(True)),
+                     "doc_id", "left")
+               .withColumn("image_keep", F.col("_dup").isNull())
+               .join(video, "doc_id"))
+    return out.select(
+        "doc_id", "audio_ok", "image_keep", "video_ok",
+        (F.col("audio_ok") & F.col("image_keep") & F.col("video_ok"))
+        .alias("keep"))
+
+
 # ---------------------------------------------------------------------------
 # 9. write path
 # ---------------------------------------------------------------------------
