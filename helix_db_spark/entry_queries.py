@@ -1823,6 +1823,70 @@ def media_curation_pipeline(spark, sf_dir):
         .alias("keep"))
 
 
+# WebDataset round-trip: the corpus written as multimodal tar shards
+# (one .txt + one .png member per sample, the webdataset.github.io
+# layout), read back file-parallel, and verified per sample — member
+# count, text byte length, and the decoded PNG's exact integer luma
+# (the image-oracle pixel CTE). Shards build once per (session, sf)
+# under _artifact_dir; the graded cost is the read+verify.
+_WDS_ORACLE = """
+WITH base AS (
+  SELECT doc_id, (doc_id - (doc_id % 2)) % 65536 AS d, doc_id % 2 AS odd,
+         text
+  FROM documents
+), xs AS (
+  SELECT doc_id, odd, text,
+    [ (d * 48271 + i * 69621 + 7) % 65536
+      for i in generate_series(0, 255) ] AS xl
+  FROM base
+), ys AS (
+  SELECT doc_id, odd, text,
+    [ (xl[i + 1] * xl[i + 1] + i) % 65536
+      for i in generate_series(0, 255) ] AS yl
+  FROM xs
+)
+SELECT doc_id,
+  CAST(2 AS BIGINT) AS n_members,
+  CAST(strlen(text) AS BIGINT) AS txt_bytes,
+  CAST(list_sum([ yl[i + 1] * yl[i + 1] % 251
+      + CASE WHEN odd = 1 AND i % 37 = 0 THEN 4 ELSE 0 END
+      for i in generate_series(0, 255) ]) AS BIGINT) AS luma_sum,
+  CAST(256 AS INT) AS n_px
+FROM ys
+"""
+
+
+@q("webdataset_roundtrip", _WDS_ORACLE)
+def webdataset_roundtrip(spark, sf_dir):
+    """Corpus -> WebDataset tar shards (text + PNG per sample) -> file-
+    parallel read-back -> per-sample verification. The write path is one
+    tar per partition (the shard-per-task shape); the read path is
+    binaryFile + mapInPandas like sources/warc.py."""
+    from .operators.multimodal import image_luma_stats, synth_png_gray
+    from .sources.webdataset import read_webdataset, write_webdataset
+
+    def build(root):
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        png = synth_png_gray(docs).select(
+            F.col("media_id").alias("doc_id"), F.col("content").alias("png"))
+        data = docs.join(png, "doc_id").select(
+            F.format_string("%010d", F.col("doc_id")).alias("k"),
+            "text", "png")
+        write_webdataset(data.repartition(8), root, "k",
+                         {"txt": "text", "png": "png"})
+
+    root = _artifact_dir(spark, sf_dir, "wds", build)
+    rows = read_webdataset(spark, root + "/*.tar")
+    txt = rows.filter(F.col("ext") == "txt").select(
+        "key", F.col("size").alias("txt_bytes"))
+    png_stats = image_luma_stats(rows.filter(F.col("ext") == "png")) \
+        .select("key", "luma_sum", "n_px")
+    counts = rows.groupBy("key").agg(F.count(F.lit(1)).alias("n_members"))
+    return (counts.join(txt, "key").join(png_stats, "key")
+            .select(F.col("key").cast("long").alias("doc_id"),
+                    "n_members", "txt_bytes", "luma_sum", "n_px"))
+
+
 # ---------------------------------------------------------------------------
 # 9. write path
 # ---------------------------------------------------------------------------

@@ -2765,3 +2765,37 @@ def video_frame_stats(df: DataFrame,
             yield res
 
     return df.mapInPandas(run, schema)
+
+
+def image_luma_stats(df: DataFrame,
+                     content_col: str = "content") -> DataFrame:
+    """Decode (real backend) -> EXACT integer luma total + pixel count
+    per image — the image twin of video_frame_stats' per-frame columns
+    (dark/blank gates, and SQL-matchable when pixels are regenerable).
+    Undecodable bytes yield null columns, never a crash."""
+    backend = _try_decode_backend("image")
+
+    schema = T.StructType(list(df.schema.fields) + [
+        T.StructField("luma_sum", T.LongType()),
+        T.StructField("n_px", T.IntegerType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in batches:
+            ls, npx = [], []
+            for b in pdf[content_col]:
+                if b is None:
+                    ls.append(None); npx.append(None)
+                    continue
+                try:
+                    gray = _int_gray(backend.open(io.BytesIO(bytes(b))))
+                    ls.append(int(gray.sum())); npx.append(int(gray.size))
+                except Exception:   # undecodable -> null row, not a crash
+                    ls.append(None); npx.append(None)
+            pdf["luma_sum"] = pd.array(ls, dtype="Int64")
+            pdf["n_px"] = pd.array(npx, dtype="Int32")
+            yield pdf
+
+    return df.mapInPandas(run, schema)
