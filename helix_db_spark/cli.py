@@ -230,6 +230,58 @@ def cmd_warc(args) -> int:
     return 0
 
 
+def cmd_wds(args) -> int:
+    """WebDataset shard IO: ``--pack <parquet>`` writes the corpus as
+    multimodal tar shards (``--members ext=col,...`` picks the member
+    columns, ``--shards N`` the shard count); ``--unpack <shard_dir>``
+    reads shards file-parallel back to a member-level parquet. Prints a
+    summary JSON either way."""
+    from pyspark.sql import functions as F
+
+    from .session import get_spark
+    from .sources.webdataset import (read_webdataset, samples_view,
+                                     write_webdataset)
+
+    if bool(args.pack) == bool(args.unpack):
+        print(json.dumps({"error": "exactly one of --pack/--unpack"}),
+              file=sys.stderr)
+        return 2
+    spark = get_spark("helix-spark-wds",
+                      **{"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.pack:
+        if not args.out:
+            print(json.dumps({"error": "--pack requires --out"}),
+                  file=sys.stderr)
+            return 2
+        members = dict(kv.split("=", 1)
+                       for kv in args.members.split(","))
+        df = spark.read.parquet(args.pack)
+        missing = [c for c in ([args.key] + list(members.values()))
+                   if c not in df.columns]
+        if missing:
+            print(json.dumps({"error": f"missing columns: {missing}"}),
+                  file=sys.stderr)
+            return 2
+        keyed = df.select(
+            F.format_string("%012d", F.col(args.key).cast("long"))
+            .alias("_k"), *members.values())
+        n = write_webdataset(keyed.repartition(args.shards), args.out,
+                             "_k", members)
+        print(json.dumps({"shards": n, "samples": df.count(),
+                          "out": args.out}))
+        return 0
+    rows = read_webdataset(spark, args.unpack.rstrip("/") + "/*.tar")
+    if args.out:
+        rows.write.mode("overwrite").parquet(args.out)
+    sv = samples_view(rows)
+    agg = sv.agg(F.count(F.lit(1)), F.sum("n_members"),
+                 F.sum("total_bytes")).first()
+    print(json.dumps({"samples": agg[0], "members": agg[1],
+                      "bytes": agg[2], "out": args.out}))
+    return 0
+
+
 def cmd_bpe(args) -> int:
     """Tokenizer flow: ``--train`` learns BPE merges from the corpus's
     documents table (one distributed word-count pass, driver-side merge
@@ -335,6 +387,7 @@ def main(argv=None) -> int:
     for name, fn in (("query", cmd_query), ("serve", cmd_serve),
                      ("card", cmd_card), ("curate", cmd_curate),
                      ("dedup", cmd_dedup), ("warc", cmd_warc),
+                     ("wds", cmd_wds),
                      ("bpe", cmd_bpe), ("explain", cmd_explain)):
         p = sub.add_parser(name)
         p.add_argument("--data", default="/root/testdata/sf0.001",
@@ -377,6 +430,15 @@ def main(argv=None) -> int:
             p.add_argument("--wet", action="store_true",
                            help="read WET conversion records (text "
                            "pre-extracted by the crawl provider)")
+        elif name == "wds":
+            p.add_argument("--pack", help="(key, members...) parquet "
+                           "to pack into tar shards")
+            p.add_argument("--unpack", help="shard dir to read back")
+            p.add_argument("--out", help="output dir (shards or parquet)")
+            p.add_argument("--shards", type=int, default=8)
+            p.add_argument("--key", default="doc_id")
+            p.add_argument("--members", default="txt=text",
+                           help="ext=col[,ext=col...] member mapping")
         elif name == "bpe":
             p.add_argument("--model", required=True,
                            help="merges parquet dir (save/load)")

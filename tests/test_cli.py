@@ -184,3 +184,37 @@ def test_bpe_command_train_then_encode(spark, capsys, tmp_path):
         "/root/testdata/sf0.001/documents.parquet").collect()
     assert summary["total_tokens"] == \
         sum(len(m.encode_text(r["text"])) for r in docs)
+
+
+def test_wds_pack_unpack_roundtrip(spark, capsys, tmp_path):
+    shards = str(tmp_path / "shards")
+    rc, out, _ = _run(capsys, "wds", "--pack",
+                      "/root/testdata/sf0.001/documents.parquet",
+                      "--out", shards, "--shards", "3",
+                      "--members", "txt=text")
+    assert rc == 0
+    packed = json.loads(out.strip().splitlines()[-1])
+    assert packed["shards"] == 3 and packed["samples"] == 500
+
+    back = str(tmp_path / "members")
+    rc, out, _ = _run(capsys, "wds", "--unpack", shards, "--out", back)
+    assert rc == 0
+    summary = json.loads(out.strip().splitlines()[-1])
+    assert summary["samples"] == 500 and summary["members"] == 500
+
+    df = spark.read.parquet(back)
+    docs = {f"{r.doc_id:012d}": r.text for r in spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").collect()}
+    got = {r.key: bytes(r.content).decode() for r in df.collect()}
+    assert got == docs
+
+    # flag misuse: neither / both modes -> exit 2, JSON error on stderr
+    rc, _, err = _run(capsys, "wds")
+    assert rc == 2 and "error" in err
+    rc, _, err = _run(capsys, "wds", "--pack", "x", "--unpack", "y")
+    assert rc == 2
+    rc, _, err = _run(capsys, "wds", "--pack",
+                      "/root/testdata/sf0.001/documents.parquet",
+                      "--out", str(tmp_path / "s2"),
+                      "--members", "txt=nosuchcol")
+    assert rc == 2 and "missing columns" in err
