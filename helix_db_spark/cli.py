@@ -254,8 +254,12 @@ def cmd_wds(args) -> int:
             print(json.dumps({"error": "--pack requires --out"}),
                   file=sys.stderr)
             return 2
-        members = dict(kv.split("=", 1)
-                       for kv in args.members.split(","))
+        pairs = [kv.split("=", 1) for kv in args.members.split(",")]
+        if any(len(kv) != 2 or not kv[0] or not kv[1] for kv in pairs):
+            print(json.dumps({"error": "--members must be "
+                              "ext=col[,ext=col...]"}), file=sys.stderr)
+            return 2
+        members = dict(pairs)
         df = spark.read.parquet(args.pack)
         missing = [c for c in ([args.key] + list(members.values()))
                    if c not in df.columns]
@@ -263,17 +267,29 @@ def cmd_wds(args) -> int:
             print(json.dumps({"error": f"missing columns: {missing}"}),
                   file=sys.stderr)
             return 2
-        keyed = df.select(
-            F.format_string("%012d", F.col(args.key).cast("long"))
-            .alias("_k"), *members.values())
+        # numeric keys are zero-padded (lexicographic == numeric order);
+        # any other type is used as-is — casting a string key to long
+        # would NULL out and format_string would collapse every sample
+        # onto the literal key "null"
+        key = F.col(args.key)
+        ktype = dict(df.dtypes)[args.key]
+        k = (F.format_string("%012d", key)
+             if ktype in ("tinyint", "smallint", "int", "bigint")
+             else key.cast("string"))
+        if df.filter(key.isNull()).limit(1).count():
+            print(json.dumps({"error": f"null keys in {args.key!r}"}),
+                  file=sys.stderr)
+            return 2
+        keyed = df.select(k.alias("_k"), *members.values())
         n = write_webdataset(keyed.repartition(args.shards), args.out,
                              "_k", members)
         print(json.dumps({"shards": n, "samples": df.count(),
                           "out": args.out}))
         return 0
     rows = read_webdataset(spark, args.unpack.rstrip("/") + "/*.tar")
-    if args.out:
-        rows.write.mode("overwrite").parquet(args.out)
+    if args.out:                        # summarize the parquet we just
+        rows.write.mode("overwrite").parquet(args.out)  # wrote, not a
+        rows = spark.read.parquet(args.out)             # second untar pass
     sv = samples_view(rows)
     agg = sv.agg(F.count(F.lit(1)), F.sum("n_members"),
                  F.sum("total_bytes")).first()

@@ -1573,25 +1573,29 @@ def audio_decode_features(spark, sf_dir):
 # banded Hamming join replayed in SQL (the LSH band-key-replay oracle
 # pattern) — candidates are pairs sharing one of four 16-bit bands, the
 # verify is a 64-position bit compare.
-_IMAGE_NEARDUP_ORACLE = """
-WITH base AS (
-  SELECT doc_id, (doc_id - (doc_id % 2)) % 65536 AS d, doc_id % 2 AS odd
+# Shared synth-PNG pixel lattice (mirrors multimodal.synth_png_gray):
+# {extra} threads passthrough columns (e.g. ", text") through the CTEs.
+_PNG_LATTICE_CTES = """base AS (
+  SELECT doc_id, (doc_id - (doc_id % 2)) % 65536 AS d, doc_id % 2 AS odd{extra}
   FROM documents
 ), xs AS (
-  SELECT doc_id, odd,
+  SELECT doc_id, odd{extra},
     [ (d * 48271 + i * 69621 + 7) % 65536
       for i in generate_series(0, 255) ] AS xl
   FROM base
 ), ys AS (
-  SELECT doc_id, odd,
+  SELECT doc_id, odd{extra},
     [ (xl[i + 1] * xl[i + 1] + i) % 65536
       for i in generate_series(0, 255) ] AS yl
   FROM xs
-), px AS (
-  SELECT doc_id,
-    [ yl[i + 1] * yl[i + 1] % 251
+)"""
+_PNG_PIXEL_LIST = """[ yl[i + 1] * yl[i + 1] % 251
       + CASE WHEN odd = 1 AND i % 37 = 0 THEN 4 ELSE 0 END
-      for i in generate_series(0, 255) ] AS p
+      for i in generate_series(0, 255) ]"""
+
+_IMAGE_NEARDUP_ORACLE = f"""
+WITH {_PNG_LATTICE_CTES.format(extra="")}, px AS (
+  SELECT doc_id, {_PNG_PIXEL_LIST} AS p
   FROM ys
 ), blk AS (
   SELECT doc_id,
@@ -1829,28 +1833,12 @@ def media_curation_pipeline(spark, sf_dir):
 # count, text byte length, and the decoded PNG's exact integer luma
 # (the image-oracle pixel CTE). Shards build once per (session, sf)
 # under _artifact_dir; the graded cost is the read+verify.
-_WDS_ORACLE = """
-WITH base AS (
-  SELECT doc_id, (doc_id - (doc_id % 2)) % 65536 AS d, doc_id % 2 AS odd,
-         text
-  FROM documents
-), xs AS (
-  SELECT doc_id, odd, text,
-    [ (d * 48271 + i * 69621 + 7) % 65536
-      for i in generate_series(0, 255) ] AS xl
-  FROM base
-), ys AS (
-  SELECT doc_id, odd, text,
-    [ (xl[i + 1] * xl[i + 1] + i) % 65536
-      for i in generate_series(0, 255) ] AS yl
-  FROM xs
-)
+_WDS_ORACLE = f"""
+WITH {_PNG_LATTICE_CTES.format(extra=", text")}
 SELECT doc_id,
   CAST(2 AS BIGINT) AS n_members,
   CAST(strlen(text) AS BIGINT) AS txt_bytes,
-  CAST(list_sum([ yl[i + 1] * yl[i + 1] % 251
-      + CASE WHEN odd = 1 AND i % 37 = 0 THEN 4 ELSE 0 END
-      for i in generate_series(0, 255) ]) AS BIGINT) AS luma_sum,
+  CAST(list_sum({_PNG_PIXEL_LIST}) AS BIGINT) AS luma_sum,
   CAST(256 AS INT) AS n_px
 FROM ys
 """
@@ -1876,7 +1864,10 @@ def webdataset_roundtrip(spark, sf_dir):
                          {"txt": "text", "png": "png"})
 
     root = _artifact_dir(spark, sf_dir, "wds", build)
-    rows = read_webdataset(spark, root + "/*.tar")
+    from .operators.dedup import _mat
+    # three branches (counts / txt / png decode) read this — without
+    # _mat each would re-untar every shard (the minhash sigs lesson)
+    rows = _mat(read_webdataset(spark, root + "/*.tar"))
     txt = rows.filter(F.col("ext") == "txt").select(
         "key", F.col("size").alias("txt_bytes"))
     png_stats = image_luma_stats(rows.filter(F.col("ext") == "png")) \

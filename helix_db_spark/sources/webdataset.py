@@ -58,23 +58,34 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
     """One row per tar member under ``path`` (glob ok): (shard, key,
     ext, content, size). Non-file members (dirs, links) are skipped;
     a truncated/garbled shard raises — silent data loss in a training
-    corpus is worse than a failed task retry."""
+    corpus is worse than a failed task retry. tarfile treats a cut at a
+    512-block boundary as clean end-of-archive, so the end-of-archive
+    marker (two zero blocks) is checked explicitly — a failed multipart
+    upload truncates at part boundaries, which ARE block-aligned."""
     bf = spark.read.format("binaryFile").load(path) \
         .select("path", "content")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            # one output frame per shard: member bytes are held once,
+            # not accumulated across every shard in the Arrow batch
             for p, content in zip(pdf["path"], pdf["content"]):
-                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
+                raw = bytes(content)
+                if len(raw) % 512 != 0 or len(raw) < 1024 or \
+                        raw[-1024:].strip(b"\0"):
+                    raise ValueError(
+                        f"truncated tar shard (no end-of-archive "
+                        f"marker): {p}")
+                rows = []
+                with tarfile.open(fileobj=io.BytesIO(raw)) as tf:
                     for m in tf:
                         if not m.isfile():
                             continue
                         key, ext = split_member_name(m.name)
                         data = tf.extractfile(m).read()
                         rows.append((p, key, ext, data, len(data)))
-            yield pd.DataFrame(rows, columns=[
-                "shard", "key", "ext", "content", "size"])
+                yield pd.DataFrame(rows, columns=[
+                    "shard", "key", "ext", "content", "size"])
 
     return bf.mapInPandas(parse, WDS_SCHEMA)
 
@@ -95,10 +106,16 @@ def write_webdataset(df: DataFrame, out_dir: str, key_col: str,
     member extension to the DataFrame column holding its bytes (binary
     or string; strings are utf-8 encoded). Returns the shard count.
     Repartition beforehand to choose shard size — the shard IS the unit
-    downstream tasks parallelize over."""
+    downstream tasks parallelize over. Overwrite semantics: existing
+    ``.tar`` files in ``out_dir`` are removed first (a re-pack with
+    fewer partitions must not leave stale shards for the glob to mix
+    back in — the write.mode("overwrite") contract of every other
+    sink here)."""
     os.makedirs(out_dir, exist_ok=True)
+    for old in os.listdir(out_dir):
+        if old.endswith(".tar"):
+            os.remove(os.path.join(out_dir, old))
     cols = [key_col] + list(members.values())
-    n_parts = df.rdd.getNumPartitions()
 
     def write_part(it):
         from pyspark import TaskContext
@@ -123,4 +140,4 @@ def write_webdataset(df: DataFrame, out_dir: str, key_col: str,
             os.remove(path)
 
     df.select(*cols).foreachPartition(write_part)
-    return n_parts
+    return sum(1 for f in os.listdir(out_dir) if f.endswith(".tar"))

@@ -91,3 +91,62 @@ def test_webdataset_entry_contract(spark):
         assert out[did].n_members == 2
         assert out[did].txt_bytes == len(text.encode("utf-8"))
         assert out[did].n_px == 256
+
+
+def test_webdataset_truncation_and_overwrite(spark, tmp_path):
+    """Block-aligned truncation (the multipart-upload failure mode) must
+    raise — tarfile alone reads it as clean EOF; re-packing to the same
+    dir must not leave stale shards; the returned shard count reflects
+    files actually on disk (empty partitions write nothing)."""
+    from helix_db_spark.sources.webdataset import (read_webdataset,
+                                                   write_webdataset)
+    data = spark.createDataFrame(
+        [(f"{i:04d}", "x" * 600) for i in range(6)], "k string, t string")
+    out = str(tmp_path / "shards")
+    n = write_webdataset(data.repartition(3), out, "k", {"txt": "t"})
+    assert n == len([f for f in os.listdir(out) if f.endswith(".tar")])
+
+    # truncate one shard at a 512 boundary INSIDE the archive
+    victim = sorted(os.path.join(out, f) for f in os.listdir(out))[0]
+    raw = open(victim, "rb").read()
+    open(victim, "wb").write(raw[:1536])   # header+data of first member
+    with pytest.raises(Exception):
+        read_webdataset(spark, out + "/*.tar").collect()
+
+    # re-pack with fewer partitions: stale shard files must disappear
+    n2 = write_webdataset(data.repartition(1), out, "k", {"txt": "t"})
+    assert n2 == 1
+    assert len([f for f in os.listdir(out) if f.endswith(".tar")]) == 1
+    assert read_webdataset(spark, out + "/*.tar").count() == 6
+
+    # more partitions than rows: count reports real shards, not planned
+    out2 = str(tmp_path / "sparse")
+    n3 = write_webdataset(data.repartition(16), out2, "k", {"txt": "t"})
+    assert n3 == len([f for f in os.listdir(out2) if f.endswith(".tar")])
+    assert n3 <= 16
+
+
+def test_wds_cli_string_keys_and_member_validation(spark, capsys, tmp_path):
+    import json as _json
+
+    from helix_db_spark import cli
+
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame(
+        [("https://a/x", "one"), ("https://b/y", "two")],
+        "url string, text string").write.parquet(src)
+    out = str(tmp_path / "s")
+    rc = cli.main(["wds", "--pack", src, "--out", out, "--key", "url",
+                   "--members", "txt=text", "--shards", "1"])
+    captured = capsys.readouterr()
+    assert rc == 0
+    from helix_db_spark.sources.webdataset import read_webdataset
+    rows = read_webdataset(spark, out + "/*.tar").collect()
+    # string keys pass through — NOT cast-to-long (which would collapse
+    # every sample onto the literal key "null")
+    assert sorted(r.key for r in rows) == ["https://a/x", "https://b/y"]
+
+    rc = cli.main(["wds", "--pack", src, "--out", out,
+                   "--members", "txtnotanequals"])
+    captured = capsys.readouterr()
+    assert rc == 2 and "ext=col" in captured.err
