@@ -1844,6 +1844,113 @@ FROM ys
 """
 
 
+# Incremental media dedup against the on-disk Hamming fingerprint index
+# (store_hamming_index / incremental_hamming_dedup): the corpus is the
+# even docs' images, the batch the odd docs' — each a near-dup of its
+# even twin except every 10th, which gets a fresh image (id+70000) and
+# must classify novel. The oracle replays hashing + banding for
+# corpus UNION batch and takes the lowest corpus match within Hamming 8
+# — the incremental_dedup_classify pattern for the fingerprint family.
+_INCR_MEDIA_ORACLE = """
+WITH imgs AS (
+  SELECT doc_id AS key, 1 AS is_corpus, doc_id AS img
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, 0,
+         CASE WHEN doc_id % 10 = 9 THEN doc_id + 70000 ELSE doc_id END
+  FROM documents WHERE doc_id % 2 = 1
+), ibase AS (
+  SELECT key, is_corpus, (img - (img % 2)) % 65536 AS d, img % 2 AS odd
+  FROM imgs
+), ixs AS (
+  SELECT key, is_corpus, odd,
+    [ (d * 48271 + i * 69621 + 7) % 65536
+      for i in generate_series(0, 255) ] AS xl
+  FROM ibase
+), iys AS (
+  SELECT key, is_corpus, odd,
+    [ (xl[i + 1] * xl[i + 1] + i) % 65536
+      for i in generate_series(0, 255) ] AS yl
+  FROM ixs
+), ipx AS (
+  SELECT key, is_corpus,
+    [ yl[i + 1] * yl[i + 1] % 251
+      + CASE WHEN odd = 1 AND i % 37 = 0 THEN 4 ELSE 0 END
+      for i in generate_series(0, 255) ] AS p
+  FROM iys
+), iblk AS (
+  SELECT key, is_corpus,
+    [ p[(k // 8) * 32 + (k % 8) * 2 + 1] + p[(k // 8) * 32 + (k % 8) * 2 + 2]
+    + p[(k // 8) * 32 + (k % 8) * 2 + 17] + p[(k // 8) * 32 + (k % 8) * 2 + 18]
+      for k in generate_series(0, 63) ] AS b,
+    list_sum(p) AS t
+  FROM ipx
+), ibits AS (
+  SELECT key, is_corpus,
+    [CASE WHEN 64 * x > t THEN 1 ELSE 0 END for x in b] AS bits
+  FROM iblk
+), ibands AS (
+  SELECT key, is_corpus, j AS band_idx,
+    list_sum([bits[16 * j + m + 1] * (1 << m)
+              for m in generate_series(0, 15)]) AS band_val
+  FROM ibits, generate_series(0, 3) AS g(j)
+), icand AS (
+  SELECT DISTINCT b.key AS id, c.key AS corpus_id
+  FROM ibands b JOIN ibands c
+    ON b.band_idx = c.band_idx AND b.band_val = c.band_val
+  WHERE b.is_corpus = 0 AND c.is_corpus = 1
+), iham AS (
+  SELECT icand.id, icand.corpus_id,
+    CAST(list_sum([CASE WHEN bb.bits[i] != cb.bits[i] THEN 1 ELSE 0 END
+                   for i in generate_series(1, 64)]) AS BIGINT) AS h
+  FROM icand JOIN ibits bb ON bb.key = icand.id
+             JOIN ibits cb ON cb.key = icand.corpus_id
+), ibest AS (
+  SELECT id, min(corpus_id) AS match_id FROM iham WHERE h <= 8 GROUP BY id
+), ibesth AS (
+  SELECT ibest.id, ibest.match_id, iham.h
+  FROM ibest JOIN iham
+    ON iham.id = ibest.id AND iham.corpus_id = ibest.match_id
+)
+SELECT d2.doc_id,
+       bh.match_id IS NOT NULL AS is_duplicate,
+       bh.match_id,
+       bh.h AS match_hamming
+FROM documents d2 LEFT JOIN ibesth bh ON bh.id = d2.doc_id
+WHERE d2.doc_id % 2 = 1
+"""
+
+
+@q("incremental_media_dedup", _INCR_MEDIA_ORACLE)
+def incremental_media_dedup(spark, sf_dir):
+    """Media batch vs on-disk fingerprint index: build once per
+    (session, sf) under _artifact_dir; the graded cost is the bounded,
+    partition-pruned probe — no corpus rescan."""
+    from .operators.dedup import (incremental_hamming_dedup,
+                                  store_hamming_index)
+    from .operators.multimodal import (image_perceptual_hashes,
+                                       synth_png_gray)
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def build(root):
+        corpus = docs.filter(F.col("doc_id") % 2 == 0)
+        hashes = image_perceptual_hashes(synth_png_gray(corpus)) \
+            .select("media_id", "ahash64")
+        store_hamming_index(hashes, "media_id", "ahash64", root)
+
+    root = _artifact_dir(spark, sf_dir, "media_idx", build)
+    odds = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 9, F.col("doc_id") + 70000)
+         .otherwise(F.col("doc_id")).alias("img"))
+    batch = image_perceptual_hashes(synth_png_gray(odds, id_col="img")) \
+        .select(F.col("media_id").alias("img"), "ahash64") \
+        .join(odds, "img") \
+        .select("doc_id", "ahash64")
+    return incremental_hamming_dedup(spark, batch, "doc_id", "ahash64",
+                                     root, max_hamming=8)
+
+
 @q("webdataset_roundtrip", _WDS_ORACLE)
 def webdataset_roundtrip(spark, sf_dir):
     """Corpus -> WebDataset tar shards (text + PNG per sample) -> file-

@@ -780,3 +780,96 @@ def hamming_near_dup_pairs(hashes: DataFrame, id_col: str, hash_col: str,
                          .cast("long").alias("hamming"))
                 .dropDuplicates(["id_a", "id_b"])
                 .filter(F.col("hamming") <= max_hamming))
+
+
+def _hash_bands(h, bands: int):
+    """(band_idx, band_val) structs for a 64-bit fingerprint column —
+    UNSIGNED shifts so bit 63 is just a bit, shared by the in-memory
+    band join and the on-disk index layout."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return [F.struct(F.lit(j).alias("band_idx"),
+                     F.shiftrightunsigned(h, width * j)
+                      .bitwiseAND(F.lit(mask)).alias("band_val"))
+            for j in range(bands)]
+
+
+def store_hamming_index(hashes: DataFrame, id_col: str, hash_col: str,
+                        root: str, bands: int = 4,
+                        buckets: int = DEDUP_INDEX_BUCKETS) -> None:
+    """Write a 64-bit-fingerprint near-dup index (image aHash, audio
+    energy fingerprints — any hamming_near_dup_pairs input) to disk so
+    future media batches are checked WITHOUT rescanning the corpus —
+    store_dedup_index's layout, one table instead of three because the
+    fingerprint IS the signature (8 bytes, carried on the band rows):
+
+    - ``bands/`` (corpus_id, band_idx, band_val, fp), partitioned by
+      ``_bucket = band_val % buckets`` — a batch's band values prune to
+      their buckets, bounded probe at any corpus size.
+    - ``meta.json`` pins bands/buckets so probes replay the banding."""
+    import json
+    import os
+
+    h = F.col(hash_col)
+    banded = hashes.select(
+        F.col(id_col).alias("corpus_id"), h.alias("fp"),
+        F.explode(F.array(*_hash_bands(h, bands))).alias("_b")) \
+        .select("corpus_id", "fp", "_b.band_idx", "_b.band_val")
+    (banded.withColumn("_bucket", F.pmod(F.col("band_val"), buckets))
+           .repartition(buckets, "_bucket")
+           .write.mode("overwrite").partitionBy("_bucket")
+           .parquet(os.path.join(root, "bands")))
+    with open(os.path.join(root, "meta.json"), "w") as f:
+        json.dump({"bands": bands, "buckets": buckets}, f)
+
+
+def incremental_hamming_dedup(spark, new_hashes: DataFrame, id_col: str,
+                              hash_col: str, root: str,
+                              max_hamming: int = 8) -> DataFrame:
+    """Annotate a media batch's fingerprints against a stored corpus
+    index (:func:`store_hamming_index`) WITHOUT rescanning the corpus —
+    incremental_dedup's shape for the fixed-width-fingerprint family.
+    Returns (id, is_duplicate, match_id, match_hamming): match_id is the
+    lowest-id corpus fingerprint within ``max_hamming``, NULL for novel.
+
+    Scale shape: the batch's band-value BUCKET set (bounded by 4x batch
+    rows) is collected driver-side and pushed into the index read as a
+    partition filter; the band join broadcasts the batch side; the
+    verify is bit_count on the fp carried by the index rows — no second
+    table, no corpus rescan. Self-matches (corpus_id == batch id, the
+    replayed-micro-batch case) are ignored."""
+    import json
+    import os
+
+    with open(os.path.join(root, "meta.json")) as f:
+        meta = json.load(f)
+    h = F.col(hash_col)
+    batch = _mat(new_hashes.select(F.col(id_col), h.alias("_fp")))
+    banded_new = _mat(batch.select(
+        F.col(id_col), F.col("_fp"),
+        F.explode(F.array(*_hash_bands(F.col("_fp"),
+                                       meta["bands"]))).alias("_b"))
+        .select(id_col, "_fp", "_b.band_idx", "_b.band_val")
+        .withColumn("_bucket", F.pmod(F.col("band_val"),
+                                      meta["buckets"])))
+    bks = [r["_bucket"]
+           for r in banded_new.select("_bucket").distinct().collect()]
+    idx = (spark.read.parquet(os.path.join(root, "bands"))
+           .filter(F.col("_bucket").isin(bks)))
+    cands = (idx.join(F.broadcast(banded_new),
+                      on=["_bucket", "band_idx", "band_val"])
+             .filter(F.col("corpus_id") != F.col(id_col))
+             .select(F.col(id_col), "corpus_id",
+                     F.bit_count(F.col("fp").bitwiseXOR(F.col("_fp")))
+                      .cast("long").alias("_ham"))
+             .dropDuplicates([id_col, "corpus_id"])
+             .filter(F.col("_ham") <= max_hamming))
+    best = (cands.groupBy(id_col)
+            .agg(F.min_by(F.struct("corpus_id", "_ham"),
+                          F.col("corpus_id")).alias("_m")))
+    return (batch.select(id_col)
+            .join(best, on=id_col, how="left")
+            .select(F.col(id_col),
+                    F.col("_m").isNotNull().alias("is_duplicate"),
+                    F.col("_m.corpus_id").alias("match_id"),
+                    F.col("_m._ham").alias("match_hamming")))

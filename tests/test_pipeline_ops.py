@@ -3216,3 +3216,49 @@ def test_video_frame_stats_exact(spark):
          (2, "video", None, None)], multimodal.MEDIA_SCHEMA)
     jr = {r.media_id: r for r in video_frame_stats(junk).collect()}
     assert jr[1].frame_idx is None and jr[2].luma_sum is None
+
+
+def test_incremental_hamming_dedup(spark, tmp_path):
+    """On-disk fingerprint index: batch classification matches an
+    in-memory recompute, self-matches are ignored, and the probe's
+    index scan is partition-pruned to the batch's buckets."""
+    import numpy as np
+
+    from helix_db_spark.operators.dedup import (incremental_hamming_dedup,
+                                                store_hamming_index)
+    from helix_db_spark.operators.multimodal import (
+        image_perceptual_hashes, synth_png_gray)
+
+    docs = spark.createDataFrame([(i,) for i in range(0, 60, 2)],
+                                 "doc_id long")
+    corpus = image_perceptual_hashes(synth_png_gray(docs)) \
+        .select("media_id", "ahash64")
+    root = str(tmp_path / "idx")
+    store_hamming_index(corpus, "media_id", "ahash64", root)
+
+    # batch: odd twins (dups) + fresh images (novel) + one self-replay
+    batch_ids = spark.createDataFrame(
+        [(i, i) for i in range(1, 30, 2)] +        # twins of the corpus
+        [(i, i + 70000) for i in range(31, 60, 2)] +  # novel images
+        [(0, 0)],                                  # replayed corpus row
+        "doc_id long, img long")
+    bh = image_perceptual_hashes(synth_png_gray(batch_ids, id_col="img")) \
+        .select(F.col("media_id").alias("img"), "ahash64") \
+        .join(batch_ids, "img").select("doc_id", "ahash64")
+    out = {r.doc_id: r for r in incremental_hamming_dedup(
+        spark, bh, "doc_id", "ahash64", root, max_hamming=8).collect()}
+
+    for i in range(1, 30, 2):
+        assert out[i].is_duplicate and out[i].match_id == i - 1
+        assert out[i].match_hamming <= 8
+    for i in range(31, 60, 2):
+        assert not out[i].is_duplicate and out[i].match_id is None
+    # the replayed row matches NOTHING: its only hit is itself, filtered
+    assert not out[0].is_duplicate
+
+    # bounded probe: the index read carries a _bucket partition filter
+    plan = incremental_hamming_dedup(
+        spark, bh, "doc_id", "ahash64", root)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [_bucket" in plan.replace("#", " #") or \
+        "_bucket" in plan.split("PartitionFilters")[1].split("]")[0]
