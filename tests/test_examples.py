@@ -44,3 +44,28 @@ def test_curation_example_runs(spark, tmp_path, capsys):
     assert steps == ["card", "lm_scoring", "curate", "incremental_dedup",
                      "pack"]
     assert lines[2]["kept"] > 0 and "train" in lines[2]["splits"]
+
+
+def test_media_example_runs(spark, tmp_path, capsys):
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "media_pipeline.py")
+    spec = importlib.util.spec_from_file_location("media_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    argv = sys.argv
+    sys.argv = [path, "/root/testdata/sf0.001", str(tmp_path)]
+    try:
+        mod.main()
+    finally:
+        sys.argv = argv
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    steps = [ln["step"] for ln in lines]
+    assert steps == ["synth", "shards", "features", "neardup",
+                     "incremental", "curate"]
+    by = {ln["step"]: ln for ln in lines}
+    assert by["synth"]["clips"] == by["shards"]["samples"] == 200
+    assert by["shards"]["complete"] == 200
+    assert by["neardup"]["image_pairs"] >= 100   # planted even/odd pairs
+    assert by["incremental"]["duplicates"] == 100  # every odd has a twin
+    assert 0 < by["curate"]["survivors"] < 200
