@@ -48,8 +48,11 @@ def main() -> None:
     spark = get_spark("media-pipeline-example",
                       **{"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
+    # doc_id < 200, not limit(200): limit over an unordered scan is an
+    # arbitrary subset, and the walkthrough's pair math needs the 100
+    # complete even/odd twins
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .select("doc_id").limit(200)
+        .select("doc_id").filter(F.col("doc_id") < 200)
 
     # 1. media synthesis through the real encoders
     wav = synth_wav_pcm16(docs, paired=True)

@@ -1537,7 +1537,7 @@ WITH base AS (
   FROM base
 ), samp AS (
   SELECT doc_id, n,
-    [ xl[i + 1] * xl[i + 1] % 65536 - 32768
+    [ (xl[i + 1] * xl[i + 1] + xl[i + 1]) % 65536 - 32768
       for i in generate_series(0, n - 1) ] AS s
   FROM xs
 )
@@ -1585,7 +1585,7 @@ _PNG_LATTICE_CTES = """base AS (
   FROM base
 ), ys AS (
   SELECT doc_id, odd{extra},
-    [ (xl[i + 1] * xl[i + 1] + i) % 65536
+    [ (xl[i + 1] * xl[i + 1] + xl[i + 1] + i) % 65536
       for i in generate_series(0, 255) ] AS yl
   FROM xs
 )"""
@@ -1665,10 +1665,12 @@ WITH base AS (
 ), sq AS (
   SELECT doc_id, n,
     [ CASE WHEN odd = 1 AND (i % 61) = 0
-           THEN (xor(xl[i + 1] * xl[i + 1] % 65536, 15) - 32768)
-              * (xor(xl[i + 1] * xl[i + 1] % 65536, 15) - 32768)
-           ELSE (xl[i + 1] * xl[i + 1] % 65536 - 32768)
-              * (xl[i + 1] * xl[i + 1] % 65536 - 32768) END
+           THEN (xor((xl[i + 1] * xl[i + 1] + xl[i + 1]) % 65536, 15)
+                 - 32768)
+              * (xor((xl[i + 1] * xl[i + 1] + xl[i + 1]) % 65536, 15)
+                 - 32768)
+           ELSE ((xl[i + 1] * xl[i + 1] + xl[i + 1]) % 65536 - 32768)
+              * ((xl[i + 1] * xl[i + 1] + xl[i + 1]) % 65536 - 32768) END
       for i in generate_series(0, n - 1) ] AS q
   FROM xs
 ), en AS (
@@ -1736,7 +1738,7 @@ WITH base AS (
   FROM fr
 ), ys AS (
   SELECT doc_id, f,
-    [ (xl[i + 1] * xl[i + 1] + i) % 65536
+    [ (xl[i + 1] * xl[i + 1] + xl[i + 1] + i) % 65536
       for i in generate_series(0, 255) ] AS yl
   FROM xs
 )
@@ -1847,8 +1849,12 @@ FROM ys
 # Incremental media dedup against the on-disk Hamming fingerprint index
 # (store_hamming_index / incremental_hamming_dedup): the corpus is the
 # even docs' images, the batch the odd docs' — each a near-dup of its
-# even twin except every 10th, which gets a fresh image (id+70000) and
-# must classify novel. The oracle replays hashing + banding for
+# even twin except every 10th, which gets a fresh image (id+100000) and
+# must classify novel. The offset matters: synth_png_gray derives the
+# base image from (img - img%2) % 65536, so +70000 would WRAP to
+# doc_id+4463 — a real corpus base at sf0.1 — and silently flip 53
+# intended-novel rows to duplicates (measured); +100000 wraps to
+# +34464, outside the doc range at every graded sf. The oracle replays hashing + banding for
 # corpus UNION batch and takes the lowest corpus match within Hamming 8
 # — the incremental_dedup_classify pattern for the fingerprint family.
 _INCR_MEDIA_ORACLE = """
@@ -1857,7 +1863,7 @@ WITH imgs AS (
   FROM documents WHERE doc_id % 2 = 0
   UNION ALL
   SELECT doc_id, 0,
-         CASE WHEN doc_id % 10 = 9 THEN doc_id + 70000 ELSE doc_id END
+         CASE WHEN doc_id % 10 = 9 THEN doc_id + 100000 ELSE doc_id END
   FROM documents WHERE doc_id % 2 = 1
 ), ibase AS (
   SELECT key, is_corpus, (img - (img % 2)) % 65536 AS d, img % 2 AS odd
@@ -1869,7 +1875,7 @@ WITH imgs AS (
   FROM ibase
 ), iys AS (
   SELECT key, is_corpus, odd,
-    [ (xl[i + 1] * xl[i + 1] + i) % 65536
+    [ (xl[i + 1] * xl[i + 1] + xl[i + 1] + i) % 65536
       for i in generate_series(0, 255) ] AS yl
   FROM ixs
 ), ipx AS (
@@ -1941,7 +1947,7 @@ def incremental_media_dedup(spark, sf_dir):
     root = _artifact_dir(spark, sf_dir, "media_idx", build)
     odds = docs.filter(F.col("doc_id") % 2 == 1).select(
         "doc_id",
-        F.when(F.col("doc_id") % 10 == 9, F.col("doc_id") + 70000)
+        F.when(F.col("doc_id") % 10 == 9, F.col("doc_id") + 100000)
          .otherwise(F.col("doc_id")).alias("img"))
     batch = image_perceptual_hashes(synth_png_gray(odds, id_col="img")) \
         .select(F.col("media_id").alias("img"), "ahash64") \

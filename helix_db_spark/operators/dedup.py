@@ -756,17 +756,11 @@ def hamming_near_dup_pairs(hashes: DataFrame, id_col: str, hash_col: str,
     The hash input is _mat()-materialized: both sides of the band
     self-join read it, and recomputing it re-runs the upstream
     decode+hash mapInPandas chain twice (the minhash sigs lesson)."""
-    width = 64 // bands
-    mask = (1 << width) - 1
     h = F.col(hash_col)
     hashes = _mat(hashes.select(id_col, hash_col))
     banded = hashes.select(
         F.col(id_col), h.alias("_h"),
-        F.explode(F.array(*[
-            F.struct(F.lit(j).alias("band_idx"),
-                     F.shiftrightunsigned(h, width * j)
-                      .bitwiseAND(F.lit(mask)).alias("band_val"))
-            for j in range(bands)])).alias("_b")) \
+        F.explode(F.array(*_hash_bands(h, bands))).alias("_b")) \
         .select(id_col, "_h", "_b.band_idx", "_b.band_val")
     banded = _cap_buckets(banded, ["band_idx", "band_val"], max_bucket)
     left = banded.select(F.col(id_col).alias("id_a"),

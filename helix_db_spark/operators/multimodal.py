@@ -2117,10 +2117,13 @@ AUDIO_SYNTH_RATE = 8000
 
 def _synth_pcm16(media_id: int, paired: bool = False) -> "np.ndarray":
     """The shared PCM lattice: ``x = (d*40503 + i*2654435761 + 12345) %
-    65536; s[i] = x*x % 65536 - 32768`` with ``d = id % 65536`` and ``n =
-    256 + (id % 16) * 64``. The square feeds the 2*d*i cross-term back
-    into the low 16 bits, so clips differ in SHAPE per id, not just phase
-    (an affine-in-i lattice makes every clip the same sawtooth shifted).
+    65536; s[i] = (x*x + x) % 65536 - 32768`` with ``d = id % 65536`` and
+    ``n = 256 + (id % 16) * 64``. The square feeds the 2*d*i cross-term
+    back into the low 16 bits, so clips differ in SHAPE per id, not just
+    phase (an affine-in-i lattice makes every clip the same sawtooth
+    shifted); the linear ``+ x`` breaks the mod-2^16 square's top-bit
+    collapse ((x+32768)^2 == x^2 mod 2^16, which would make clips whose
+    offsets differ by exactly 32768 IDENTICAL).
     Pure 64-bit-safe integer arithmetic (x < 2^16 so x*x < 2^32; the
     pre-mod sum < 2^45), so a SQL oracle regenerates the exact waveform
     with a list comprehension while the engine round-trips it through a
@@ -2138,7 +2141,7 @@ def _synth_pcm16(media_id: int, paired: bool = False) -> "np.ndarray":
     n = 256 + (base % 16) * 64
     i = np.arange(n, dtype=np.int64)
     x = (d * 40503 + i * 2654435761 + 12345) % 65536
-    p = (x * x) % 65536
+    p = (x * x + x) % 65536
     if paired and mid % 2 == 1:
         p = np.where(i % 61 == 0, p ^ 15, p)
     return p - 32768
@@ -2444,15 +2447,19 @@ def audio_spectral_features(df: DataFrame, content_col: str = "content",
 def synth_png_gray(df: DataFrame, id_col: str = "doc_id",
                    side: int = 16) -> DataFrame:
     """Fabricate grayscale PNGs whose pixels are a pure-integer function
-    of the id: ``x = (d*48271 + i*69621 + 7) % 65536; y = (x*x + i) %
-    65536; p[i] = y*y % 251`` with ``d = (id - id%2) % 65536`` —
+    of the id: ``x = (d*48271 + i*69621 + 7) % 65536; y = (x*x + x + i)
+    % 65536; p[i] = y*y % 251`` with ``d = (id - id%2) % 65536`` —
     consecutive even/odd ids share a base image, and the odd one is
     perturbed (+4 on every 37th pixel), planting near-duplicate pairs a
     perceptual-hash dedup must find. TWO squaring rounds with index
     re-injection: one round leaves images whose offsets differ by
     structured deltas correlated (a 2500-base sweep found 4052 base pairs
     within Hamming 8; two rounds -> 0), and uncorrelated unrelated images
-    are what keeps the banded join linear at corpus scale. Exactly
+    are what keeps the banded join linear at corpus scale. The linear
+    ``+ x`` in the y-stage breaks the mod-2^16 square's top-bit collapse
+    ((x+32768)^2 == x^2 mod 2^16: without it, bases exactly 32768 apart
+    yield IDENTICAL images — measured as 330 false "duplicates" in the
+    sf0.1 incremental-dedup novel branch). Exactly
     SQL-regenerable (x, y < 2^16 so the squares < 2^32), but the bytes go
     through a REAL PNG encode
     (zlib, filter 0) + decode, so downstream hashing exercises the
@@ -2480,7 +2487,7 @@ def synth_png_gray(df: DataFrame, id_col: str = "doc_id",
                 mid = int(mid)
                 d = (mid - mid % 2) % 65536
                 x = (d * 48271 + i * 69621 + 7) % 65536
-                y = (x * x + i) % 65536
+                y = (x * x + x + i) % 65536
                 p = (y * y) % 251
                 if mid % 2 == 1:
                     p = p + np.where(i % 37 == 0, 4, 0)
@@ -2624,7 +2631,7 @@ def synth_avi_dib(df: DataFrame, id_col: str = "doc_id",
     """Fabricate uncompressed-DIB AVI clips (2 + id%4 frames of side x
     side gray-as-RGB pixels) whose per-frame pixels are a pure-integer
     function of (id, frame, index): ``x = (d*40503 + f*1299721 + i*69621
-    + 7) % 65536; y = (x*x + i) % 65536; v = y*y % 251`` — the
+    + 7) % 65536; y = (x*x + x + i) % 65536; v = y*y % 251`` — the
     double-square decorrelation of synth_png_gray, extended with a frame
     term. The final modulus must be the PRIME 251, not 256: squares mod
     2^k depend only on the input's low k-1 bits, so ``% 256`` collapses
@@ -2662,7 +2669,7 @@ def synth_avi_dib(df: DataFrame, id_col: str = "doc_id",
                 frames = []
                 for f in range(nf):
                     x = (d * 40503 + f * 1299721 + i * 69621 + 7) % 65536
-                    y = (x * x + i) % 65536
+                    y = (x * x + x + i) % 65536
                     v = ((y * y) % 251).astype(np.uint8).reshape(side, side)
                     bgr = np.repeat(v[::-1, :, None], 3, axis=2)  # bottom-up
                     rows = bgr.reshape(side, side * 3)
