@@ -1846,6 +1846,93 @@ FROM ys
 """
 
 
+# Video near-dup — the fourth leg of the near-dup family (text minhash,
+# image aHash, audio energy fingerprint, video majority-bit clip
+# fingerprint), all through ONE banded-Hamming engine with band-replay
+# oracles. Paired clips (even/odd share a base; odd brightens every
+# 37th pixel of every frame) -> real AVI decode -> per-frame aHash ->
+# strict-majority fold -> banded join. The oracle recomputes per-frame
+# bits, votes per position, reassembles bands, and replays the join.
+_VIDEO_NEARDUP_ORACLE = """
+WITH vbase AS (
+  SELECT doc_id, (doc_id - doc_id % 2) % 65536 AS d, doc_id % 2 AS odd,
+         2 + ((doc_id - doc_id % 2) % 4) AS nf
+  FROM documents
+), vfr AS (
+  SELECT doc_id, d, odd, nf,
+         unnest([f for f in generate_series(0, nf - 1)]) AS f
+  FROM vbase
+), vxs AS (
+  SELECT doc_id, odd, nf, f,
+    [ (d * 40503 + f * 1299721 + i * 69621 + 7) % 65536
+      for i in generate_series(0, 255) ] AS xl
+  FROM vfr
+), vys AS (
+  SELECT doc_id, odd, nf, f,
+    [ (xl[i + 1] * xl[i + 1] + xl[i + 1] + i) % 65536
+      for i in generate_series(0, 255) ] AS yl
+  FROM vxs
+), vpx AS (
+  SELECT doc_id, nf, f,
+    [ yl[i + 1] * yl[i + 1] % 251
+      + CASE WHEN odd = 1 AND i % 37 = 0 THEN 4 ELSE 0 END
+      for i in generate_series(0, 255) ] AS p
+  FROM vys
+), vblk AS (
+  SELECT doc_id, nf, f,
+    [ p[(k // 8) * 32 + (k % 8) * 2 + 1] + p[(k // 8) * 32 + (k % 8) * 2 + 2]
+    + p[(k // 8) * 32 + (k % 8) * 2 + 17] + p[(k // 8) * 32 + (k % 8) * 2 + 18]
+      for k in generate_series(0, 63) ] AS b,
+    list_sum(p) AS t
+  FROM vpx
+), vbitrows AS (
+  SELECT doc_id, nf, k,
+         CASE WHEN 64 * b[k + 1] > t THEN 1 ELSE 0 END AS bit
+  FROM vblk, generate_series(0, 63) AS g(k)
+), vones AS (
+  SELECT doc_id, k, max(nf) AS nf, sum(bit) AS ones
+  FROM vbitrows GROUP BY doc_id, k
+), vmaj AS (
+  SELECT doc_id, k,
+         CASE WHEN 2 * ones > nf THEN 1 ELSE 0 END AS bit
+  FROM vones
+), vbits AS (
+  SELECT doc_id, list(bit ORDER BY k) AS bits
+  FROM vmaj GROUP BY doc_id
+), vbands AS (
+  SELECT doc_id, bits, j AS band_idx,
+    list_sum([bits[16 * j + m + 1] * (1 << m)
+              for m in generate_series(0, 15)]) AS band_val
+  FROM vbits, generate_series(0, 3) AS g2(j)
+), vcand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM vbands a JOIN vbands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT * FROM (
+  SELECT id_a, id_b,
+    CAST(list_sum([CASE WHEN ba.bits[i] != bb.bits[i] THEN 1 ELSE 0 END
+                   for i in generate_series(1, 64)]) AS BIGINT) AS hamming
+  FROM vcand JOIN vbits ba ON ba.doc_id = vcand.id_a
+             JOIN vbits bb ON bb.doc_id = vcand.id_b
+) WHERE hamming <= 8
+"""
+
+
+@q("video_neardup_fingerprint", _VIDEO_NEARDUP_ORACLE)
+def video_neardup_fingerprint(spark, sf_dir):
+    """Paired synth AVI -> real decode -> per-frame aHash ->
+    strict-majority clip fingerprint -> the SAME banded Hamming join as
+    text/image/audio near-dup."""
+    from .operators.dedup import hamming_near_dup_pairs
+    from .operators.multimodal import (synth_avi_dib, video_fingerprint64,
+                                       video_frame_stats)
+    vid = synth_avi_dib(_docs(spark, sf_dir), paired=True)
+    fp = video_fingerprint64(video_frame_stats(vid))
+    return hamming_near_dup_pairs(fp, "media_id", "vfp64", max_hamming=8)
+
+
 # Incremental media dedup against the on-disk Hamming fingerprint index
 # (store_hamming_index / incremental_hamming_dedup): the corpus is the
 # even docs' images, the batch the odd docs' — each a near-dup of its

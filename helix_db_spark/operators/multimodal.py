@@ -2627,7 +2627,8 @@ def image_near_dup_pairs(hashes: DataFrame, id_col: str = "media_id",
 
 
 def synth_avi_dib(df: DataFrame, id_col: str = "doc_id",
-                  side: int = 16, fps: int = 10) -> DataFrame:
+                  side: int = 16, fps: int = 10,
+                  paired: bool = False) -> DataFrame:
     """Fabricate uncompressed-DIB AVI clips (2 + id%4 frames of side x
     side gray-as-RGB pixels) whose per-frame pixels are a pure-integer
     function of (id, frame, index): ``x = (d*40503 + f*1299721 + i*69621
@@ -2639,7 +2640,13 @@ def synth_avi_dib(df: DataFrame, id_col: str = "doc_id",
     28 frames yielded 9 distinct images). r=g=b=v makes ITU-601 integer luma the identity, so a SQL
     oracle regenerates the exact per-frame luma while the bytes go
     through the REAL RIFF AVI + BITMAPINFOHEADER decode path (bottom-up
-    BGR rows, 4-byte stride). Arrow-batched mapInPandas."""
+    BGR rows, 4-byte stride). Arrow-batched mapInPandas.
+
+    ``paired=True`` plants video near-duplicates like synth_png_gray:
+    even/odd ids share a base clip (d, frame count from ``id - id%2``)
+    and the odd one brightens every 37th pixel of EVERY frame by +4 —
+    a re-encode-ish global tweak the majority-bit clip fingerprint must
+    shrug off."""
     import struct
 
     schema = T.StructType([
@@ -2664,13 +2671,17 @@ def synth_avi_dib(df: DataFrame, id_col: str = "doc_id",
             ids, blobs, metas = [], [], []
             for mid in pdf[id_col]:
                 mid = int(mid)
-                d = mid % 65536
-                nf = 2 + mid % 4
+                base = mid - mid % 2 if paired else mid
+                d = base % 65536
+                nf = 2 + base % 4
                 frames = []
                 for f in range(nf):
                     x = (d * 40503 + f * 1299721 + i * 69621 + 7) % 65536
                     y = (x * x + x + i) % 65536
-                    v = ((y * y) % 251).astype(np.uint8).reshape(side, side)
+                    v = (y * y) % 251
+                    if paired and mid % 2 == 1:
+                        v = v + np.where(i % 37 == 0, 4, 0)
+                    v = v.astype(np.uint8).reshape(side, side)
                     bgr = np.repeat(v[::-1, :, None], 3, axis=2)  # bottom-up
                     rows = bgr.reshape(side, side * 3)
                     if stride > side * 3:
@@ -2806,3 +2817,29 @@ def image_luma_stats(df: DataFrame,
             yield pdf
 
     return df.mapInPandas(run, schema)
+
+
+def video_fingerprint64(frames: DataFrame, id_col: str = "media_id",
+                        hash_col: str = "ahash64") -> DataFrame:
+    """Majority-bit fold of per-frame perceptual hashes -> one 64-bit
+    clip fingerprint (bit k set iff a STRICT majority of decoded frames
+    set bit k): pure built-ins — 64 conditional-sum aggregates in one
+    partial-aggregable groupBy, so the fold map-side combines and the
+    only shuffle is on the clip id. Re-encodes and global brightness
+    tweaks flip few per-frame bits, so near-duplicate clips land a few
+    Hamming bits apart and dedup.hamming_near_dup_pairs (the shared
+    text/image/audio engine) finds them. Frames with null hashes
+    (sub-grid or undecodable) are excluded from the vote."""
+    h = F.col(hash_col)
+    aggs = [F.sum(F.shiftrightunsigned(h, k).bitwiseAND(F.lit(1)))
+            .alias(f"_o{k}") for k in range(64)]
+    g = (frames.filter(h.isNotNull())
+         .groupBy(id_col)
+         .agg(F.count(F.lit(1)).alias("_n"), *aggs))
+    fp = F.lit(0).cast("long")
+    for k in range(64):
+        fp = fp.bitwiseOR(
+            F.when(2 * F.col(f"_o{k}") > F.col("_n"),
+                   F.shiftleft(F.lit(1).cast("long"), k))
+             .otherwise(F.lit(0).cast("long")))
+    return g.select(F.col(id_col), fp.alias("vfp64"))

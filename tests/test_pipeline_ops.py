@@ -3263,3 +3263,62 @@ def test_incremental_hamming_dedup(spark, tmp_path):
         .queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "_bucket" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_video_fingerprint_neardup(spark):
+    """Clip fingerprint vs an INDEPENDENT majority recompute; paired
+    clips land within a few Hamming bits, unrelated clips far; null
+    frame hashes are excluded from the vote."""
+    import numpy as np
+
+    from helix_db_spark.operators import multimodal
+    from helix_db_spark.operators.dedup import hamming_near_dup_pairs
+    from helix_db_spark.operators.multimodal import (synth_avi_dib,
+                                                     video_fingerprint64,
+                                                     video_frame_stats)
+
+    docs = spark.createDataFrame([(i,) for i in range(16)], "doc_id long")
+    frames = video_frame_stats(synth_avi_dib(docs, paired=True))
+    out = {r.media_id: r.vfp64
+           for r in video_fingerprint64(frames).collect()}
+
+    def ref_fp(mid):
+        base = mid - mid % 2
+        d, nf = base % 65536, 2 + base % 4
+        i = np.arange(256, dtype=np.int64)
+        ones = np.zeros(64, dtype=np.int64)
+        for f in range(nf):
+            x = (d * 40503 + f * 1299721 + i * 69621 + 7) % 65536
+            y = (x * x + x + i) % 65536
+            p = (y * y) % 251 + np.where((i % 37 == 0) & (mid % 2 == 1),
+                                         4, 0)
+            g = p.reshape(16, 16)
+            blk = g.reshape(8, 2, 8, 2).sum(axis=(1, 3)).ravel()
+            t = int(g.sum())
+            ones += (64 * blk > t).astype(np.int64)
+        v = sum(1 << k for k in range(64) if 2 * int(ones[k]) > nf)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    for mid in (0, 1, 7, 14):
+        assert out[mid] == ref_fp(mid), mid
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    for even in range(0, 16, 2):
+        assert ham(out[even], out[even + 1]) <= 6
+    far = [ham(out[a], out[b])
+           for a in range(0, 16, 2) for b in range(a + 2, 16, 2)]
+    assert np.mean(far) > 20
+
+    pairs = {(r.id_a, r.id_b) for r in hamming_near_dup_pairs(
+        video_fingerprint64(frames), "media_id", "vfp64",
+        max_hamming=8).collect()}
+    assert {(e, e + 1) for e in range(0, 16, 2)} <= pairs
+
+    # a clip whose frames all fail to hash contributes no fingerprint
+    junk = spark.createDataFrame(
+        [(99, "video", bytearray(b"garbage"), None)],
+        multimodal.MEDIA_SCHEMA)
+    jf = video_frame_stats(junk)
+    assert video_fingerprint64(jf).count() == 0
