@@ -256,3 +256,51 @@ def stream_dedup_ingest(docs: DataFrame, id_col: str, text_col: str,
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def stream_media(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming media source: a parquet dir of MEDIA_SCHEMA rows
+    (media_id, media_type, content, meta). Parquet for tests; at cluster
+    scale the same columns arrive from Kafka (binary value payloads) or
+    a cloud-storage drop zone — the downstream plan is source-agnostic."""
+    from ..operators.multimodal import MEDIA_SCHEMA
+
+    return (spark.readStream.format("parquet").schema(MEDIA_SCHEMA)
+            .option("maxFilesPerTrigger", "4")
+            .load(path))
+
+
+def stream_media_features(media: DataFrame) -> DataFrame:
+    """Streaming media featurization: per-modality decode + content
+    features on a STREAMING frame — the multimodal mapInPandas operators
+    are stateless per-row maps, so they compose with Structured
+    Streaming unchanged (same Arrow-batched decode path, micro-batch at
+    a time; no state, no watermark needed). Emits one row per media item
+    with the modality's gate features:
+
+    - image -> (ahash64, luma_sum, n_px)    — near-dup key + dark gate
+    - audio -> (zcr, peak, energy, rms, ..) — silence/clipping gates
+
+    Video rides the same pattern via video_frame_stats (one-to-many per
+    clip) — kept out of this helper so its output stays one-row-per-item.
+    Batch-twin equivalence is pinned in tests/test_streaming.py."""
+    from ..operators.multimodal import (audio_time_features,
+                                        image_luma_stats,
+                                        image_perceptual_hashes)
+
+    img = media.filter(F.col("media_type") == "image")
+    img = image_perceptual_hashes(img)
+    img = image_luma_stats(img).select(
+        "media_id", F.lit("image").alias("media_type"),
+        "ahash64", "luma_sum", "n_px",
+        F.lit(None).cast("long").alias("zcr"),
+        F.lit(None).cast("long").alias("peak"),
+        F.lit(None).cast("double").alias("rms"))
+    aud = audio_time_features(
+        media.filter(F.col("media_type") == "audio")).select(
+        "media_id", F.lit("audio").alias("media_type"),
+        F.lit(None).cast("long").alias("ahash64"),
+        F.lit(None).cast("long").alias("luma_sum"),
+        F.lit(None).cast("int").alias("n_px"),
+        "zcr", "peak", "rms")
+    return img.unionByName(aud)

@@ -308,3 +308,42 @@ def test_stream_dedup_ingest_grows_index(spark, tmp_path):
         ann[500003]["match_id"] == 500002
     # batches processed separately (file-per-trigger)
     assert ann[500001]["_batch"] != ann[500003]["_batch"]
+
+
+def test_stream_media_features_batch_twin(spark, tmp_path):
+    """The multimodal decode operators compose with Structured Streaming
+    unchanged (stateless Arrow-batched maps): an availableNow run over a
+    media parquet dir produces EXACTLY the batch plan's rows."""
+    from pyspark.sql import functions as F
+
+    from helix_db_spark.streaming.ingest import (run_to_memory,
+                                                 stream_media,
+                                                 stream_media_features)
+    from helix_db_spark.operators.multimodal import (synth_png_gray,
+                                                     synth_wav_pcm16)
+
+    docs = spark.createDataFrame([(i,) for i in range(24)], "doc_id long")
+    media = synth_png_gray(docs).unionByName(synth_wav_pcm16(docs)) \
+        .withColumn("media_id",
+                    F.when(F.col("media_type") == "audio",
+                           F.col("media_id") + 1000)
+                     .otherwise(F.col("media_id")))
+    src = str(tmp_path / "media")
+    media.repartition(6).write.parquet(src)
+
+    stream = stream_media_features(stream_media(spark, src))
+    assert stream.isStreaming
+    run_to_memory(stream, "media_feats")
+    got = {(r.media_id, r.media_type): r
+           for r in spark.sql("SELECT * FROM media_feats").collect()}
+
+    batch = {(r.media_id, r.media_type): r
+             for r in stream_media_features(media).collect()}
+    assert set(got) == set(batch) and len(got) == 48
+    for k in got:
+        assert tuple(got[k]) == tuple(batch[k]), k
+    # spot-check modality columns landed on the right side
+    img = got[(3, "image")]
+    assert img.ahash64 is not None and img.zcr is None
+    aud = got[(1003, "audio")]
+    assert aud.zcr is not None and aud.ahash64 is None
