@@ -1930,6 +1930,12 @@ def video_neardup_fingerprint(spark, sf_dir):
                                        video_frame_stats)
     vid = synth_avi_dib(_docs(spark, sf_dir), paired=True)
     fp = video_fingerprint64(video_frame_stats(vid))
+    # max_hamming=8 is the VERIFY threshold; the 4-band join only
+    # GUARANTEES recall for hamming <= 3 (pigeonhole) — pairs at 4-8
+    # are found when any band happens to match. Measured: every planted
+    # pair surfaces at both graded sfs (majority voting keeps planted
+    # hamming low); the oracle replays the same band join, so engine
+    # and oracle agree on the opportunistic region by construction.
     return hamming_near_dup_pairs(fp, "media_id", "vfp64", max_hamming=8)
 
 

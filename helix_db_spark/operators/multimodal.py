@@ -2578,31 +2578,42 @@ def image_perceptual_hashes(df: DataFrame,
     pixels matches bit-for-bit: ``ahash64`` (_ahash64 over integer luma)
     and ``dhash64`` (_dhash64) — the same helpers video_frame_stats
     applies per frame, so identical pixels hash identically across
-    modalities. Undecodable bytes or images smaller than the hash grid
-    yield null hashes, never a crash."""
+    modalities. Also emits ``luma_sum``/``n_px`` from the SAME decoded
+    gray plane (decode dominates this operator's cost — a downstream
+    image_luma_stats would pay the full PNG decode a second time for
+    numbers already in hand). Undecodable bytes yield null columns;
+    images smaller than the hash grid yield null hashes but real luma
+    stats, never a crash."""
     backend = _try_decode_backend("image")
 
     schema = T.StructType(list(df.schema.fields) + [
         T.StructField("ahash64", T.LongType()),
         T.StructField("dhash64", T.LongType()),
+        T.StructField("luma_sum", T.LongType()),
+        T.StructField("n_px", T.IntegerType()),
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
         for pdf in batches:
-            ah, dh = [], []
+            ah, dh, ls, npx = [], [], [], []
             for b in pdf[content_col]:
                 if b is None:
                     ah.append(None); dh.append(None)
+                    ls.append(None); npx.append(None)
                     continue
                 try:
                     gray = _int_gray(backend.open(io.BytesIO(bytes(b))))
                     ah.append(_ahash64(gray)); dh.append(_dhash64(gray))
+                    ls.append(int(gray.sum())); npx.append(int(gray.size))
                 except Exception:   # undecodable -> null row, not a crash
                     ah.append(None); dh.append(None)
+                    ls.append(None); npx.append(None)
             pdf["ahash64"] = pd.array(ah, dtype="Int64")
             pdf["dhash64"] = pd.array(dh, dtype="Int64")
+            pdf["luma_sum"] = pd.array(ls, dtype="Int64")
+            pdf["n_px"] = pd.array(npx, dtype="Int32")
             yield pdf
 
     return df.mapInPandas(run, schema)

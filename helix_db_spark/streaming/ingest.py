@@ -285,12 +285,12 @@ def stream_media_features(media: DataFrame) -> DataFrame:
     clip) — kept out of this helper so its output stays one-row-per-item.
     Batch-twin equivalence is pinned in tests/test_streaming.py."""
     from ..operators.multimodal import (audio_time_features,
-                                        image_luma_stats,
                                         image_perceptual_hashes)
 
-    img = media.filter(F.col("media_type") == "image")
-    img = image_perceptual_hashes(img)
-    img = image_luma_stats(img).select(
+    # one decode per image: image_perceptual_hashes emits luma_sum/n_px
+    # from the same gray plane the hashes use
+    img = image_perceptual_hashes(
+        media.filter(F.col("media_type") == "image")).select(
         "media_id", F.lit("image").alias("media_type"),
         "ahash64", "luma_sum", "n_px",
         F.lit(None).cast("long").alias("zcr"),
