@@ -867,3 +867,27 @@ def incremental_hamming_dedup(spark, new_hashes: DataFrame, id_col: str,
                     F.col("_m").isNotNull().alias("is_duplicate"),
                     F.col("_m.corpus_id").alias("match_id"),
                     F.col("_m._ham").alias("match_hamming")))
+
+
+def append_to_hamming_index(hashes: DataFrame, id_col: str, hash_col: str,
+                            root: str) -> None:
+    """Append new fingerprints into a :func:`store_hamming_index` layout
+    (same banding/bucketing, ``mode=append``) so later batches dedup
+    against them — append_to_dedup_index for the fingerprint family.
+    Replay-safe: a re-delivered append only duplicates band rows, which
+    collapse in the probe's pair dropDuplicates, and self-matches are
+    filtered by id."""
+    import json
+    import os
+
+    with open(os.path.join(root, "meta.json")) as f:
+        meta = json.load(f)
+    h = F.col(hash_col)
+    banded = hashes.select(
+        F.col(id_col).alias("corpus_id"), h.alias("fp"),
+        F.explode(F.array(*_hash_bands(h, meta["bands"]))).alias("_b")) \
+        .select("corpus_id", "fp", "_b.band_idx", "_b.band_val")
+    (banded.withColumn("_bucket", F.pmod(F.col("band_val"),
+                                         meta["buckets"]))
+           .write.mode("append").partitionBy("_bucket")
+           .parquet(os.path.join(root, "bands")))

@@ -304,3 +304,44 @@ def stream_media_features(media: DataFrame) -> DataFrame:
         F.lit(None).cast("int").alias("n_px"),
         "zcr", "peak", "rms")
     return img.unionByName(aud)
+
+
+def stream_media_dedup_ingest(media: DataFrame, index_root: str,
+                              out_path: str, max_hamming: int = 8,
+                              checkpoint: Optional[str] = None):
+    """Continuous-ingest media dedup — stream_dedup_ingest for the
+    fingerprint family: every micro-batch of image rows is hashed
+    (image_perceptual_hashes, the real decode), classified against the
+    on-disk Hamming index (incremental_hamming_dedup: bounded,
+    partition-pruned probe), annotations land in per-batch directories
+    (replay-safe overwrite), and NOVEL fingerprints append into the
+    index so later batches dedup against them. foreachBatch for the same
+    reasons as the text path: the pruned index slice depends on each
+    batch's bucket set, and the index grows between batches."""
+    from ..operators.dedup import (append_to_hamming_index,
+                                   incremental_hamming_dedup)
+    from ..operators.multimodal import image_perceptual_hashes
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        hashes = image_perceptual_hashes(batch_df) \
+            .select("media_id", "ahash64") \
+            .filter(F.col("ahash64").isNotNull()).persist()
+        ann = incremental_hamming_dedup(
+            batch_df.sparkSession, hashes, "media_id", "ahash64",
+            index_root, max_hamming=max_hamming).persist()
+        ann.write.mode("overwrite") \
+           .parquet(f"{out_path}/_batch={int(batch_id)}")
+        novel = hashes.join(
+            ann.filter(~F.col("is_duplicate")).select("media_id"),
+            on="media_id", how="left_semi")
+        append_to_hamming_index(novel, "media_id", "ahash64", index_root)
+        ann.unpersist()
+        hashes.unpersist()
+
+    writer = media.writeStream.foreachBatch(_process) \
+        .trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -347,3 +347,56 @@ def test_stream_media_features_batch_twin(spark, tmp_path):
     assert img.ahash64 is not None and img.zcr is None
     aud = got[(1003, "audio")]
     assert aud.zcr is not None and aud.ahash64 is None
+
+
+def test_stream_media_dedup_ingest_grows_index(spark, tmp_path):
+    """Continuous media dedup: micro-batch N+1 must dedup against the
+    NOVEL fingerprints micro-batch N appended to the on-disk index."""
+    from pyspark.sql import functions as F
+
+    from helix_db_spark.operators.dedup import store_hamming_index
+    from helix_db_spark.operators.multimodal import (
+        image_perceptual_hashes, synth_png_gray)
+    from helix_db_spark.streaming.ingest import stream_media_dedup_ingest
+
+    corpus_ids = spark.createDataFrame([(i,) for i in range(0, 40, 2)],
+                                       "doc_id long")
+    root = str(tmp_path / "idx")
+    store_hamming_index(
+        image_perceptual_hashes(synth_png_gray(corpus_ids))
+        .select("media_id", "ahash64"), "media_id", "ahash64", root)
+
+    def media_for(pairs):
+        """(media_id, image_source_id) rows -> MEDIA_SCHEMA parquet df."""
+        ids = spark.createDataFrame(pairs, "media_id long, img long")
+        return synth_png_gray(ids, id_col="img") \
+            .withColumnRenamed("media_id", "img_id") \
+            .join(ids.withColumnRenamed("img", "img_id"), "img_id") \
+            .select("media_id", "media_type", "content", "meta")
+
+    src = str(tmp_path / "feed")
+    # batch 1: a twin of corpus image 10 + a genuinely novel image
+    media_for([(501, 11), (502, 200001)]).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    # batch 2: the SAME novel image again — a dup only if batch 1's
+    # novelty was appended — plus its even-base twin (200001 is the
+    # odd-perturbed copy of 200000's base image)
+    media_for([(503, 200001), (504, 200000)]).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    from helix_db_spark.operators.multimodal import MEDIA_SCHEMA
+    stream = (spark.readStream.format("parquet").schema(MEDIA_SCHEMA)
+              .option("maxFilesPerTrigger", "1").load(src))
+    out = str(tmp_path / "ann")
+    q = stream_media_dedup_ingest(stream, root, out,
+                                  checkpoint=str(tmp_path / "ckpt"))
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    ann = {r.media_id: r for r in spark.read.parquet(out).collect()}
+    assert len(ann) == 4
+    assert ann[501].is_duplicate and ann[501].match_id == 10
+    assert not ann[502].is_duplicate          # novel in batch 1
+    assert ann[503].is_duplicate and ann[503].match_id == 502
+    assert ann[504].is_duplicate and ann[504].match_id == 502
