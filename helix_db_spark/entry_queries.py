@@ -1846,6 +1846,48 @@ FROM ys
 """
 
 
+# Real pixel resize graded: decode -> integer box downsample (output
+# pixel = floor(block mean), exact) -> real PNG re-encode -> decode the
+# thumbnail -> luma. The oracle folds the same 2x2 block sums // 4 over
+# the shared pixel lattice — the thumbnail path is pure integer
+# arithmetic end to end.
+_IMAGE_RESIZE_ORACLE = f"""
+WITH {{lattice}}, px AS (
+  SELECT doc_id, {{pixels}} AS p
+  FROM ys
+), rblk AS (
+  SELECT doc_id,
+    [ p[(k // 8) * 32 + (k % 8) * 2 + 1] + p[(k // 8) * 32 + (k % 8) * 2 + 2]
+    + p[(k // 8) * 32 + (k % 8) * 2 + 17] + p[(k // 8) * 32 + (k % 8) * 2 + 18]
+      for k in generate_series(0, 63) ] AS b
+  FROM px
+)
+SELECT doc_id,
+  CAST(8 AS INT) AS resized_width,
+  CAST(8 AS INT) AS resized_height,
+  CAST(list_sum([x // 4 for x in b]) AS BIGINT) AS luma_sum,
+  CAST(64 AS INT) AS n_px
+FROM rblk
+""".format(lattice=_PNG_LATTICE_CTES.format(extra=""),
+           pixels=_PNG_PIXEL_LIST)
+
+
+@q("image_resize_thumbs", _IMAGE_RESIZE_ORACLE)
+def image_resize_thumbs(spark, sf_dir):
+    """Synth PNG -> real decode -> exact integer box downsample 2x ->
+    real PNG re-encode -> decode the thumbnail -> integer luma (the
+    thumbnail/preview path of a multimodal training pipeline)."""
+    from .operators.multimodal import (image_luma_stats, image_resize,
+                                       synth_png_gray)
+    png = synth_png_gray(_docs(spark, sf_dir))
+    thumbs = image_resize(png, factor=2).select(
+        "media_id", F.col("resized").alias("content"),
+        "resized_width", "resized_height")
+    return image_luma_stats(thumbs).select(
+        F.col("media_id").alias("doc_id"),
+        "resized_width", "resized_height", "luma_sum", "n_px")
+
+
 # Video near-dup — the fourth leg of the near-dup family (text minhash,
 # image aHash, audio energy fingerprint, video majority-bit clip
 # fingerprint), all through ONE banded-Hamming engine with band-replay

@@ -2854,3 +2854,82 @@ def video_fingerprint64(frames: DataFrame, id_col: str = "media_id",
                    F.shiftleft(F.lit(1).cast("long"), k))
              .otherwise(F.lit(0).cast("long")))
     return g.select(F.col(id_col), fp.alias("vfp64"))
+
+
+def _encode_png(arr: "np.ndarray") -> bytes:
+    """Minimal PNG writer (zlib, filter 0): 2-D uint8 -> grayscale
+    (color type 0), (H, W, 3) uint8 -> RGB (color type 2). The encode
+    twin of _MiniPngBackend — lossless, so decode(encode(a)) == a."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body +
+                struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    a = np.ascontiguousarray(arr.astype(np.uint8))
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    raw = b"".join(b"\x00" + row.tobytes()
+                   for row in (a if gray else a.reshape(h, w * 3)))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if gray else 2, 0, 0, 0)
+    return (_MiniPngBackend._MAGIC + chunk(b"IHDR", ihdr) +
+            chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def image_resize(df: DataFrame, content_col: str = "content",
+                 factor: int = 2) -> DataFrame:
+    """REAL pixel resize: decode (real backend) -> integer box
+    downsample by ``factor`` -> real PNG re-encode. Each output pixel is
+    ``floor(block mean)`` computed in exact integer arithmetic
+    (array_split blocks via _grid_sums, so non-divisible dims work:
+    edge blocks just have smaller areas), per channel; grayscale
+    sources stay grayscale (one-channel PNG), color sources re-encode
+    RGB. Emits ``resized`` (PNG bytes) + ``resized_width/height``; the
+    original content column passes through untouched. Exactness makes
+    the thumbnail path SQL-verifiable when pixels are regenerable —
+    decode(resize(synth)) luma is pure integer arithmetic both sides.
+    Undecodable bytes yield null output columns, never a crash."""
+    backend = _try_decode_backend("image")
+
+    schema = T.StructType(list(df.schema.fields) + [
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("resized_width", T.IntegerType()),
+        T.StructField("resized_height", T.IntegerType()),
+    ])
+
+    def shrink(chan: "np.ndarray", rows: int, cols: int) -> "np.ndarray":
+        sums, areas = _grid_sums(chan.astype(np.int64), rows, cols)
+        return (sums // areas).astype(np.uint8)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in batches:
+            outs, ws, hs = [], [], []
+            for b in pdf[content_col]:
+                if b is None:
+                    outs.append(None); ws.append(None); hs.append(None)
+                    continue
+                try:
+                    img = backend.open(io.BytesIO(bytes(b)))
+                    rows = max(1, img.height // factor)
+                    cols = max(1, img.width // factor)
+                    if img.mode == "L":
+                        a = np.asarray(img, dtype=np.uint8)
+                        small = shrink(a, rows, cols)
+                    else:
+                        a = np.asarray(img.convert("RGB"), dtype=np.uint8)
+                        small = np.stack(
+                            [shrink(a[..., c], rows, cols)
+                             for c in range(3)], axis=2)
+                    outs.append(_encode_png(small))
+                    ws.append(cols); hs.append(rows)
+                except Exception:   # undecodable -> null row, not a crash
+                    outs.append(None); ws.append(None); hs.append(None)
+            pdf["resized"] = outs
+            pdf["resized_width"] = pd.array(ws, dtype="Int32")
+            pdf["resized_height"] = pd.array(hs, dtype="Int32")
+            yield pdf
+
+    return df.mapInPandas(run, schema)

@@ -3322,3 +3322,62 @@ def test_video_fingerprint_neardup(spark):
         multimodal.MEDIA_SCHEMA)
     jf = video_frame_stats(junk)
     assert video_fingerprint64(jf).count() == 0
+
+
+def test_image_resize_exact(spark):
+    """decode(resize(x)) pixels equal an INDEPENDENT integer block-floor
+    recompute; gray stays one-channel; RGB and non-divisible dims work;
+    _encode_png is lossless."""
+    import io
+
+    import numpy as np
+
+    from helix_db_spark.operators import multimodal
+    from helix_db_spark.operators.multimodal import (_encode_png,
+                                                     _MiniPngBackend,
+                                                     image_resize,
+                                                     synth_png_gray)
+
+    # lossless encoder round-trips (gray and RGB)
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    img = _MiniPngBackend.open(io.BytesIO(_encode_png(g)))
+    assert img.mode == "L" and np.array_equal(np.asarray(img), g)
+    rgb = np.arange(96, dtype=np.uint8).reshape(4, 8, 3)
+    img = _MiniPngBackend.open(io.BytesIO(_encode_png(rgb)))
+    assert img.mode == "RGB" and np.array_equal(np.asarray(img), rgb)
+
+    # synth 16x16 -> 8x8: pixels == block sums // 4 from the formula
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    out = {r.media_id: r for r in
+           image_resize(synth_png_gray(docs), factor=2).collect()}
+    i = np.arange(256, dtype=np.int64)
+    for mid in (0, 3, 5):
+        d = (mid - mid % 2) % 65536
+        x = (d * 48271 + i * 69621 + 7) % 65536
+        y = (x * x + x + i) % 65536
+        p = (y * y) % 251 + np.where((i % 37 == 0) & (mid % 2 == 1), 4, 0)
+        expect = p.reshape(8, 2, 8, 2).sum(axis=(1, 3)) // 4
+        r = out[mid]
+        assert (r.resized_width, r.resized_height) == (8, 8)
+        dec = _MiniPngBackend.open(io.BytesIO(bytes(r.resized)))
+        assert dec.mode == "L"              # gray stays one-channel
+        assert np.array_equal(np.asarray(dec), expect.astype(np.uint8))
+
+    # RGB source + non-divisible dims: 5x7 -> 2x3 via unequal blocks
+    arr = (np.arange(105, dtype=np.uint8) * 2).reshape(5, 7, 3)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(_encode_png(arr)), None),
+         (2, "image", bytearray(b"junk"), None)],
+        multimodal.MEDIA_SCHEMA)
+    rows = {r.media_id: r for r in image_resize(media, factor=2).collect()}
+    r = rows[1]
+    assert (r.resized_width, r.resized_height) == (3, 2)
+    dec = np.asarray(_MiniPngBackend.open(io.BytesIO(bytes(r.resized)))
+                     .convert("RGB"))
+    rsp = [np.array_split(range(5), 2), np.array_split(range(7), 3)]
+    for rr in range(2):
+        for cc in range(3):
+            for ch in range(3):
+                blk = arr[np.ix_(rsp[0][rr], rsp[1][cc], [ch])]
+                assert dec[rr, cc, ch] == int(blk.sum()) // blk.size
+    assert rows[2].resized is None          # undecodable -> nulls
