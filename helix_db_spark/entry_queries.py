@@ -3898,6 +3898,147 @@ def asof_next_purchase(spark, sf_dir):
         F.unix_timestamp("matched_ts").cast("long").alias("next_epoch"))
 
 
+@q("events_interval_join",
+   "WITH c AS (SELECT event_id, ts FROM events WHERE event_type = 'click'), "
+   "p AS (SELECT ts, value FROM events WHERE event_type = 'purchase') "
+   "SELECT c.event_id, count(*) AS n_nearby, "
+   "round(sum(p.value), 4) AS nearby_value "
+   "FROM c JOIN p ON p.ts >= c.ts - INTERVAL 300 SECOND "
+   "AND p.ts <= c.ts + INTERVAL 300 SECOND "
+   "GROUP BY c.event_id")
+def events_interval_join(spark, sf_dir):
+    """Keyless band join: every purchase within ±5 minutes of ANY click
+    (context-window mining — no user key to ride), aggregated per
+    click. The engine runs the bucketed interval join (each right row
+    keys to one time bucket, each left row to the <=2 covering buckets,
+    ordinary shuffled equi-join + exact band filter) instead of the
+    unpartitionable theta-join the oracle's inequality JOIN implies."""
+    from .operators.sampling import interval_join
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("event_id", "ts")
+    buys = ev.filter(F.col("event_type") == "purchase") \
+             .select(F.col("ts").alias("pts"), "value")
+    pairs = interval_join(clicks, buys, "ts", "pts", -300.0, 300.0)
+    return pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nearby"),
+        F.round(F.sum("value"), 4).alias("nearby_value"))
+
+
+@q("text_nb_classify",
+   f"""WITH tr AS (SELECT doc_id, lang, text FROM documents
+        WHERE doc_id % 5 <> 0),
+te AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+tt AS (SELECT lang AS lbl, unnest({_TOK.format(c='text')}) AS tok FROM tr),
+ct AS (SELECT lbl, tok, count(*) AS c FROM tt GROUP BY lbl, tok),
+ctot AS (SELECT lbl, sum(c) AS ntok FROM ct GROUP BY lbl),
+pri AS (SELECT lang AS lbl, count(*) AS ndocs FROM tr GROUP BY lang),
+tot AS (SELECT sum(ndocs) AS ntr FROM pri),
+voc AS (SELECT count(DISTINCT tok) AS v FROM ct),
+cls AS (SELECT pri.lbl, coalesce(ctot.ntok, 0) AS ntok,
+               ln(pri.ndocs / CAST(tot.ntr AS DOUBLE)) AS lpri
+        FROM pri LEFT JOIN ctot USING (lbl) CROSS JOIN tot),
+ttc AS (SELECT doc_id, tok, count(*) AS tc
+        FROM (SELECT doc_id, unnest({_TOK.format(c='text')}) AS tok FROM te)
+        GROUP BY doc_id, tok),
+sc AS (SELECT ttc.doc_id, cls.lbl,
+              sum(ttc.tc * ln((coalesce(ct.c, 0) + 1)
+                  / (CAST(cls.ntok AS DOUBLE) + voc.v))) AS stok
+       FROM ttc CROSS JOIN cls
+       LEFT JOIN ct ON ct.lbl = cls.lbl AND ct.tok = ttc.tok
+       CROSS JOIN voc GROUP BY ttc.doc_id, cls.lbl),
+sco AS (SELECT te.doc_id, te.lang AS true_lang, cls.lbl,
+               round(cls.lpri + coalesce(sc.stok, CAST(0 AS DOUBLE)), 6)
+                 AS score
+        FROM te CROSS JOIN cls
+        LEFT JOIN sc ON sc.doc_id = te.doc_id AND sc.lbl = cls.lbl),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        ORDER BY score DESC, lbl) AS rk FROM sco)
+SELECT doc_id, true_lang, lbl AS pred_lang, score AS log_score
+FROM r WHERE rk = 1""")
+def text_nb_classify(spark, sf_dir):
+    """Classifier-based corpus filtering: train a multinomial Naive
+    Bayes language model on the 80% of docs with doc_id % 5 != 0
+    (training is ONE groupBy — closed form, no solver) and score the
+    held-out 20%, emitting the argmax class per doc. The fastText-shaped
+    step of CCNet / GPT-3-style curation; ranking follows the repo's
+    cross-engine float contract (round to 6 decimals BEFORE the argmax
+    on both engines, label tiebreak)."""
+    from .operators.textstats import nb_classify
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    return nb_classify(train, test, "doc_id", "text", "lang")
+
+
+@q("bucketed_colocated_join",
+   "SELECT c.c_custkey, c.c_mktsegment, "
+   "count(o.o_orderkey) AS n_orders, "
+   "round(sum(o.o_totalprice), 2) AS total_spend "
+   "FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey "
+   "GROUP BY c.c_custkey, c.c_mktsegment")
+def bucketed_colocated_join(spark, sf_dir):
+    """Shuffle-amortized fact join: customer and orders are written ONCE
+    per (session, sf) as identically-bucketed tables on the customer
+    key (sources/bucketed.py — the write-time shuffle both sides of
+    every future join would otherwise re-pay), then join + per-customer
+    rollup run with ZERO exchanges: SortMergeJoin reads bucket i of
+    each side in one task and the groupBy rides the same distribution
+    (plan pinned in tests/test_plans.py). The Spark-native spelling of
+    the reference's pre-clustered adjacency storage."""
+    import hashlib
+    import os
+
+    from .sources.bucketed import bucket_df, colocated_join
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    cust_t = f"hx_bkt_customer_{tag}_{os.getpid()}"
+    ord_t = f"hx_bkt_orders_{tag}_{os.getpid()}"
+
+    def build(root):
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+                    .select("c_custkey", "c_mktsegment")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+                      .select(F.col("o_custkey").alias("c_custkey"),
+                              "o_orderkey", "o_totalprice")
+        bucket_df(spark, cust, cust_t, "c_custkey",
+                  os.path.join(root, "customer"))
+        bucket_df(spark, orders, ord_t, "c_custkey",
+                  os.path.join(root, "orders"))
+
+    _artifact_dir(spark, sf_dir, "bkt", build)
+    out = colocated_join(spark.table(cust_t), spark.table(ord_t),
+                         "c_custkey")
+    return out.groupBy("c_custkey", "c_mktsegment").agg(
+        F.count("o_orderkey").cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+
+
+@q("jsonl_ingest",
+   "SELECT doc_id, lang, source, n_chars, md5(text) AS digest "
+   "FROM documents")
+def jsonl_ingest(spark, sf_dir):
+    """JSONL corpus on-ramp (the dominant LLM dump format: The Pile /
+    RedPajama ship line-delimited JSON): the corpus is written once per
+    (session, sf) as .jsonl under _artifact_dir, mounted back through
+    sources.generic.read_documents with an explicit schema (no
+    inference pass over 100 TB), and verified by per-doc digest — the
+    graded cost is the read, and the oracle pins the roundtrip
+    (escaping, NULLs, bigints) against the parquet original."""
+    from .sources.generic import read_documents
+    docs = _docs(spark, sf_dir)
+
+    def build(root):
+        docs.write.json(root)
+
+    root = _artifact_dir(spark, sf_dir, "jsonl", build)
+    got = read_documents(
+        spark, root, fmt="json",
+        schema="doc_id BIGINT, text STRING, lang STRING, "
+               "source STRING, n_chars BIGINT")
+    return got.select("doc_id", "lang", "source", "n_chars",
+                      F.md5("text").alias("digest"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract surface
 # ---------------------------------------------------------------------------

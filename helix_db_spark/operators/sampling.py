@@ -384,3 +384,54 @@ def quantile_bins(df: DataFrame, col: str, bins: int = 10) -> DataFrame:
     return (df.crossJoin(F.broadcast(cuts))
               .withColumn("bin", bin_col)
               .drop("_cuts"))
+
+
+def interval_join(left: DataFrame, right: DataFrame,
+                  left_ts: str, right_ts: str,
+                  lower_s: float, upper_s: float,
+                  by: Optional[Sequence[str]] = None) -> DataFrame:
+    """Band / interval join: every (l, r) pair with
+    ``r.ts in [l.ts + lower_s, l.ts + upper_s]`` (bounds inclusive,
+    seconds; negative lower looks back). The context-window primitive —
+    "events near an anchor", co-occurrence mining, nearby-transaction
+    features — WITHOUT an equi key to ride.
+
+    Spark-first shape (the standard bucketed band join): with window
+    width w = upper - lower, each right row keys to its single time
+    bucket ``t div w`` and each left row explodes to the <= 2 buckets
+    covering ``[t+lower, t+upper]``; an ordinary shuffled equi-join on
+    the bucket (plus any ``by`` keys) yields candidates, and the exact
+    band predicate filters them. Every true pair is found exactly once
+    (the right row's one bucket always lies in the left row's cover
+    range; monotone integer div), so no dedup pass. A naive theta-join
+    is a BroadcastNestedLoop/Cartesian — unpartitionable at scale; this
+    is one narrow shuffle on a key whose cardinality grows with the
+    time span.
+
+    All bucket math is 64-bit integer microseconds (``unix_micros``;
+    floor-division via ``(a - pmod(a, w)) div w`` so it is exact for
+    any sign — plain ``div`` truncates toward zero and would misplace
+    pre-1970 timestamps; double division's ulp error could misplace a
+    boundary row either way). Emits all left columns, all right columns
+    (caller renames collisions first), minus the internals."""
+    lo_us = int(round(lower_s * 1_000_000))
+    hi_us = int(round(upper_s * 1_000_000))
+    w_us = hi_us - lo_us
+    if w_us <= 0:
+        raise ValueError(f"empty band: lower_s={lower_s} upper_s={upper_s}")
+
+    def _fdiv(expr: str) -> str:
+        a = f"({expr})"
+        return f"(({a} - pmod({a}, {w_us})) div {w_us})"
+
+    l = left.withColumn("_lus", F.unix_micros(F.col(left_ts))) \
+            .withColumn("_b", F.explode(F.sequence(
+                F.expr(_fdiv(f"_lus + {lo_us}")),
+                F.expr(_fdiv(f"_lus + {hi_us}")))))
+    r = right.withColumn("_rus", F.unix_micros(F.col(right_ts))) \
+             .withColumn("_b", F.expr(_fdiv("_rus")))
+    keys = ["_b"] + list(by or [])
+    out = l.join(r, keys).filter(
+        (F.col("_rus") >= F.col("_lus") + F.lit(lo_us))
+        & (F.col("_rus") <= F.col("_lus") + F.lit(hi_us)))
+    return out.drop("_b", "_lus", "_rus")

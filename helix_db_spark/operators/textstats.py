@@ -740,3 +740,79 @@ def domain_stats(df: DataFrame, id_col: str, text_col: str,
                .agg(F.count(F.lit(1)).cast("long").alias("n_urls"),
                     F.count_distinct(F.col(id_col)).alias("n_docs"))
                .withColumn("blocked", blocked))
+
+
+def nb_classify(train: DataFrame, test: DataFrame, id_col: str,
+                text_col: str, label_col: str) -> DataFrame:
+    """Multinomial Naive Bayes text classifier with Laplace smoothing —
+    the fastText-style "train a filter model on labeled seed data,
+    score the whole corpus" step of LLM curation recipes (quality
+    classifiers in GPT-3/LLaMA data work; CCNet's fastText langid),
+    expressed entirely in closed-form aggregations so training IS a
+    groupBy (no iterative solver) and scoring IS a broadcast join:
+
+      score(d, k) = ln P(k) + sum_t  c(d,t) * ln( (c(k,t)+1) / (N_k+V) )
+
+    Train: one token explode feeds per-class token counts (c(k,t)),
+    class token totals (N_k) and the vocabulary size V; class priors
+    come from a doc-count groupBy. All four are vocabulary- or
+    class-sized — broadcast back to the scoring side, so classifying
+    100 TB is one tokenize pass + map-side joins, no shuffle on the
+    corpus beyond the per-(doc, token) count.
+
+    Predict: per-doc-per-class log scores, ranked per doc on the score
+    ROUNDED to 6 decimals (both engines round before ranking — the
+    cross-engine float contract used by every ranking entry) with the
+    label as deterministic tiebreak. Docs with no tokens fall back to
+    the prior; tokens unseen in training cost the smoothed floor
+    1/(N_k+V).
+
+    Returns (id, true_<label>, pred_<label>, log_score) for the test
+    rows. Reference anchor: the reference has no classifier surface —
+    this extends the pipeline suite per Joulin et al. 2016 (fastText)
+    and McCallum & Nigam 1998 (multinomial NB), public."""
+    from pyspark.sql import Window
+
+    tr_toks = train.select(F.col(label_col).alias("_lbl"),
+                           F.explode(tokens(F.col(text_col))).alias("_t"))
+    ct = tr_toks.groupBy("_lbl", "_t").agg(F.count(F.lit(1)).alias("_c"))
+    ctot = ct.groupBy("_lbl").agg(F.sum("_c").alias("_ntok"))
+    pri = train.groupBy(F.col(label_col).alias("_lbl")) \
+               .agg(F.count(F.lit(1)).alias("_ndocs"))
+    # scalar totals ride lazy 1-row broadcasts (the oracle's CROSS JOIN
+    # shape) — no eager action at construction time
+    tot = pri.agg(F.sum("_ndocs").cast("double").alias("_ntr"))
+    voc = ct.agg(F.count_distinct("_t").cast("double").alias("_v"))
+    cls = (pri.join(ctot, "_lbl", "left")
+              .crossJoin(F.broadcast(tot))
+              .select("_lbl",
+                      F.coalesce("_ntok", F.lit(0)).alias("_ntok"),
+                      F.log(F.col("_ndocs") / F.col("_ntr")).alias("_lpri")))
+
+    te_toks = test.select(F.col(id_col),
+                          F.explode(tokens(F.col(text_col))).alias("_t"))
+    ttc = te_toks.groupBy(id_col, "_t").agg(F.count(F.lit(1)).alias("_tc"))
+    stok = (ttc.crossJoin(F.broadcast(cls.select("_lbl", "_ntok")))
+               .join(F.broadcast(ct), ["_lbl", "_t"], "left")
+               .crossJoin(F.broadcast(voc))
+               .withColumn("_lnp", F.log(
+                   (F.coalesce(F.col("_c"), F.lit(0)) + F.lit(1))
+                   / (F.col("_ntok") + F.col("_v"))))
+               .groupBy(id_col, "_lbl")
+               .agg(F.sum(F.col("_tc") * F.col("_lnp")).alias("_stok")))
+
+    true_col = f"true_{label_col}"
+    base = test.select(F.col(id_col), F.col(label_col).alias(true_col)) \
+               .crossJoin(F.broadcast(cls.select("_lbl", "_lpri")))
+    scored = base.join(stok, [id_col, "_lbl"], "left") \
+                 .withColumn("_score", F.round(
+                     F.col("_lpri")
+                     + F.coalesce(F.col("_stok"), F.lit(0.0).cast("double")),
+                     6))
+    w = Window.partitionBy(id_col).orderBy(F.col("_score").desc(),
+                                           F.col("_lbl"))
+    return (scored.withColumn("_rk", F.row_number().over(w))
+                  .filter(F.col("_rk") == 1)
+                  .select(id_col, true_col,
+                          F.col("_lbl").alias(f"pred_{label_col}"),
+                          F.col("_score").alias("log_score")))

@@ -3,6 +3,8 @@ importance weights, duplicate-span mining, mixture planning, kNN graph."""
 
 import math
 
+import pytest
+
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -348,3 +350,78 @@ def test_bigram_cross_entropy_word_order_signal(spark):
     assert set(out.asDict()) == {"doc_id", "n_bigrams", "cross_entropy",
                                  "ppl"}
     assert out["n_bigrams"] == len(sent.split()) - 1
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes classifier filtering
+# ---------------------------------------------------------------------------
+
+
+def test_nb_classify_disjoint_vocab(spark):
+    """Hand-checkable corpus: two classes with disjoint vocabularies are
+    classified perfectly; scores match the closed form."""
+    import math
+    from helix_db_spark.operators.textstats import nb_classify
+    train = spark.createDataFrame(
+        [(1, "cat cat dog", "animal"),
+         (2, "dog cat", "animal"),
+         (3, "bolt nut bolt", "machine")],
+        "doc_id long, text string, lang string")
+    test = spark.createDataFrame(
+        [(10, "cat dog", None),
+         (11, "bolt bolt", None),
+         (12, "", None)],
+        "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in
+           nb_classify(train, test, "doc_id", "text", "lang").collect()}
+    assert out[10]["pred_lang"] == "animal"
+    assert out[11]["pred_lang"] == "machine"
+    # empty doc: prior argmax = 'animal' (2 of 3 train docs)
+    assert out[12]["pred_lang"] == "animal"
+    assert out[12]["log_score"] == round(math.log(2 / 3), 6)
+    # closed form for doc 10 under class 'animal':
+    # V=4 vocab {cat,dog,bolt,nut}; N_animal=5 tokens;
+    # P(cat)= (3+1)/(5+4), P(dog)=(2+1)/(5+4); prior 2/3
+    want = math.log(2 / 3) + math.log(4 / 9) + math.log(3 / 9)
+    assert out[10]["log_score"] == pytest.approx(round(want, 6), abs=1e-6)
+
+
+def test_nb_classify_unseen_tokens_and_tiebreak(spark):
+    """Tokens unseen in training cost the smoothed floor in EVERY class
+    (no NULL poisoning); exact score ties break on the label."""
+    import math
+    from helix_db_spark.operators.textstats import nb_classify
+    train = spark.createDataFrame(
+        [(1, "aa", "x"), (2, "bb", "y")],
+        "doc_id long, text string, lang string")
+    test = spark.createDataFrame(
+        [(10, "zz zz", None)], "doc_id long, text string, lang string")
+    row = nb_classify(train, test, "doc_id", "text", "lang").collect()[0]
+    # symmetric classes, unseen token: both score ln(1/2)+2*ln(1/3);
+    # tiebreak picks the lexicographically first label
+    assert row["pred_lang"] == "x"
+    want = math.log(1 / 2) + 2 * math.log(1 / 3)
+    assert row["log_score"] == pytest.approx(round(want, 6), abs=1e-6)
+
+
+def test_nb_classify_recovers_learnable_label(spark):
+    """On the real corpus with a label that is genuinely a function of
+    the text (the synthetic `lang` column is independent of the token
+    pool by construction, so it is unlearnable), held-out NB accuracy
+    is near-perfect — the signal-present sanity check."""
+    from helix_db_spark.operators.textstats import nb_classify
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .withColumn("band", F.when(
+                F.size(F.split("text", " ")) >= 100, "long")
+                .otherwise(F.concat(F.lit("has_vec_"),
+                                    F.col("text").contains("vector")
+                                    .cast("string")))))
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    out = nb_classify(train, test, "doc_id", "text", "band")
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("pred_band") == F.col("true_band"), 1)
+              .otherwise(0)).alias("ok")).collect()[0]
+    assert agg["n"] == test.count()
+    assert agg["ok"] / agg["n"] >= 0.9

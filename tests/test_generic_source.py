@@ -99,3 +99,23 @@ def test_read_documents_jsonl_and_csv(spark, tmp_path):
     rows = docs2.collect()
     assert {r["text"] for r in rows} == {"hello world", "bonjour monde"}
     assert len({r["doc_id"] for r in rows}) == 2
+
+
+def test_read_documents_jsonl_roundtrip_escaping(spark, tmp_path):
+    """JSONL write->mount roundtrips the hostile cases: embedded quotes,
+    newlines, unicode, and NULL text."""
+    from helix_db_spark.sources.generic import read_documents
+    rows = [(1, 'he said "hi"\nand left', "en"),
+            (2, "naïve café — 中文 \t tab", "zh"),
+            (3, None, "en"),
+            (4, "", "de")]
+    src = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = str(tmp_path / "docs_jsonl")
+    src.write.json(out)
+    got = read_documents(spark, out, fmt="json",
+                         schema="doc_id BIGINT, text STRING, lang STRING")
+    back = {r["doc_id"]: (r["text"], r["lang"]) for r in got.collect()}
+    # NULL fields are omitted on write and read back as NULL; empty
+    # strings survive verbatim
+    want = {i: (t, l) for i, t, l in rows}
+    assert back == want

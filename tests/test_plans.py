@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import re
 
+from pyspark.sql import functions as F
+
 import pytest
 
 from helix_db_spark import P, g
@@ -220,3 +222,53 @@ def test_registry_wide_no_plan_antipatterns(spark):
         if flags:
             offenders[name] = flags
     assert offenders == {}, offenders
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Identically-bucketed tables join AND aggregate on the bucket key
+    with zero shuffle exchanges — the write-time shuffle is the only
+    one ever paid (sources/bucketed.py contract)."""
+    from helix_db_spark.sources.bucketed import bucket_df, colocated_join
+    import os
+
+    left = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("a"))
+    right = spark.range(0, 6000).select(
+        (F.col("id") % 2000).alias("k"), (F.col("id") * 2).alias("b"))
+    pid = os.getpid()
+    lt = bucket_df(spark, left, f"hx_t_bktl_{pid}", "k",
+                   str(tmp_path / "l"), buckets=8)
+    rt = bucket_df(spark, right, f"hx_t_bktr_{pid}", "k",
+                   str(tmp_path / "r"), buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = colocated_join(lt, rt, "k").groupBy("k") \
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("b").alias("sb"))
+        p = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in p
+        assert "Exchange hashpartitioning" not in p, p
+        assert p.count("Bucketed: true") == 2
+        # and it is correct: every k matches its 3 right rows
+        assert out.count() == 2000
+        assert out.filter(F.col("n") != 3).count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # idempotent rebuild: same name returns the registered table
+    again = bucket_df(spark, left, f"hx_t_bktl_{pid}", "k",
+                      str(tmp_path / "l2"), buckets=8)
+    assert again.count() == 2000 and not (tmp_path / "l2").exists()
+
+
+def test_graded_bucketed_entry_shuffle_free(spark):
+    """The graded bucketed_colocated_join entry never shuffles at query
+    time: whatever join the planner picks at this scale, no Exchange
+    hashpartitioning appears and both scans read bucketed layouts."""
+    from helix_db_spark import entry_queries as eq
+
+    fn = eq.REGISTRY["bucketed_colocated_join"][0]
+    df = fn(spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in p, p
+    assert p.count("Bucketed: true") == 2
+    assert "SelectedBucketsCount" in p

@@ -214,3 +214,82 @@ def test_write_shards_deterministic_layout(spark, tmp_path):
     import re
     dirs = {re.search(r"shard=(\d+)", f).group(1) for f in one.inputFiles()}
     assert one.count() == info["shards"]["3"]
+
+
+def _ts(s: str):
+    from datetime import datetime
+    return datetime.fromisoformat(s)
+
+
+def test_interval_join_bounds_and_exactly_once(spark):
+    from helix_db_spark.operators.sampling import interval_join
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 12:00:00"))], "lid long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, _ts("2024-01-01 11:54:59.999999")),   # 1 us before lower
+         (11, _ts("2024-01-01 11:55:00")),          # exactly lower bound
+         (12, _ts("2024-01-01 12:00:00")),          # anchor itself
+         (13, _ts("2024-01-01 12:05:00")),          # exactly upper bound
+         (14, _ts("2024-01-01 12:05:00.000001"))],  # 1 us past upper
+        "rid long, rts timestamp")
+    out = interval_join(left, right, "ts", "rts", -300.0, 300.0)
+    got = sorted(r["rid"] for r in out.collect())
+    assert got == [11, 12, 13]  # inclusive bounds, no duplicates
+
+
+def test_interval_join_matches_bruteforce(spark):
+    """The bucketed plan finds the same pairs as an exact brute force,
+    including rows sitting on bucket boundaries."""
+    from helix_db_spark.operators.sampling import interval_join
+    import itertools
+    base = _ts("2024-03-01 00:00:00")
+    from datetime import timedelta
+    lts = [base + timedelta(seconds=7 * i + (i % 3) * 0.25) for i in range(40)]
+    rts = [base + timedelta(seconds=11 * i + (i % 5) * 0.2) for i in range(40)]
+    left = spark.createDataFrame([(i, t) for i, t in enumerate(lts)],
+                                 "lid long, ts timestamp")
+    right = spark.createDataFrame([(i, t) for i, t in enumerate(rts)],
+                                  "rid long, rts timestamp")
+    lo, hi = -13.0, 29.0  # asymmetric band, not a multiple of anything
+    out = interval_join(left, right, "ts", "rts", lo, hi)
+    got = sorted((r["lid"], r["rid"]) for r in out.collect())
+    want = sorted((i, j) for (i, lt), (j, rt)
+                  in itertools.product(enumerate(lts), enumerate(rts))
+                  if lo <= (rt - lt).total_seconds() <= hi)
+    assert got == want and len(got) == len(set(got))
+
+
+def test_interval_join_pre1970_floor_division(spark):
+    """Negative-epoch timestamps bucket by true floor division — plain
+    `div` truncates toward zero and would miss cross-zero pairs."""
+    from helix_db_spark.operators.sampling import interval_join
+    left = spark.createDataFrame(
+        [(1, _ts("1969-12-31 23:59:58"))], "lid long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, _ts("1969-12-31 23:59:55")),
+         (11, _ts("1970-01-01 00:00:01")),
+         (12, _ts("1970-01-01 00:00:07"))],
+        "rid long, rts timestamp")
+    out = interval_join(left, right, "ts", "rts", -4.0, 4.0)
+    assert sorted(r["rid"] for r in out.collect()) == [10, 11]
+
+
+def test_interval_join_by_keys_and_empty_band(spark):
+    from helix_db_spark.operators.sampling import interval_join
+    left = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-01 12:00:00")),
+         (2, "u2", _ts("2024-01-01 12:00:00"))],
+        "lid long, user string, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, "u1", _ts("2024-01-01 12:01:00")),
+         (11, "u2", _ts("2024-01-01 11:59:00"))],
+        "rid long, user string, rts timestamp")
+    out = interval_join(left, right.drop("user"), "ts", "rts",
+                        -120.0, 120.0)
+    assert out.count() == 4  # keyless: all cross-user pairs in band
+    keyed = interval_join(left, right, "ts", "rts", -120.0, 120.0,
+                          by=["user"])
+    got = sorted((r["lid"], r["rid"]) for r in keyed.collect())
+    assert got == [(1, 10), (2, 11)]
+    with pytest.raises(ValueError):
+        interval_join(left, right, "ts", "rts", 5.0, 5.0)
