@@ -3971,6 +3971,54 @@ def text_nb_classify(spark, sf_dir):
     return nb_classify(train, test, "doc_id", "text", "lang")
 
 
+@q("gopher_quality_flags",
+   "WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents), "
+   "w AS (SELECT doc_id, t, "
+   "list_filter(regexp_split_to_array(t, '[ \t\n\r]+'), x -> x <> '') AS ws, "
+   "list_filter(regexp_split_to_array(t, '\n'), x -> x <> '') AS ls FROM d), "
+   "m AS (SELECT doc_id, len(ws) AS nw, len(ls) AS nl, "
+   "coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS sl, "
+   "length(t) - length(replace(t, '#', '')) AS hashes, "
+   "(length(t) - length(replace(t, '...', ''))) / 3 "
+   "+ (length(t) - length(replace(t, '…', ''))) AS ell, "
+   "len(list_filter(ls, x -> regexp_matches(x, '^[ \t]*[-*•] '))) AS nbl, "
+   "len(list_filter(ls, x -> regexp_matches(x, '(\\.\\.\\.|…)$'))) AS nel, "
+   "len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS nal, "
+   "len(list_intersect(list_distinct(list_transform(ws, x -> lower(x))), "
+   "['the','be','to','of','and','that','have','with'])) AS sh FROM w) "
+   "SELECT doc_id, CAST(nw AS BIGINT) AS n_words, "
+   "(nw >= 50 AND nw <= 100000) AS wc_ok, "
+   "CASE WHEN nw = 0 THEN false ELSE (CAST(sl AS DOUBLE) / nw >= "
+   "CAST(3.0 AS DOUBLE) AND CAST(sl AS DOUBLE) / nw <= "
+   "CAST(10.0 AS DOUBLE)) END AS wlen_ok, "
+   "CASE WHEN nw = 0 THEN false ELSE ((hashes + ell) / nw <= "
+   "CAST(0.1 AS DOUBLE)) END AS sym_ok, "
+   "CASE WHEN nl = 0 THEN true ELSE (CAST(nbl AS DOUBLE) / nl <= "
+   "CAST(0.9 AS DOUBLE) AND CAST(nel AS DOUBLE) / nl <= "
+   "CAST(0.3 AS DOUBLE)) END AS bullet_ok, "
+   "CASE WHEN nw = 0 THEN false ELSE (CAST(nal AS DOUBLE) / nw >= "
+   "CAST(0.8 AS DOUBLE)) END AS alpha_ok, "
+   "(sh >= 2) AS stop_ok, "
+   "((nw >= 50 AND nw <= 100000) AND "
+   "CASE WHEN nw = 0 THEN false ELSE (CAST(sl AS DOUBLE) / nw >= "
+   "CAST(3.0 AS DOUBLE) AND CAST(sl AS DOUBLE) / nw <= "
+   "CAST(10.0 AS DOUBLE)) END AND "
+   "CASE WHEN nw = 0 THEN false ELSE ((hashes + ell) / nw <= "
+   "CAST(0.1 AS DOUBLE)) END AND "
+   "CASE WHEN nl = 0 THEN true ELSE (CAST(nbl AS DOUBLE) / nl <= "
+   "CAST(0.9 AS DOUBLE) AND CAST(nel AS DOUBLE) / nl <= "
+   "CAST(0.3 AS DOUBLE)) END AND "
+   "CASE WHEN nw = 0 THEN false ELSE (CAST(nal AS DOUBLE) / nw >= "
+   "CAST(0.8 AS DOUBLE)) END AND (sh >= 2)) AS keep FROM m")
+def gopher_quality_flags(spark, sf_dir):
+    """Gopher quality rules (Rae et al. 2021 A1.1 — the MassiveText /
+    RefinedWeb / Dolma baseline filter) as named per-doc flags + the
+    conjunction ``keep``. Pure per-row array folds over one whitespace
+    split — a map-side projection at any corpus size."""
+    from .operators.textstats import gopher_quality_flags as gq
+    return gq(_docs(spark, sf_dir), "doc_id", "text")
+
+
 @q("bucketed_colocated_join",
    "SELECT c.c_custkey, c.c_mktsegment, "
    "count(o.o_orderkey) AS n_orders, "

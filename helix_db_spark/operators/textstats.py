@@ -816,3 +816,69 @@ def nb_classify(train: DataFrame, test: DataFrame, id_col: str,
                   .select(id_col, true_col,
                           F.col("_lbl").alias(f"pred_{label_col}"),
                           F.col("_score").alias("log_score")))
+
+
+def gopher_quality_flags(df: DataFrame, id_col: str,
+                         text_col: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, Appendix A1.1 — public;
+    the rule set MassiveText, RefinedWeb and Dolma all start from),
+    as named per-document flags rather than one blended score:
+
+      wc_ok       50 <= word count <= 100,000
+      wlen_ok     3 <= mean word length <= 10
+      sym_ok      (# + ellipsis) to word ratio <= 0.1
+      bullet_ok   <= 90% of lines bullet-started, <= 30% ellipsis-ended
+      alpha_ok    >= 80% of words contain an alphabetic character
+      stop_ok     >= 2 distinct Gopher stop words present
+
+    ``keep`` is the conjunction. Words are whitespace splits (the
+    paper's definition — NOT the alnum tokenizer, which would delete
+    the symbols rule 3 counts). Zero-shuffle: every rule is a per-row
+    array fold over one split, whole-stage-codegen friendly; the whole
+    table is a map-side projection at any scale. All regexes restrict
+    to explicit ASCII classes so Java (Spark) and RE2 (DuckDB oracle)
+    dialects agree."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(t, "[ \t\n\r]+"), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    sum_len = F.aggregate(words, F.lit(0).cast("long"),
+                          lambda a, w: a + F.length(w))
+    mean_wlen = sum_len.cast("double") / n_words
+    hashes = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    ell = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) \
+        / F.lit(3) \
+        + (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
+    sym_ratio = (hashes + ell) / n_words
+    lines = F.filter(F.split(t, "\n"), lambda x: x != F.lit(""))
+    n_lines = F.size(lines)
+    bullet_frac = F.size(F.filter(
+        lines, lambda x: x.rlike("^[ \t]*[-*•] "))) / n_lines
+    ellend_frac = F.size(F.filter(
+        lines, lambda x: x.rlike("(\\.\\.\\.|…)$"))) / n_lines
+    alpha_frac = F.size(F.filter(
+        words, lambda w: w.rlike("[a-zA-Z]"))) / n_words
+    stops = F.array(*[F.lit(s) for s in
+                      ("the", "be", "to", "of", "and",
+                       "that", "have", "with")])
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(F.transform(words, F.lower)), stops))
+    empty = n_words == 0
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        ((n_words >= 50) & (n_words <= 100000)).alias("wc_ok"),
+        F.when(empty, F.lit(False))
+         .otherwise((mean_wlen >= 3.0) & (mean_wlen <= 10.0))
+         .alias("wlen_ok"),
+        F.when(empty, F.lit(False))
+         .otherwise(sym_ratio <= 0.1).alias("sym_ok"),
+        F.when(n_lines == 0, F.lit(True))
+         .otherwise((bullet_frac <= 0.9) & (ellend_frac <= 0.3))
+         .alias("bullet_ok"),
+        F.when(empty, F.lit(False))
+         .otherwise(alpha_frac >= 0.8).alias("alpha_ok"),
+        (stop_hits >= 2).alias("stop_ok"),
+    ).withColumn(
+        "keep",
+        F.col("wc_ok") & F.col("wlen_ok") & F.col("sym_ok")
+        & F.col("bullet_ok") & F.col("alpha_ok") & F.col("stop_ok"))

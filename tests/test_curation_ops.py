@@ -425,3 +425,57 @@ def test_nb_classify_recovers_learnable_label(spark):
               .otherwise(0)).alias("ok")).collect()[0]
     assert agg["n"] == test.count()
     assert agg["ok"] / agg["n"] >= 0.9
+
+
+def test_gopher_quality_flags_each_rule(spark):
+    from helix_db_spark.operators.textstats import gopher_quality_flags
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "sits down to rest beside the river with a happy sigh "
+            "while the sun sets slowly over the quiet hills and the "
+            "water keeps moving past the stones toward the far sea "
+            "carrying small leaves that drift along have with be of") # >=50 words
+    docs = spark.createDataFrame(
+        [(1, good),
+         (2, "too few words"),                          # fails wc
+         (3, " ".join(["a"] * 60)),                     # mean wlen < 3
+         (4, ("## " * 30) + good),                      # symbol ratio > 0.1
+         (5, "\n".join(["- item " + str(i) for i in range(10)])),  # bullets
+         (6, " ".join(["1234"] * 60)),                  # alpha < 0.8
+         (7, " ".join(["zz"] * 60)),                    # no stop words
+         (8, ""),                                       # empty
+         (9, None)],                                    # NULL text
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           gopher_quality_flags(docs, "doc_id", "text").collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["wc_ok"] is False and out[2]["keep"] is False
+    assert out[3]["wlen_ok"] is False
+    assert out[4]["sym_ok"] is False
+    assert out[5]["bullet_ok"] is False      # 100% bullet lines
+    assert out[6]["alpha_ok"] is False
+    assert out[7]["stop_ok"] is False
+    for d in (8, 9):
+        assert out[d]["n_words"] == 0 and out[d]["keep"] is False
+        assert out[d]["bullet_ok"] is True  # vacuous: no lines
+
+
+def test_gopher_flags_discriminate_on_corpus(spark):
+    """On the synthetic corpus the rule set is not a constant — some
+    rules pass everywhere (healthy docs) but keep varies."""
+    from helix_db_spark.operators.textstats import gopher_quality_flags
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = gopher_quality_flags(docs, "doc_id", "text")
+    n = out.count()
+    assert 0 < n
+    # the word-count rule genuinely discriminates on this corpus; the
+    # stop-word rule honestly fails everywhere (the synthetic vocab has
+    # 'the'/'a' but not two DISTINCT Gopher stop words) — pin both so a
+    # silent rule regression can't hide
+    wc = out.filter("wc_ok").count()
+    assert 0 < wc < n
+    assert out.filter("stop_ok").count() == 0
+    # every doc got exactly one row and no NULL flags
+    assert out.filter("wc_ok IS NULL OR wlen_ok IS NULL OR sym_ok IS NULL "
+                      "OR bullet_ok IS NULL OR alpha_ok IS NULL "
+                      "OR stop_ok IS NULL OR keep IS NULL").count() == 0
+    assert n == docs.count()
