@@ -147,6 +147,48 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_classify(args) -> int:
+    """Closed-form Naive Bayes filtering: train on the labeled docs
+    whose ``doc_id % holdout-mod != 0``, score the rest (or a separate
+    ``--batch`` parquet of (doc_id, text) rows), optionally write the
+    predictions, and print a summary JSON (rows, per-class prediction
+    counts, accuracy when true labels ride along)."""
+    from pyspark.sql import functions as F
+
+    from .operators.textstats import nb_classify
+    from .session import get_spark
+
+    spark = get_spark("helix-spark-classify",
+                      **{"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{args.data}/documents.parquet")
+    label = args.label
+    train = docs.filter(F.col(label).isNotNull())
+    if args.batch:
+        test = spark.read.parquet(args.batch)
+        if label not in test.columns:
+            test = test.withColumn(label, F.lit(None).cast("string"))
+    else:
+        m = args.holdout_mod
+        train = train.filter(F.col("doc_id") % m != 0)
+        test = docs.filter(F.col("doc_id") % m == 0)
+    pred = nb_classify(train, test, "doc_id", "text", label).persist()
+    if args.out:
+        pred.write.mode("overwrite").parquet(args.out)
+    counts = {r[f"pred_{label}"]: r["n"] for r in
+              pred.groupBy(f"pred_{label}")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+    scored = pred.filter(F.col(f"true_{label}").isNotNull())
+    n_true = scored.count()
+    acc = (scored.filter(F.col(f"pred_{label}") == F.col(f"true_{label}"))
+           .count() / n_true if n_true else None)
+    n = pred.count()
+    pred.unpersist()
+    print(json.dumps({"rows": n, "label": label, "pred_counts": counts,
+                      "accuracy": acc, "out": args.out}))
+    return 0
+
+
 def cmd_dedup(args) -> int:
     """Incremental dedup flow: ``--build-index`` writes the corpus's
     on-disk dedup index; with ``--batch`` the batch parquet is classified
@@ -402,7 +444,8 @@ def main(argv=None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
     for name, fn in (("query", cmd_query), ("serve", cmd_serve),
                      ("card", cmd_card), ("curate", cmd_curate),
-                     ("dedup", cmd_dedup), ("warc", cmd_warc),
+                     ("dedup", cmd_dedup), ("classify", cmd_classify),
+                     ("warc", cmd_warc),
                      ("wds", cmd_wds),
                      ("bpe", cmd_bpe), ("explain", cmd_explain)):
         p = sub.add_parser(name)
@@ -421,6 +464,14 @@ def main(argv=None) -> int:
                            "DbConfig) — wires vector_config knobs")
             p.add_argument("--instance", help="helix.toml instance name "
                            "to read vector_config from")
+        elif name == "classify":
+            p.add_argument("--label", default="lang",
+                           help="label column to train on")
+            p.add_argument("--holdout-mod", type=int, default=5,
+                           help="doc_id %% M == 0 rows are scored")
+            p.add_argument("--batch", help="separate parquet of docs to "
+                           "score instead of the holdout")
+            p.add_argument("--out", help="predictions parquet dir")
         elif name == "curate":
             p.add_argument("--out", help="curated-output parquet dir")
             p.add_argument("--min-quality", type=float, default=0.3)

@@ -218,3 +218,28 @@ def test_wds_pack_unpack_roundtrip(spark, capsys, tmp_path):
                       "--out", str(tmp_path / "s2"),
                       "--members", "txt=nosuchcol")
     assert rc == 2 and "missing columns" in err
+
+
+def test_cli_classify_holdout_and_batch(spark, capsys, tmp_path):
+    rc, out, _ = _run(capsys, "classify",
+                      "--data", "/root/testdata/sf0.001",
+                      "--out", str(tmp_path / "pred"))
+    assert rc == 0
+    rep = json.loads(out)
+    assert rep["rows"] == sum(rep["pred_counts"].values()) > 0
+    assert 0.0 <= rep["accuracy"] <= 1.0
+    preds = spark.read.parquet(str(tmp_path / "pred"))
+    assert preds.count() == rep["rows"]
+    assert set(preds.columns) == {"doc_id", "true_lang", "pred_lang",
+                                  "log_score"}
+    # batch mode: score an unlabeled parquet of new docs
+    batch = spark.createDataFrame(
+        [(900001, "table join window batch"), (900002, "")],
+        "doc_id long, text string")
+    batch.write.parquet(str(tmp_path / "batch"))
+    rc, out, _ = _run(capsys, "classify",
+                      "--data", "/root/testdata/sf0.001",
+                      "--batch", str(tmp_path / "batch"))
+    assert rc == 0
+    rep = json.loads(out)
+    assert rep["rows"] == 2 and rep["accuracy"] is None
