@@ -166,6 +166,12 @@ def cmd_classify(args) -> int:
     train = docs.filter(F.col(label).isNotNull())
     if args.batch:
         test = spark.read.parquet(args.batch)
+        missing = {"doc_id", "text"} - set(test.columns)
+        if missing:
+            print(json.dumps({"error": f"--batch parquet missing "
+                              f"columns: {sorted(missing)}"}),
+                  file=sys.stderr)
+            return 2
         if label not in test.columns:
             test = test.withColumn(label, F.lit(None).cast("string"))
     else:
@@ -182,7 +188,7 @@ def cmd_classify(args) -> int:
     n_true = scored.count()
     acc = (scored.filter(F.col(f"pred_{label}") == F.col(f"true_{label}"))
            .count() / n_true if n_true else None)
-    n = pred.count()
+    n = sum(counts.values())  # same persisted rows — no extra job
     pred.unpersist()
     print(json.dumps({"rows": n, "label": label, "pred_counts": counts,
                       "accuracy": acc, "out": args.out}))

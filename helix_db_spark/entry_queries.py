@@ -3927,7 +3927,7 @@ def events_interval_join(spark, sf_dir):
 
 @q("text_nb_classify",
    f"""WITH tr AS (SELECT doc_id, lang, text FROM documents
-        WHERE doc_id % 5 <> 0),
+        WHERE doc_id % 5 <> 0 AND lang IS NOT NULL),
 te AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
 tt AS (SELECT lang AS lbl, unnest({_TOK.format(c='text')}) AS tok FROM tr),
 ct AS (SELECT lbl, tok, count(*) AS c FROM tt GROUP BY lbl, tok),
@@ -3975,7 +3975,8 @@ def text_nb_classify(spark, sf_dir):
    "WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents), "
    "w AS (SELECT doc_id, t, "
    "list_filter(regexp_split_to_array(t, '[ \t\n\r]+'), x -> x <> '') AS ws, "
-   "list_filter(regexp_split_to_array(t, '\n'), x -> x <> '') AS ls FROM d), "
+   "list_filter(regexp_split_to_array(t, '\r?\n'), x -> x <> '') AS ls "
+   "FROM d), "
    "m AS (SELECT doc_id, len(ws) AS nw, len(ls) AS nl, "
    "coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS sl, "
    "length(t) - length(replace(t, '#', '')) AS hashes, "

@@ -413,12 +413,27 @@ def interval_join(left: DataFrame, right: DataFrame,
     any sign — plain ``div`` truncates toward zero and would misplace
     pre-1970 timestamps; double division's ulp error could misplace a
     boundary row either way). Emits all left columns, all right columns
-    (caller renames collisions first), minus the internals."""
+    (caller renames collisions first, and must not use the reserved
+    internals ``_b``/``_lus``/``_rus``). ``lower_s == upper_s`` is the
+    valid exact-offset point band (an equi-join on the shifted
+    timestamp); only ``lower_s > upper_s`` is an error."""
+    reserved = {"_b", "_lus", "_rus"}
+    clash = (reserved & set(left.columns)) | (reserved & set(right.columns))
+    if clash:
+        raise ValueError(f"reserved interval_join columns in input: "
+                         f"{sorted(clash)}")
     lo_us = int(round(lower_s * 1_000_000))
     hi_us = int(round(upper_s * 1_000_000))
     w_us = hi_us - lo_us
-    if w_us <= 0:
-        raise ValueError(f"empty band: lower_s={lower_s} upper_s={upper_s}")
+    if w_us < 0:
+        raise ValueError(f"empty band: lower_s={lower_s} > "
+                         f"upper_s={upper_s}")
+    keys = ["_b"] + list(by or [])
+    if w_us == 0:
+        l = left.withColumn(
+            "_b", F.unix_micros(F.col(left_ts)) + F.lit(lo_us))
+        r = right.withColumn("_b", F.unix_micros(F.col(right_ts)))
+        return l.join(r, keys).drop("_b")
 
     def _fdiv(expr: str) -> str:
         a = f"({expr})"
@@ -430,7 +445,6 @@ def interval_join(left: DataFrame, right: DataFrame,
                 F.expr(_fdiv(f"_lus + {hi_us}")))))
     r = right.withColumn("_rus", F.unix_micros(F.col(right_ts))) \
              .withColumn("_b", F.expr(_fdiv("_rus")))
-    keys = ["_b"] + list(by or [])
     out = l.join(r, keys).filter(
         (F.col("_rus") >= F.col("_lus") + F.lit(lo_us))
         & (F.col("_rus") <= F.col("_lus") + F.lit(hi_us)))

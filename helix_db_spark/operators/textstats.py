@@ -773,6 +773,10 @@ def nb_classify(train: DataFrame, test: DataFrame, id_col: str,
     and McCallum & Nigam 1998 (multinomial NB), public."""
     from pyspark.sql import Window
 
+    # NULL-label rows would otherwise form a phantom class whose
+    # prior-only score (its token join never matches NULL) beats every
+    # real class — unlabeled seed rows are simply not training data
+    train = train.filter(F.col(label_col).isNotNull())
     tr_toks = train.select(F.col(label_col).alias("_lbl"),
                            F.explode(tokens(F.col(text_col))).alias("_t"))
     ct = tr_toks.groupBy("_lbl", "_t").agg(F.count(F.lit(1)).alias("_c"))
@@ -849,12 +853,17 @@ def gopher_quality_flags(df: DataFrame, id_col: str,
         / F.lit(3) \
         + (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
     sym_ratio = (hashes + ell) / n_words
-    lines = F.filter(F.split(t, "\n"), lambda x: x != F.lit(""))
+    # split on \r?\n so CRLF text doesn't leave \r on every line; anchor
+    # the ellipsis rule with \z, not $ — Java's non-MULTILINE $ also
+    # matches before a final line terminator (\r etc.) while RE2's $ is
+    # end-of-text only, so $ would silently diverge from the oracle on
+    # CRLF documents
+    lines = F.filter(F.split(t, "\r?\n"), lambda x: x != F.lit(""))
     n_lines = F.size(lines)
     bullet_frac = F.size(F.filter(
         lines, lambda x: x.rlike("^[ \t]*[-*•] "))) / n_lines
     ellend_frac = F.size(F.filter(
-        lines, lambda x: x.rlike("(\\.\\.\\.|…)$"))) / n_lines
+        lines, lambda x: x.rlike("(\\.\\.\\.|…)\\z"))) / n_lines
     alpha_frac = F.size(F.filter(
         words, lambda w: w.rlike("[a-zA-Z]"))) / n_words
     stops = F.array(*[F.lit(s) for s in

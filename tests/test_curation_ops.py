@@ -459,6 +459,43 @@ def test_gopher_quality_flags_each_rule(spark):
         assert out[d]["bullet_ok"] is True  # vacuous: no lines
 
 
+def test_gopher_flags_crlf_matches_oracle_semantics(spark):
+    """CRLF documents: lines split on \\r?\\n and the ellipsis anchor is
+    end-of-text (\\z), matching RE2's '$' — Java's '$' would match
+    before a trailing \\r and silently diverge from the DuckDB oracle."""
+    import duckdb
+    from helix_db_spark.operators.textstats import gopher_quality_flags
+    crlf = "one line...\r\ntwo line...\r\nthree\r\nfour\r\nfive\r\nended...\r"
+    docs = spark.createDataFrame([(1, crlf)], "doc_id long, text string")
+    row = gopher_quality_flags(docs, "doc_id", "text").collect()[0]
+    # oracle-side replay of the two line rules on the same text
+    o = duckdb.sql(
+        "WITH w AS (SELECT list_filter(regexp_split_to_array(?, "
+        "'\r?\n'), x -> x <> '') AS ls) "
+        "SELECT len(ls) AS nl, len(list_filter(ls, x -> "
+        "regexp_matches(x, '(\\.\\.\\.|…)$'))) AS nel FROM w",
+        params=[crlf]).fetchone()
+    nl, nel = o
+    assert nl == 6
+    # the trailing '...\r' line does NOT count on either engine
+    assert nel == 2
+    assert row["bullet_ok"] == (nel / nl <= 0.3)
+
+
+def test_nb_classify_ignores_null_label_train_rows(spark):
+    """NULL-label train rows are not a class: without the filter they
+    would win every argmax on prior-only score."""
+    from helix_db_spark.operators.textstats import nb_classify
+    train = spark.createDataFrame(
+        [(1, "cat cat", "animal"), (2, "bolt", "machine"),
+         (3, "cat dog mouse", None), (4, "nut bolt", None)],
+        "doc_id long, text string, lang string")
+    test = spark.createDataFrame(
+        [(10, "cat", None)], "doc_id long, text string, lang string")
+    row = nb_classify(train, test, "doc_id", "text", "lang").collect()[0]
+    assert row["pred_lang"] == "animal"
+
+
 def test_gopher_flags_discriminate_on_corpus(spark):
     """On the synthetic corpus the rule set is not a constant — some
     rules pass everywhere (healthy docs) but keep varies."""

@@ -291,5 +291,24 @@ def test_interval_join_by_keys_and_empty_band(spark):
                           by=["user"])
     got = sorted((r["lid"], r["rid"]) for r in keyed.collect())
     assert got == [(1, 10), (2, 11)]
+    # inverted band is an error; reserved internals are rejected
     with pytest.raises(ValueError):
-        interval_join(left, right, "ts", "rts", 5.0, 5.0)
+        interval_join(left, right, "ts", "rts", 5.0, -5.0)
+    with pytest.raises(ValueError):
+        interval_join(left.withColumn("_b", F.lit(1)), right,
+                      "ts", "rts", -1.0, 1.0)
+
+
+def test_interval_join_point_band(spark):
+    """lower == upper is the exact-offset point band: an equi-join on
+    the shifted timestamp, bounds-inclusive contract preserved."""
+    from helix_db_spark.operators.sampling import interval_join
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 12:00:00"))], "lid long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, _ts("2024-01-01 12:00:05")),
+         (11, _ts("2024-01-01 12:00:04.999999")),
+         (12, _ts("2024-01-01 12:00:06"))],
+        "rid long, rts timestamp")
+    out = interval_join(left, right, "ts", "rts", 5.0, 5.0)
+    assert sorted(r["rid"] for r in out.collect()) == [10]
