@@ -3971,6 +3971,66 @@ def text_nb_classify(spark, sf_dir):
     return nb_classify(train, test, "doc_id", "text", "lang")
 
 
+@q("stream_interval_join",
+   "WITH c AS (SELECT event_id, ts FROM events WHERE event_type = 'click'), "
+   "p AS (SELECT ts, value FROM events WHERE event_type = 'purchase') "
+   "SELECT c.event_id, count(*) AS n_nearby, "
+   "round(sum(p.value), 4) AS nearby_value "
+   "FROM c JOIN p ON p.ts >= c.ts - INTERVAL 300 SECOND "
+   "AND p.ts <= c.ts + INTERVAL 300 SECOND "
+   "GROUP BY c.event_id")
+def stream_interval_join_run(spark, sf_dir):
+    """The batch band join's incremental twin as a REAL stream-stream
+    join run: clicks and purchases are two filters of one readStream,
+    joined within ±5 minutes by streaming/ingest.stream_interval_join
+    (watermarks + time-bucket equality key + INTERVAL range condition —
+    the state-bounded shape), driven by trigger(availableNow) into a
+    parquet file sink; the per-click rollup happens on the sink read.
+    Inner-join matches emit as soon as both sides arrive, so the
+    bounded single-file source (one micro-batch — nothing is ever
+    evicted before its partner arrives) reproduces the batch pairs
+    exactly and the SAME DuckDB range-join oracle pins it. Sink and
+    checkpoint dirs carry per-process tokens and are cleaned up after
+    an eager checkpoint (the stream_watermarked_counts hygiene)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.ingest import stream_events, stream_interval_join
+
+    def _write_src(r):
+        _events(spark, sf_dir).coalesce(1).write.mode("overwrite") \
+            .parquet(r)
+
+    src = _artifact_dir(spark, sf_dir, "stream_ssj_src", _write_src)
+    ev = stream_events(spark, src)
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("event_id", "ts")
+    buys = ev.filter(F.col("event_type") == "purchase") \
+             .select(F.col("ts").alias("pts"), "value")
+    pairs = stream_interval_join(clicks, buys, "ts", "pts",
+                                 -300.0, 300.0)
+    run = os.path.join(tempfile.gettempdir(),
+                       f"helix_ssj_{os.getpid()}_{uuid.uuid4().hex[:8]}")
+    q = (pairs.select("event_id", "value")
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", os.path.join(run, "out"))
+         .option("checkpointLocation", os.path.join(run, "ckpt"))
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    out = (spark.read.parquet(os.path.join(run, "out"))
+           .groupBy("event_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_nearby"),
+                F.round(F.sum("value"), 4).alias("nearby_value"))
+           .localCheckpoint(eager=True))
+    shutil.rmtree(run, ignore_errors=True)
+    return out
+
+
 @q("gopher_quality_flags",
    "WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents), "
    "w AS (SELECT doc_id, t, "

@@ -76,6 +76,57 @@ def sessionize(events: DataFrame, gap: str = "30 minutes",
                     "user_id", "n_events", "total"))
 
 
+def stream_interval_join(left: DataFrame, right: DataFrame,
+                         left_ts: str, right_ts: str,
+                         lower_s: float, upper_s: float,
+                         watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join within a time band: every (l, r) pair
+    with ``r.ts in [l.ts + lower_s, l.ts + upper_s]`` — the incremental
+    twin of the batch ``operators.sampling.interval_join`` (same
+    inclusive-bounds contract; the batch op buckets, the streaming op
+    lets Spark's symmetric hash join buffer both sides).
+
+    The watermark plus the time-range condition are what make this
+    runnable unbounded: Spark derives per-side state-eviction bounds
+    from the interval arithmetic in the join condition (a left row is
+    droppable once the watermark passes ``l.ts + upper_s``, a right row
+    once it passes ``r.ts - lower_s``), so state is a sliding band, not
+    the whole history. Stream-stream joins additionally REQUIRE an
+    equality predicate, so both sides carry the batch operator's time
+    bucket (right rows key to one bucket, left rows explode to the <= 2
+    covering buckets) — which also keys the symmetric-hash-join state
+    by bucket instead of one global hash table. The range condition
+    stays as timestamp +- INTERVAL on the watermarked columns
+    (rewriting it through unix_micros would defeat the bound inference
+    and state would grow forever). Column names must already be
+    distinct across the sides; ``_b`` is reserved."""
+    lo_us = int(round(lower_s * 1_000_000))
+    hi_us = int(round(upper_s * 1_000_000))
+    w_us = hi_us - lo_us
+    if w_us <= 0:
+        raise ValueError(f"streaming band needs lower_s < upper_s, got "
+                         f"{lower_s}..{upper_s}")
+
+    def _fdiv(expr: str) -> str:
+        a = f"({expr})"
+        return f"(({a} - pmod({a}, {w_us})) div {w_us})"
+
+    lus = f"unix_micros({left_ts})"
+    l = left.withWatermark(left_ts, watermark).withColumn(
+        "_b", F.explode(F.sequence(
+            F.expr(_fdiv(f"{lus} + {lo_us}")),
+            F.expr(_fdiv(f"{lus} + {hi_us}")))))
+    r = right.withWatermark(right_ts, watermark).withColumn(
+        "_b", F.expr(_fdiv(f"unix_micros({right_ts})")))
+    cond = (
+        (l["_b"] == r["_b"])
+        & F.expr(
+            f"{right_ts} >= {left_ts} + INTERVAL '{lo_us}' MICROSECOND")
+        & F.expr(
+            f"{right_ts} <= {left_ts} + INTERVAL '{hi_us}' MICROSECOND"))
+    return l.join(r, cond).drop("_b")
+
+
 def run_to_memory(df: DataFrame, name: str) -> None:
     """Drive a streaming plan over a bounded source to completion into an
     in-memory table (deterministic test sink)."""

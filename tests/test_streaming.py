@@ -400,3 +400,37 @@ def test_stream_media_dedup_ingest_grows_index(spark, tmp_path):
     assert not ann[502].is_duplicate          # novel in batch 1
     assert ann[503].is_duplicate and ann[503].match_id == 502
     assert ann[504].is_duplicate and ann[504].match_id == 502
+
+
+def test_stream_interval_join_matches_batch(spark, events_dir):
+    """Stream-stream band join (clicks x purchases within ±5 min) emits
+    exactly the batch bucketed interval_join's pairs on a bounded
+    source — inner-join matches never wait for the watermark."""
+    from helix_db_spark.operators.sampling import interval_join
+
+    ev = ingest.stream_events(spark, events_dir)
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select(F.col("event_id").alias("click_id"), "ts")
+    buys = ev.filter(F.col("event_type") == "purchase") \
+             .select(F.col("event_id").alias("buy_id"),
+                     F.col("ts").alias("pts"))
+    joined = ingest.stream_interval_join(clicks, buys, "ts", "pts",
+                                         -300.0, 300.0)
+    assert joined.isStreaming
+    ingest.run_to_memory(joined.select("click_id", "buy_id"), "ssj_out")
+    got = sorted((r["click_id"], r["buy_id"]) for r in
+                 spark.sql("SELECT * FROM ssj_out").collect())
+
+    bev = spark.read.parquet(events_dir)
+    bl = bev.filter(F.col("event_type") == "click") \
+            .select(F.col("event_id").alias("click_id"), "ts")
+    br = bev.filter(F.col("event_type") == "purchase") \
+            .select(F.col("event_id").alias("buy_id"),
+                    F.col("ts").alias("pts"))
+    want = sorted((r["click_id"], r["buy_id"]) for r in
+                  interval_join(bl, br, "ts", "pts",
+                                -300.0, 300.0).collect())
+    assert got == want and len(got) > 0
+    # the streaming plan carries both watermarks (state is bounded)
+    assert "EventTimeWatermark" in joined._jdf.queryExecution() \
+        .analyzed().toString()
