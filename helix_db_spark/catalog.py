@@ -96,6 +96,9 @@ class GraphCatalog:
         # reference-compatible tuning (config.rs vector_config); None =>
         # the deterministic defaults the graded oracles replay
         self.vector_config = None
+        # full DbConfig (config.rs:166-185) when one was supplied — the
+        # bm25 toggle and carried metadata live here
+        self.db_config = None
 
     # -- configuration -----------------------------------------------------
 
@@ -112,10 +115,25 @@ class GraphCatalog:
         stored indexes), which the disk probe must keep using (popping
         them silently downgraded every configured stored-catalog search
         to an in-memory rebuild — caught in r6 review)."""
-        from .config import VectorConfig
+        from .config import DbConfig, VectorConfig
 
-        self.vector_config = (config if isinstance(config, VectorConfig)
-                              else VectorConfig.from_dict(config))
+        if isinstance(config, VectorConfig):
+            self.vector_config = config
+            return self.vector_config
+        dbc = (config if isinstance(config, DbConfig)
+               else DbConfig.from_dict(config))
+        self.db_config = dbc
+        self.vector_config = dbc.vector_config
+        # graph_config.secondary_indices: the reference builds LMDB
+        # secondary indexes for these property names; register the
+        # engine's equivalent (non-unique node_equality entries) on
+        # every node label known so far — registrations are the index
+        # lifecycle surface, scan pruning rides parquet stats
+        for prop in dbc.secondary_indices:
+            for label in list(self._ordinals):
+                entry = IndexEntry("node_equality", label, prop,
+                                   False, "Asc", None)
+                self.create_index(entry, if_not_exists=True)
         return self.vector_config
 
     # -- registration -----------------------------------------------------

@@ -426,14 +426,14 @@ def cmd_serve(args) -> int:
             bundle = QueryBundle.from_json(json.load(fh))
     engine = _engine(args)
     if args.config:
-        from .config import VectorConfig
+        from .config import DbConfig
 
         if args.config.endswith(".toml"):
-            vc = VectorConfig.from_toml(args.config, args.instance)
+            dbc = DbConfig.from_toml(args.config, args.instance)
         else:
-            vc = VectorConfig.from_json(args.config)
-        engine.catalog.configure(vc)
-        print(f"vector_config: {vc}", file=sys.stderr)
+            dbc = DbConfig.from_json(args.config)
+        engine.catalog.configure(dbc)
+        print(f"db_config: {dbc}", file=sys.stderr)
     server = HelixSparkServer(engine, bundle)
     port = server.start(host=args.host, port=args.port)
     print(f"serving on http://{args.host}:{port}/v1/query", file=sys.stderr)

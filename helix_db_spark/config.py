@@ -133,3 +133,88 @@ class VectorConfig:
         iteration is a full corpus pass; 4 is past the recall knee on
         every corpus tested in tests/test_pipeline_ops.py)."""
         return min(4, self.ef_construction // 64)
+
+
+@dataclass(frozen=True)
+class DbConfig:
+    """The reference's FULL DbConfig (config.rs:166-185), not just the
+    vector block: feature flags and schema metadata a reference
+    deployment ships in helix.toml. Semantics here:
+
+    - ``vector_config`` — wired (see VectorConfig above).
+    - ``bm25`` — honored: ``false`` disables BM25 text search (the
+      reference skips building the BM25 index; here TextSearchNodes /
+      TextSearchEdges raise a clear error instead of scanning without
+      an index).
+    - ``graph_config.secondary_indices`` — honored: each property name
+      registers a non-unique node_equality index on every registered
+      node label at configure time (the reference builds LMDB secondary
+      indexes for these properties; registration is this engine's index
+      lifecycle surface — parquet min/max stats already serve the scan
+      pruning).
+    - ``mcp`` — accepted and carried. The reference gates its MCP
+      endpoint with it; this repo ships an HTTP /v1/query server and no
+      MCP transport, so the flag is metadata (documented, not silently
+      dropped).
+    - ``schema`` / ``embedding_model`` / ``graphvis_node_label`` —
+      accepted and carried verbatim. ``embedding_model`` names an
+      external embedding service the reference calls at ingest; this
+      engine ingests precomputed embedding columns, so the name is
+      metadata only.
+    """
+
+    vector_config: VectorConfig = VectorConfig()
+    secondary_indices: tuple = ()
+    mcp: bool = True
+    bm25: bool = True
+    schema: "str | None" = None
+    embedding_model: "str | None" = "text-embedding-ada-002"
+    graphvis_node_label: "str | None" = None
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "DbConfig":
+        gc = d.get("graph_config")
+        sec = tuple(gc.get("secondary_indices") or ()) \
+            if isinstance(gc, dict) else ()
+        return cls(
+            vector_config=VectorConfig.from_dict(d),
+            secondary_indices=sec,
+            mcp=bool(d.get("mcp", True)),
+            bm25=bool(d.get("bm25", True)),
+            schema=d.get("schema"),
+            embedding_model=d.get("embedding_model",
+                                  "text-embedding-ada-002"),
+            graphvis_node_label=d.get("graphvis_node_label"))
+
+    @classmethod
+    def from_json(cls, path: str) -> "DbConfig":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+    @classmethod
+    def from_toml(cls, path: str,
+                  instance: "str | None" = None) -> "DbConfig":
+        """helix.toml -> DbConfig: serde flattens db_config into each
+        [local.<name>]/[enterprise.<name>] instance. ``instance``
+        selects by name; otherwise the first (sorted) instance wins; a
+        file with none yields the defaults."""
+        import tomllib
+
+        with open(path, "rb") as f:
+            t = tomllib.load(f)
+        if any(k in t for k in ("vector_config", "bm25", "mcp",
+                                "graph_config")):
+            return cls.from_dict(t)
+
+        def _tables(x):
+            return {k: v for k, v in x.items()
+                    if isinstance(v, dict)} if isinstance(x, dict) else {}
+        insts = {**_tables(t.get("enterprise")), **_tables(t.get("local"))}
+        if instance is not None:
+            if instance not in insts:
+                raise ValueError(
+                    f"instance {instance!r} not in {path}; defined: "
+                    f"{sorted(insts) or '(none)'}")
+            return cls.from_dict(insts[instance])
+        sel = next((v for _, v in sorted(insts.items())), None)
+        return cls.from_dict(sel) if sel is not None else cls()

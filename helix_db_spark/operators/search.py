@@ -264,6 +264,13 @@ def text_search(compiler, step):
     the vector-search contract (parity fixture generate-fixtures.ts:478)."""
     from ..plans.compiler import Stream
 
+    # reference parity: DbConfig.bm25 = false means no BM25 index is
+    # built (config.rs:173); fail clearly instead of scanning without one
+    dbc = getattr(compiler.cat, "db_config", None)
+    if dbc is not None and not dbc.bm25:
+        raise ValueError("BM25 text search is disabled by db config "
+                         "(bm25 = false)")
+
     entry = _index_entry(compiler, ("node_text", "edge_text"),
                          step.label, step.property)
     k = compiler._bound(step.k)

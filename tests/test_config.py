@@ -199,3 +199,54 @@ def test_from_toml_reference_layout(tmp_path):
     only = tmp_path / "only.toml"
     only.write_text('[local]\nport = 1\n')
     assert VectorConfig.from_toml(str(only)) == VectorConfig()
+
+
+def test_dbconfig_full_reference_shape_and_flags(spark):
+    """The full DbConfig (config.rs:166-185) parses, the bm25 toggle is
+    honored, and secondary_indices register equality indexes."""
+    from helix_db_spark.config import DbConfig
+    from helix_db_spark.engine import HelixSparkEngine
+    from helix_db_spark.sources.tpch import load_graph
+    from helix_db_spark import g
+
+    dbc = DbConfig.from_dict({
+        "vector_config": {"m": 8, "ef_search": 64},
+        "graph_config": {"secondary_indices": ["c_mktsegment"]},
+        "bm25": False, "mcp": True,
+        "embedding_model": "text-embedding-ada-002",
+        "graphvis_node_label": "c_name"})
+    assert dbc.vector_config.m == 8 and dbc.bm25 is False
+    assert dbc.secondary_indices == ("c_mktsegment",)
+
+    eng = HelixSparkEngine(load_graph(spark, "/root/testdata/sf0.001"))
+    eng.catalog.configure(dbc)
+    # secondary index registered for every node label (non-unique:
+    # write-time unique checks unaffected)
+    keys = [k for k in eng.catalog.indexes
+            if k[0] == "node_equality" and k[2] == "c_mktsegment"]
+    assert len(keys) == len(eng.catalog._ordinals)
+    # bm25=false -> text search fails clearly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bm25"):
+        eng.run(g().text_search("customer", "c_name", "Customer", 5))
+
+
+def test_dbconfig_toml_instance_and_defaults(tmp_path):
+    from helix_db_spark.config import DbConfig
+    p = tmp_path / "helix.toml"
+    p.write_text(
+        '[local.dev]\nbm25 = false\n'
+        '[local.dev.vector_config]\nef_search = 32\n'
+        '[local.dev.graph_config]\nsecondary_indices = ["lang"]\n'
+        '[local.prod]\nbm25 = true\n')
+    dev = DbConfig.from_toml(str(p), "dev")
+    assert dev.bm25 is False and dev.vector_config.ef_search == 32
+    assert dev.secondary_indices == ("lang",)
+    # no instance named: first sorted instance (dev) wins
+    assert DbConfig.from_toml(str(p)).bm25 is False
+    # empty file -> pure defaults (bm25 on, reference vector defaults)
+    q = tmp_path / "empty.toml"
+    q.write_text("")
+    d = DbConfig.from_toml(str(q))
+    assert d.bm25 is True and d.vector_config.ef_search == 768
+    assert d.embedding_model == "text-embedding-ada-002"
