@@ -69,3 +69,29 @@ def test_media_example_runs(spark, tmp_path, capsys):
     assert by["neardup"]["image_pairs"] >= 100   # planted even/odd pairs
     assert by["incremental"]["duplicates"] == 100  # every odd has a twin
     assert 0 < by["curate"]["survivors"] < 200
+
+
+def test_feature_store_example_runs(spark, tmp_path, capsys):
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "feature_store_pipeline.py")
+    spec = importlib.util.spec_from_file_location("fs_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    argv = sys.argv
+    sys.argv = [path, "/root/testdata/sf0.001", str(tmp_path)]
+    try:
+        mod.main()
+    finally:
+        sys.argv = argv
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    steps = [ln["step"] for ln in lines]
+    assert steps == ["ingest", "gopher", "classify", "band_join",
+                     "bucketed"]
+    by = {ln["step"]: ln for ln in lines}
+    assert by["ingest"]["docs"] == 500
+    assert 0 < by["gopher"]["wc_ok"] < 500
+    assert by["classify"]["scored"] == 100
+    assert by["band_join"]["clicks_with_context"] > 0
+    assert by["bucketed"]["query_time_shuffles"] == 0
+    assert by["bucketed"]["customers"] > 0
