@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -330,3 +332,40 @@ def test_mixture_plan_temperature_invariants(spark, groups, temp):
             assert smallest["target_share"] > smallest["share"] - 1e-9
         else:
             assert smallest["target_share"] < smallest["share"] + 1e-9
+
+
+# --- interval_join == brute force on arbitrary timestamps/bands ----------
+
+_epoch_us = st.integers(min_value=-2_000_000_000_000,  # ~1906
+                        max_value=4_000_000_000_000)   # ~2096 (seconds*1e6
+                                                       # would overflow; this
+                                                       # is microseconds)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(lts=st.lists(_epoch_us, min_size=1, max_size=12),
+       rts=st.lists(_epoch_us, min_size=1, max_size=12),
+       lo=st.integers(min_value=-10_000_000, max_value=10_000_000),
+       width=st.integers(min_value=0, max_value=20_000_000))
+def test_interval_join_matches_bruteforce_property(spark, lts, rts,
+                                                   lo, width):
+    """Bucketed band join == brute force for ANY timestamps (both epoch
+    signs) and ANY inclusive band, including the point band — the
+    floor-division/bounds contract under fuzz."""
+    from helix_db_spark.operators.sampling import interval_join
+
+    hi = lo + width
+    left = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(lts)], "lid long, lus long") \
+        .select("lid", F.timestamp_micros(F.col("lus")).alias("ts"))
+    right = spark.createDataFrame(
+        [(j, v) for j, v in enumerate(rts)], "rid long, rus long") \
+        .select("rid", F.timestamp_micros(F.col("rus")).alias("rts"))
+    out = interval_join(left, right, "ts", "rts",
+                        lo / 1e6, hi / 1e6)
+    got = sorted((r["lid"], r["rid"]) for r in out.collect())
+    want = sorted((i, j) for i, lv in enumerate(lts)
+                  for j, rv in enumerate(rts)
+                  if lv + lo <= rv <= lv + hi)
+    assert got == want
