@@ -71,8 +71,9 @@ def main() -> None:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("pred_lang") == F.col("true_lang"), 1)
               .otherwise(0)).alias("ok")).collect()[0]
+    frac = round(agg["ok"] / agg["n"], 4) if agg["n"] else None
     print(json.dumps({"step": "classify", "scored": agg["n"],
-                      "agree_frac": round(agg["ok"] / agg["n"], 4)}))
+                      "agree_frac": frac}))
 
     # 4. keyless band join: purchase context features per click
     ev = read_table(spark, sf_dir, "events")

@@ -118,7 +118,11 @@ class GraphCatalog:
         from .config import DbConfig, VectorConfig
 
         if isinstance(config, VectorConfig):
+            # a bare VectorConfig is vector-only tuning: it REPLACES the
+            # whole configuration (the reference reconfigures from one
+            # file), so any previously carried DbConfig flags reset
             self.vector_config = config
+            self.db_config = None
             return self.vector_config
         dbc = (config if isinstance(config, DbConfig)
                else DbConfig.from_dict(config))
@@ -130,7 +134,8 @@ class GraphCatalog:
         # every node label known so far — registrations are the index
         # lifecycle surface, scan pruning rides parquet stats
         for prop in dbc.secondary_indices:
-            for label in list(self._ordinals):
+            for label in self.node_labels():  # NODE labels only — the
+                # ordinal table also holds $edge$ id-namespace entries
                 entry = IndexEntry("node_equality", label, prop,
                                    False, "Asc", None)
                 self.create_index(entry, if_not_exists=True)
@@ -390,8 +395,14 @@ class GraphCatalog:
     # -- index DDL ----------------------------------------------------------
 
     def create_index(self, entry: IndexEntry, if_not_exists: bool = False) -> None:
-        if entry.key() in self.indexes and not if_not_exists:
-            raise ValueError(f"index exists: {entry.key()}")
+        # IF NOT EXISTS = SKIP an existing entry (SQL semantics), never
+        # overwrite it — replacing would let a later non-unique
+        # registration (e.g. configure()'s secondary_indices) silently
+        # downgrade a unique index and disable its write-time checks
+        if entry.key() in self.indexes:
+            if not if_not_exists:
+                raise ValueError(f"index exists: {entry.key()}")
+            return
         self.indexes[entry.key()] = entry
 
     def drop_index(self, key: tuple) -> None:

@@ -44,6 +44,42 @@ import json
 import math
 from dataclasses import dataclass
 
+# every key serde flattens into a helix.toml instance from DbConfig
+# (config.rs:166-185) — used to tell "this toml IS a config" from "this
+# toml holds [local.<name>] instances"
+_DB_KEYS = ("vector_config", "graph_config", "bm25", "mcp", "schema",
+            "embedding_model", "graphvis_node_label")
+
+
+def _toml_instances(t) -> dict:
+    """[local.<name>]/[enterprise.<name>] instance tables; local wins a
+    (pathological) name collision with enterprise — the instance you
+    can touch on this machine beats the remote one. Only TABLE values
+    are instances: a stray scalar key at the [local] level (e.g.
+    ``port = 1``) must not turn membership checks into TypeErrors
+    (ADVICE r6)."""
+    def _tables(x):
+        return {k: v for k, v in x.items()
+                if isinstance(v, dict)} if isinstance(x, dict) else {}
+    return {**_tables(t.get("enterprise")), **_tables(t.get("local"))}
+
+
+def _select_instance(t: dict, path: str, instance: "str | None",
+                     keys: tuple) -> "dict | None":
+    """Pick the instance dict a from_toml should parse: the named one,
+    else the first (sorted) instance carrying any of ``keys``, else
+    None (defaults). Shared by VectorConfig/DbConfig so the resolution
+    rules cannot drift."""
+    insts = _toml_instances(t)
+    if instance is not None:
+        if instance not in insts:
+            raise ValueError(
+                f"instance {instance!r} not in {path}; defined: "
+                f"{sorted(insts) or '(none)'}")
+        return insts[instance]
+    return next((v for _, v in sorted(insts.items())
+                 if any(k in v for k in keys)), None)
+
 
 @dataclass(frozen=True)
 class VectorConfig:
@@ -90,23 +126,7 @@ class VectorConfig:
             t = tomllib.load(f)
         if "vector_config" in t:
             return cls.from_dict(t)
-        # local wins a (pathological) name collision with enterprise —
-        # the instance you can touch on this machine beats the remote
-        # one. Only TABLE values are instances: a stray scalar key at
-        # the [local]/[enterprise] level (e.g. `port = 1`) must not
-        # turn the membership checks into TypeErrors (ADVICE r6).
-        def _tables(x):
-            return {k: v for k, v in x.items()
-                    if isinstance(v, dict)} if isinstance(x, dict) else {}
-        insts = {**_tables(t.get("enterprise")), **_tables(t.get("local"))}
-        if instance is not None:
-            if instance not in insts:
-                raise ValueError(
-                    f"instance {instance!r} not in {path}; defined: "
-                    f"{sorted(insts) or '(none)'}")
-            return cls.from_dict(insts[instance])
-        sel = next((v for _, v in sorted(insts.items())
-                    if "vector_config" in v), None)
+        sel = _select_instance(t, path, instance, ("vector_config",))
         return cls.from_dict(sel) if sel is not None else cls()
 
     def nprobe(self, n: int, ncells: int) -> int:
@@ -196,25 +216,16 @@ class DbConfig:
                   instance: "str | None" = None) -> "DbConfig":
         """helix.toml -> DbConfig: serde flattens db_config into each
         [local.<name>]/[enterprise.<name>] instance. ``instance``
-        selects by name; otherwise the first (sorted) instance wins; a
-        file with none yields the defaults."""
+        selects by name; otherwise the first (sorted) instance carrying
+        any DbConfig key wins (the VectorConfig.from_toml rule widened
+        to the whole surface — an unrelated [local.aux] table of ports
+        must not shadow the configured instance); a file with none
+        yields the defaults."""
         import tomllib
 
         with open(path, "rb") as f:
             t = tomllib.load(f)
-        if any(k in t for k in ("vector_config", "bm25", "mcp",
-                                "graph_config")):
+        if any(k in t for k in _DB_KEYS):
             return cls.from_dict(t)
-
-        def _tables(x):
-            return {k: v for k, v in x.items()
-                    if isinstance(v, dict)} if isinstance(x, dict) else {}
-        insts = {**_tables(t.get("enterprise")), **_tables(t.get("local"))}
-        if instance is not None:
-            if instance not in insts:
-                raise ValueError(
-                    f"instance {instance!r} not in {path}; defined: "
-                    f"{sorted(insts) or '(none)'}")
-            return cls.from_dict(insts[instance])
-        sel = next((v for _, v in sorted(insts.items())), None)
+        sel = _select_instance(t, path, instance, _DB_KEYS)
         return cls.from_dict(sel) if sel is not None else cls()

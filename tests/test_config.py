@@ -220,15 +220,26 @@ def test_dbconfig_full_reference_shape_and_flags(spark):
 
     eng = HelixSparkEngine(load_graph(spark, "/root/testdata/sf0.001"))
     eng.catalog.configure(dbc)
-    # secondary index registered for every node label (non-unique:
-    # write-time unique checks unaffected)
+    # secondary index registered for every NODE label (not the $edge$
+    # id-namespace ordinals; non-unique: write-time checks unaffected)
     keys = [k for k in eng.catalog.indexes
             if k[0] == "node_equality" and k[2] == "c_mktsegment"]
-    assert len(keys) == len(eng.catalog._ordinals)
+    assert sorted(k[1] for k in keys) == sorted(eng.catalog.node_labels())
+    assert not any(k[1].startswith("$edge$") for k in keys)
     # bm25=false -> text search fails clearly
     import pytest as _pytest
     with _pytest.raises(ValueError, match="bm25"):
         eng.run(g().text_search("customer", "c_name", "Customer", 5))
+    # an existing UNIQUE index is never downgraded by re-registration
+    # (NB: each configure() REPLACES the whole config — bm25 is back on)
+    from helix_db_spark.catalog import IndexEntry
+    eng.catalog.create_index(
+        IndexEntry("node_equality", "customer", "c_name", True,
+                   "Asc", None))
+    eng.catalog.configure(DbConfig.from_dict(
+        {"graph_config": {"secondary_indices": ["c_name"]}}))
+    assert eng.catalog.indexes[
+        ("node_equality", "customer", "c_name")].unique is True
 
 
 def test_dbconfig_toml_instance_and_defaults(tmp_path):
@@ -250,3 +261,38 @@ def test_dbconfig_toml_instance_and_defaults(tmp_path):
     d = DbConfig.from_toml(str(q))
     assert d.bm25 is True and d.vector_config.ef_search == 768
     assert d.embedding_model == "text-embedding-ada-002"
+
+
+def test_dbconfig_toml_skips_unrelated_instances(tmp_path):
+    """An unrelated [local.aux] table (ports, paths) must not shadow the
+    instance that actually carries config — and a top-level toml with
+    only carried-metadata keys still parses as a config."""
+    from helix_db_spark.config import DbConfig, VectorConfig
+    p = tmp_path / "helix.toml"
+    p.write_text(
+        '[local.aux]\nport = 8080\n'
+        '[local.main.vector_config]\nef_search = 32\n')
+    assert DbConfig.from_toml(str(p)).vector_config.ef_search == 32
+    assert VectorConfig.from_toml(str(p)).ef_search == 32
+    q = tmp_path / "meta.toml"
+    q.write_text('embedding_model = "voyage-3"\n')
+    assert DbConfig.from_toml(str(q)).embedding_model == "voyage-3"
+
+
+def test_bare_vectorconfig_reconfigure_clears_flags(spark):
+    """configure(VectorConfig) replaces the WHOLE config: a previously
+    set bm25=false must not keep disabling text search."""
+    from helix_db_spark.config import DbConfig, VectorConfig
+    from helix_db_spark.engine import HelixSparkEngine
+    from helix_db_spark.sources.tpch import load_graph
+    from helix_db_spark import g
+
+    eng = HelixSparkEngine(load_graph(spark, "/root/testdata/sf0.001"))
+    eng.catalog.configure(DbConfig.from_dict({"bm25": False}))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bm25"):
+        eng.run(g().text_search("customer", "c_name", "Customer", 5))
+    eng.catalog.configure(VectorConfig())
+    assert eng.catalog.db_config is None
+    rows = eng.run(g().text_search("customer", "c_name", "Customer", 5))
+    assert rows.count() > 0

@@ -336,10 +336,9 @@ def test_mixture_plan_temperature_invariants(spark, groups, temp):
 
 # --- interval_join == brute force on arbitrary timestamps/bands ----------
 
-_epoch_us = st.integers(min_value=-2_000_000_000_000,  # ~1906
-                        max_value=4_000_000_000_000)   # ~2096 (seconds*1e6
-                                                       # would overflow; this
-                                                       # is microseconds)
+_epoch_us = st.integers(min_value=-2_000_000_000_000_000,  # ~1906
+                        max_value=4_000_000_000_000_000)   # ~2096, in
+                                                           # microseconds
 
 
 @settings(max_examples=20, deadline=None,
