@@ -79,7 +79,8 @@ def sessionize(events: DataFrame, gap: str = "30 minutes",
 def stream_interval_join(left: DataFrame, right: DataFrame,
                          left_ts: str, right_ts: str,
                          lower_s: float, upper_s: float,
-                         watermark: str = "1 hour") -> DataFrame:
+                         watermark: str = "1 hour",
+                         how: str = "inner") -> DataFrame:
     """Stream-stream inner join within a time band: every (l, r) pair
     with ``r.ts in [l.ts + lower_s, l.ts + upper_s]`` — the incremental
     twin of the batch ``operators.sampling.interval_join`` (same
@@ -124,7 +125,34 @@ def stream_interval_join(left: DataFrame, right: DataFrame,
             f"{right_ts} >= {left_ts} + INTERVAL '{lo_us}' MICROSECOND")
         & F.expr(
             f"{right_ts} <= {left_ts} + INTERVAL '{hi_us}' MICROSECOND"))
-    return l.join(r, cond).drop("_b")
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner|left_outer: {how!r}")
+    if how == "left_outer":
+        # OUTER semantics change the bucket contract: an unmatched left
+        # row must emit exactly ONCE, but the explode duplicates it per
+        # covering bucket — so for outer joins the left side keeps its
+        # OWN single bucket and the RIGHT side explodes to the buckets
+        # its value could answer from (the mirror cover: r matches l iff
+        # r.ts - upper <= l.ts <= r.ts - lower). Match pairs still join
+        # exactly once (the left row's one bucket lies in the right
+        # row's mirrored cover range), and each left row exists exactly
+        # once in the join input. NULL-padded rows emit only after the
+        # watermark passes l.ts + upper_s — on a bounded source the
+        # final no-data micro-batch flushes them
+        # (spark.sql.streaming.noDataMicroBatches.enabled default).
+        l = left.withWatermark(left_ts, watermark).withColumn(
+            "_b", F.expr(_fdiv(f"unix_micros({left_ts})")))
+        r = right.withWatermark(right_ts, watermark).withColumn(
+            "_b", F.explode(F.sequence(
+                F.expr(_fdiv(f"unix_micros({right_ts}) - {hi_us}")),
+                F.expr(_fdiv(f"unix_micros({right_ts}) - {lo_us}")))))
+        cond = (
+            (l["_b"] == r["_b"])
+            & F.expr(f"{right_ts} >= {left_ts} + "
+                     f"INTERVAL '{lo_us}' MICROSECOND")
+            & F.expr(f"{right_ts} <= {left_ts} + "
+                     f"INTERVAL '{hi_us}' MICROSECOND"))
+    return l.join(r, cond, how).drop("_b")
 
 
 def run_to_memory(df: DataFrame, name: str) -> None:

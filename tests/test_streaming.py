@@ -434,3 +434,45 @@ def test_stream_interval_join_matches_batch(spark, events_dir):
     # the streaming plan carries both watermarks (state is bounded)
     assert "EventTimeWatermark" in joined._jdf.queryExecution() \
         .analyzed().toString()
+
+
+def test_stream_interval_join_left_outer(spark, events_dir):
+    """LEFT OUTER band join: matched pairs plus NULL-padded rows for
+    clicks with no purchase in the band. NULL padding is watermark-
+    driven — the bounded run's final no-data micro-batch flushes it."""
+    ev = ingest.stream_events(spark, events_dir)
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select(F.col("event_id").alias("click_id"), "ts")
+    buys = ev.filter(F.col("event_type") == "purchase") \
+             .select(F.col("event_id").alias("buy_id"),
+                     F.col("ts").alias("pts"))
+    joined = ingest.stream_interval_join(clicks, buys, "ts", "pts",
+                                         -60.0, 60.0, how="left_outer")
+    ingest.run_to_memory(joined.select("click_id", "buy_id"), "ssjo_out")
+    got = sorted((r["click_id"], r["buy_id"]) for r in
+                 spark.sql("SELECT * FROM ssjo_out").collect())
+
+    bev = spark.read.parquet(events_dir)
+    bl = bev.filter(F.col("event_type") == "click") \
+            .select(F.col("event_id").alias("click_id"), "ts")
+    br = bev.filter(F.col("event_type") == "purchase") \
+            .select(F.col("event_id").alias("buy_id"),
+                    F.col("ts").alias("pts"))
+    want = sorted(
+        (r["click_id"], r["buy_id"]) for r in
+        bl.join(br, F.expr("pts >= ts - INTERVAL 60 SECONDS AND "
+                           "pts <= ts + INTERVAL 60 SECONDS"),
+                "left_outer").collect())
+    n_unmatched_want = sum(1 for _, b in want if b is None)
+    n_unmatched_got = sum(1 for _, b in got if b is None)
+    # every MATCHED pair emits; unmatched lefts inside the final
+    # watermark horizon are (correctly) still buffered on a bounded
+    # source, so got's NULL rows are a subset of want's
+    assert [p for p in got if p[1] is not None] == \
+           [p for p in want if p[1] is not None]
+    assert 0 < n_unmatched_got <= n_unmatched_want
+    # with the 1h watermark over a 30-day corpus, nearly all flush
+    assert n_unmatched_got >= int(0.9 * n_unmatched_want)
+    with pytest.raises(ValueError):
+        ingest.stream_interval_join(clicks, buys, "ts", "pts",
+                                    -60.0, 60.0, how="full_outer")
