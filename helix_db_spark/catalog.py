@@ -97,8 +97,11 @@ class GraphCatalog:
         # the deterministic defaults the graded oracles replay
         self.vector_config = None
         # full DbConfig (config.rs:166-185) when one was supplied — the
-        # bm25 toggle and carried metadata live here
+        # bm25 toggle and carried metadata live here; the keys of index
+        # entries configure() registered, so a reconfigure can retract
+        # exactly them
         self.db_config = None
+        self._config_index_keys: set = set()
 
     # -- configuration -----------------------------------------------------
 
@@ -117,10 +120,15 @@ class GraphCatalog:
         to an in-memory rebuild — caught in r6 review)."""
         from .config import DbConfig, VectorConfig
 
+        # each configure() REPLACES the whole configuration, including
+        # the index registrations the PREVIOUS config created (and only
+        # those — user-created indexes are untouched)
+        for key in self._config_index_keys:
+            self.indexes.pop(key, None)
+        self._config_index_keys = set()
         if isinstance(config, VectorConfig):
-            # a bare VectorConfig is vector-only tuning: it REPLACES the
-            # whole configuration (the reference reconfigures from one
-            # file), so any previously carried DbConfig flags reset
+            # a bare VectorConfig is vector-only tuning: any previously
+            # carried DbConfig flags reset
             self.vector_config = config
             self.db_config = None
             return self.vector_config
@@ -132,14 +140,28 @@ class GraphCatalog:
         # secondary indexes for these property names; register the
         # engine's equivalent (non-unique node_equality entries) on
         # every node label known so far — registrations are the index
-        # lifecycle surface, scan pruning rides parquet stats
-        for prop in dbc.secondary_indices:
-            for label in self.node_labels():  # NODE labels only — the
-                # ordinal table also holds $edge$ id-namespace entries
-                entry = IndexEntry("node_equality", label, prop,
-                                   False, "Asc", None)
-                self.create_index(entry, if_not_exists=True)
+        # lifecycle surface, scan pruning rides parquet stats. By-name
+        # like the reference: property presence is checked at use (the
+        # unique write check guards `property in df.columns`). Labels
+        # registered AFTER configure() pick the entries up in
+        # _register_config_secondary (add_nodes/add_nodes_lazy hook).
+        for label in self.node_labels():  # NODE labels only — the
+            # ordinal table also holds $edge$ id-namespace entries
+            self._register_config_secondary(label)
         return self.vector_config
+
+    def _register_config_secondary(self, label: str) -> None:
+        """Apply the active config's secondary_indices to one node label
+        (idempotent; skips keys a user-created index already owns)."""
+        dbc = self.db_config
+        if dbc is None:
+            return
+        for prop in dbc.secondary_indices:
+            entry = IndexEntry("node_equality", label, prop,
+                               False, "Asc", None)
+            if entry.key() not in self.indexes:
+                self.indexes[entry.key()] = entry
+                self._config_index_keys.add(entry.key())
 
     # -- registration -----------------------------------------------------
 
@@ -164,6 +186,10 @@ class GraphCatalog:
             self._nodes[label] = df
         self.invalidate_label(label)
         self._dirty.add(("node", label))
+        # the active config's secondary_indices apply to labels
+        # registered AFTER configure() too (the reference maintains its
+        # secondary indexes going forward)
+        self._register_config_secondary(label)
 
     def add_nodes_lazy(self, label: str,
                        thunk: Callable[[], DataFrame],
@@ -173,6 +199,7 @@ class GraphCatalog:
         regardless of which label a query touches first."""
         self.ordinal(label)
         self._node_thunks[label] = (thunk, key_col)
+        self._register_config_secondary(label)
 
     def add_edges_lazy(self, label: str,
                        thunk: Callable[[], DataFrame],
@@ -398,8 +425,17 @@ class GraphCatalog:
         # IF NOT EXISTS = SKIP an existing entry (SQL semantics), never
         # overwrite it — replacing would let a later non-unique
         # registration (e.g. configure()'s secondary_indices) silently
-        # downgrade a unique index and disable its write-time checks
-        if entry.key() in self.indexes:
+        # downgrade a unique index and disable its write-time checks.
+        # The one sanctioned replacement is the UPGRADE: an explicit
+        # unique create over a non-unique entry strengthens it (the
+        # config's blanket secondary registration must not permanently
+        # block a user's unique index on the same key).
+        old = self.indexes.get(entry.key())
+        if old is not None:
+            if entry.unique and not old.unique:
+                self.indexes[entry.key()] = entry
+                self._config_index_keys.discard(entry.key())
+                return
             if not if_not_exists:
                 raise ValueError(f"index exists: {entry.key()}")
             return

@@ -124,7 +124,9 @@ class VectorConfig:
 
         with open(path, "rb") as f:
             t = tomllib.load(f)
-        if "vector_config" in t:
+        # an explicitly named instance always wins — a stray top-level
+        # key must not silently bypass the user's --instance selection
+        if instance is None and "vector_config" in t:
             return cls.from_dict(t)
         sel = _select_instance(t, path, instance, ("vector_config",))
         return cls.from_dict(sel) if sel is not None else cls()
@@ -225,7 +227,9 @@ class DbConfig:
 
         with open(path, "rb") as f:
             t = tomllib.load(f)
-        if any(k in t for k in _DB_KEYS):
+        # an explicitly named instance always wins — a stray top-level
+        # key must not silently bypass the user's --instance selection
+        if instance is None and any(k in t for k in _DB_KEYS):
             return cls.from_dict(t)
         sel = _select_instance(t, path, instance, _DB_KEYS)
         return cls.from_dict(sel) if sel is not None else cls()

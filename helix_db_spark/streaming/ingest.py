@@ -100,58 +100,62 @@ def stream_interval_join(left: DataFrame, right: DataFrame,
     stays as timestamp +- INTERVAL on the watermarked columns
     (rewriting it through unix_micros would defeat the bound inference
     and state would grow forever). Column names must already be
-    distinct across the sides; ``_b`` is reserved."""
+    distinct across the sides; ``_b`` is reserved (rejected, same as
+    the batch twin). ``lower_s == upper_s`` is the exact-offset point
+    band: the shifted microsecond value itself is the equality key.
+
+    OUTER semantics flip the bucket contract: an unmatched left row
+    must emit exactly ONCE, but an explode would duplicate it per
+    covering bucket — so for ``left_outer`` the left side keeps its OWN
+    single bucket and the RIGHT side explodes to the buckets its value
+    could answer from (the mirror cover: r matches l iff
+    ``r.ts - upper <= l.ts <= r.ts - lower``). Match pairs still join
+    exactly once, and each left row exists exactly once in the join
+    input. NULL-padded rows emit only after the watermark passes
+    ``l.ts + upper_s`` — on a bounded source the final no-data
+    micro-batch flushes them
+    (spark.sql.streaming.noDataMicroBatches.enabled default)."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner|left_outer: {how!r}")
+    clash = {"_b"} & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"reserved stream_interval_join column in "
+                         f"input: {sorted(clash)}")
     lo_us = int(round(lower_s * 1_000_000))
     hi_us = int(round(upper_s * 1_000_000))
     w_us = hi_us - lo_us
-    if w_us <= 0:
-        raise ValueError(f"streaming band needs lower_s < upper_s, got "
-                         f"{lower_s}..{upper_s}")
+    if w_us < 0:
+        raise ValueError(f"empty band: lower_s={lower_s} > "
+                         f"upper_s={upper_s}")
 
     def _fdiv(expr: str) -> str:
         a = f"({expr})"
         return f"(({a} - pmod({a}, {w_us})) div {w_us})"
 
-    lus = f"unix_micros({left_ts})"
-    l = left.withWatermark(left_ts, watermark).withColumn(
-        "_b", F.explode(F.sequence(
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    lus, rus = f"unix_micros({left_ts})", f"unix_micros({right_ts})"
+    if w_us == 0:
+        # point band: the shifted value IS the equality key, one bucket
+        # per row on both sides — valid for either join mode
+        l = lw.withColumn("_b", F.expr(f"{lus} + {lo_us}"))
+        r = rw.withColumn("_b", F.expr(rus))
+    elif how == "inner":
+        l = lw.withColumn("_b", F.explode(F.sequence(
             F.expr(_fdiv(f"{lus} + {lo_us}")),
             F.expr(_fdiv(f"{lus} + {hi_us}")))))
-    r = right.withWatermark(right_ts, watermark).withColumn(
-        "_b", F.expr(_fdiv(f"unix_micros({right_ts})")))
+        r = rw.withColumn("_b", F.expr(_fdiv(rus)))
+    else:  # left_outer: single left bucket, mirrored right cover
+        l = lw.withColumn("_b", F.expr(_fdiv(lus)))
+        r = rw.withColumn("_b", F.explode(F.sequence(
+            F.expr(_fdiv(f"{rus} - {hi_us}")),
+            F.expr(_fdiv(f"{rus} - {lo_us}")))))
     cond = (
         (l["_b"] == r["_b"])
         & F.expr(
             f"{right_ts} >= {left_ts} + INTERVAL '{lo_us}' MICROSECOND")
         & F.expr(
             f"{right_ts} <= {left_ts} + INTERVAL '{hi_us}' MICROSECOND"))
-    if how not in ("inner", "left_outer"):
-        raise ValueError(f"how must be inner|left_outer: {how!r}")
-    if how == "left_outer":
-        # OUTER semantics change the bucket contract: an unmatched left
-        # row must emit exactly ONCE, but the explode duplicates it per
-        # covering bucket — so for outer joins the left side keeps its
-        # OWN single bucket and the RIGHT side explodes to the buckets
-        # its value could answer from (the mirror cover: r matches l iff
-        # r.ts - upper <= l.ts <= r.ts - lower). Match pairs still join
-        # exactly once (the left row's one bucket lies in the right
-        # row's mirrored cover range), and each left row exists exactly
-        # once in the join input. NULL-padded rows emit only after the
-        # watermark passes l.ts + upper_s — on a bounded source the
-        # final no-data micro-batch flushes them
-        # (spark.sql.streaming.noDataMicroBatches.enabled default).
-        l = left.withWatermark(left_ts, watermark).withColumn(
-            "_b", F.expr(_fdiv(f"unix_micros({left_ts})")))
-        r = right.withWatermark(right_ts, watermark).withColumn(
-            "_b", F.explode(F.sequence(
-                F.expr(_fdiv(f"unix_micros({right_ts}) - {hi_us}")),
-                F.expr(_fdiv(f"unix_micros({right_ts}) - {lo_us}")))))
-        cond = (
-            (l["_b"] == r["_b"])
-            & F.expr(f"{right_ts} >= {left_ts} + "
-                     f"INTERVAL '{lo_us}' MICROSECOND")
-            & F.expr(f"{right_ts} <= {left_ts} + "
-                     f"INTERVAL '{hi_us}' MICROSECOND"))
     return l.join(r, cond, how).drop("_b")
 
 

@@ -296,3 +296,75 @@ def test_bare_vectorconfig_reconfigure_clears_flags(spark):
     assert eng.catalog.db_config is None
     rows = eng.run(g().text_search("customer", "c_name", "Customer", 5))
     assert rows.count() > 0
+
+
+def test_secondary_indices_lifecycle_contracts(spark):
+    """The third-review contracts: (a) an explicit UNIQUE create
+    upgrades a config-registered non-unique entry instead of being
+    blocked; (b) labels registered after configure() pick the config's
+    secondary indexes up; (c) reconfiguring retracts exactly the
+    entries the previous config created."""
+    from helix_db_spark.catalog import GraphCatalog, IndexEntry
+    from helix_db_spark.config import DbConfig, VectorConfig
+
+    cat = GraphCatalog(spark)
+    cat.add_nodes("a", spark.range(3).withColumnRenamed("id", "k"),
+                  key_col="k")
+    cat.configure(DbConfig.from_dict(
+        {"graph_config": {"secondary_indices": ["k"]}}))
+    key = ("node_equality", "a", "k")
+    assert cat.indexes[key].unique is False
+    # (a) upgrade: explicit unique create replaces the config entry
+    cat.create_index(IndexEntry("node_equality", "a", "k", True,
+                                "Asc", None))
+    assert cat.indexes[key].unique is True
+    # ...and a reconfigure no longer retracts the upgraded (user) entry
+    cat.configure(DbConfig.from_dict(
+        {"graph_config": {"secondary_indices": ["k"]}}))
+    assert cat.indexes[key].unique is True
+    # (b) forward maintenance: a label added after configure()
+    cat.add_nodes("b", spark.range(3).withColumnRenamed("id", "k"),
+                  key_col="k")
+    assert ("node_equality", "b", "k") in cat.indexes
+    # (c) retraction: a bare VectorConfig clears config-created entries
+    # (but never the user's upgraded one)
+    cat.configure(VectorConfig())
+    assert ("node_equality", "b", "k") not in cat.indexes
+    assert cat.indexes[key].unique is True
+
+
+def test_from_toml_named_instance_beats_top_level_keys(tmp_path):
+    from helix_db_spark.config import DbConfig, VectorConfig
+    p = tmp_path / "helix.toml"
+    p.write_text(
+        'bm25 = true\n'          # stray top-level key
+        '[local.prod]\nbm25 = false\n'
+        '[local.prod.vector_config]\nef_search = 99\n')
+    dbc = DbConfig.from_toml(str(p), "prod")
+    assert dbc.bm25 is False and dbc.vector_config.ef_search == 99
+    p2 = tmp_path / "v.toml"
+    p2.write_text(
+        '[vector_config]\nef_search = 7\n'
+        '[local.prod.vector_config]\nef_search = 99\n')
+    assert VectorConfig.from_toml(str(p2), "prod").ef_search == 99
+    assert VectorConfig.from_toml(str(p2)).ef_search == 7
+
+
+def test_stream_interval_join_guards(spark):
+    """Streaming twin honors the batch guards: reserved _b rejected,
+    inverted band rejected; point band accepted."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from helix_db_spark.streaming import ingest
+    s = spark.readStream.format("rate").load() \
+        .withColumnRenamed("timestamp", "ts")
+    r = spark.readStream.format("rate").load() \
+        .select(F.col("timestamp").alias("pts"), "value")
+    with _pytest.raises(ValueError, match="reserved"):
+        ingest.stream_interval_join(s.withColumn("_b", F.lit(1)), r,
+                                    "ts", "pts", -1.0, 1.0)
+    with _pytest.raises(ValueError, match="empty band"):
+        ingest.stream_interval_join(s, r, "ts", "pts", 1.0, -1.0)
+    pb = ingest.stream_interval_join(s.drop("value"), r,
+                                     "ts", "pts", 5.0, 5.0)
+    assert pb.isStreaming
