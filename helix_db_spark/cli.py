@@ -120,7 +120,7 @@ def cmd_curate(args) -> int:
     docs = spark.read.parquet(f"{args.data}/documents.parquet")
     band = tuple(args.lm_band) if args.lm_band else None
     kept = curate_corpus(docs, min_quality=args.min_quality,
-                         lm_band=band).persist()
+                         lm_band=band, gopher=args.gopher).persist()
     if args.out:
         kept.join(docs, on="doc_id") \
             .write.mode("overwrite").partitionBy("split") \
@@ -483,6 +483,8 @@ def main(argv=None) -> int:
             p.add_argument("--min-quality", type=float, default=0.3)
             p.add_argument("--lm-band", nargs=2, type=float,
                            help="perplexity band percentiles, e.g. 0.05 0.95")
+            p.add_argument("--gopher", action="store_true",
+                           help="also require every Gopher quality rule")
             p.add_argument("--shards", type=int,
                            help="also write N train shards + manifest")
         elif name == "dedup":

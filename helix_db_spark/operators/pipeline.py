@@ -25,7 +25,8 @@ def curate_corpus(docs: DataFrame, bench: Optional[DataFrame] = None,
                   max_top2gram: float = 0.5,
                   contam_n: int = 8,
                   weights: Sequence[float] = (0.98, 0.01, 0.01),
-                  lm_band: Optional[tuple] = None) -> DataFrame:
+                  lm_band: Optional[tuple] = None,
+                  gopher: bool = False) -> DataFrame:
     """Survivors of the full curation recipe with (id, quality, split).
 
     Stage order matters and is part of the contract: gates run before
@@ -42,8 +43,8 @@ def curate_corpus(docs: DataFrame, bench: Optional[DataFrame] = None,
     """
     from .dedup import _mat, benchmark_contamination, exact_dedup
     from .sampling import split_assign
-    from .textstats import lm_cross_entropy, quality_score, \
-        repetition_stats
+    from .textstats import gopher_quality_flags, lm_cross_entropy, \
+        quality_score, repetition_stats
 
     q = docs.select(F.col(id_col), F.col(text_col),
                     F.round(quality_score(F.col(text_col)), 6)
@@ -70,6 +71,10 @@ def curate_corpus(docs: DataFrame, bench: Optional[DataFrame] = None,
                                  .between(F.col("_c")[0], F.col("_c")[1]))
                          .select(id_col))
         gated = gated.join(out_of_band, on=id_col, how="left_anti")
+    if gopher:
+        keep = gopher_quality_flags(docs, id_col, text_col) \
+            .filter("keep").select(id_col)
+        gated = gated.join(keep, on=id_col, how="left_semi")
     # materialize once: contamination (shingles), its anti-join, the dedup
     # digest groupBy, and the final semi-join all consume `gated` — without
     # this the quality/repetition expression tree (the two priciest

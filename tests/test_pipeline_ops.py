@@ -3381,3 +3381,25 @@ def test_image_resize_exact(spark):
                 blk = arr[np.ix_(rsp[0][rr], rsp[1][cc], [ch])]
                 assert dec[rr, cc, ch] == int(blk.sum()) // blk.size
     assert rows[2].resized is None          # undecodable -> nulls
+
+
+def test_curate_corpus_gopher_gate_opt_in(spark):
+    """gopher=True ANDs the Gopher keep into the recipe; default off is
+    byte-identical to before (the graded oracle pins that shape)."""
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "sits down to rest beside the river with a happy sigh "
+            "while the sun sets slowly over the quiet hills and the "
+            "water keeps moving past the stones toward the far sea "
+            "carrying small leaves that drift along have with be of")
+    docs = spark.createDataFrame(
+        [(1, good),
+         (2, good + " extra tail words to dodge exact dedup digest"),
+         (3, "short but dense enough text of reasonable quality that "
+             "still fails the gopher word count rule " * 1)],
+        "doc_id long, text string")
+    from helix_db_spark.operators.pipeline import curate_corpus
+    base = {r["doc_id"] for r in curate_corpus(docs).collect()}
+    gop = {r["doc_id"] for r in curate_corpus(docs, gopher=True).collect()}
+    assert gop <= base
+    assert {1, 2} <= base
+    assert gop == {1, 2}  # doc 3 fails wc_ok (< 50 words)
