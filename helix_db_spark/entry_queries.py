@@ -3943,7 +3943,8 @@ ttc AS (SELECT doc_id, tok, count(*) AS tc
         GROUP BY doc_id, tok),
 sc AS (SELECT ttc.doc_id, cls.lbl,
               sum(ttc.tc * ln((coalesce(ct.c, 0) + 1)
-                  / (CAST(cls.ntok AS DOUBLE) + voc.v))) AS stok
+                  / greatest(CAST(cls.ntok AS DOUBLE) + voc.v,
+                             CAST(1 AS DOUBLE)))) AS stok
        FROM ttc CROSS JOIN cls
        LEFT JOIN ct ON ct.lbl = cls.lbl AND ct.tok = ttc.tok
        CROSS JOIN voc GROUP BY ttc.doc_id, cls.lbl),

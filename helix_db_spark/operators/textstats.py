@@ -801,7 +801,14 @@ def nb_classify(train: DataFrame, test: DataFrame, id_col: str,
                .crossJoin(F.broadcast(voc))
                .withColumn("_lnp", F.log(
                    (F.coalesce(F.col("_c"), F.lit(0)) + F.lit(1))
-                   / (F.col("_ntok") + F.col("_v"))))
+                   # greatest(..., 1): identity whenever the vocabulary
+                   # is non-empty (V >= 1); with an EMPTY training
+                   # vocabulary (all train text empty) the smoothed
+                   # model is undefined — ln(1/1) = 0 makes every token
+                   # cost nothing and scoring falls back to the prior,
+                   # instead of a divide-by-zero under ANSI
+                   / F.greatest(F.col("_ntok") + F.col("_v"),
+                                F.lit(1.0).cast("double"))))
                .groupBy(id_col, "_lbl")
                .agg(F.sum(F.col("_tc") * F.col("_lnp")).alias("_stok")))
 

@@ -368,3 +368,56 @@ def test_interval_join_matches_bruteforce_property(spark, lts, rts,
                   for j, rv in enumerate(rts)
                   if lv + lo <= rv <= lv + hi)
     assert got == want
+
+
+# --- nb_classify == pure-Python multinomial NB on arbitrary corpora ------
+
+_nb_word = st.sampled_from(["aa", "bb", "cc", "dd", "the"])
+_nb_label = st.sampled_from(["x", "y", None])
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(train=st.lists(st.tuples(
+           st.lists(_nb_word, min_size=0, max_size=6), _nb_label),
+           min_size=1, max_size=10).filter(
+           lambda t: any(lbl is not None for _, lbl in t)),
+       test=st.lists(st.lists(_nb_word, min_size=0, max_size=6),
+                     min_size=1, max_size=6))
+def test_nb_classify_matches_python_reference(spark, train, test):
+    """The distributed closed form == a dictionary-arithmetic NB:
+    same Laplace smoothing, same prior fallback, same NULL-label
+    exclusion, same round-then-argmax-with-label-tiebreak."""
+    import math
+    from collections import Counter
+    from helix_db_spark.operators.textstats import nb_classify
+
+    tr_rows = [(i, " ".join(ws), lbl) for i, (ws, lbl) in enumerate(train)]
+    te_rows = [(100 + i, " ".join(ws), None) for i, ws in enumerate(test)]
+    tdf = spark.createDataFrame(tr_rows, "doc_id long, text string, "
+                                         "lang string")
+    sdf = spark.createDataFrame(te_rows, "doc_id long, text string, "
+                                         "lang string")
+    got = {r["doc_id"]: (r["pred_lang"], r["log_score"]) for r in
+           nb_classify(tdf, sdf, "doc_id", "text", "lang").collect()}
+
+    labeled = [(ws, lbl) for ws, lbl in train if lbl is not None]
+    ct = Counter((lbl, w) for ws, lbl in labeled for w in ws)
+    ntok = Counter()
+    for (lbl, _), c in ct.items():
+        ntok[lbl] += c
+    pri = Counter(lbl for _, lbl in labeled)
+    ntr = sum(pri.values())
+    vocab = len({w for _, w in ct})
+    for i, ws in enumerate(test):
+        scores = {}
+        for lbl in pri:
+            s = math.log(pri[lbl] / ntr)
+            for w in ws:
+                # max(..., 1) = the operator's empty-vocabulary guard
+                s += math.log((ct[(lbl, w)] + 1)
+                              / max(ntok[lbl] + vocab, 1))
+            scores[lbl] = round(s, 6)
+        want = min(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert got[100 + i][0] == want[0]
+        assert got[100 + i][1] == pytest.approx(want[1], abs=2e-6)
