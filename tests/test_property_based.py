@@ -421,3 +421,58 @@ def test_nb_classify_matches_python_reference(spark, train, test):
         want = min(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         assert got[100 + i][0] == want[0]
         assert got[100 + i][1] == pytest.approx(want[1], abs=2e-6)
+
+
+# --- gopher_quality_flags == pure-Python rule reference -------------------
+
+_gopher_text = st.text(
+    alphabet="ab WZ19#.*-•…\t\n\r",
+    min_size=0, max_size=160)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(st.one_of(_gopher_text, st.none()),
+                      min_size=1, max_size=6))
+def test_gopher_flags_match_python_reference(spark, texts):
+    """Every Gopher rule equals an independent Python reimplementation
+    on hostile text (CRLF, lone \\r, bullets, ellipses, NULLs)."""
+    import re
+
+    from helix_db_spark.operators.textstats import gopher_quality_flags
+
+    stops = {"the", "be", "to", "of", "and", "that", "have", "with"}
+
+    def ref(text):
+        t = text or ""
+        words = [w for w in re.split(r"[ \t\n\r]+", t) if w]
+        nw = len(words)
+        sl = sum(len(w) for w in words)
+        lines = [x for x in re.split(r"\r?\n", t) if x]
+        nl = len(lines)
+        ell = t.count("...") + t.count("…")
+        nbl = sum(1 for x in lines if re.match(r"^[ \t]*[-*•] ", x))
+        nel = sum(1 for x in lines
+                  if x.endswith("...") or x.endswith("…"))
+        nal = sum(1 for w in words if re.search(r"[a-zA-Z]", w))
+        sh = len({w.lower() for w in words} & stops)
+        return {
+            "n_words": nw,
+            "wc_ok": 50 <= nw <= 100000,
+            "wlen_ok": nw > 0 and 3.0 <= sl / nw <= 10.0,
+            "sym_ok": nw > 0 and (t.count("#") + ell) / nw <= 0.1,
+            "bullet_ok": nl == 0 or (nbl / nl <= 0.9 and nel / nl <= 0.3),
+            "alpha_ok": nw > 0 and nal / nw >= 0.8,
+            "stop_ok": sh >= 2,
+        }
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in gopher_quality_flags(df, "doc_id", "text").collect()}
+    for i, t in enumerate(texts):
+        want = ref(t)
+        for k, v in want.items():
+            assert got[i][k] == v, (k, repr(t), got[i][k], v)
+        assert got[i]["keep"] == all(v for k, v in want.items()
+                                     if k != "n_words")
