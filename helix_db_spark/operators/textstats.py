@@ -849,7 +849,31 @@ def gopher_quality_flags(df: DataFrame, id_col: str,
     table is a map-side projection at any scale. All regexes restrict
     to explicit ASCII classes so Java (Spark) and RE2 (DuckDB oracle)
     dialects agree."""
-    t = F.coalesce(F.col(text_col), F.lit(""))
+    cols = _gopher_flag_cols(F.col(text_col))
+    flags = [c.alias(n) for n, c in cols.items()]
+    return df.select(F.col(id_col), *flags).withColumn(
+        "keep",
+        F.col("wc_ok") & F.col("wlen_ok") & F.col("sym_ok")
+        & F.col("bullet_ok") & F.col("alpha_ok") & F.col("stop_ok"))
+
+
+def gopher_keep(text: Column) -> Column:
+    """The conjunction of every Gopher rule as ONE inline column — for
+    filtering in place (e.g. curate_corpus's opt-in gate) without the
+    flags projection or a join back: a pure map-side predicate."""
+    cols = _gopher_flag_cols(text)
+    out = None
+    for name, c in cols.items():
+        if name == "n_words":
+            continue
+        out = c if out is None else (out & c)
+    return out
+
+
+def _gopher_flag_cols(text: Column) -> dict:
+    """Column expressions for each Gopher rule over one text column
+    (shared by the flags projection and the inline keep predicate)."""
+    t = F.coalesce(text, F.lit(""))
     words = F.filter(F.split(t, "[ \t\n\r]+"), lambda w: w != F.lit(""))
     n_words = F.size(words)
     sum_len = F.aggregate(words, F.lit(0).cast("long"),
@@ -879,22 +903,17 @@ def gopher_quality_flags(df: DataFrame, id_col: str,
     stop_hits = F.size(F.array_intersect(
         F.array_distinct(F.transform(words, F.lower)), stops))
     empty = n_words == 0
-    return df.select(
-        F.col(id_col),
-        n_words.cast("long").alias("n_words"),
-        ((n_words >= 50) & (n_words <= 100000)).alias("wc_ok"),
-        F.when(empty, F.lit(False))
-         .otherwise((mean_wlen >= 3.0) & (mean_wlen <= 10.0))
-         .alias("wlen_ok"),
-        F.when(empty, F.lit(False))
-         .otherwise(sym_ratio <= 0.1).alias("sym_ok"),
-        F.when(n_lines == 0, F.lit(True))
-         .otherwise((bullet_frac <= 0.9) & (ellend_frac <= 0.3))
-         .alias("bullet_ok"),
-        F.when(empty, F.lit(False))
-         .otherwise(alpha_frac >= 0.8).alias("alpha_ok"),
-        (stop_hits >= 2).alias("stop_ok"),
-    ).withColumn(
-        "keep",
-        F.col("wc_ok") & F.col("wlen_ok") & F.col("sym_ok")
-        & F.col("bullet_ok") & F.col("alpha_ok") & F.col("stop_ok"))
+    return {
+        "n_words": n_words.cast("long"),
+        "wc_ok": (n_words >= 50) & (n_words <= 100000),
+        "wlen_ok": F.when(empty, F.lit(False))
+                    .otherwise((mean_wlen >= 3.0) & (mean_wlen <= 10.0)),
+        "sym_ok": F.when(empty, F.lit(False))
+                   .otherwise(sym_ratio <= 0.1),
+        "bullet_ok": F.when(n_lines == 0, F.lit(True))
+                      .otherwise((bullet_frac <= 0.9)
+                                 & (ellend_frac <= 0.3)),
+        "alpha_ok": F.when(empty, F.lit(False))
+                     .otherwise(alpha_frac >= 0.8),
+        "stop_ok": stop_hits >= 2,
+    }

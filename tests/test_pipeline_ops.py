@@ -3395,11 +3395,13 @@ def test_curate_corpus_gopher_gate_opt_in(spark):
         [(1, good),
          (2, good + " extra tail words to dodge exact dedup digest"),
          (3, "short but dense enough text of reasonable quality that "
-             "still fails the gopher word count rule " * 1)],
+             "still fails the gopher word count rule ")],
         "doc_id long, text string")
     from helix_db_spark.operators.pipeline import curate_corpus
     base = {r["doc_id"] for r in curate_corpus(docs).collect()}
     gop = {r["doc_id"] for r in curate_corpus(docs, gopher=True).collect()}
     assert gop <= base
-    assert {1, 2} <= base
+    # doc 3 must survive the BASE gates — otherwise the gopher
+    # assertions below would pass vacuously with a no-op gate
+    assert {1, 2, 3} <= base
     assert gop == {1, 2}  # doc 3 fails wc_ok (< 50 words)
