@@ -95,3 +95,28 @@ def test_feature_store_example_runs(spark, tmp_path, capsys):
     assert by["band_join"]["clicks_with_context"] > 0
     assert by["bucketed"]["query_time_shuffles"] == 0
     assert by["bucketed"]["customers"] > 0
+
+
+def test_streaming_example_runs(spark, tmp_path, capsys):
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "streaming_pipeline.py")
+    spec = importlib.util.spec_from_file_location("stream_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    argv = sys.argv
+    sys.argv = [path, "/root/testdata/sf0.001", str(tmp_path)]
+    try:
+        mod.main()
+    finally:
+        sys.argv = argv
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    by = {ln["step"]: ln for ln in lines}
+    assert list(by) == ["windowed", "sessionize", "band_join_inner",
+                        "band_join_outer"]
+    assert by["windowed"]["finalized_windows"] > 0
+    assert by["sessionize"]["sessions"] > 0
+    # outer = inner pairs + one NULL row per unmatched click
+    assert by["band_join_outer"]["rows"] == \
+        by["band_join_inner"]["pairs"] + by["band_join_outer"]["unmatched_clicks"]
+    assert by["band_join_outer"]["unmatched_clicks"] > 0
