@@ -743,7 +743,8 @@ def domain_stats(df: DataFrame, id_col: str, text_col: str,
 
 
 def nb_classify(train: DataFrame, test: DataFrame, id_col: str,
-                text_col: str, label_col: str) -> DataFrame:
+                text_col: str, label_col: str,
+                broadcast_model: bool = True) -> DataFrame:
     """Multinomial Naive Bayes text classifier with Laplace smoothing —
     the fastText-style "train a filter model on labeled seed data,
     score the whole corpus" step of LLM curation recipes (quality
@@ -758,7 +759,11 @@ def nb_classify(train: DataFrame, test: DataFrame, id_col: str,
     come from a doc-count groupBy. All four are vocabulary- or
     class-sized — broadcast back to the scoring side, so classifying
     100 TB is one tokenize pass + map-side joins, no shuffle on the
-    corpus beyond the per-(doc, token) count.
+    corpus beyond the per-(doc, token) count. ``broadcast_model=False``
+    drops the hint on the classes x vocabulary table and lets the
+    planner pick a sort-merge on (label, token) — the web-scale path
+    when the model itself (e.g. a 100M-term vocabulary) outgrows a
+    broadcast; identical semantics.
 
     Predict: per-doc-per-class log scores, ranked per doc on the score
     ROUNDED to 6 decimals (both engines round before ranking — the
@@ -797,7 +802,8 @@ def nb_classify(train: DataFrame, test: DataFrame, id_col: str,
                           F.explode(tokens(F.col(text_col))).alias("_t"))
     ttc = te_toks.groupBy(id_col, "_t").agg(F.count(F.lit(1)).alias("_tc"))
     stok = (ttc.crossJoin(F.broadcast(cls.select("_lbl", "_ntok")))
-               .join(F.broadcast(ct), ["_lbl", "_t"], "left")
+               .join(F.broadcast(ct) if broadcast_model else ct,
+                     ["_lbl", "_t"], "left")
                .crossJoin(F.broadcast(voc))
                .withColumn("_lnp", F.log(
                    (F.coalesce(F.col("_c"), F.lit(0)) + F.lit(1))

@@ -516,3 +516,18 @@ def test_gopher_flags_discriminate_on_corpus(spark):
                       "OR bullet_ok IS NULL OR alpha_ok IS NULL "
                       "OR stop_ok IS NULL OR keep IS NULL").count() == 0
     assert n == docs.count()
+
+
+def test_nb_classify_sort_merge_model_path(spark):
+    """broadcast_model=False produces identical predictions (the
+    web-scale vocabulary path: same semantics, planner-chosen join)."""
+    from helix_db_spark.operators.textstats import nb_classify
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    a = sorted(map(tuple, nb_classify(
+        train, test, "doc_id", "text", "lang").collect()))
+    b = sorted(map(tuple, nb_classify(
+        train, test, "doc_id", "text", "lang",
+        broadcast_model=False).collect()))
+    assert a == b
