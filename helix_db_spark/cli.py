@@ -315,18 +315,22 @@ def cmd_wds(args) -> int:
             print(json.dumps({"error": f"missing columns: {missing}"}),
                   file=sys.stderr)
             return 2
-        # numeric keys are zero-padded (lexicographic == numeric order);
-        # any other type is used as-is — casting a string key to long
-        # would NULL out and format_string would collapse every sample
-        # onto the literal key "null"
+        # numeric keys are zero-padded (lexicographic == numeric order;
+        # %019d covers the full non-negative int64 range so no id can
+        # overflow the pad); any other type is used as-is — casting a
+        # string key to long would NULL out and format_string would
+        # collapse every sample onto the literal key "null". Negative
+        # keys are rejected: "-0000000001" sorts before "-0000000002"
+        # lexicographically, silently breaking the invariant.
         key = F.col(args.key)
         ktype = dict(df.dtypes)[args.key]
-        k = (F.format_string("%012d", key)
-             if ktype in ("tinyint", "smallint", "int", "bigint")
-             else key.cast("string"))
-        if df.filter(key.isNull()).limit(1).count():
-            print(json.dumps({"error": f"null keys in {args.key!r}"}),
-                  file=sys.stderr)
+        is_int = ktype in ("tinyint", "smallint", "int", "bigint")
+        k = F.format_string("%019d", key) if is_int else key.cast("string")
+        invalid = key.isNull() | (key < 0) if is_int else key.isNull()
+        if df.filter(invalid).limit(1).count():
+            print(json.dumps(
+                {"error": f"null or negative keys in {args.key!r}"}),
+                file=sys.stderr)
             return 2
         keyed = df.select(k.alias("_k"), *members.values())
         n = write_webdataset(keyed.repartition(args.shards), args.out,

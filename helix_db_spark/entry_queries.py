@@ -2106,7 +2106,7 @@ def webdataset_roundtrip(spark, sf_dir):
         png = synth_png_gray(docs).select(
             F.col("media_id").alias("doc_id"), F.col("content").alias("png"))
         data = docs.join(png, "doc_id").select(
-            F.format_string("%010d", F.col("doc_id")).alias("k"),
+            F.format_string("%019d", F.col("doc_id")).alias("k"),
             "text", "png")
         write_webdataset(data.repartition(8), root, "k",
                          {"txt": "text", "png": "png"})

