@@ -2993,6 +2993,85 @@ def events_funnel(spark, sf_dir):
              .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel"))))
 
 
+_KMV_H = ("CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) "
+          "AS BIGINT)")
+
+@q("kmv_distinct_users",
+   f"WITH d AS (SELECT DISTINCT event_type, {_KMV_H} AS h FROM events "
+   "WHERE user_id IS NOT NULL), "
+   "r AS (SELECT event_type, h, row_number() OVER "
+   "(PARTITION BY event_type ORDER BY h) AS rn FROM d), "
+   "b AS (SELECT event_type, count(*) AS n, max(h) AS hk "
+   "FROM r WHERE rn <= 64 GROUP BY 1), "
+   "x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact "
+   "FROM events GROUP BY 1) "
+   "SELECT b.event_type, x.n_exact, "
+   "CASE WHEN b.n < 64 THEN CAST(b.n AS DOUBLE) "
+   "ELSE (63.0 * 1152921504606846976.0) / CAST(b.hk AS DOUBLE) END "
+   "AS kmv_est FROM b JOIN x ON b.event_type = x.event_type")
+def kmv_distinct_users(spark, sf_dir):
+    """KMV distinct-user sketch per event type, next to the exact count
+    it approximates. Runs the FILTERED scale path (operators/sketch.py:
+    approx_count_distinct-derived hash threshold prunes the window input
+    to ~headroom*k survivors per group, with a lazy exact fallback), and
+    because the sketch is md5-deterministic the APPROXIMATE estimate
+    value-hash-matches the DuckDB oracle exactly — an approximate
+    operator with an exact correctness gate. k=64 => ~13% standard
+    error; at 100 TB the sketch state is k hashes per group versus the
+    full distinct shuffle of the exact twin."""
+    from .operators.sketch import kmv_distinct
+    ev = _events(spark, sf_dir)
+    est = kmv_distinct(ev, ["event_type"], "user_id", k=64,
+                       strategy="filtered")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"))
+    return exact.join(est, "event_type") \
+                .select("event_type", "n_exact", "kmv_est")
+
+
+@q("kmv_set_ops_users",
+   f"WITH a AS (SELECT user_id FROM events WHERE event_type = 'click' "
+   "GROUP BY user_id HAVING count(*) >= 14), "
+   "b AS (SELECT user_id FROM events WHERE event_type = 'purchase' "
+   "GROUP BY user_id HAVING count(*) >= 14), "
+   f"ha AS (SELECT DISTINCT {_KMV_H} AS h FROM a), "
+   f"hb AS (SELECT DISTINCT {_KMV_H} AS h FROM b), "
+   "u AS (SELECT h FROM ha UNION SELECT h FROM hb), "
+   "bk AS (SELECT h FROM u ORDER BY h LIMIT 48), "
+   "s AS (SELECT count(*) AS n, max(h) AS hk FROM bk), "
+   "m AS (SELECT count(*) AS m FROM bk "
+   "WHERE h IN (SELECT h FROM ha) AND h IN (SELECT h FROM hb)) "
+   "SELECT CASE WHEN s.n < 48 THEN CAST(s.n AS DOUBLE) "
+   "ELSE (47.0 * 1152921504606846976.0) / CAST(s.hk AS DOUBLE) END "
+   "AS union_est, "
+   "CAST(m.m AS DOUBLE) / LEAST(48.0, CAST(s.n AS DOUBLE)) * "
+   "(CASE WHEN s.n < 48 THEN CAST(s.n AS DOUBLE) "
+   "ELSE (47.0 * 1152921504606846976.0) / CAST(s.hk AS DOUBLE) END) "
+   "AS intersect_est, "
+   "CAST(m.m AS DOUBLE) / LEAST(48.0, CAST(s.n AS DOUBLE)) "
+   "AS jaccard_est FROM s, m")
+def kmv_set_ops_users(spark, sf_dir):
+    """Theta-style set algebra on KMV synopses: heavy clickers (>= 14
+    clicks) vs heavy purchasers (>= 14 purchases) — union, intersection
+    and Jaccard estimated from one k=48 merged synopsis (bottom-k of
+    the union compiles to TakeOrderedAndProject, and the membership
+    probes are k-row semi-joins). Deterministic md5 hashing makes the
+    estimates exactly reproducible in the SQL oracle. The mergeability
+    being exercised here is the property that matters at scale: per-
+    partition synopses combine without rescanning either input."""
+    from .operators.sketch import kmv_set_ops
+    ev = _events(spark, sf_dir)
+
+    def heavy(t):
+        return (ev.filter(F.col("event_type") == t)
+                  .groupBy("user_id")
+                  .agg(F.count(F.lit(1)).alias("_c"))
+                  .filter(F.col("_c") >= 14)
+                  .select("user_id"))
+
+    return kmv_set_ops(heavy("click"), heavy("purchase"), "user_id", k=48)
+
+
 # ---------------------------------------------------------------------------
 # 15. more text analysis
 # ---------------------------------------------------------------------------

@@ -1,0 +1,177 @@
+"""KMV (k-minimum-values) distinct sketches and theta-style set operations.
+
+At 100 TB, ``count(DISTINCT x)`` per group is a full shuffle of every
+distinct value; sketches answer the same question from O(k) state per
+group and — unlike HyperLogLog registers — a KMV synopsis is just "the k
+smallest hashes of the set", which is (a) mergeable by taking the k
+smallest of a union and (b) **deterministic given a deterministic hash**.
+Determinism is the point of this module: every estimate here is a pure
+function of the data (md5-based hashing, no RNG, no engine-private HLL
+register layout), so the SAME estimate is computable in ANSI SQL and the
+driver's DuckDB oracle can value-hash-match it — an approximate operator
+with an exact correctness gate.
+
+Estimator (Bar-Yossef et al. 2002, "Counting distinct elements in a data
+stream"): hash values uniformly into [0, M); if a set has n >= k distinct
+values and h_k is the k-th smallest distinct hash, E[h_k/M] ~ k/(n+1), so
+``n_hat = (k-1) * M / h_k`` (the unbiased form). Sets with fewer than k
+distinct values are answered exactly (the sketch holds them all). Using
+the md5-prefix trick shared with operators/sampling.py: the first 15 hex
+digits of md5 are a uniform 60-bit integer, M = 2^60, identically
+computable in Spark (``conv(substring(md5(x),1,15),16,10)``) and DuckDB
+(``CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)``).
+
+Scale path (``strategy="filtered"``): the naive bottom-k is a window sort
+over EVERY distinct (group, hash) pair — correct but it sorts n values to
+keep k. The filtered path first runs ``approx_count_distinct`` (a partial
+HLL aggregate, no raw-row shuffle), converts it to a per-group hash
+threshold ``t = M * headroom*k / n_approx`` (uniform hashes ⇒ ~headroom*k
+expected survivors), and windows only the survivors. Bottom-k is provably
+inside the survivor set whenever >= k survivors exist (all k smallest are
+< t by construction); groups with fewer survivors — either truly small
+sets or an HLL overestimate that cut too deep — are lazily recomputed
+without the threshold, so the result is IDENTICAL to the direct path,
+never merely close. Both jobs are partial-aggregable scans; nothing
+shuffles raw rows twice.
+
+The reference engine has no sketch surface (its counts are exact LMDB
+scans, helix-db/helixdb-protocol traversal ``Count`` steps); this module
+is part of the training-data-pipeline layer the Spark engine adds on top.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+M60 = 1 << 60          # md5 15-hex-digit prefix space
+
+
+def h60(col: Column) -> Column:
+    """Uniform deterministic 60-bit hash of a value (md5 prefix), the
+    same construction as operators/sampling.py's split buckets and the
+    oracle's ``CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15),
+                  16, 10).cast("bigint")
+
+
+def _bottom_k(d: DataFrame, group_cols: Sequence[str], k: int) -> DataFrame:
+    """Per-group bottom-k over a distinct (group, _h) frame: returns one
+    row per group with ``_n`` (how many of the k slots filled — the
+    exact distinct count when < k) and ``_hk`` (k-th smallest hash).
+
+    Grouped: a hash-partitioned window (row_number per group). Global
+    (no groups): ``orderBy().limit(k)`` instead — Catalyst compiles it
+    to TakeOrderedAndProject, a distributed per-partition top-k merged
+    on the driver, where a partition-less window would sort the whole
+    set in ONE task."""
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy("_h")
+        kept = (d.withColumn("_r", F.row_number().over(w))
+                 .filter(F.col("_r") <= k))
+    else:
+        kept = d.orderBy("_h").limit(k)
+    return kept.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n"), F.max("_h").alias("_hk"))
+
+
+def _estimate(k: int) -> Column:
+    """KMV estimate from (_n, _hk): exact when the sketch isn't full."""
+    full = F.lit(float(k - 1) * float(M60)) / F.col("_hk").cast("double")
+    return F.when(F.col("_n") < k, F.col("_n").cast("double")) \
+            .otherwise(full)
+
+
+def kmv_distinct(df: DataFrame, group_cols: Sequence[str], value_col: str,
+                 k: int = 64, strategy: str = "direct",
+                 headroom: float = 8.0,
+                 out_col: str = "kmv_est") -> DataFrame:
+    """Per-group approximate distinct count of ``value_col`` (exact for
+    groups with < k distinct values). NULL values are not counted —
+    SQL ``count(DISTINCT x)`` semantics. Standard error ~ 1/sqrt(k-2).
+
+    ``strategy="direct"`` windows all distinct hashes per group;
+    ``strategy="filtered"`` is the 100 TB path described in the module
+    docstring — identical output, candidate set pre-pruned by an
+    approx_count_distinct-derived threshold with an exact lazy fallback
+    for under-filled groups. ``headroom`` scales the survivor budget
+    (expected survivors ~ headroom * k per group); shrinking it below 1
+    just routes more groups through the fallback, never changes values.
+    """
+    if k < 2:
+        raise ValueError("kmv_distinct requires k >= 2")
+    groups = list(group_cols)
+    d = (df.filter(F.col(value_col).isNotNull())
+           .select(*groups, h60(F.col(value_col)).alias("_h"))
+           .distinct())
+
+    if strategy == "direct":
+        agg = _bottom_k(d, groups, k)
+    elif strategy == "filtered":
+        if not groups:
+            raise ValueError("filtered strategy needs group columns; "
+                             "use direct for a global count")
+        acd = (df.filter(F.col(value_col).isNotNull())
+                 .groupBy(*groups)
+                 .agg(F.approx_count_distinct(value_col, 0.05)
+                       .alias("_acd")))
+        budget = float(headroom * k)
+        thr = F.when(F.col("_acd") <= F.lit(budget), F.lit(float(M60))) \
+               .otherwise(F.lit(budget) / F.col("_acd").cast("double")
+                          * F.lit(float(M60)))
+        cand = (d.join(acd.select(*groups, thr.alias("_thr")), groups)
+                  .filter(F.col("_h") < F.col("_thr"))
+                  .drop("_thr"))
+        fast = _bottom_k(cand, groups, k)
+        # < k survivors: either the set really is small or the HLL
+        # overestimated and the threshold cut too deep — cannot tell
+        # apart locally, so recompute those groups exactly (lazy; empty
+        # in the common case). >= k survivors is a proof of coverage:
+        # the k smallest hashes are all below the threshold.
+        stragglers = fast.filter(F.col("_n") < k).select(*groups)
+        redo = _bottom_k(d.join(stragglers, groups, "left_semi"),
+                         groups, k)
+        agg = fast.filter(F.col("_n") >= k).unionByName(redo)
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    return agg.select(*groups, _estimate(k).alias(out_col))
+
+
+def kmv_set_ops(df_a: DataFrame, df_b: DataFrame, value_col: str,
+                k: int = 64) -> DataFrame:
+    """Theta-sketch-style set algebra over two value sets: one row with
+    ``union_est``, ``intersect_est`` and ``jaccard_est`` (all exact when
+    the union fits in the sketch). The union synopsis is the bottom-k of
+    the merged hash sets — KMV's mergeability — and the intersection is
+    estimated from the fraction of synopsis members present in both
+    sides (Dasgupta et al., the theta-sketch framework): with m matches
+    among the min(k, |synopsis|) kept hashes,
+    ``intersect_est = m / kept * union_est``.
+
+    Both inputs are hashed+deduped independently (narrow scans), the
+    synopsis is k rows, and the membership probes are broadcast-sized
+    semi-joins — nothing here shuffles more than the distinct hash sets.
+    """
+    ha = (df_a.filter(F.col(value_col).isNotNull())
+              .select(h60(F.col(value_col)).alias("_h")).distinct())
+    hb = (df_b.filter(F.col(value_col).isNotNull())
+              .select(h60(F.col(value_col)).alias("_h")).distinct())
+    u = ha.unionByName(hb).distinct()
+    # TakeOrderedAndProject (distributed top-k), not a global window
+    bk = u.orderBy("_h").limit(k)
+    # synopsis members present in BOTH sets
+    both = bk.join(ha, "_h", "left_semi").join(hb, "_h", "left_semi")
+    stats = bk.agg(F.count(F.lit(1)).alias("_n"),
+                   F.max("_h").alias("_hk"))
+    matches = both.agg(F.count(F.lit(1)).alias("_m"))
+    out = stats.crossJoin(matches)   # two 1-row frames
+    union_est = _estimate(k)
+    kept = F.least(F.lit(k), F.col("_n")).cast("double")
+    inter_est = F.col("_m").cast("double") / kept * union_est
+    return out.select(
+        union_est.alias("union_est"),
+        inter_est.alias("intersect_est"),
+        (F.col("_m").cast("double") / kept).alias("jaccard_est"))

@@ -1,0 +1,150 @@
+"""KMV sketch semantics: exact below k, bounded error above k, the
+filtered scale path bit-identical to the direct path (including the
+straggler fallback), set-op estimates, and the plan shapes."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from helix_db_spark.operators.sketch import (M60, h60, kmv_distinct,
+                                             kmv_set_ops)
+
+
+def _vals(spark, n, groups=1, offset=0):
+    return spark.range(n * groups).select(
+        (F.col("id") % groups).alias("g"),
+        (F.col("id") + offset).alias("v"))
+
+
+def test_kmv_exact_below_k(spark):
+    """A group with fewer than k distinct values is answered exactly."""
+    df = _vals(spark, 40, groups=3)
+    out = {r.g: r.kmv_est for r in
+           kmv_distinct(df, ["g"], "v", k=64).collect()}
+    assert out == {0: 40.0, 1: 40.0, 2: 40.0}
+    # duplicates don't inflate: union the same rows twice
+    out2 = {r.g: r.kmv_est for r in
+            kmv_distinct(df.union(df), ["g"], "v", k=64).collect()}
+    assert out2 == out
+
+
+def test_kmv_estimate_error_bound(spark):
+    """Relative error stays within ~4 standard errors (1/sqrt(k-2))."""
+    for n, k in ((5000, 256), (20000, 128)):
+        df = _vals(spark, n)
+        est = kmv_distinct(df, ["g"], "v", k=k).collect()[0].kmv_est
+        se = 1.0 / math.sqrt(k - 2)
+        assert abs(est / n - 1.0) < 4 * se, (n, k, est)
+
+
+def test_kmv_nulls_not_counted(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, None), (1, "b"), (1, None)], "g int, v string")
+    out = kmv_distinct(df, ["g"], "v", k=8).collect()
+    assert out[0].kmv_est == 2.0
+
+
+def test_kmv_filtered_identical_to_direct(spark):
+    """The 100 TB filtered path returns EXACTLY the direct result —
+    proof of coverage when >= k survivors, exact fallback otherwise.
+    headroom=0.2 starves the threshold (expected survivors < k) so the
+    straggler recompute genuinely executes here."""
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    direct = {tuple(r) for r in kmv_distinct(
+        df, ["event_type"], "user_id", k=32, strategy="direct").collect()}
+    for hr in (8.0, 0.2):
+        filt = {tuple(r) for r in kmv_distinct(
+            df, ["event_type"], "user_id", k=32, strategy="filtered",
+            headroom=hr).collect()}
+        assert filt == direct, hr
+
+
+def test_kmv_filtered_plan_has_no_antipatterns(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = kmv_distinct(df, ["event_type"], "user_id", k=32,
+                       strategy="filtered")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_kmv_global_bottom_k_is_take_ordered(spark):
+    """The group-less synopsis must compile to TakeOrderedAndProject
+    (distributed top-k), never a single-partition global sort."""
+    a = _vals(spark, 1000)
+    b = _vals(spark, 1000, offset=500)
+    out = kmv_set_ops(a, b, "v", k=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kmv_set_ops_exact_when_union_fits(spark):
+    """|A|=60, |B|=60, overlap 20 -> union 100 < k: everything exact."""
+    a = _vals(spark, 60)
+    b = _vals(spark, 60, offset=40)
+    r = kmv_set_ops(a, b, "v", k=128).collect()[0]
+    assert r.union_est == 100.0
+    assert r.intersect_est == 20.0
+    assert r.jaccard_est == pytest.approx(20.0 / 100.0)
+
+
+def test_kmv_set_ops_estimates(spark):
+    """Large overlapping sets: union/intersection/jaccard all land
+    within loose (4-sigma-ish) bounds of the truth."""
+    a = _vals(spark, 8000)
+    b = _vals(spark, 8000, offset=4000)   # union 12000, inter 4000
+    r = kmv_set_ops(a, b, "v", k=256).collect()[0]
+    assert abs(r.union_est / 12000 - 1.0) < 0.25
+    assert abs(r.intersect_est / 4000 - 1.0) < 0.35
+    assert abs(r.jaccard_est - 4000 / 12000) < 0.12
+
+
+def test_kmv_matches_duckdb_oracle(spark):
+    """The whole point: the estimate is deterministic and recomputable
+    in ANSI SQL — per-group estimates match DuckDB to the last bit."""
+    import duckdb
+
+    k = 32
+    out = {r.event_type: r.kmv_est for r in kmv_distinct(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"),
+        ["event_type"], "user_id", k=k).collect()}
+    con = duckdb.connect()
+    rows = con.execute(f"""
+        WITH d AS (SELECT DISTINCT event_type,
+                     CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                          1, 15)) AS BIGINT) AS h
+                   FROM '/root/testdata/sf0.001/events.parquet'
+                   WHERE user_id IS NOT NULL),
+             r AS (SELECT event_type, h,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY h) AS rn FROM d),
+             b AS (SELECT event_type, count(*) AS n, max(h) AS hk
+                   FROM r WHERE rn <= {k} GROUP BY 1)
+        SELECT event_type,
+               CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
+                    ELSE ({k - 1}.0 * 1152921504606846976.0)
+                         / CAST(hk AS DOUBLE) END AS kmv_est
+        FROM b""").fetchall()
+    assert {t: e for t, e in rows} == out
+
+
+def test_h60_range_and_determinism(spark):
+    rows = spark.range(200).select(h60(F.col("id")).alias("h")).collect()
+    hs = [r.h for r in rows]
+    assert all(0 <= h < M60 for h in hs)
+    assert len(set(hs)) == 200           # no tiny-range collapse
+    again = [r.h for r in
+             spark.range(200).select(h60(F.col("id")).alias("h"))
+             .collect()]
+    assert hs == again
+
+
+def test_kmv_bad_args(spark):
+    df = _vals(spark, 10)
+    with pytest.raises(ValueError, match="k >= 2"):
+        kmv_distinct(df, ["g"], "v", k=1)
+    with pytest.raises(ValueError, match="unknown strategy"):
+        kmv_distinct(df, ["g"], "v", strategy="nope")
+    with pytest.raises(ValueError, match="group columns"):
+        kmv_distinct(df, [], "v", strategy="filtered")
