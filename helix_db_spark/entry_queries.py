@@ -3072,6 +3072,34 @@ def kmv_set_ops_users(spark, sf_dir):
     return kmv_set_ops(heavy("click"), heavy("purchase"), "user_id", k=48)
 
 
+@q("zorder_box_scan",
+   "SELECT event_id, user_id, round(value, 4) AS value FROM events "
+   "WHERE user_id BETWEEN 40 AND 80 AND value BETWEEN 10.0 AND 40.0")
+def zorder_box_scan(spark, sf_dir):
+    """2-D box filter served from a Z-ORDERED copy of the event table
+    (sources/layout.py: Morton-interleaved (user_id, value) key,
+    repartitionByRange + sortWithinPartitions at write time). The
+    layout is a storage property — results are byte-identical to the
+    oracle's plain scan — but each row group's min/max stats now cover
+    a tight (user, value) rectangle, so parquet row-group pruning skips
+    ~89% of the scan that a time-ordered layout reads in full
+    (measured sf0.1, equal file counts: 11,179 scan rows vs 100,000 —
+    tests/test_layout.py, PLANS.md). Build is memoized per (session,
+    sf) like the index artifacts."""
+    from .sources.layout import zorder_write
+
+    def build(root):
+        ev = _events(spark, sf_dir).select("event_id", "user_id", "value")
+        zorder_write(ev, ["user_id", "value"], root, bits=12, files=32)
+
+    root = _artifact_dir(spark, sf_dir, "zorder", build)
+    return (spark.read.parquet(root)
+            .filter(F.col("user_id").between(40, 80)
+                    & F.col("value").between(10.0, 40.0))
+            .select("event_id", "user_id",
+                    F.round("value", 4).alias("value")))
+
+
 # ---------------------------------------------------------------------------
 # 15. more text analysis
 # ---------------------------------------------------------------------------

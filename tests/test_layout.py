@@ -1,0 +1,102 @@
+"""Z-order layout: Morton-key math, content preservation, and the
+measured row-group-pruning win over a one-dimensional layout."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from helix_db_spark.sources.layout import (scan_output_rows, zorder_by,
+                                           zorder_key, zorder_write)
+
+
+def _morton(vals, bits):
+    """Independent Python reference for bit interleaving."""
+    key = 0
+    for i, v in enumerate(vals):
+        for j in range(bits):
+            key |= ((v >> j) & 1) << (j * len(vals) + i)
+    return key
+
+
+def test_zorder_key_matches_reference(spark):
+    df = spark.createDataFrame(
+        [(a, b) for a in (0, 1, 5, 14, 15) for b in (0, 3, 9, 15)],
+        "a long, b long")
+    out = df.withColumn(
+        "z", zorder_key([F.col("a"), F.col("b")], bits=4)).collect()
+    for r in out:
+        assert r.z == _morton([r.a, r.b], 4), (r.a, r.b)
+    # locality sanity: neighbours in both dims stay close in z
+    z00 = _morton([0, 0], 4)
+    z11 = _morton([1, 1], 4)
+    zff = _morton([15, 15], 4)
+    assert z00 < z11 < zff
+
+
+def test_zorder_key_three_columns_and_overflow(spark):
+    df = spark.createDataFrame([(2, 5, 7)], "a long, b long, c long")
+    r = df.withColumn("z", zorder_key(
+        [F.col("a"), F.col("b"), F.col("c")], bits=3)).collect()[0]
+    assert r.z == _morton([2, 5, 7], 3)
+    with pytest.raises(ValueError, match="overflows"):
+        zorder_key([F.col("a")] * 4, bits=16)
+
+
+def test_zorder_by_ranges_and_clamp(spark):
+    df = spark.createDataFrame(
+        [(0.0,), (50.0,), (100.0,), (200.0,)], "x double")
+    # explicit range: no eager pass over df; values past hi clamp
+    out = zorder_by(df, ["x"], bits=4, ranges=[(0.0, 100.0)]).collect()
+    cells = {r.x: r._zkey for r in out}
+    assert cells[0.0] == 0
+    assert cells[100.0] == 15 and cells[200.0] == 15
+    assert 0 < cells[50.0] < 15
+    # degenerate constant column collapses to cell 0, not a div-by-zero
+    one = spark.createDataFrame([(7.0,), (7.0,)], "x double")
+    assert {r._zkey for r in zorder_by(one, ["x"], bits=4).collect()} \
+        == {0}
+
+
+def test_zorder_write_preserves_content(spark, tmp_path):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("event_id", "user_id", "value")
+    path = str(tmp_path / "zo")
+    zorder_write(ev, ["user_id", "value"], path, bits=10, files=8)
+    back = spark.read.parquet(path)
+    assert back.columns == ev.columns          # _zkey dropped
+    assert back.count() == ev.count()
+    assert back.exceptAll(ev).count() == 0
+    assert ev.exceptAll(back).count() == 0
+
+
+def test_zorder_prunes_row_groups_vs_1d_layout(spark, tmp_path):
+    """The actual claim: at EQUAL file counts, a 2-D box filter scans a
+    fraction of the rows from the z-ordered layout that it scans from a
+    time-ordered one, because every row group's (user_id, value) stats
+    cover a tight rectangle. Also checks the measurement itself against
+    the true match count (scan rows >= match rows always)."""
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet") \
+        .select("event_id", "user_id", "value", "ts")
+    zp, tp = str(tmp_path / "zo"), str(tmp_path / "ts")
+    zorder_write(ev, ["user_id", "value"], zp, bits=12, files=32)
+    ev.orderBy("ts").coalesce(32).write.parquet(tp)
+    box = (F.col("user_id").between(40, 80)
+           & F.col("value").between(10.0, 40.0))
+    matches = ev.filter(box).count()
+    z_rows = scan_output_rows(spark.read.parquet(zp).filter(box))
+    t_rows = scan_output_rows(spark.read.parquet(tp).filter(box))
+    total = ev.count()
+    assert z_rows >= matches and t_rows >= matches
+    # the 1-D layout reads essentially everything (user/value are
+    # uncorrelated with time); the z-ordered one skips most row groups
+    assert t_rows > 0.9 * total, (t_rows, total)
+    assert z_rows < 0.5 * t_rows, (z_rows, t_rows)
+
+
+def test_zorder_plan_stays_jvm_side(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    keyed = zorder_by(ev, ["user_id", "value"], bits=12)
+    plan = keyed._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    # "*(n)" is the simple-string rendering of a WholeStageCodegen span:
+    # the whole bit-interleave expression tree compiles into it
+    assert "*(" in plan, plan
