@@ -2866,6 +2866,67 @@ def stream_watermarked_counts(spark, sf_dir):
     return out
 
 
+@q("stream_dedup_exact",
+   "SELECT event_id, epoch_us(ts) AS ts_us, user_id, "
+   "event_type, round(value, 4) AS value FROM events")
+def stream_dedup_exact(spark, sf_dir):
+    """At-least-once -> exactly-once: the source replays EVERY event
+    twice (a redelivering Kafka topic in miniature) plus a far-future
+    sentinel; ``dedup_within_watermark`` (streaming/ingest.py) keeps one
+    row per event_id with state bounded by the 2h watermark and appends
+    straight to a parquet sink. Determinism: duplicates are full-row
+    copies inside one coalesced file (one micro-batch), so whichever
+    copy wins, the payload is identical and the batch DISTINCT oracle
+    value-hash pins the output. Same sentinel/sink/checkpoint hygiene
+    as stream_watermarked_counts: sentinel filtered on the SINK READ
+    (a source-side predicate would also be fine here — dedup has no
+    grouping to push below — but one convention beats two), per-process
+    dirs, eager localCheckpoint then rmtree."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.ingest import dedup_within_watermark, stream_events
+
+    def _write_src(r):
+        ev = _events(spark, sf_dir)
+        sent = spark.range(1).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.to_timestamp(F.lit("2100-01-01 00:00:00")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("__sentinel__").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"))
+        ev.unionByName(ev).unionByName(sent).coalesce(1) \
+          .write.mode("overwrite").parquet(r)
+
+    src = _artifact_dir(spark, sf_dir, "stream_dedup_src", _write_src)
+    deduped = dedup_within_watermark(
+        stream_events(spark, src), keys=("event_id",), watermark="2 hours")
+    # unix_micros, not unix_timestamp: ts carries sub-second precision
+    # and DuckDB's epoch() would round where Spark's seconds floor
+    out_cols = deduped.select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "user_id",
+        "event_type", F.round("value", 4).alias("value"))
+    run = os.path.join(tempfile.gettempdir(),
+                       f"helix_sdd_{os.getpid()}_{uuid.uuid4().hex[:8]}")
+    q_ = (out_cols.writeStream.outputMode("append").format("parquet")
+          .option("path", os.path.join(run, "out"))
+          .option("checkpointLocation", os.path.join(run, "ckpt"))
+          .trigger(availableNow=True).start())
+    try:
+        q_.awaitTermination()
+    finally:
+        q_.stop()
+    out = (spark.read.parquet(os.path.join(run, "out"))
+           .filter(F.col("event_type").isNull()
+                   | (F.col("event_type") != "__sentinel__"))
+           .localCheckpoint(eager=True))
+    shutil.rmtree(run, ignore_errors=True)
+    return out
+
+
 @q("stream_incremental_dedup", _incr_dedup_oracle())
 def stream_incremental_dedup(spark, sf_dir):
     """Continuous-ingest dedup as a REAL Structured Streaming run

@@ -166,6 +166,43 @@ def test_stream_first_seen_dedup(spark, tmp_path):
     assert all(len(v) == 1 for v in by_key.values())
 
 
+def test_dedup_within_watermark_cross_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark wrapper: redelivered keys are
+    suppressed WITHIN and ACROSS micro-batches (duplicate event times
+    inside the watermark), and the surviving set equals the batch
+    dropDuplicates twin."""
+    src = str(tmp_path / "redelivered")
+    base = [(i, f"2024-01-01 00:{i:02d}:00", i % 3, "click", float(i))
+            for i in range(8)]
+    df = spark.createDataFrame(
+        base, "event_id long, ts_s string, user_id long, "
+              "event_type string, value double") \
+        .select("event_id", F.to_timestamp("ts_s").alias("ts"),
+                "user_id", "event_type", "value",
+                F.lit(None).cast("string").alias("props"))
+    # batch 1: originals + 3 in-batch duplicates; batch 2: 4 redeliveries
+    df.union(df.filter(F.col("event_id") < 3)) \
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    df.filter(F.col("event_id") >= 4).coalesce(1) \
+      .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.format("parquet")
+              .schema(ingest.EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", "1").load(src))
+    q = (ingest.dedup_within_watermark(stream, keys=("event_id",),
+                                       watermark="2 hours")
+         .writeStream.outputMode("append").format("memory")
+         .queryName("dd_wm").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM dd_wm").collect()
+    assert sorted(r["event_id"] for r in rows) == list(range(8))
+    want = {tuple(r) for r in df.dropDuplicates(["event_id"]).collect()}
+    assert {tuple(r) for r in rows} == want
+
+
 def test_stream_decontaminate_matches_batch(spark, tmp_path):
     """Streaming decontamination gate: a bounded document stream filtered
     against a static benchmark set keeps exactly the docs the batch
