@@ -1096,6 +1096,43 @@ def contamination_ngram_overlap(spark, sf_dir):
     return benchmark_contamination(docs, bench, "doc_id", "text", n=8)
 
 
+_COV_PAIRS = [(0, 0), (0, 1), (1, 1), (5, 10), (63, 63)]
+
+def _cov_oracle():
+    cells = ", ".join(
+        f"sum(v[{i+1}]*v[{j+1}]) AS g_{i}_{j}, "
+        f"sum(v[{i+1}]) AS sx_{i}_{j}, sum(v[{j+1}]) AS sy_{i}_{j}"
+        for i, j in _COV_PAIRS)
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, "
+        f"round((g_{i}_{j} - sx_{i}_{j} * sy_{i}_{j} / n) / n, 8) AS cov "
+        "FROM s"
+        for i, j in _COV_PAIRS)
+    return ("WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings), "
+            f"s AS (SELECT CAST(count(*) AS DOUBLE) AS n, {cells} FROM e) "
+            + rows)
+
+
+@q("embedding_covariance_cells", _cov_oracle())
+def embedding_covariance_cells(spark, sf_dir):
+    """Selected covariance-matrix cells over the embedding corpus
+    (operators/linalg.gram_cells, centered): pure built-in element_at
+    products, partial-aggregated map-side — the shuffle is a handful of
+    scalars per partition regardless of corpus size. The same algebraic
+    identity ((E[xy] - E[x]E[y]), identical operation order) runs in
+    the DuckDB oracle, rounded at 8 dp on both sides. This is the
+    oracle-gradable face of the full d x d Gram path (linalg.gram_matrix
+    -> fit_pca_whitener) that whitens embeddings for SemDeDup-style
+    pipelines — the d^2 BLAS partials are tested against numpy instead
+    (tests/test_linalg.py)."""
+    from .operators.linalg import gram_cells
+    from .sources.tpch import read_table
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (gram_cells(emb, "embedding", _COV_PAIRS, centered=True)
+            .select("i", "j", F.round("gram", 8).alias("cov")))
+
+
 # ---------------------------------------------------------------------------
 # 7. text analysis
 # ---------------------------------------------------------------------------
