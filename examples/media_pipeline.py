@@ -65,7 +65,7 @@ def main() -> None:
     shards = os.path.join(work, "shards")
     data = docs.join(png.select(F.col("media_id").alias("doc_id"),
                                 F.col("content").alias("img")), "doc_id") \
-        .select(F.format_string("%010d", "doc_id").alias("k"),
+        .select(F.format_string("%019d", "doc_id").alias("k"),
                 F.format_string("doc-%d", "doc_id").alias("caption"), "img")
     n_shards = write_webdataset(data.repartition(4), shards, "k",
                                 {"txt": "caption", "png": "img"})

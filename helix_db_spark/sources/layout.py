@@ -74,6 +74,13 @@ def zorder_by(df: DataFrame, cols: Sequence[str], bits: int = 12,
     if ranges is None:
         row = df.agg(*[f(c) for c in cols
                        for f in (F.min, F.max)]).first()
+        if row is None or any(v is None for v in row):
+            bad = [c for i, c in enumerate(cols)
+                   if row is None or row[2 * i] is None]
+            raise ValueError(
+                f"cannot infer z-order ranges: no rows or all-NULL "
+                f"column(s) {bad} — pass explicit ranges= or fix the "
+                f"input")
         ranges = [(float(row[2 * i]), float(row[2 * i + 1]))
                   for i in range(len(cols))]
     cells = [_cell(F.col(c), lo, hi, bits)
@@ -108,14 +115,37 @@ def scan_output_rows(df: DataFrame) -> int:
     Executes the DataFrame's OWN QueryExecution (a noop sink would plan
     a separate execution and leave this plan's metric accumulators at
     zero); ``executedPlan().execute()`` runs the physical plan JVM-side
-    without shipping rows to Python."""
+    without shipping rows to Python. AQE wrapping is unwrapped
+    explicitly — AdaptiveSparkPlanExec and QueryStageExec are LEAF
+    nodes to collectLeaves(), so a naive leaf walk over an adaptive
+    plan (any join/aggregate) would silently report 0. Raises if no
+    metric-bearing scan leaf is found at all: a measurement helper must
+    never answer 0 because it looked in the wrong place."""
     plan = df._jdf.queryExecution().executedPlan()
     plan.execute().count()          # JVM-side action on THIS plan tree
-    leaves = plan.collectLeaves()
-    total = 0
-    for i in range(leaves.size()):
-        node = leaves.apply(i)
-        m = node.metrics()
-        if m.contains("numOutputRows"):
-            total += m.apply("numOutputRows").value()
-    return int(total)
+
+    found = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.finalPhysicalPlan())
+            return
+        if name.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        kids = node.children()
+        if kids.isEmpty():
+            m = node.metrics()
+            if m.contains("numOutputRows"):
+                found.append(int(m.apply("numOutputRows").value()))
+            return
+        it = kids.iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(plan)
+    if not found:
+        raise ValueError("no metric-bearing scan leaf in the executed "
+                         "plan — cannot measure scanned rows")
+    return sum(found)

@@ -92,6 +92,32 @@ def test_zorder_prunes_row_groups_vs_1d_layout(spark, tmp_path):
     assert z_rows < 0.5 * t_rows, (z_rows, t_rows)
 
 
+def test_scan_output_rows_unwraps_aqe(spark, tmp_path):
+    """Regression (review r8): AdaptiveSparkPlanExec is a leaf to
+    collectLeaves(), so an AQE-wrapped plan (any aggregation) must be
+    unwrapped or the helper reports 0 scanned rows."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    agg = ev.groupBy("event_type").count()
+    got = scan_output_rows(agg)
+    assert got == ev.count()       # the scan under the agg read it all
+    # non-file leaves carry the metric too (Range) — counted, not 0
+    assert scan_output_rows(spark.range(5)) == 5
+
+
+def test_zorder_empty_input_raises_clearly(spark, tmp_path):
+    """Regression (review r8): inferring ranges from an empty frame (or
+    an all-NULL column) must fail with a pointed error, not
+    float(None)."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .filter(F.lit(False))
+    with pytest.raises(ValueError, match="no rows or all-NULL"):
+        zorder_write(ev, ["user_id", "value"], str(tmp_path / "e"))
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "a long, b double")
+    with pytest.raises(ValueError, match=r"\['b'\]"):
+        zorder_by(nulls, ["a", "b"], bits=4)
+
+
 def test_zorder_plan_stays_jvm_side(spark):
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     keyed = zorder_by(ev, ["user_id", "value"], bits=12)

@@ -60,6 +60,44 @@ def test_kmv_filtered_identical_to_direct(spark):
         assert filt == direct, hr
 
 
+def test_kmv_filtered_zero_survivor_group_recovers(spark):
+    """Regression (review r8): a group whose hashes ALL exceed the
+    threshold produces no row in the fast pass at all — the straggler
+    set must come from the full group list, or the group silently
+    vanishes. Construct such a group by picking values whose md5-60bit
+    hashes are in the top half of the space, then starve the threshold."""
+    import hashlib
+
+    def h(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    high = [v for v in range(4000) if h(v) > 0.55 * M60][:12]
+    low = list(range(4000, 4400))
+    rows = [("hi", v) for v in high] + [("lo", v) for v in low]
+    df = spark.createDataFrame(rows, "g string, v long")
+    direct = {tuple(r) for r in kmv_distinct(
+        df, ["g"], "v", k=4, strategy="direct").collect()}
+    filt = {tuple(r) for r in kmv_distinct(
+        df, ["g"], "v", k=4, strategy="filtered",
+        headroom=0.5).collect()}
+    assert filt == direct
+    assert len(filt) == 2          # 'hi' present, not dropped
+
+
+def test_kmv_filtered_keeps_null_group(spark):
+    """Regression (review r8): NULL group keys are groups too — the
+    candidate-pruning join must be null-safe or the NULL group exists
+    only in the direct path."""
+    rows = [(None, v) for v in range(50)] + [("a", v) for v in range(50)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    direct = {tuple(r) for r in kmv_distinct(
+        df, ["g"], "v", k=8, strategy="direct").collect()}
+    filt = {tuple(r) for r in kmv_distinct(
+        df, ["g"], "v", k=8, strategy="filtered").collect()}
+    assert filt == direct
+    assert {r[0] for r in filt} == {None, "a"}
+
+
 def test_kmv_filtered_plan_has_no_antipatterns(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     out = kmv_distinct(df, ["event_type"], "user_id", k=32,
