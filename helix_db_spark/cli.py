@@ -350,6 +350,47 @@ def cmd_wds(args) -> int:
     return 0
 
 
+def cmd_layout(args) -> int:
+    """Data-layout maintenance: ``--zorder col1,col2`` rewrites the
+    input clustered on the Morton key of those columns (row-group stats
+    prune multi-dimensional box filters — sources/layout.py);
+    ``--compact`` rewrites into ~``--target-mb``-sized files (the
+    small-file maintenance task). Prints a summary JSON."""
+    from .session import get_spark
+    from .sources.layout import compact_parquet, zorder_write
+
+    if bool(args.zorder) == bool(args.compact):
+        print(json.dumps({"error": "exactly one of --zorder/--compact"}),
+              file=sys.stderr)
+        return 2
+    spark = get_spark("helix-spark-layout",
+                      **{"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    src = args.layout_in
+    if args.compact:
+        summary = compact_parquet(spark, src, args.out,
+                                  target_mb=args.target_mb)
+        print(json.dumps({"op": "compact", "out": args.out, **summary}))
+        return 0
+    cols = [c for c in args.zorder.split(",") if c]
+    df = spark.read.parquet(src)
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        print(json.dumps({"error": f"missing columns: {missing}"}),
+              file=sys.stderr)
+        return 2
+    try:
+        zorder_write(df, cols, args.out, bits=args.bits,
+                     files=args.files)
+    except ValueError as e:           # empty input / all-NULL column
+        print(json.dumps({"error": str(e)}), file=sys.stderr)
+        return 2
+    n = len(spark.read.parquet(args.out).inputFiles())
+    print(json.dumps({"op": "zorder", "cols": cols, "out": args.out,
+                      "files": n, "rows": df.count()}))
+    return 0
+
+
 def cmd_bpe(args) -> int:
     """Tokenizer flow: ``--train`` learns BPE merges from the corpus's
     documents table (one distributed word-count pass, driver-side merge
@@ -456,7 +497,7 @@ def main(argv=None) -> int:
                      ("card", cmd_card), ("curate", cmd_curate),
                      ("dedup", cmd_dedup), ("classify", cmd_classify),
                      ("warc", cmd_warc),
-                     ("wds", cmd_wds),
+                     ("wds", cmd_wds), ("layout", cmd_layout),
                      ("bpe", cmd_bpe), ("explain", cmd_explain)):
         p = sub.add_parser(name)
         p.add_argument("--data", default="/root/testdata/sf0.001",
@@ -518,6 +559,20 @@ def main(argv=None) -> int:
             p.add_argument("--key", default="doc_id")
             p.add_argument("--members", default="txt=text",
                            help="ext=col[,ext=col...] member mapping")
+        elif name == "layout":
+            p.add_argument("--in", dest="layout_in", required=True,
+                           help="input parquet dir")
+            p.add_argument("--out", required=True,
+                           help="rewritten parquet dir")
+            p.add_argument("--zorder", help="comma-separated numeric "
+                           "columns to Morton-cluster by")
+            p.add_argument("--compact", action="store_true",
+                           help="merge small files instead")
+            p.add_argument("--bits", type=int, default=12)
+            p.add_argument("--files", type=int, default=32,
+                           help="z-ordered output file count")
+            p.add_argument("--target-mb", type=int, default=256,
+                           help="compaction target file size")
         elif name == "bpe":
             p.add_argument("--model", required=True,
                            help="merges parquet dir (save/load)")

@@ -106,6 +106,40 @@ def zorder_write(df: DataFrame, cols: Sequence[str], path: str,
           .write.mode("overwrite").parquet(path))
 
 
+def compact_parquet(spark, in_path: str, out_path: str,
+                    target_mb: int = 256) -> dict:
+    """Small-file compaction: rewrite a parquet directory into
+    ~``target_mb``-sized files. Streaming sinks, per-batch appends and
+    over-parallel writes leave thousands of KB-scale files whose
+    open/footer costs dominate scans at 100 TB (and whose row groups are
+    too small for statistics pruning to matter); compaction is the
+    standing maintenance task every table format schedules (Delta
+    OPTIMIZE, Iceberg rewrite_data_files). ``coalesce`` (not
+    repartition) merges partitions without a shuffle — per-file
+    ordering survives, so a compacted z-ordered table keeps its
+    clustering. Sizes come from the scan's own file listing; local
+    paths are stat'd directly (for object stores, route the size probe
+    through the Hadoop FileSystem API — listing semantics differ, the
+    plan does not). Returns {in_files, out_files, bytes}."""
+    import math as _math
+    import os
+
+    df = spark.read.parquet(in_path)
+    files = df.inputFiles()
+    total = 0
+    for uri in files:
+        p = uri
+        for pre in ("file://", "file:"):
+            if p.startswith(pre):
+                p = p[len(pre):]
+                break
+        total += os.path.getsize(p)
+    n = max(1, _math.ceil(total / (target_mb * 1024 * 1024)))
+    df.coalesce(n).write.mode("overwrite").parquet(out_path)
+    out_n = len(spark.read.parquet(out_path).inputFiles())
+    return {"in_files": len(files), "out_files": out_n, "bytes": total}
+
+
 def scan_output_rows(df: DataFrame) -> int:
     """Run ``df`` to completion and return the file-scan operator's
     ``number of output rows`` metric — rows surviving parquet row-group

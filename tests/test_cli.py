@@ -233,6 +233,40 @@ def test_wds_pack_unpack_roundtrip(spark, capsys, tmp_path):
     assert rc == 2 and "missing columns" in err
 
 
+def test_cli_layout_zorder_and_compact(spark, capsys, tmp_path):
+    events = "/root/testdata/sf0.001/events.parquet"
+    zo = str(tmp_path / "zo")
+    rc, out, _ = _run(capsys, "layout", "--in", events, "--out", zo,
+                      "--zorder", "user_id,value", "--files", "4")
+    assert rc == 0
+    summary = json.loads(out.strip().splitlines()[-1])
+    assert summary["op"] == "zorder" and summary["files"] <= 4
+    back = spark.read.parquet(zo)
+    src = spark.read.parquet(events)
+    assert back.count() == summary["rows"] == src.count()
+    assert back.exceptAll(src).count() == 0    # content preserved
+
+    # fragment the table into many small files, then compact
+    frag = str(tmp_path / "frag")
+    src.repartition(24).write.parquet(frag)
+    comp = str(tmp_path / "comp")
+    rc, out, _ = _run(capsys, "layout", "--in", frag, "--out", comp,
+                      "--compact", "--target-mb", "256")
+    assert rc == 0
+    summary = json.loads(out.strip().splitlines()[-1])
+    assert summary["in_files"] == 24 and summary["out_files"] == 1
+    assert spark.read.parquet(comp).count() == src.count()
+
+    # flag misuse / bad input -> exit 2, JSON error on stderr
+    rc, _, err = _run(capsys, "layout", "--in", events,
+                      "--out", str(tmp_path / "x"))
+    assert rc == 2 and "exactly one" in err
+    rc, _, err = _run(capsys, "layout", "--in", events,
+                      "--out", str(tmp_path / "x"),
+                      "--zorder", "user_id,nosuchcol")
+    assert rc == 2 and "missing columns" in err
+
+
 def test_cli_classify_holdout_and_batch(spark, capsys, tmp_path):
     rc, out, _ = _run(capsys, "classify",
                       "--data", "/root/testdata/sf0.001",
