@@ -120,3 +120,33 @@ def test_streaming_example_runs(spark, tmp_path, capsys):
     assert by["band_join_outer"]["rows"] == \
         by["band_join_inner"]["pairs"] + by["band_join_outer"]["unmatched_clicks"]
     assert by["band_join_outer"]["unmatched_clicks"] > 0
+
+
+def test_embedding_example_runs(spark, tmp_path, capsys):
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "embedding_pipeline.py")
+    spec = importlib.util.spec_from_file_location("emb_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    argv = sys.argv
+    sys.argv = [path, "/root/testdata/sf0.001", str(tmp_path)]
+    try:
+        mod.main()
+    finally:
+        sys.argv = argv
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    by = {ln["step"]: ln for ln in lines}
+    assert list(by) == ["fit", "whiten", "neighbors", "sketch", "layout"]
+    # eigenvalues descend; whitened first coord is exactly unit variance
+    ev = by["fit"]["top_eigenvalues"]
+    assert ev == sorted(ev, reverse=True)
+    assert by["whiten"]["rows"] == 500
+    assert by["whiten"]["c0_var"] == 1.0
+    # whitening genuinely re-ranks the neighborhood
+    assert by["neighbors"]["overlap"] < 10
+    # the KMV sketch is exact below k everywhere
+    assert by["sketch"]["exact_mismatches_below_k"] == 0
+    # layout never scans MORE than the 1-D copy, and both cover matches
+    assert by["layout"]["scan_rows_zorder"] <= by["layout"]["scan_rows_plain"]
+    assert by["layout"]["scan_rows_zorder"] >= by["layout"]["box_matches"]
