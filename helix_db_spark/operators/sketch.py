@@ -21,18 +21,20 @@ digits of md5 are a uniform 60-bit integer, M = 2^60, identically
 computable in Spark (``conv(substring(md5(x),1,15),16,10)``) and DuckDB
 (``CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)``).
 
-Scale path (``strategy="filtered"``): the naive bottom-k is a window sort
-over EVERY distinct (group, hash) pair — correct but it sorts n values to
-keep k. The filtered path first runs ``approx_count_distinct`` (a partial
-HLL aggregate, no raw-row shuffle), converts it to a per-group hash
-threshold ``t = M * headroom*k / n_approx`` (uniform hashes ⇒ ~headroom*k
-expected survivors), and windows only the survivors. Bottom-k is provably
-inside the survivor set whenever >= k survivors exist (all k smallest are
-< t by construction); groups with fewer survivors — either truly small
-sets or an HLL overestimate that cut too deep — are lazily recomputed
-without the threshold, so the result is IDENTICAL to the direct path,
-never merely close. Both jobs are partial-aggregable scans; nothing
-shuffles raw rows twice.
+Scale paths: the naive bottom-k windows EVERY distinct (group, hash)
+pair, sorting each group's whole distinct set in one task — the task
+that bounds a cluster run when one group holds 1e9 distinct values.
+``strategy="fanout"`` splits each group across 64 hash buckets, keeps k
+per bucket (every global bottom-k hash is necessarily within its own
+bucket's bottom-k), and finishes over <= 64k rows per group — same
+single scan, per-task sort cut 64x. ``strategy="filtered"`` instead
+prunes candidates with an ``approx_count_distinct``-derived hash
+threshold ``t = M * headroom*k / n_approx`` (~headroom*k expected
+survivors) before the window; bottom-k is provably inside the survivor
+set whenever >= k survive, and under-filled groups lazily recompute
+without the threshold, so every strategy returns IDENTICAL values,
+never merely close (kmv_distinct docstring has the measured trade-off;
+single-box numbers favor direct up to ~1e8 distinct).
 
 The reference engine has no sketch surface (its counts are exact LMDB
 scans, helix-db/helixdb-protocol traversal ``Count`` steps); this module
@@ -57,10 +59,12 @@ def h60(col: Column) -> Column:
                   16, 10).cast("bigint")
 
 
-def _bottom_k(d: DataFrame, group_cols: Sequence[str], k: int) -> DataFrame:
+def _bottom_k(d: DataFrame, group_cols: Sequence[str], k: int,
+              keep_rows: bool = False) -> DataFrame:
     """Per-group bottom-k over a distinct (group, _h) frame: returns one
     row per group with ``_n`` (how many of the k slots filled — the
-    exact distinct count when < k) and ``_hk`` (k-th smallest hash).
+    exact distinct count when < k) and ``_hk`` (k-th smallest hash), or
+    the kept rows themselves with ``keep_rows=True``.
 
     Grouped: a hash-partitioned window (row_number per group). Global
     (no groups): ``orderBy().limit(k)`` instead — Catalyst compiles it
@@ -73,6 +77,8 @@ def _bottom_k(d: DataFrame, group_cols: Sequence[str], k: int) -> DataFrame:
                  .filter(F.col("_r") <= k))
     else:
         kept = d.orderBy("_h").limit(k)
+    if keep_rows:
+        return kept.drop("_r") if group_cols else kept
     return kept.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("_n"), F.max("_h").alias("_hk"))
 
@@ -92,13 +98,28 @@ def kmv_distinct(df: DataFrame, group_cols: Sequence[str], value_col: str,
     groups with < k distinct values). NULL values are not counted —
     SQL ``count(DISTINCT x)`` semantics. Standard error ~ 1/sqrt(k-2).
 
-    ``strategy="direct"`` windows all distinct hashes per group;
-    ``strategy="filtered"`` is the 100 TB path described in the module
-    docstring — identical output, candidate set pre-pruned by an
-    approx_count_distinct-derived threshold with an exact lazy fallback
-    for under-filled groups. ``headroom`` scales the survivor budget
-    (expected survivors ~ headroom * k per group); shrinking it below 1
-    just routes more groups through the fallback, never changes values.
+    Three strategies, bit-identical outputs (test-pinned):
+
+    - ``"direct"``: one window over all distinct hashes per group. The
+      hot group's ENTIRE distinct set sorts in a single task — fastest
+      on one box (measured: 2.5s for a 20M-distinct group at
+      local[32]; neither alternative beats it below ~1e8 locally), but
+      the single-task sort is the cluster scale bound (memory + one
+      straggler core for a 1e9-distinct group).
+    - ``"fanout"``: two-level bottom-k — keep k per (group, _h mod 64)
+      bucket (every global bottom-k hash is within its own bucket's
+      bottom-k), then finish over <= 64k rows per group. Same one scan,
+      per-task sort bounded by group_distinct/64. The recommended
+      cluster path for skewed groups.
+    - ``"filtered"``: candidate set pre-pruned by an
+      approx_count_distinct-derived hash threshold (expected survivors
+      ~ ``headroom * k`` per group) with an exact lazy fallback for
+      under-filled groups; the distinct frame is lazily persisted
+      because three arms consume it. Cheapest when the threshold can
+      kill almost everything (huge cardinality, modest k) AND the
+      distinct frame is worth caching for other consumers; shrinking
+      ``headroom`` below 1 just routes more groups through the
+      fallback, never changes values.
     """
     if k < 2:
         raise ValueError("kmv_distinct requires k >= 2")
@@ -109,32 +130,57 @@ def kmv_distinct(df: DataFrame, group_cols: Sequence[str], value_col: str,
 
     if strategy == "direct":
         agg = _bottom_k(d, groups, k)
+    elif strategy == "fanout":
+        # Two-level bottom-k: a first window over (group, _h mod F)
+        # spreads each group across F tasks (per-task sort bounded by
+        # group_distinct / F) and keeps k per bucket — the true
+        # bottom-k survives because every one of the k smallest hashes
+        # is within the smallest k OF ITS OWN BUCKET — then a second
+        # window over <= F*k rows per group finishes exactly. One scan,
+        # no side passes, bit-identical to direct. This is the
+        # recommended scale path: the hot-group task in `direct` sorts
+        # the group's ENTIRE distinct set serially, this sorts F
+        # shards of it in parallel.
+        fan = 64
+        lvl1 = _bottom_k(d.withColumn("_b", F.pmod("_h", F.lit(fan))),
+                         groups + ["_b"], k, keep_rows=True)
+        agg = _bottom_k(lvl1.select(*groups, "_h"), groups, k)
     elif strategy == "filtered":
         if not groups:
             raise ValueError("filtered strategy needs group columns; "
                              "use direct for a global count")
         from functools import reduce
 
-        acd = (df.filter(F.col(value_col).isNotNull())
-                 .groupBy(*groups)
-                 .agg(F.approx_count_distinct(value_col, 0.05)
-                       .alias("_acd")))
+        # One source scan: every arm below (threshold estimate,
+        # candidate pruning, exact fallback) consumes this same
+        # persisted frame — without the persist, semi/anti-join
+        # pushdown de-canonicalizes the subtrees so exchange reuse
+        # never fires and the source is rescanned per arm (measured: 8
+        # scans). The persist is LAZY (no action at construction); the
+        # HLL runs over the distinct hashes, which has exactly the
+        # cardinality the threshold needs.
+        d = d.persist()
+        acd = (d.groupBy(*groups)
+                .agg(F.approx_count_distinct("_h", 0.05).alias("_acd")))
         budget = float(headroom * k)
         thr = F.when(F.col("_acd") <= F.lit(budget), F.lit(float(M60))) \
                .otherwise(F.lit(budget) / F.col("_acd").cast("double")
                           * F.lit(float(M60)))
-        thr_df = acd.select(*groups, thr.alias("_thr"))
+        # the threshold/straggler frames derive from d too (self-joins)
+        # — prefix their key columns so attribute ids never collide
+        thr_df = acd.select(*[F.col(c).alias(f"_t_{c}") for c in groups],
+                            thr.alias("_thr"))
 
-        def nsjoin(left, right, how):
+        def nscond(right_prefix="_t_"):
             # NULL group keys are groups too (the direct path's groupBy
             # keeps them); plain `on=groups` equality would drop them
-            cond = reduce(lambda a, b: a & b,
-                          [left[c].eqNullSafe(right[c]) for c in groups])
-            return left.join(right, cond, how)
+            return reduce(lambda a, b: a & b,
+                          [F.col(c).eqNullSafe(F.col(right_prefix + c))
+                           for c in groups])
 
-        cand = (nsjoin(d, thr_df, "inner")
-                .filter(F.col("_h") < F.col("_thr"))
-                .select(*[d[c] for c in groups], d["_h"]))
+        cand = (d.join(thr_df, nscond())
+                 .filter(F.col("_h") < F.col("_thr"))
+                 .select(*groups, "_h"))
         fast = _bottom_k(cand, groups, k)
         covered = fast.filter(F.col("_n") >= k)
         # >= k survivors is a proof of coverage (the k smallest hashes
@@ -143,9 +189,10 @@ def kmv_distinct(df: DataFrame, group_cols: Sequence[str], value_col: str,
         # (zero survivors, so `fast` has no row for them at all) —
         # recomputes exactly, so stragglers must be derived from the
         # full group list, never from `fast`.
-        stragglers = nsjoin(thr_df.select(*groups),
-                            covered.select(*groups), "left_anti")
-        redo = _bottom_k(nsjoin(d, stragglers, "left_semi"), groups, k)
+        stragglers = thr_df.select(*[f"_t_{c}" for c in groups]).join(
+            covered.select(*groups), nscond(), "left_anti")
+        redo = _bottom_k(
+            d.join(stragglers, nscond(), "left_semi"), groups, k)
         agg = covered.unionByName(redo)
     else:
         raise ValueError(f"unknown strategy {strategy!r}")

@@ -45,14 +45,18 @@ def test_kmv_nulls_not_counted(spark):
     assert out[0].kmv_est == 2.0
 
 
-def test_kmv_filtered_identical_to_direct(spark):
-    """The 100 TB filtered path returns EXACTLY the direct result —
-    proof of coverage when >= k survivors, exact fallback otherwise.
-    headroom=0.2 starves the threshold (expected survivors < k) so the
-    straggler recompute genuinely executes here."""
+def test_kmv_scale_strategies_identical_to_direct(spark):
+    """The scale paths return EXACTLY the direct result: fanout because
+    every global bottom-k hash survives its own bucket's bottom-k;
+    filtered by proof of coverage when >= k survivors and exact
+    fallback otherwise. headroom=0.2 starves the threshold (expected
+    survivors < k) so the straggler recompute genuinely executes."""
     df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     direct = {tuple(r) for r in kmv_distinct(
         df, ["event_type"], "user_id", k=32, strategy="direct").collect()}
+    fan = {tuple(r) for r in kmv_distinct(
+        df, ["event_type"], "user_id", k=32, strategy="fanout").collect()}
+    assert fan == direct
     for hr in (8.0, 0.2):
         filt = {tuple(r) for r in kmv_distinct(
             df, ["event_type"], "user_id", k=32, strategy="filtered",
@@ -82,6 +86,9 @@ def test_kmv_filtered_zero_survivor_group_recovers(spark):
         headroom=0.5).collect()}
     assert filt == direct
     assert len(filt) == 2          # 'hi' present, not dropped
+    fan = {tuple(r) for r in kmv_distinct(
+        df, ["g"], "v", k=4, strategy="fanout").collect()}
+    assert fan == direct
 
 
 def test_kmv_filtered_keeps_null_group(spark):
@@ -96,6 +103,9 @@ def test_kmv_filtered_keeps_null_group(spark):
         df, ["g"], "v", k=8, strategy="filtered").collect()}
     assert filt == direct
     assert {r[0] for r in filt} == {None, "a"}
+    fan = {tuple(r) for r in kmv_distinct(
+        df, ["g"], "v", k=8, strategy="fanout").collect()}
+    assert fan == direct
 
 
 def test_kmv_filtered_plan_has_no_antipatterns(spark):
