@@ -4427,8 +4427,17 @@ DRIVER_TOP50 = [
     # dedup against the on-disk index (the bounded-probe 100 TB design,
     # never driver-graded before) and hoist text_lm_cross_entropy (the
     # CCNet gate curate_corpus_pipeline's lm_band composes).
+    # dedup_simhash_fingerprints demoted r8 (the swap candidate VERDICT
+    # r6 itself named): the simhash family stays below the cap with its
+    # chunk-blocked tests, and near-dup fingerprinting remains graded
+    # through dedup_pipeline_survivors (minhash LSH) + the Hamming
+    # fingerprint rows. The freed slot grades the deterministic-KMV
+    # sketch family (kmv_distinct_users — an APPROXIMATE operator whose
+    # md5-KMV estimate value-hash-matches the SQL oracle exactly, and
+    # the entry runs the filtered scale path so the threshold+fallback
+    # machinery is driver-verified).
     "dedup_pipeline_survivors", "incremental_dedup_classify",
-    "dedup_simhash_fingerprints", "overlap_pair_mining",
+    "kmv_distinct_users", "overlap_pair_mining",
     # events_window_agg swapped for stream_watermarked_counts (r7): the
     # SAME tumbling-window aggregation and the SAME oracle, but executed
     # by the Structured Streaming engine in watermarked append mode into

@@ -57,7 +57,11 @@ def test_driver_top50_covers_survey_ops():
         # LLM-pipeline + dataset-prep families (merged slots are the sole
         # graded representative of their operators)
         "dedup_pipeline_survivors",
-        "dedup_simhash_fingerprints",
+        # dedup_simhash_fingerprints demoted r8 (VERDICT r6's named swap
+        # candidate): near-dup fingerprinting stays graded through the
+        # minhash chain + Hamming rows; the slot grades the KMV sketch
+        # family instead
+        "kmv_distinct_users",
         # merged n-gram Jaccard + winnow pair mining (r6); the
         # embedding-cosine near-dup family is graded through
         # semantic_dedup_survivors (same cosine math, IVF-celled)
