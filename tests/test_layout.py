@@ -126,3 +126,28 @@ def test_zorder_plan_stays_jvm_side(spark):
     # "*(n)" is the simple-string rendering of a WholeStageCodegen span:
     # the whole bit-interleave expression tree compiles into it
     assert "*(" in plan, plan
+
+
+def test_morton_key_fuzz(spark):
+    """Hypothesis: the Spark bit-interleave expression equals the
+    independent Python reference for random cell tuples and widths."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(ncols=st.integers(1, 4), bits=st.integers(1, 8),
+           data=st.data())
+    def run(ncols, bits, data):
+        vals = data.draw(st.lists(
+            st.tuples(*[st.integers(0, (1 << bits) - 1)] * ncols),
+            min_size=1, max_size=20))
+        df = spark.createDataFrame(
+            vals, ", ".join(f"c{i} long" for i in range(ncols)))
+        out = df.withColumn("z", zorder_key(
+            [F.col(f"c{i}") for i in range(ncols)], bits=bits)).collect()
+        for r in out:
+            want = _morton([r[f"c{i}"] for i in range(ncols)], bits)
+            assert r.z == want
+
+    run()

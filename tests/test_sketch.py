@@ -196,3 +196,39 @@ def test_kmv_bad_args(spark):
         kmv_distinct(df, ["g"], "v", strategy="nope")
     with pytest.raises(ValueError, match="group columns"):
         kmv_distinct(df, [], "v", strategy="filtered")
+
+
+def test_kmv_strategies_fuzz(spark):
+    """Hypothesis: on random frames (random group counts, value ranges,
+    duplicates, NULLs in both columns), all three strategies return
+    bit-identical rows, and every group with < k distinct values is
+    answered exactly."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(rows=st.lists(
+        st.tuples(st.one_of(st.none(), st.integers(0, 3)),
+                  st.one_of(st.none(), st.integers(0, 200))),
+        min_size=1, max_size=300),
+        k=st.sampled_from([2, 8, 32]),
+        headroom=st.sampled_from([0.1, 1.0, 8.0]))
+    def run(rows, k, headroom):
+        df = spark.createDataFrame(rows, "g int, v int")
+        got = {}
+        for strat in ("direct", "fanout", "filtered"):
+            kw = {"headroom": headroom} if strat == "filtered" else {}
+            got[strat] = {tuple(r) for r in kmv_distinct(
+                df, ["g"], "v", k=k, strategy=strat, **kw).collect()}
+        assert got["direct"] == got["fanout"] == got["filtered"]
+        import collections
+        truth = collections.defaultdict(set)
+        for g_, v in rows:
+            if v is not None:
+                truth[g_].add(v)
+        for g_, est in got["direct"]:
+            if len(truth[g_]) < k:
+                assert est == float(len(truth[g_])), (g_, k)
+
+    run()
