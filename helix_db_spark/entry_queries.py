@@ -3091,6 +3091,44 @@ def events_funnel(spark, sf_dir):
              .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel"))))
 
 
+@q("events_resample_locf",
+   "WITH src AS (SELECT event_type, ts, value FROM events "
+   "WHERE value >= CAST(200.0 AS DOUBLE)), "
+   "obs0 AS (SELECT event_type, "
+   "CAST((epoch_us(ts) - epoch_us(ts) % 21600000000) // 1000000 "
+   "AS BIGINT) AS bucket_s, ts, value FROM src), "
+   "obs AS (SELECT event_type, bucket_s, value AS o FROM ("
+   "SELECT *, row_number() OVER (PARTITION BY event_type, bucket_s "
+   "ORDER BY ts DESC, value DESC) AS rn FROM obs0) WHERE rn = 1), "
+   "b AS (SELECT min(bucket_s) AS lo, max(bucket_s) AS hi FROM obs), "
+   "spine AS (SELECT unnest(generate_series(lo, hi, 21600)) "
+   "AS bucket_s FROM b), "
+   "grid AS (SELECT g.event_type, s.bucket_s FROM "
+   "(SELECT DISTINCT event_type FROM src) g CROSS JOIN spine s) "
+   "SELECT grid.event_type, grid.bucket_s, "
+   "last_value(obs.o IGNORE NULLS) OVER (PARTITION BY grid.event_type "
+   "ORDER BY grid.bucket_s ROWS BETWEEN UNBOUNDED PRECEDING AND "
+   "CURRENT ROW) AS value_locf, obs.o IS NULL AS filled "
+   "FROM grid LEFT JOIN obs ON grid.event_type = obs.event_type "
+   "AND grid.bucket_s = obs.bucket_s")
+def events_resample_locf(spark, sf_dir):
+    """Hypertable gap-fill: high-value events (value >= 200, ~2% of
+    rows — a genuinely sparse series) resampled onto a dense 6-hour
+    grid per event type with last-observation-carried-forward
+    (operators/sampling.resample_locf — TimescaleDB's
+    time_bucket_gapfill + locf). Most grid rows are filled=true, so the
+    oracle genuinely checks the densify + carry-forward machinery, not
+    just bucketing. One shuffle to (type, bucket), a broadcast
+    grid of groups x sequence() spine, and a single-value-state LOCF
+    window — the same plan a streaming gap-filler runs with a
+    watermark."""
+    from .operators.sampling import resample_locf
+    ev = _events(spark, sf_dir).filter(
+        F.col("value") >= 200.0).select("event_type", "ts", "value")
+    return resample_locf(ev, "ts", "value", step_s=21600,
+                         group_cols=["event_type"])
+
+
 _KMV_H = ("CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) "
           "AS BIGINT)")
 

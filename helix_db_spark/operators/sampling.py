@@ -8,7 +8,7 @@ semantics so every operator carries a full value-hash oracle.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -449,3 +449,70 @@ def interval_join(left: DataFrame, right: DataFrame,
         (F.col("_rus") >= F.col("_lus") + F.lit(lo_us))
         & (F.col("_rus") <= F.col("_lus") + F.lit(hi_us)))
     return out.drop("_b", "_lus", "_rus")
+
+
+def resample_locf(df: DataFrame, ts_col: str, value_col: str,
+                  step_s: int, group_cols: Sequence[str] = (),
+                  spine: Optional[Tuple[int, int]] = None) -> DataFrame:
+    """Gap-filled time-series resample with last-observation-carried-
+    forward — the hypertable staple (TimescaleDB's
+    ``time_bucket_gapfill`` + ``locf``): bucket events onto a regular
+    ``step_s``-second grid, keep the LAST observation per (group,
+    bucket), densify the grid so EMPTY buckets exist as rows, and fill
+    them by carrying the previous bucket's value forward (leading
+    buckets before a group's first observation stay NULL).
+
+    Columns out: group_cols..., ``bucket_s`` (bucket start, epoch
+    seconds), ``value_locf``, ``filled`` (true iff the bucket had no
+    observation). Deterministic: "last" orders by (ts desc, value
+    desc), total whenever no two same-bucket rows share both — on the
+    event tables ts carries microseconds and is already unique per
+    group, and the oracle replays the identical ordering.
+
+    Scale shape: one shuffle to (groups, bucket) for the last-per-
+    bucket aggregate; the dense spine is ``sequence()`` on a 1-row
+    bounds frame cross-joined with the distinct groups (broadcast — a
+    grid of group_count x bucket_count rows, metadata-scale next to the
+    data); LOCF is one ``last_value(ignorenulls)`` window per group
+    ordered by bucket — state is a single value per group, the same
+    plan Structured Streaming runs incrementally with a watermark.
+    ``spine`` overrides the (min, max) bucket bounds in epoch seconds
+    (pass it to keep the plan fully lazy; otherwise one 1-row agg runs
+    when the grid is built — lazily, inside the plan, not at
+    construction)."""
+    groups = list(group_cols)
+    us = F.unix_micros(F.col(ts_col))
+    step_us = int(step_s) * 1_000_000
+    bucket = ((us - F.pmod(us, F.lit(step_us))) / F.lit(1_000_000)) \
+        .cast("long").alias("bucket_s")
+    w = Window.partitionBy(*(groups + ["bucket_s"])) \
+        .orderBy(F.desc(ts_col), F.desc(value_col))
+    last = (df.select(*groups, bucket, F.col(ts_col), F.col(value_col))
+              .withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1)
+              .select(*groups, "bucket_s",
+                      F.col(value_col).alias("_obs")))
+
+    if spine is not None:
+        lo, hi = spine
+        lo -= lo % step_s
+        hi -= hi % step_s
+        bounds = df.sparkSession.range(1).select(
+            F.lit(int(lo)).alias("_lo"), F.lit(int(hi)).alias("_hi"))
+    else:
+        bounds = last.agg(F.min("bucket_s").alias("_lo"),
+                          F.max("bucket_s").alias("_hi"))
+    grid_t = bounds.select(F.explode(F.sequence(
+        F.col("_lo"), F.col("_hi"),
+        F.lit(int(step_s)))).alias("bucket_s"))
+    if groups:
+        grid = F.broadcast(df.select(*groups).distinct()).crossJoin(grid_t)
+    else:
+        grid = grid_t
+    joined = grid.join(last, groups + ["bucket_s"], "left")
+    locf_w = Window.partitionBy(*groups).orderBy("bucket_s") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return joined.select(
+        *groups, "bucket_s",
+        F.last("_obs", ignorenulls=True).over(locf_w).alias("value_locf"),
+        F.col("_obs").isNull().alias("filled"))

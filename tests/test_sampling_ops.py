@@ -312,3 +312,53 @@ def test_interval_join_point_band(spark):
         "rid long, rts timestamp")
     out = interval_join(left, right, "ts", "rts", 5.0, 5.0)
     assert sorted(r["rid"] for r in out.collect()) == [10]
+
+
+def test_resample_locf_gapfill(spark):
+    """Known series: buckets densified, gaps carried forward, leading
+    buckets NULL, last-per-bucket picks the latest observation."""
+    from helix_db_spark.operators.sampling import resample_locf
+
+    rows = [
+        # group a: obs at bucket 0 (two rows — later ts wins), gap at
+        # 60/120, obs at 180
+        ("a", "2024-01-01 00:00:05", 1.0),
+        ("a", "2024-01-01 00:00:30", 2.0),
+        ("a", "2024-01-01 00:03:10", 9.0),
+        # group b: first obs at bucket 120 -> leading buckets NULL
+        ("b", "2024-01-01 00:02:15", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts_s string, v double") \
+        .select("g", F.to_timestamp("ts_s").alias("ts"), "v")
+    out = {(r.g, r.bucket_s): (r.value_locf, r.filled)
+           for r in resample_locf(df, "ts", "v", step_s=60,
+                                  group_cols=["g"]).collect()}
+    base = 1704067200               # 2024-01-01 00:00:00 UTC
+    assert out[("a", base)] == (2.0, False)       # later ts wins
+    assert out[("a", base + 60)] == (2.0, True)   # carried forward
+    assert out[("a", base + 120)] == (2.0, True)
+    assert out[("a", base + 180)] == (9.0, False)
+    assert out[("b", base)] == (None, True)       # leading gap stays NULL
+    assert out[("b", base + 60)] == (None, True)
+    assert out[("b", base + 120)] == (5.0, False)
+    assert out[("b", base + 180)] == (5.0, True)
+    assert len(out) == 8                          # dense 2x4 grid
+
+
+def test_resample_locf_spine_override_and_global(spark):
+    from helix_db_spark.operators.sampling import resample_locf
+
+    df = spark.createDataFrame(
+        [("x", "2024-01-01 00:01:00", 3.0)], "g string, ts_s string, v double"
+    ).select("g", F.to_timestamp("ts_s").alias("ts"), "v")
+    base = 1704067200
+    # explicit spine widens the grid beyond the observed bounds (and is
+    # snapped to bucket starts)
+    out = resample_locf(df, "ts", "v", step_s=60, group_cols=["g"],
+                        spine=(base, base + 190)).collect()
+    assert len(out) == 4
+    assert sorted(r.bucket_s for r in out) == [
+        base, base + 60, base + 120, base + 180]
+    # group-less resample works (one global series)
+    glob = resample_locf(df, "ts", "v", step_s=60).collect()
+    assert len(glob) == 1 and glob[0].value_locf == 3.0
