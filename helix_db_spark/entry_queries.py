@@ -3091,6 +3091,47 @@ def events_funnel(spark, sf_dir):
              .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel"))))
 
 
+@q("copurchase_triangles",
+   "WITH p AS (SELECT DISTINCT user_id, CAST((epoch_us(ts) - "
+   "epoch_us(ts) % 3600000000) // 1000000 AS BIGINT) AS b FROM events "
+   "WHERE event_type = 'purchase'), "
+   "e AS (SELECT DISTINCT p1.user_id AS a, p2.user_id AS b2 FROM p p1 "
+   "JOIN p p2 ON p1.b = p2.b AND p1.user_id < p2.user_id), "
+   "deg AS (SELECT v, count(*) AS d FROM (SELECT a AS v FROM e "
+   "UNION ALL SELECT b2 FROM e) GROUP BY v), "
+   "tri AS (SELECT count(*) AS n FROM e e1 "
+   "JOIN e e2 ON e1.a = e2.a AND e1.b2 < e2.b2 "
+   "JOIN e e3 ON e3.a = e1.b2 AND e3.b2 = e2.b2) "
+   "SELECT (SELECT count(*) FROM e) AS n_edges, "
+   "(SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) FROM deg) "
+   "AS n_wedges, (SELECT n FROM tri) AS n_triangles, "
+   "(CAST(3.0 AS DOUBLE) * (SELECT n FROM tri)) / "
+   "(SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) FROM deg) "
+   "AS clustering_coef")
+def copurchase_triangles(spark, sf_dir):
+    """Triangle census of the hourly co-purchase graph (users buying in
+    the same hour are adjacent): canonical-ordered edge build, then
+    operators/graph.triangle_count with the DEGREE-ordered orientation
+    — the O(m^1.5)-work plan whose wedge fan-out stays bounded when a
+    celebrity node appears — against an oracle running the plain
+    ordered 3-join. n_edges / n_wedges (sum C(d,2)) / n_triangles /
+    global clustering coefficient in one row; triangle parity between
+    orientations is separately test-pinned."""
+    from .operators.graph import triangle_count
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    us = F.unix_micros(F.col("ts"))
+    p = ev.select(
+        "user_id",
+        ((us - F.pmod(us, F.lit(3_600_000_000))) / F.lit(1_000_000))
+        .cast("long").alias("b")).distinct()
+    q2 = p.select(F.col("user_id").alias("u2"), "b")
+    edges = (p.join(q2, "b")
+              .filter(F.col("user_id") < F.col("u2"))
+              .select(F.col("user_id").alias("s"), F.col("u2").alias("t"))
+              .distinct())
+    return triangle_count(edges, src="s", dst="t", orient="degree")
+
+
 @q("events_resample_locf",
    "WITH src AS (SELECT event_type, ts, value FROM events "
    "WHERE value >= CAST(200.0 AS DOUBLE)), "

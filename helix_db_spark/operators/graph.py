@@ -2,11 +2,13 @@
 
 The traversal surface (plans/compiler.py) answers per-query navigation;
 these operators answer corpus-level structural questions a graph-DB user
-asks next: degree profiles (exact, oracle-graded) and PageRank
-(iterative, tests-gated — float fixpoints have no deterministic SQL
-oracle). Both stay distributed: degrees are one partial-aggregable
-groupBy; PageRank is join + partial-agg per iteration with only scalar
-state (N, dangling mass) on the driver.
+asks next: degree profiles (exact, oracle-graded), PageRank (iterative,
+tests-gated — float fixpoints have no deterministic SQL oracle), and a
+triangle census (exact, oracle-graded, degree-ordered orientation for
+the celebrity-node bound). All stay distributed: degrees are one
+partial-aggregable groupBy; PageRank is join + partial-agg per iteration
+with only scalar state (N, dangling mass) on the driver; triangles are
+two ordered equi-joins over the canonical edge list.
 """
 
 from __future__ import annotations
@@ -81,3 +83,65 @@ def pagerank(edges: DataFrame, iters: int = 10,
                               .alias("rank"))
                       .localCheckpoint())
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = _SRC, dst: str = _DST,
+                   orient: str = "id") -> DataFrame:
+    """Global triangle census over an undirected view of the edge list:
+    one row with ``n_edges`` (canonical a<b edges), ``n_wedges`` (open
+    2-paths), ``n_triangles``, and the global clustering coefficient
+    ``3 * triangles / wedges`` (NULL on a wedgeless graph).
+
+    Canonicalize (min, max) + distinct, then the ordered two-join: wedge
+    (a, b<c) from edges (a,b), (a,c); a wedge closes iff (b, c) is an
+    edge. Each triangle {x<y<z} is counted exactly once (as the wedge
+    centered at its unique two-out-edge vertex in the oriented DAG).
+    ``orient="degree"`` re-orients every edge from its lower-degree
+    endpoint (degree rank, id tiebreak) before the wedge join — the
+    standard bound (out-degree <= O(sqrt(m)) per node) that keeps the
+    wedge fan-out of a celebrity node from exploding at scale; counts
+    are identical (test-pinned), only the join geometry changes.
+    ``n_wedges`` is the orientation-independent total sum_v C(d_v, 2),
+    computed from the degree frame, never the join.
+    """
+    e = (edges.filter(F.col(src) != F.col(dst))
+         .select(F.least(src, dst).alias("a"),
+                 F.greatest(src, dst).alias("b"))
+         .distinct())
+    deg = (e.select(F.col("a").alias("v"))
+           .unionAll(e.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_wed = deg.agg(F.sum(F.col("d") * (F.col("d") - 1) / 2)
+                    .cast("long").alias("n_wedges"))
+    if orient == "id":
+        # center = the smallest vertex (canonical edges already point
+        # small -> large, so pairs of out-neighbors ARE the wedges)
+        o = e.select(F.col("a").alias("s"), F.col("b").alias("t"))
+    elif orient == "degree":
+        # orient low-degree -> high-degree, id tiebreak: total order
+        keyed = (e.join(deg.withColumnRenamed("v", "a")
+                         .withColumnRenamed("d", "da"), "a")
+                 .join(deg.withColumnRenamed("v", "b")
+                        .withColumnRenamed("d", "db"), "b"))
+        fwd = F.struct(F.col("da").alias("k"), F.col("a").alias("v")) \
+            < F.struct(F.col("db").alias("k"), F.col("b").alias("v"))
+        o = keyed.select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("s"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("t"))
+    else:
+        raise ValueError(f"unknown orient {orient!r}")
+    wedges = (o.alias("o1").join(o.alias("o2"),
+                                 (F.col("o1.s") == F.col("o2.s"))
+                                 & (F.col("o1.t") < F.col("o2.t")))
+              .select(F.least("o1.t", "o2.t").alias("x"),
+                      F.greatest("o1.t", "o2.t").alias("y")))
+    closed = wedges.join(
+        e, (wedges["x"] == e["a"]) & (wedges["y"] == e["b"]), "left_semi")
+    n_tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (n_edges.crossJoin(n_wed).crossJoin(n_tri)   # three 1-row frames
+            .select("n_edges", "n_wedges", "n_triangles",
+                    F.when(F.col("n_wedges") > 0,
+                           F.lit(3.0) * F.col("n_triangles")
+                           / F.col("n_wedges"))
+                    .alias("clustering_coef")))

@@ -3425,3 +3425,53 @@ def test_curate_corpus_gopher_gate_opt_in(spark):
     # assertions below would pass vacuously with a no-op gate
     assert {1, 2, 3} <= base
     assert gop == {1, 2}  # doc 3 fails wc_ok (< 50 words)
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 (4 triangles, coef 1), a path (0 triangles, coef 0), and a
+    graph with dirty input (self-loops, duplicates, reversed edges)."""
+    from helix_db_spark.operators.graph import triangle_count
+
+    def tc(rows, **kw):
+        df = spark.createDataFrame(rows, "s long, t long")
+        return triangle_count(df, src="s", dst="t", **kw).collect()[0]
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r = tc(k4)
+    assert (r.n_edges, r.n_wedges, r.n_triangles) == (6, 12, 4)
+    assert r.clustering_coef == 1.0
+    path = [(0, 1), (1, 2), (2, 3)]
+    r = tc(path)
+    assert (r.n_edges, r.n_wedges, r.n_triangles) == (3, 2, 0)
+    assert r.clustering_coef == 0.0
+    # dirty: self-loop dropped, duplicate + reversed edges collapse
+    dirty = [(0, 0), (0, 1), (1, 0), (1, 2), (1, 2), (2, 0)]
+    r = tc(dirty)
+    assert (r.n_edges, r.n_triangles) == (3, 1)
+    # a single edge has no wedges: coefficient NULL, not div-by-zero
+    r = tc([(7, 8)])
+    assert r.n_triangles == 0 and r.clustering_coef is None
+
+
+def test_triangle_count_orientations_agree(spark):
+    """The degree-ordered orientation (the celebrity-node-safe plan)
+    counts exactly what the id orientation counts, on a skewed graph
+    with a hub vertex plus random md5-derived edges."""
+    import hashlib
+
+    from helix_db_spark.operators.graph import triangle_count
+
+    edges = [(0, i) for i in range(1, 40)]          # hub 0
+    for i in range(1, 40):
+        for j in range(i + 1, 40):
+            if int(hashlib.md5(f"{i}-{j}".encode()).hexdigest()[:4],
+                   16) % 7 == 0:
+                edges.append((i, j))
+    df = spark.createDataFrame(edges, "s long, t long")
+    a = triangle_count(df, src="s", dst="t", orient="id").collect()[0]
+    b = triangle_count(df, src="s", dst="t", orient="degree").collect()[0]
+    assert tuple(a) == tuple(b)
+    assert a.n_triangles > 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown orient"):
+        triangle_count(df, src="s", dst="t", orient="nope")
