@@ -3249,6 +3249,44 @@ def kmv_set_ops_users(spark, sf_dir):
     return kmv_set_ops(heavy("click"), heavy("purchase"), "user_id", k=48)
 
 
+_CMS_H = ("CAST(('0x' || substr(md5('cms' || r._row || '_' || "
+          "CAST({u} AS VARCHAR)), 1, 15)) AS BIGINT) % 256")
+
+@q("cms_heavy_hitters",
+   "WITH rws AS (SELECT unnest([0, 1, 2, 3]) AS _row), "
+   f"cells AS (SELECT r._row, {_CMS_H.format(u='e.user_id')} AS _cell "
+   "FROM events e, rws r WHERE e.user_id IS NOT NULL), "
+   "sk AS (SELECT _row, _cell, count(*) AS _cnt FROM cells "
+   "GROUP BY 1, 2), "
+   "top AS (SELECT user_id, count(*) AS n_exact FROM events "
+   "WHERE user_id IS NOT NULL GROUP BY 1 "
+   "ORDER BY n_exact DESC, user_id LIMIT 10), "
+   f"probe AS (SELECT t.user_id, t.n_exact, r._row, "
+   f"{_CMS_H.format(u='t.user_id')} AS _cell FROM top t, rws r) "
+   "SELECT p.user_id, p.n_exact, min(coalesce(s._cnt, 0)) AS cms_est "
+   "FROM probe p LEFT JOIN sk s ON p._row = s._row "
+   "AND p._cell = s._cell GROUP BY 1, 2")
+def cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch point queries (operators/sketch.cms_counts /
+    cms_estimate): event frequencies of the exact top-10 users read
+    back from a 4 x 256-cell sketch — O(1024) state no matter how many
+    users stream through, mergeable cell-wise, and deterministic
+    (md5-salted rows), so the DuckDB oracle rebuilds the identical
+    sketch and the approximate counts value-hash-match. CMS guarantees
+    est >= exact (collision mass only adds); the row shows both."""
+    from .operators.sketch import cms_counts, cms_estimate
+    ev = _events(spark, sf_dir)
+    sketch = cms_counts(ev, "user_id", width=256, depth=4)
+    top = (ev.filter(F.col("user_id").isNotNull())
+             .groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_exact"))
+             .orderBy(F.desc("n_exact"), "user_id").limit(10))
+    est = cms_estimate(sketch, top.select("user_id"), "user_id",
+                       width=256, depth=4)
+    return top.join(est, "user_id") \
+              .select("user_id", "n_exact", "cms_est")
+
+
 @q("zorder_box_scan",
    "SELECT event_id, user_id, round(value, 4) AS value FROM events "
    "WHERE user_id BETWEEN 40 AND 80 AND value BETWEEN 10.0 AND 40.0")

@@ -235,3 +235,60 @@ def kmv_set_ops(df_a: DataFrame, df_b: DataFrame, value_col: str,
         union_est.alias("union_est"),
         inter_est.alias("intersect_est"),
         (F.col("_m").cast("double") / kept).alias("jaccard_est"))
+
+
+def cms_counts(df: DataFrame, value_col: str, width: int = 256,
+               depth: int = 4,
+               group_cols: Sequence[str] = ()) -> DataFrame:
+    """Count-min sketch table: per (group, row, cell) counts with
+    ``depth`` md5-salted hash rows of ``width`` cells — O(width*depth)
+    state per group however many distinct values stream through, and
+    mergeable by cell-wise addition (the partial aggregation Spark
+    already does). Deterministic like everything in this module, so a
+    SQL oracle can rebuild the identical table. Returns (group...,
+    _row, _cell, _cnt)."""
+    groups = list(group_cols)
+    rows = []
+    for r in range(depth):
+        cell = F.pmod(
+            F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"cms{r}_"),
+                               F.col(value_col).cast("string"))),
+                1, 15), 16, 10).cast("bigint"),
+            F.lit(width))
+        rows.append(F.struct(F.lit(r).alias("_row"),
+                             cell.alias("_cell")))
+    return (df.filter(F.col(value_col).isNotNull())
+            .select(*groups, F.explode(F.array(*rows)).alias("_s"))
+            .select(*groups, "_s._row", "_s._cell")
+            .groupBy(*groups, "_row", "_cell")
+            .agg(F.count(F.lit(1)).alias("_cnt")))
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, value_col: str,
+                 width: int = 256, depth: int = 4,
+                 group_cols: Sequence[str] = (),
+                 out_col: str = "cms_est") -> DataFrame:
+    """Point-query the sketch for each key row: hash the key through
+    the same ``depth`` rows and take the MIN cell count (the count-min
+    guarantee: an overestimate by at most the collision mass, never an
+    underestimate). The join is keys x depth rows against the
+    width*depth-cell sketch — broadcast-sized both sides."""
+    groups = list(group_cols)
+    rows = []
+    for r in range(depth):
+        cell = F.pmod(
+            F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"cms{r}_"),
+                               F.col(value_col).cast("string"))),
+                1, 15), 16, 10).cast("bigint"),
+            F.lit(width))
+        rows.append(F.struct(F.lit(r).alias("_row"),
+                             cell.alias("_cell")))
+    probes = (keys.select(*groups, F.col(value_col),
+                          F.explode(F.array(*rows)).alias("_s"))
+              .select(*groups, value_col, "_s._row", "_s._cell"))
+    hit = probes.join(sketch, groups + ["_row", "_cell"], "left") \
+                .withColumn("_cnt", F.coalesce("_cnt", F.lit(0)))
+    return (hit.groupBy(*groups, value_col)
+            .agg(F.min("_cnt").alias(out_col)))

@@ -232,3 +232,54 @@ def test_kmv_strategies_fuzz(spark):
                 assert est == float(len(truth[g_])), (g_, k)
 
     run()
+
+
+def test_cms_matches_python_reference_and_bounds(spark):
+    """The sketch is a pure function of the data: rebuild it in Python
+    (hashlib) and compare estimates exactly; CMS never underestimates."""
+    import collections
+    import hashlib
+
+    from helix_db_spark.operators.sketch import cms_counts, cms_estimate
+
+    width, depth = 64, 4
+    vals = [i % 17 for i in range(500)] + [3] * 40 + [None] * 5
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    sketch = cms_counts(df, "v", width=width, depth=depth)
+    keys = spark.createDataFrame([(k,) for k in range(17)], "v int")
+    got = {r.v: r.cms_est for r in cms_estimate(
+        sketch, keys, "v", width=width, depth=depth).collect()}
+
+    # independent python CMS
+    table = collections.Counter()
+    truth = collections.Counter()
+    for v in vals:
+        if v is None:
+            continue
+        truth[v] += 1
+        for r in range(depth):
+            h = int(hashlib.md5(f"cms{r}_{v}".encode()).hexdigest()[:15],
+                    16) % width
+            table[(r, h)] += 1
+    for k in range(17):
+        want = min(table[(r, int(hashlib.md5(
+            f"cms{r}_{k}".encode()).hexdigest()[:15], 16) % width)]
+            for r in range(depth))
+        assert got[k] == want, k
+        assert got[k] >= truth[k]          # never underestimates
+
+
+def test_cms_mergeable_cellwise(spark):
+    """CMS(union) == cell-wise sum of the per-part sketches — the
+    property that lets per-partition sketches combine without rescan."""
+    from helix_db_spark.operators.sketch import cms_counts
+
+    a = spark.createDataFrame([(i % 7,) for i in range(100)], "v int")
+    b = spark.createDataFrame([(i % 5,) for i in range(80)], "v int")
+    u = cms_counts(a.union(b), "v", width=32, depth=2)
+    pa = cms_counts(a, "v", width=32, depth=2)
+    pb = cms_counts(b, "v", width=32, depth=2)
+    summed = (pa.unionByName(pb).groupBy("_row", "_cell")
+              .agg(F.sum("_cnt").alias("_cnt")))
+    assert {tuple(r) for r in u.collect()} == \
+        {tuple(r) for r in summed.collect()}
