@@ -3249,6 +3249,48 @@ def kmv_set_ops_users(spark, sf_dir):
     return kmv_set_ops(heavy("click"), heavy("purchase"), "user_id", k=48)
 
 
+@q("user_retention_cohorts",
+   "WITH w AS (SELECT DISTINCT user_id, "
+   "CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk FROM events "
+   "WHERE user_id IS NOT NULL), "
+   "first AS (SELECT user_id, min(wk) AS cohort_week FROM w GROUP BY 1), "
+   "sizes AS (SELECT cohort_week, count(*) AS cohort_size FROM first "
+   "GROUP BY 1), "
+   "ret AS (SELECT f.cohort_week, w.wk - f.cohort_week AS week_offset, "
+   "count(DISTINCT w.user_id) AS retained FROM first f "
+   "JOIN w ON w.user_id = f.user_id "
+   "WHERE w.wk - f.cohort_week <= 3 GROUP BY 1, 2) "
+   "SELECT r.cohort_week, r.week_offset, s.cohort_size, r.retained, "
+   "round(CAST(r.retained AS DOUBLE) / s.cohort_size, 6) "
+   "AS retention_rate FROM ret r JOIN sizes s "
+   "ON r.cohort_week = s.cohort_week")
+def user_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix — the standard product-analytics rollup:
+    users cohorted by first-activity week, retention at week offsets
+    0..3 as the share of the cohort active that week. Two partial-
+    aggregable groupBys plus one join on user_id; the (cohort, offset)
+    output is weeks^2 rows — metadata-scale next to the event table at
+    any SF."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    wk = (F.unix_micros(F.col("ts")) / F.lit(604_800_000_000)) \
+        .cast("long").alias("wk")
+    w = ev.select("user_id", wk).distinct()
+    first = w.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    ret = (w.join(first, "user_id")
+            .withColumn("week_offset", F.col("wk") - F.col("cohort_week"))
+            .filter(F.col("week_offset") <= 3)
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.countDistinct("user_id").alias("retained")))
+    return (ret.join(sizes, "cohort_week")
+            .select("cohort_week", "week_offset", "cohort_size",
+                    "retained",
+                    F.round(F.col("retained").cast("double")
+                            / F.col("cohort_size"), 6)
+                    .alias("retention_rate")))
+
+
 _CMS_H = ("CAST(('0x' || substr(md5('cms' || r._row || '_' || "
           "CAST({u} AS VARCHAR)), 1, 15)) AS BIGINT) % 256")
 
