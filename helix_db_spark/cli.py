@@ -368,11 +368,19 @@ def cmd_layout(args) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     src = args.layout_in
     if args.compact:
-        summary = compact_parquet(spark, src, args.out,
-                                  target_mb=args.target_mb)
+        try:
+            summary = compact_parquet(spark, src, args.out,
+                                      target_mb=args.target_mb)
+        except ValueError as e:       # non-local filesystem scheme
+            print(json.dumps({"error": str(e)}), file=sys.stderr)
+            return 2
         print(json.dumps({"op": "compact", "out": args.out, **summary}))
         return 0
     cols = [c for c in args.zorder.split(",") if c]
+    if not cols:
+        print(json.dumps({"error": "--zorder needs at least one column"}),
+              file=sys.stderr)
+        return 2
     df = spark.read.parquet(src)
     missing = [c for c in cols if c not in df.columns]
     if missing:
@@ -382,12 +390,15 @@ def cmd_layout(args) -> int:
     try:
         zorder_write(df, cols, args.out, bits=args.bits,
                      files=args.files)
-    except ValueError as e:           # empty input / all-NULL column
+    except ValueError as e:  # empty input / all-NULL / reserved _zkey
         print(json.dumps({"error": str(e)}), file=sys.stderr)
         return 2
-    n = len(spark.read.parquet(args.out).inputFiles())
+    out_df = spark.read.parquet(args.out)
+    # row count from the freshly-written output (parquet footers of the
+    # compacted files), not a third full scan of the source
     print(json.dumps({"op": "zorder", "cols": cols, "out": args.out,
-                      "files": n, "rows": df.count()}))
+                      "files": len(out_df.inputFiles()),
+                      "rows": out_df.count()}))
     return 0
 
 

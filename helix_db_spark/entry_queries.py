@@ -3105,9 +3105,11 @@ def events_funnel(spark, sf_dir):
    "SELECT (SELECT count(*) FROM e) AS n_edges, "
    "(SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) FROM deg) "
    "AS n_wedges, (SELECT n FROM tri) AS n_triangles, "
+   "CASE WHEN (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) "
+   "FROM deg) > 0 THEN "
    "(CAST(3.0 AS DOUBLE) * (SELECT n FROM tri)) / "
    "(SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) FROM deg) "
-   "AS clustering_coef")
+   "END AS clustering_coef")
 def copurchase_triangles(spark, sf_dir):
     """Triangle census of the hourly co-purchase graph (users buying in
     the same hour are adjacent): canonical-ordered edge build, then

@@ -509,7 +509,16 @@ def resample_locf(df: DataFrame, ts_col: str, value_col: str,
         grid = F.broadcast(df.select(*groups).distinct()).crossJoin(grid_t)
     else:
         grid = grid_t
-    joined = grid.join(last, groups + ["bucket_s"], "left")
+    # null-safe group equality: a NULL group key is a series too (the
+    # distinct grid keeps it; a name-join would strand its observations)
+    lastp = last.select(
+        *[F.col(c).alias(f"_o_{c}") for c in groups + ["bucket_s"]],
+        "_obs")
+    from functools import reduce
+    cond = reduce(lambda a, b: a & b,
+                  [F.col(c).eqNullSafe(F.col(f"_o_{c}"))
+                   for c in groups + ["bucket_s"]])
+    joined = grid.join(lastp, cond, "left")
     locf_w = Window.partitionBy(*groups).orderBy("bucket_s") \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return joined.select(

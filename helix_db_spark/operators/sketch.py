@@ -50,6 +50,15 @@ from pyspark.sql import functions as F
 
 M60 = 1 << 60          # md5 15-hex-digit prefix space
 
+# Bounded ownership for the filtered path's lazily-persisted distinct
+# frames: without it every kmv_distinct(strategy="filtered") call leaks
+# one InMemoryRelation into the session cache for the session lifetime
+# (same pattern as operators/dedup._MAT_LRU).
+from collections import deque as _deque
+
+_PERSIST_LRU: "_deque" = _deque()
+_PERSIST_LRU_MAX = 4
+
 
 def h60(col: Column) -> Column:
     """Uniform deterministic 60-bit hash of a value (md5 prefix), the
@@ -160,6 +169,9 @@ def kmv_distinct(df: DataFrame, group_cols: Sequence[str], value_col: str,
         # HLL runs over the distinct hashes, which has exactly the
         # cardinality the threshold needs.
         d = d.persist()
+        _PERSIST_LRU.append(d)
+        while len(_PERSIST_LRU) > _PERSIST_LRU_MAX:
+            _PERSIST_LRU.popleft().unpersist()
         acd = (d.groupBy(*groups)
                 .agg(F.approx_count_distinct("_h", 0.05).alias("_acd")))
         budget = float(headroom * k)
@@ -237,6 +249,30 @@ def kmv_set_ops(df_a: DataFrame, df_b: DataFrame, value_col: str,
         (F.col("_m").cast("double") / kept).alias("jaccard_est"))
 
 
+def _cms_cells(value_col: str, width: int, depth: int) -> Column:
+    """Array of (row, cell) structs for a value — the ONE definition of
+    the count-min hash family (md5 salted per row via h60), shared by
+    the build and the probe so they can never drift apart."""
+    rows = []
+    for r in range(depth):
+        cell = F.pmod(
+            h60(F.concat(F.lit(f"cms{r}_"),
+                         F.col(value_col).cast("string"))),
+            F.lit(width))
+        rows.append(F.struct(F.lit(r).alias("_row"), cell.alias("_cell")))
+    return F.array(*rows)
+
+
+def _ns_eq(left_cols: Sequence[str], right_prefix: str) -> Column:
+    """AND of null-safe equalities left.c <=> right.<prefix>c — NULL
+    group keys are groups (the groupBy side keeps them; a plain
+    equi-join would silently drop them)."""
+    from functools import reduce
+    return reduce(lambda a, b: a & b,
+                  [F.col(c).eqNullSafe(F.col(right_prefix + c))
+                   for c in left_cols])
+
+
 def cms_counts(df: DataFrame, value_col: str, width: int = 256,
                depth: int = 4,
                group_cols: Sequence[str] = ()) -> DataFrame:
@@ -245,21 +281,14 @@ def cms_counts(df: DataFrame, value_col: str, width: int = 256,
     state per group however many distinct values stream through, and
     mergeable by cell-wise addition (the partial aggregation Spark
     already does). Deterministic like everything in this module, so a
-    SQL oracle can rebuild the identical table. Returns (group...,
-    _row, _cell, _cnt)."""
+    SQL oracle can rebuild the identical table. NULL group keys are
+    groups (kept by the groupBy, and the probe join honors them).
+    Returns (group..., _row, _cell, _cnt)."""
     groups = list(group_cols)
-    rows = []
-    for r in range(depth):
-        cell = F.pmod(
-            F.conv(F.substring(
-                F.md5(F.concat(F.lit(f"cms{r}_"),
-                               F.col(value_col).cast("string"))),
-                1, 15), 16, 10).cast("bigint"),
-            F.lit(width))
-        rows.append(F.struct(F.lit(r).alias("_row"),
-                             cell.alias("_cell")))
     return (df.filter(F.col(value_col).isNotNull())
-            .select(*groups, F.explode(F.array(*rows)).alias("_s"))
+            .select(*groups,
+                    F.explode(_cms_cells(value_col, width, depth))
+                     .alias("_s"))
             .select(*groups, "_s._row", "_s._cell")
             .groupBy(*groups, "_row", "_cell")
             .agg(F.count(F.lit(1)).alias("_cnt")))
@@ -272,23 +301,23 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, value_col: str,
     """Point-query the sketch for each key row: hash the key through
     the same ``depth`` rows and take the MIN cell count (the count-min
     guarantee: an overestimate by at most the collision mass, never an
-    underestimate). The join is keys x depth rows against the
-    width*depth-cell sketch — broadcast-sized both sides."""
+    underestimate — which forces the group join below to be NULL-SAFE,
+    or a NULL group key would never match its sketch rows and min()
+    would answer 0, an underestimate). The join is keys x depth rows
+    against the width*depth-cell sketch — broadcast-sized both sides."""
     groups = list(group_cols)
-    rows = []
-    for r in range(depth):
-        cell = F.pmod(
-            F.conv(F.substring(
-                F.md5(F.concat(F.lit(f"cms{r}_"),
-                               F.col(value_col).cast("string"))),
-                1, 15), 16, 10).cast("bigint"),
-            F.lit(width))
-        rows.append(F.struct(F.lit(r).alias("_row"),
-                             cell.alias("_cell")))
     probes = (keys.select(*groups, F.col(value_col),
-                          F.explode(F.array(*rows)).alias("_s"))
+                          F.explode(_cms_cells(value_col, width, depth))
+                           .alias("_s"))
               .select(*groups, value_col, "_s._row", "_s._cell"))
-    hit = probes.join(sketch, groups + ["_row", "_cell"], "left") \
+    sk = sketch.select(*[F.col(c).alias(f"_sk_{c}") for c in groups],
+                       F.col("_row").alias("_sk__row"),
+                       F.col("_cell").alias("_sk__cell"), "_cnt")
+    cond = (F.col("_row") == F.col("_sk__row")) \
+        & (F.col("_cell") == F.col("_sk__cell"))
+    if groups:
+        cond = cond & _ns_eq(groups, "_sk_")
+    hit = probes.join(sk, cond, "left") \
                 .withColumn("_cnt", F.coalesce("_cnt", F.lit(0)))
     return (hit.groupBy(*groups, value_col)
             .agg(F.min("_cnt").alias(out_col)))

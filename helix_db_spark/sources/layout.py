@@ -99,6 +99,11 @@ def zorder_write(df: DataFrame, cols: Sequence[str], path: str,
     every z-ordered dimension. The key itself is dropped — layout is a
     storage property, not a schema change. ``files`` sizes the output
     (at scale: table_bytes / target_file_bytes)."""
+    if "_zkey" in df.columns:
+        raise ValueError(
+            "_zkey is reserved by zorder_write (a pre-existing column "
+            "of that name would be silently dropped from the rewrite); "
+            "rename it first")
     keyed = zorder_by(df, cols, bits=bits, ranges=ranges)
     (keyed.repartitionByRange(files, F.col("_zkey"))
           .sortWithinPartitions("_zkey")
@@ -124,16 +129,24 @@ def compact_parquet(spark, in_path: str, out_path: str,
     import math as _math
     import os
 
+    from urllib.parse import unquote, urlparse
+
+    def local_path(uri: str) -> str:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("", "file"):
+            raise ValueError(
+                f"compact_parquet sizes files via the local filesystem; "
+                f"{parsed.scheme}:// paths need the Hadoop FileSystem "
+                f"API (got {uri})")
+        # inputFiles() percent-encodes (spaces -> %20); undo it
+        return unquote(parsed.path or uri)
+
+    local_path(in_path)               # refuse remote schemes up front
     df = spark.read.parquet(in_path)
-    files = df.inputFiles()
     total = 0
+    files = df.inputFiles()
     for uri in files:
-        p = uri
-        for pre in ("file://", "file:"):
-            if p.startswith(pre):
-                p = p[len(pre):]
-                break
-        total += os.path.getsize(p)
+        total += os.path.getsize(local_path(uri))
     n = max(1, _math.ceil(total / (target_mb * 1024 * 1024)))
     df.coalesce(n).write.mode("overwrite").parquet(out_path)
     out_n = len(spark.read.parquet(out_path).inputFiles())

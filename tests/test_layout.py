@@ -151,3 +151,23 @@ def test_morton_key_fuzz(spark):
             assert r.z == want
 
     run()
+
+
+def test_zorder_reserved_column_and_compact_scheme(spark, tmp_path):
+    """Review r8 guards: a pre-existing _zkey column is rejected (the
+    rewrite would silently drop it), and compact_parquet refuses
+    non-local filesystem schemes instead of crashing in os.stat."""
+    from helix_db_spark.sources.layout import compact_parquet
+
+    df = spark.range(10).select(
+        F.col("id").alias("a"), F.col("id").alias("_zkey"))
+    with pytest.raises(ValueError, match="_zkey is reserved"):
+        zorder_write(df, ["a"], str(tmp_path / "z"))
+    with pytest.raises(ValueError, match="Hadoop FileSystem"):
+        compact_parquet(spark, "s3a://bucket/table",
+                        str(tmp_path / "c"))
+    # percent-encoded local paths are decoded before stat
+    spaced = tmp_path / "dir with space"
+    spark.range(5).coalesce(1).write.parquet(str(spaced))
+    out = compact_parquet(spark, str(spaced), str(tmp_path / "c2"))
+    assert out["out_files"] == 1 and out["bytes"] > 0

@@ -362,3 +362,21 @@ def test_resample_locf_spine_override_and_global(spark):
     # group-less resample works (one global series)
     glob = resample_locf(df, "ts", "v", step_s=60).collect()
     assert len(glob) == 1 and glob[0].value_locf == 3.0
+
+
+def test_resample_locf_null_group(spark):
+    """Regression (review r8): a NULL group key is a series too — the
+    grid join must be null-safe or its observations strand."""
+    from helix_db_spark.operators.sampling import resample_locf
+
+    rows = [(None, "2024-01-01 00:00:10", 4.0),
+            ("a", "2024-01-01 00:01:10", 7.0)]
+    df = spark.createDataFrame(rows, "g string, ts_s string, v double") \
+        .select("g", F.to_timestamp("ts_s").alias("ts"), "v")
+    out = {(r.g, r.bucket_s): (r.value_locf, r.filled)
+           for r in resample_locf(df, "ts", "v", step_s=60,
+                                  group_cols=["g"]).collect()}
+    base = 1704067200
+    assert out[(None, base)] == (4.0, False)      # attached, not stranded
+    assert out[(None, base + 60)] == (4.0, True)  # and carried forward
+    assert out[("a", base + 60)] == (7.0, False)

@@ -283,3 +283,18 @@ def test_cms_mergeable_cellwise(spark):
               .agg(F.sum("_cnt").alias("_cnt")))
     assert {tuple(r) for r in u.collect()} == \
         {tuple(r) for r in summed.collect()}
+
+
+def test_cms_null_group_never_underestimates(spark):
+    """Regression (review r8): grouped CMS with a NULL group key — the
+    probe join must be null-safe or min() answers 0 (an underestimate,
+    violating the count-min guarantee)."""
+    from helix_db_spark.operators.sketch import cms_counts, cms_estimate
+
+    rows = [(None, 1)] * 5 + [("a", 1)] * 3
+    df = spark.createDataFrame(rows, "g string, v int")
+    sketch = cms_counts(df, "v", width=16, depth=2, group_cols=["g"])
+    keys = spark.createDataFrame([(None, 1), ("a", 1)], "g string, v int")
+    got = {r.g: r.cms_est for r in cms_estimate(
+        sketch, keys, "v", width=16, depth=2, group_cols=["g"]).collect()}
+    assert got[None] == 5 and got["a"] == 3
