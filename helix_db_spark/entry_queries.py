@@ -3950,8 +3950,11 @@ def knn_graph_cosine(spark, sf_dir):
                       "cosine")
 
 
-@q("knn_graph_celled",
-   """WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+# The celled kNN construction as a reusable WITH-body: shared by the
+# graded knn_graph_celled oracle (verbatim — the assembled string is the
+# exact text that has been driver-green since r6) and by the PPR
+# graph-expansion oracle, which diffuses over the same edge set.
+_KNN_CELLED_BODY = """cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
               FROM embeddings
               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
               LIMIT least(4096, CAST(ceil(sqrt(
@@ -3971,8 +3974,12 @@ p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
         ON a.cell = b.cell AND a.vec_id <> b.vec_id),
 r AS (SELECT src, dst, cosine,
         row_number() OVER (PARTITION BY src
-            ORDER BY cosine DESC, dst) AS nn_rank FROM p)
-SELECT src, dst, nn_rank, cosine FROM r WHERE nn_rank <= 3""")
+            ORDER BY cosine DESC, dst) AS nn_rank FROM p)"""
+
+
+@q("knn_graph_celled",
+   "WITH " + _KNN_CELLED_BODY + "\n"
+   "SELECT src, dst, nn_rank, cosine FROM r WHERE nn_rank <= 3")
 def knn_graph_celled(spark, sf_dir):
     """The SCALE path of the kNN graph, graded: neighbors are searched
     within each vector's deterministic IVF cell, with the query side
@@ -3993,6 +4000,273 @@ def knn_graph_celled(spark, sf_dir):
                     nprobe=2)
     return out.select("src", "dst", F.col("rank").alias("nn_rank"),
                       "cosine")
+
+
+# The exact-fold cosine as a SQL fragment (the knn contract: all-double
+# list_dot_product formulation, bit-identical to
+# functions/vector.cosine_similarity_exact).
+def _COS6(a: str, b: str) -> str:
+    return (f"round(list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * "
+            f"sqrt(list_dot_product({b}, {b}))), 6)")
+
+
+_RRF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest({tok}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl),
+qterms AS (SELECT unnest(['spark', 'query', 'filter']) AS term),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 +
+                0.75 * dl.dl / stats.avgdl))) AS score
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+br AS (SELECT id, r FROM (
+    SELECT id, row_number() OVER (ORDER BY s DESC, id) AS r
+    FROM (SELECT doc_id AS id, round(score, 4) AS s FROM scored))
+  WHERE r <= 20),
+vr AS (SELECT id, r FROM (
+    SELECT id, row_number() OVER (ORDER BY d, id) AS r
+    FROM (SELECT e.vec_id AS id,
+            round(1.0 - list_dot_product(e.embedding::DOUBLE[], q.qv)
+              / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                       e.embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(q.qv, q.qv))), 6) AS d
+          FROM embeddings e CROSS JOIN q))
+  WHERE r <= 20),
+u AS (SELECT * FROM br UNION ALL SELECT * FROM vr),
+f AS (SELECT id, sum(CAST(1 AS DOUBLE) / (60 + r)) AS rrf,
+        count(*) AS n_systems, min(r) AS best_rank
+      FROM u GROUP BY id)
+SELECT id AS doc_id, round(rrf, 6) AS rrf_score, n_systems, best_rank
+FROM f ORDER BY rrf DESC, id LIMIT 10
+""".format(tok=_TOK.format(c="text"))
+
+
+@q("hybrid_rrf_search", _RRF_ORACLE)
+def hybrid_rrf_search(spark, sf_dir):
+    """Hybrid retrieval — BM25 lexical + exact-cosine vector search over
+    the same corpus (doc_id == vec_id), fused with reciprocal-rank
+    fusion (Cormack & Clarke 2009): the production retrieval shape every
+    vector store serves, composed here from the engine's own BM25 index
+    (operators/search.bm25_scores, the postings probe the reference
+    builds at CreateIndex time — dsl.rs:2813-2883) and the exact vector
+    rank. Both sides rank on ROUNDED scores (BM25 at 4, cosine at 6 —
+    the repo float-ranking contract) with id tiebreaks, so the rank
+    integers feeding RRF are engine-independent; the fused score is a
+    sum of <=2 doubles, order-independent by IEEE commutativity. Scale:
+    two bounded index probes + a 40-row merge — corpus size only enters
+    through the probes."""
+    from .operators.search import bm25_scores, ranked_topn, rrf_fuse
+    from .plans.compiler import ExecContext, StepCompiler
+    eng = engine_for(spark, sf_dir)
+    comp = StepCompiler(ExecContext(eng.catalog))
+    scores = bm25_scores(comp, "documents", "text", "spark query filter")
+    docs = eng.catalog.nodes("documents")["documents"] \
+        .select(F.col("_id"), F.col("doc_id"))
+    bs = (scores.join(docs, on="_id")
+          .select(F.col("doc_id").alias("id"),
+                  F.round("_score", 4).alias("s")))
+    bm = ranked_topn(bs, "id", F.col("s"), 20, ascending=False)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from .functions.vector import cosine_similarity_exact, lit_vector
+    qv = lit_vector(_query_vector(spark, sf_dir))
+    d6 = F.round(F.lit(1.0) - cosine_similarity_exact(
+        F.col("embedding"), qv), 6)
+    vs = emb.select(F.col("vec_id").alias("id"), d6.alias("d"))
+    vr = ranked_topn(vs, "id", F.col("d"), 20, ascending=True)
+    fused = rrf_fuse([bm, vr], "id", k=10)
+    return fused.select(F.col("id").alias("doc_id"), "rrf_score",
+                        "n_systems", "best_rank")
+
+
+_IVF_FILTERED_ORACLE = """
+WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+              FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+              LIMIT least(4096, CAST(ceil(sqrt(
+                  (SELECT count(*) FROM embeddings))) AS BIGINT))),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+ranked AS (SELECT e.vec_id, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                      1.0 - list_cosine_similarity(e.embedding::DOUBLE[],
+                                                   c.cvec), c.cid) AS rn
+           FROM embeddings e CROSS JOIN cent c),
+asgn AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+probe AS (SELECT cid FROM cent CROSS JOIN q
+          ORDER BY 1.0 - list_cosine_similarity(cvec, qv), cid LIMIT 2)
+SELECT e.vec_id, e.label,
+       round(1.0 - list_cosine_similarity(e.embedding::DOUBLE[], qv), 4)
+         AS distance
+FROM embeddings e
+JOIN asgn a ON e.vec_id = a.vec_id
+JOIN probe p ON a.cell = p.cid
+CROSS JOIN q
+WHERE e.label = 3
+ORDER BY 1.0 - list_cosine_similarity(e.embedding::DOUBLE[], qv), e.vec_id
+LIMIT 5
+"""
+
+
+@q("vector_search_ivf_filtered", _IVF_FILTERED_ORACLE)
+def vector_search_ivf_filtered(spark, sf_dir):
+    """Filtered ANN: a metadata predicate applied INSIDE the IVF probe —
+    candidates are pruned to the nprobe cells first (partition-prunable
+    scan), then the attribute filter cuts them BEFORE the distance
+    rank, so the engine returns k matching rows instead of post-filtering
+    a k-row result down to fewer (the tenant-rule shape of
+    _tenant_pre_filter, generalized to arbitrary predicates — the
+    'filtered vector search' every production vector DB documents).
+    Oracle replays cells + filter + rank; same _IVF_ORACLE construction
+    with the predicate on the candidate scan."""
+    from .operators.similarity import ivf_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vec = _query_vector(spark, sf_dir)
+    out = ivf_topk(emb, "vec_id", "embedding", vec, k=5, nprobe=2,
+                   pre_filter=(F.col("label") == 3))
+    return out.select("vec_id", "label",
+                      F.round("_distance", 4).alias("distance"))
+
+
+def _mmr_oracle(k: int = 5, pool: int = 20) -> str:
+    """Unrolled greedy-MMR replay: stage i computes every remaining
+    candidate's lam*rel - penalty*max(sim to picked) and takes the
+    argmax (score DESC, id) — k chained CTE stages, exactly the driver
+    greedy in operators/similarity.mmr_rerank. Literals 0.7/0.3 CAST to
+    DOUBLE (DuckDB numeric literals are Decimal)."""
+    parts = [f"""WITH q AS (SELECT embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id = 7),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (SELECT e.vec_id AS id, e.v, {_COS6('e.v', 'q.qv')} AS rel
+           FROM e CROSS JOIN q),
+pool AS (SELECT id, v, rel FROM scored ORDER BY rel DESC, id LIMIT {pool}),
+pw AS (SELECT a.id AS ca, b.id AS cb, {_COS6('a.v', 'b.v')} AS s
+       FROM pool a JOIN pool b ON a.id <> b.id),
+s1 AS (SELECT id, rel AS score FROM pool ORDER BY rel DESC, id LIMIT 1),
+sel1 AS (SELECT id FROM s1)"""]
+    for i in range(2, k + 1):
+        parts.append(f""",
+c{i} AS (SELECT p.id, p.rel, max(pw.s) AS ms
+  FROM pool p JOIN pw ON pw.ca = p.id JOIN sel{i-1} sl ON pw.cb = sl.id
+  WHERE p.id NOT IN (SELECT id FROM sel{i-1})
+  GROUP BY p.id, p.rel),
+s{i} AS (SELECT id,
+    CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * ms AS score
+  FROM c{i} ORDER BY score DESC, id LIMIT 1),
+sel{i} AS (SELECT id FROM sel{i-1} UNION ALL SELECT id FROM s{i})""")
+    finals = " UNION ALL ".join(
+        f"SELECT id, {i} AS mmr_rank, score FROM s{i}"
+        for i in range(1, k + 1))
+    parts.append(f"""
+SELECT id AS vec_id, mmr_rank, round(score, 6) AS mmr_score
+FROM ({finals})""")
+    return "".join(parts)
+
+
+@q("mmr_diversified_topk", _mmr_oracle())
+def mmr_diversified_topk(spark, sf_dir):
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998) — the redundancy-pruning re-rank between the ANN
+    probe and the prompt in a RAG pipeline. Relevance scan + pool cut +
+    pool-squared pairwise cosines run DISTRIBUTED (TakeOrderedAndProject
+    + a bounded broadcast self-join); only the inherently-sequential
+    greedy argmax chain runs on the driver, over the collected bounded
+    pool. Oracle = the same greedy unrolled as k chained CTE stages."""
+    from .operators.similarity import mmr_rerank
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vec = _query_vector(spark, sf_dir)
+    out = mmr_rerank(emb, "vec_id", "embedding", vec, k=5, pool=20)
+    return out.select(F.col("id").alias("vec_id"), "mmr_rank",
+                      F.round("mmr_score", 6).alias("mmr_score"))
+
+
+def _ppr_oracle(iters: int = 4, k_out: int = 25) -> str:
+    """Personalized-PageRank replay over the celled kNN graph: the
+    _KNN_CELLED_BODY edge set + top-5 exact-cosine seeds, then ``iters``
+    unrolled power iterations with per-iteration round(rank, 12) —
+    matching operators/graph.personalized_pagerank's state schedule
+    exactly (coef arithmetic spelled with the same DOUBLE casts so the
+    IEEE ops are bit-identical)."""
+    d = "CAST(0.85 AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    zero = "CAST(0.0 AS DOUBLE)"
+    reset = (f"CASE WHEN s.node IS NOT NULL THEN {one} / "
+             f"(SELECT count(*) FROM seeds) ELSE {zero} END")
+    parts = [f"""WITH {_KNN_CELLED_BODY},
+edges AS (SELECT src, dst FROM r WHERE nn_rank <= 3),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+seeds AS (SELECT vec_id AS node FROM (
+    SELECT e.vec_id, round(1.0 - list_dot_product(e.embedding::DOUBLE[], q.qv)
+        / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                 e.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(q.qv, q.qv))), 6) AS dq
+    FROM embeddings e CROSS JOIN q) ORDER BY dq, vec_id LIMIT 5),
+od AS (SELECT src, count(*)::DOUBLE AS od FROM edges GROUP BY src),
+r0 AS (SELECT n.node, {reset} AS rank
+       FROM nodes n LEFT JOIN seeds s ON n.node = s.node)"""]
+    for i in range(iters):
+        parts.append(f""",
+dg{i} AS (SELECT coalesce(sum(rr.rank), {zero}) AS dm
+  FROM r{i} rr LEFT JOIN od ON rr.node = od.src WHERE od.src IS NULL),
+fl{i} AS (SELECT e.dst AS node, sum(rr.rank / od.od) AS infl
+  FROM edges e JOIN r{i} rr ON e.src = rr.node
+  JOIN od ON e.src = od.src GROUP BY e.dst),
+r{i+1} AS (SELECT n.node,
+    round((({one} - {d}) + {d} * dg{i}.dm) * {reset}
+          + {d} * coalesce(fl{i}.infl, {zero}), 12) AS rank
+  FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+  LEFT JOIN fl{i} ON n.node = fl{i}.node CROSS JOIN dg{i})""")
+    parts.append(f"""
+SELECT node AS vec_id, round(rank, 6) AS ppr FROM r{iters}
+ORDER BY round(rank, 6) DESC, node LIMIT {k_out}""")
+    return "".join(parts)
+
+
+@q("ppr_graph_expansion", _ppr_oracle())
+def ppr_graph_expansion(spark, sf_dir):
+    """GraphRAG expansion — HelixDB's signature vector+graph composition
+    taken one step further: the ANN hits SEED a personalized PageRank
+    over the celled kNN similarity graph, surfacing items related
+    through the neighborhood structure that the embedding distance
+    alone ranks too low (random walk with restart, the standard
+    graph-expansion retrieval stage). Everything distributed: the kNN
+    graph is the celled sum-of-cell² build (knn_graph_celled's graded
+    construction), each PPR iteration is one join + partial-agg
+    groupBy, and driver state is one scalar per iteration
+    (operators/graph.personalized_pagerank). Deterministic: fixed 4
+    iterations, rank state rounded to 1e-12 each step on both engines,
+    final rank on round(ppr, 6) with id tiebreak."""
+    from .operators.graph import personalized_pagerank
+    from .operators.similarity import knn_graph
+    from .functions.vector import cosine_similarity_exact, lit_vector
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edges = knn_graph(emb, "vec_id", "embedding", k=3, max_cells=4096,
+                      nprobe=2).select("src", "dst")
+    qv = lit_vector(_query_vector(spark, sf_dir))
+    d6 = F.round(F.lit(1.0) - cosine_similarity_exact(
+        F.col("embedding"), qv), 6)
+    seeds = [r["vec_id"] for r in
+             emb.select("vec_id", d6.alias("dq"))
+                .orderBy(F.col("dq").asc(), F.col("vec_id").asc())
+                .limit(5).collect()]
+    ppr = personalized_pagerank(edges, seeds, iters=4)
+    return (ppr.orderBy(F.round("ppr", 6).desc(), F.col("node").asc())
+               .limit(25)
+               .select(F.col("node").alias("vec_id"),
+                       F.round("ppr", 6).alias("ppr")))
 
 
 @q("events_value_quantiles",

@@ -145,3 +145,63 @@ def triangle_count(edges: DataFrame, src: str = _SRC, dst: str = _DST,
                            F.lit(3.0) * F.col("n_triangles")
                            / F.col("n_wedges"))
                     .alias("clustering_coef")))
+
+
+def personalized_pagerank(edges: DataFrame, seed_ids, iters: int = 4,
+                          damping: float = 0.85,
+                          src: str = "src", dst: str = "dst",
+                          state_round: int = 12) -> DataFrame:
+    """Personalized PageRank: random walk with restart to a SEED set —
+    the graph-expansion stage of retrieval (seeds = the ANN hits, the
+    diffusion surfaces related items the embedding alone misses).
+    Fixed ``iters`` power iterations, so the result is a deterministic
+    function of the graph and seeds (no float fixpoint test):
+
+        r_0        = reset
+        r_{i+1}(v) = (1-d + d*dangling_i) * reset(v) + d * inflow_i(v)
+
+    where reset(v) = 1/|S| on seeds and 0 elsewhere, inflow ships
+    rank/out_degree along edges (one join + partial-agg groupBy per
+    iteration — the only shuffles), and dangling mass restarts at the
+    seeds (the standard PPR teleport), collected as ONE scalar per
+    iteration — the same bounded driver state as :func:`pagerank`.
+    Ranks are rounded to ``state_round`` decimals after every iteration
+    on BOTH engines (the SQL oracle replays the same schedule), which
+    pins the cross-engine value hash: per-node inflow sums have <=deg
+    terms whose order-of-addition wobble (~1e-17) sits far below the
+    1e-12 grid. localCheckpoint per iteration keeps lineage flat (use
+    reliable checkpointing on a real cluster).
+
+    ``seed_ids`` is a bounded id list (top-k ANN output, k ~ 5-100).
+    Returns (node, ppr) over all nodes of the graph; mass sums to ~1.
+    """
+    seeds = [int(s) for s in seed_ids]
+    if not seeds:
+        raise ValueError("personalized_pagerank requires >=1 seed")
+    d = float(damping)
+    nodes = (edges.select(F.col(src).alias("node"))
+             .unionAll(edges.select(F.col(dst).alias("node")))
+             .distinct().localCheckpoint())
+    reset = F.when(F.col("node").isin(seeds),
+                   F.lit(1.0 / len(seeds))).otherwise(F.lit(0.0))
+    out_deg = edges.groupBy(src).agg(
+        F.count(F.lit(1)).cast("double").alias("_od"))
+    ann = (edges.select(src, dst).join(out_deg, on=src)
+           .localCheckpoint())
+    ranks = nodes.select("node", reset.alias("rank"))
+    for _ in range(int(iters)):
+        contrib = (ann.join(ranks, ann[src] == ranks["node"])
+                   .select(F.col(dst).alias("node"),
+                           (F.col("rank") / F.col("_od")).alias("_c"))
+                   .groupBy("node").agg(F.sum("_c").alias("_in")))
+        dangling = (ranks.join(out_deg, ranks["node"] == out_deg[src],
+                               "left_anti")
+                    .agg(F.sum("rank")).collect()[0][0] or 0.0)
+        coef = (1.0 - d) + d * dangling
+        ranks = (nodes.join(contrib, on="node", how="left")
+                 .select("node",
+                         F.round(F.lit(coef) * reset + F.lit(d)
+                                 * F.coalesce(F.col("_in"), F.lit(0.0)),
+                                 state_round).alias("rank"))
+                 .localCheckpoint())
+    return ranks.select("node", F.col("rank").alias("ppr"))

@@ -23,9 +23,9 @@ query error; unknown tenant => empty; enforced here.
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..catalog import _ID
@@ -257,6 +257,62 @@ def bm25_scores(compiler, label: str, prop: str, query_text: str,
         F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl)))
     scored = probe.withColumn("_s", idf * tf_part)
     return scored.groupBy(_ID).agg(F.sum("_s").alias("_score"))
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+
+def ranked_topn(df: DataFrame, id_col: str, score_col, n: int,
+                ascending: bool = True) -> DataFrame:
+    """(id, _rank) for the top-``n`` rows of ``df`` under ``score_col``.
+
+    ``score_col`` must already be rounded (the repo float-ranking
+    contract: round BEFORE ranking so both engines rank the same
+    values); ties break on the id. The cut is orderBy+limit —
+    TakeOrderedAndProject, each partition contributes its local top-n —
+    and only the bounded n-row result sees a partition-less window
+    (bounded by construction, the same exemption as the nprobe cell
+    collect)."""
+    key = score_col.asc() if ascending else score_col.desc()
+    top = df.orderBy(key, F.col(id_col).asc()).limit(n)
+    w = Window.orderBy(key, F.col(id_col).asc())
+    return top.select(F.col(id_col),
+                      F.row_number().over(w).alias("_rank"))
+
+
+def rrf_fuse(sides: Sequence[DataFrame], id_col: str, k: int,
+             rrf_k: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke 2009, public method):
+    score(d) = sum over systems of 1 / (rrf_k + rank_system(d)).
+
+    ``sides`` are (id, _rank) frames from :func:`ranked_topn` — each a
+    BOUNDED top-n, so fusion is a union of n*|sides| rows however large
+    the underlying corpus/index is: the production hybrid-search shape
+    (BM25 + vector) costs two index probes plus this trivial merge.
+    Rank arithmetic is integer; the fused score is a sum of <=|sides|
+    doubles drawn from a small finite set (1/(rrf_k+r)), so with two
+    systems the sum is order-independent bit-exact (IEEE addition is
+    commutative) and the value-hash oracle holds without rounding
+    tricks. Returns (id, rrf_score, n_systems, best_rank) top-k by
+    score desc, id asc."""
+    tagged = [s.select(F.col(id_col), F.col("_rank")) for s in sides]
+    u = tagged[0]
+    for s in tagged[1:]:
+        u = u.unionAll(s)
+    contrib = F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("_rank")
+                            .cast("double"))
+    fused = (u.withColumn("_c", contrib)
+              .groupBy(id_col)
+              .agg(F.sum("_c").alias("_rrf"),
+                   F.count(F.lit(1)).alias("n_systems"),
+                   F.min("_rank").cast("long").alias("best_rank")))
+    return (fused.orderBy(F.col("_rrf").desc(), F.col(id_col).asc())
+                 .limit(k)
+                 .select(id_col,
+                         F.round(F.col("_rrf"), 6).alias("rrf_score"),
+                         "n_systems", "best_rank"))
 
 
 def text_search(compiler, step):

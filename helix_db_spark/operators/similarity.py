@@ -844,3 +844,78 @@ def knn_graph(df: DataFrame, id_col: str, vec_col: str,
                   .withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)
                   .select("src", "dst", "rank", "cosine"))
+
+
+def mmr_rerank(df: DataFrame, id_col: str, vec_col: str,
+               query: Sequence[float], k: int, pool: int = 20,
+               lam: float = 0.7, penalty: float = 0.3) -> DataFrame:
+    """Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998,
+    public method): greedily pick ``k`` results that balance relevance
+    to the query against redundancy with what is already picked —
+    pick_1 = argmax rel(c); pick_i = argmax lam*rel(c) -
+    penalty*max_{s in picked} sim(c, s). The diversity stage every
+    production RAG retriever runs between ANN and the prompt.
+
+    Scale shape: the expensive parts are DISTRIBUTED and bounded —
+    relevance is one scan cut to the top-``pool`` candidates by
+    orderBy+limit (TakeOrderedAndProject; the pool would come straight
+    from the ANN probe at scale), and candidate-candidate similarity is
+    a pool x pool broadcast self-join (pool is a knob, 20-200 in
+    practice, never corpus-sized). The greedy argmax chain itself is
+    sequential BY DEFINITION (each pick conditions the next), so it runs
+    on the driver over the collected pool — bounded driver state, the
+    same exemption class as the nprobe cell collect. Determinism: rel
+    and pairwise sims use the all-double sequential-fold cosine rounded
+    to 6 BEFORE selection; lam/penalty are independent literals (0.7 /
+    0.3, not 1-lam — Python's 1-0.7 is 0.30000000000000004, which would
+    diverge from SQL's 0.3) so every score is bit-identical to the SQL
+    replay and the argmax chain picks the same ids in both engines.
+
+    Returns (id, mmr_rank, mmr_score): pick order and the score at
+    selection time (pick_1's score is its relevance). mmr_score is the
+    RAW double — callers round with F.round (Spark's HALF_UP matches
+    the SQL oracle; Python's round() is half-to-even — ADVICE r7)."""
+    from ..functions.vector import cosine_similarity_exact, lit_vector
+    spark = df.sparkSession
+    qn = [float(x) for x in query]
+    rel = F.round(
+        cosine_similarity_exact(F.col("_v"), lit_vector(qn)), 6)
+    cands = (df.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).alias("_v"))
+               .withColumn("_rel", rel)
+               .orderBy(F.col("_rel").desc(), F.col("id").asc())
+               .limit(pool))
+    a = cands.select(F.col("id").alias("ca"), F.col("_v").alias("_va"))
+    b = cands.select(F.col("id").alias("cb"), F.col("_v").alias("_vb"))
+    pairs = (a.join(F.broadcast(b), F.col("ca") != F.col("cb"))
+              .select("ca", "cb",
+                      F.round(cosine_similarity_exact(
+                          F.col("_va"), F.col("_vb")), 6).alias("_s")))
+    rel_rows = {r["id"]: r["_rel"]
+                for r in cands.select("id", "_rel").collect()}
+    sim = {(r["ca"], r["cb"]): r["_s"] for r in pairs.collect()}
+    picked: list = []
+    remaining = dict(rel_rows)
+    out = []
+    while remaining and len(picked) < k:
+        if not picked:
+            best = min(remaining, key=lambda c: (-remaining[c], c))
+            score = remaining[best]
+        else:
+            def mmr(c):
+                ms = max(sim[(c, s)] for s in picked)
+                return lam * remaining[c] - penalty * ms
+            scores = {c: mmr(c) for c in remaining}
+            best = min(scores, key=lambda c: (-scores[c], c))
+            score = scores[best]
+        picked.append(best)
+        out.append((best, len(picked), score))
+        del remaining[best]
+    from pyspark.sql.types import (DoubleType, IntegerType, LongType,
+                                   StructField, StructType)
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("mmr_rank", IntegerType()),
+        StructField("mmr_score", DoubleType())])
+    return spark.createDataFrame(
+        [(int(i), int(r), float(s)) for i, r, s in out], schema)
