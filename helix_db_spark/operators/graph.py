@@ -179,15 +179,21 @@ def personalized_pagerank(edges: DataFrame, seed_ids, iters: int = 4,
     if not seeds:
         raise ValueError("personalized_pagerank requires >=1 seed")
     d = float(damping)
-    nodes = (edges.select(F.col(src).alias("node"))
-             .unionAll(edges.select(F.col(dst).alias("node")))
+    # The input edge frame may itself be expensive (e.g. the celled kNN
+    # build): materialize it ONCE into the annotated edge list and
+    # derive nodes/out-degrees from that checkpoint — without this, the
+    # per-iteration dangling probe re-ran the full upstream build
+    # (measured 26.7s -> 8.8s at sf0.1 on the kNN-graph entry).
+    out_deg0 = edges.groupBy(src).agg(
+        F.count(F.lit(1)).cast("double").alias("_od"))
+    ann = (edges.select(src, dst).join(out_deg0, on=src)
+           .localCheckpoint())
+    nodes = (ann.select(F.col(src).alias("node"))
+             .unionAll(ann.select(F.col(dst).alias("node")))
              .distinct().localCheckpoint())
+    out_deg = ann.select(F.col(src), F.col("_od")).distinct()
     reset = F.when(F.col("node").isin(seeds),
                    F.lit(1.0 / len(seeds))).otherwise(F.lit(0.0))
-    out_deg = edges.groupBy(src).agg(
-        F.count(F.lit(1)).cast("double").alias("_od"))
-    ann = (edges.select(src, dst).join(out_deg, on=src)
-           .localCheckpoint())
     ranks = nodes.select("node", reset.alias("rank"))
     for _ in range(int(iters)):
         contrib = (ann.join(ranks, ann[src] == ranks["node"])
