@@ -4789,6 +4789,65 @@ def jsonl_ingest(spark, sf_dir):
                       F.md5("text").alias("digest"))
 
 
+_MERGE_ORACLE = """
+WITH upd AS (
+  SELECT doc_id, upper(text) AS text, lang, source, n_chars
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 100000, 'new doc ' || CAST(doc_id AS VARCHAR),
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 11 = 0),
+merged AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+  FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM upd))
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(length(text))::BIGINT AS n_bytes,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM merged GROUP BY source
+"""
+
+
+@q("merge_upsert_documents", _MERGE_ORACLE)
+def merge_upsert_documents(spark, sf_dir):
+    """File-pruned MERGE upsert (sources/merge.py — the Delta MERGE
+    INTO / Iceberg copy-on-write shape at file granularity): the corpus
+    is laid out once per (session, sf) as a key-range-partitioned table
+    whose parquet footers carry tight doc_id min/max stats; the update
+    batch (every 7th doc uppercased + every 11th re-inserted under a
+    new key) then rewrites ONLY the files whose key range it touches —
+    a bounded broadcast range-join over one stats row per FILE decides
+    the rewrite set, and untouched files survive byte-identical
+    (pruning + idempotent-replay pinned in tests/test_merge.py). The
+    oracle recomputes the post-merge table from the raw corpus in SQL,
+    so the value hash pins UPDATE semantics (old row gone), INSERT
+    semantics (new key present), and survivor integrity at once.
+    Replay-safe: the same upsert applied again is a no-op on content,
+    so repeated gradings see identical aggregates."""
+    from .sources.merge import merge_upsert, write_keyed_table
+    docs = _docs(spark, sf_dir)
+    root = _artifact_dir(
+        spark, sf_dir, "merge_tbl",
+        lambda r: write_keyed_table(docs, r, "doc_id", files=8))
+    upd_old = (docs.filter(F.col("doc_id") % 7 == 0)
+               .select("doc_id", F.upper("text").alias("text"),
+                       "lang", "source", "n_chars"))
+    upd_new = (docs.filter(F.col("doc_id") % 11 == 0)
+               .select((F.col("doc_id") + 100000).alias("doc_id"),
+                       F.concat(F.lit("new doc "),
+                                F.col("doc_id").cast("string"))
+                       .alias("text"),
+                       "lang", "source", "n_chars"))
+    merge_upsert(spark, root, upd_old.unionByName(upd_new), "doc_id")
+    merged = spark.read.parquet(root)
+    return (merged.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.length("text")).alias("n_bytes"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id")))
+
+
 # ---------------------------------------------------------------------------
 # driver contract surface
 # ---------------------------------------------------------------------------

@@ -1,0 +1,100 @@
+"""File-pruned parquet MERGE upsert (sources/merge.py): content
+correctness, file-level pruning (untouched files survive byte-identical),
+insert-beyond-range, idempotence, and the error contracts."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    from helix_db_spark.sources.merge import write_keyed_table
+    root = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        F.concat(F.lit("row-"), F.col("id").cast("string")).alias("s"))
+    write_keyed_table(df, root, "k", files=4)
+    return root
+
+
+def _content(spark, root):
+    return {(r["k"], r["v"], r["s"])
+            for r in spark.read.parquet(root).collect()}
+
+
+def test_merge_updates_and_inserts(spark, table):
+    from helix_db_spark.sources.merge import merge_upsert
+    upd = spark.createDataFrame(
+        [(5, 999, "upd-5"), (200, 2000, "new-200")],
+        "k long, v long, s string")
+    st = merge_upsert(spark, table, upd, "k")
+    got = _content(spark, table)
+    assert (5, 999, "upd-5") in got
+    assert (5, 50, "row-5") not in got
+    assert (200, 2000, "new-200") in got
+    assert len(got) == 101
+    assert st["files_total"] == 4
+    # key 5 lives in one range file; the insert lands in the rewrite
+    assert st["files_rewritten"] == 1
+
+
+def test_merge_prunes_untouched_files(spark, table):
+    from helix_db_spark.sources.merge import merge_upsert
+    before = {f: os.path.getmtime(os.path.join(table, f))
+              for f in os.listdir(table) if f.endswith(".parquet")}
+    upd = spark.createDataFrame([(3, -1, "x")], "k long, v long, s string")
+    st = merge_upsert(spark, table, upd, "k")
+    assert st["files_rewritten"] == 1
+    after = {f: os.path.getmtime(os.path.join(table, f))
+             for f in os.listdir(table) if f.endswith(".parquet")}
+    survivors = set(before) & set(after)
+    assert len(survivors) == 3  # the other 3 range files untouched
+    for f in survivors:
+        assert before[f] == after[f]
+
+
+def test_merge_pure_insert_beyond_ranges(spark, table):
+    from helix_db_spark.sources.merge import merge_upsert
+    upd = spark.createDataFrame([(1000, 1, "far")],
+                                "k long, v long, s string")
+    st = merge_upsert(spark, table, upd, "k")
+    assert st["files_rewritten"] == 0
+    assert (1000, 1, "far") in _content(spark, table)
+    assert len(_content(spark, table)) == 101
+
+
+def test_merge_idempotent_replay(spark, table):
+    from helix_db_spark.sources.merge import merge_upsert
+    upd = spark.createDataFrame([(7, 70000, "seven")],
+                                "k long, v long, s string")
+    merge_upsert(spark, table, upd, "k")
+    first = _content(spark, table)
+    merge_upsert(spark, table, upd, "k")
+    assert _content(spark, table) == first
+
+
+def test_merge_empty_updates_noop(spark, table):
+    from helix_db_spark.sources.merge import merge_upsert
+    before = _content(spark, table)
+    upd = spark.createDataFrame([], "k long, v long, s string")
+    st = merge_upsert(spark, table, upd, "k")
+    assert st["files_rewritten"] == 0 and st["rows_written"] == 0
+    assert _content(spark, table) == before
+
+
+def test_merge_rejects_bad_updates(spark, table):
+    from helix_db_spark.sources.merge import merge_upsert
+    dup = spark.createDataFrame([(1, 1, "a"), (1, 2, "b")],
+                                "k long, v long, s string")
+    with pytest.raises(ValueError, match="key-unique"):
+        merge_upsert(spark, table, dup, "k")
+    nul = spark.createDataFrame([(None, 1, "a")],
+                                "k long, v long, s string")
+    with pytest.raises(ValueError, match="non-null"):
+        merge_upsert(spark, table, nul, "k")
+    skew = spark.createDataFrame([(1, "a")], "k long, s string")
+    with pytest.raises(ValueError, match="schema"):
+        merge_upsert(spark, table, skew, "k")
