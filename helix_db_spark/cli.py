@@ -402,6 +402,48 @@ def cmd_layout(args) -> int:
     return 0
 
 
+def cmd_merge(args) -> int:
+    """Keyed-table lifecycle: ``--init <parquet>`` lays the table out
+    key-range-partitioned (tight footer stats => file-pruned merges);
+    ``--updates <parquet>`` MERGEs an update batch in, rewriting only
+    the files the batch's key ranges touch (sources/merge.py). With
+    ``--latest-by`` an in-batch duplicate key keeps the max
+    (version, ...) row. Prints a summary JSON."""
+    from .session import get_spark
+    from .sources.merge import (latest_per_key, merge_upsert,
+                                write_keyed_table)
+
+    if bool(args.init) == bool(args.updates):
+        print(json.dumps({"error": "exactly one of --init/--updates"}),
+              file=sys.stderr)
+        return 2
+    spark = get_spark("helix-spark-merge",
+                      **{"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.init:
+        df = spark.read.parquet(args.init)
+        if args.key not in df.columns:
+            print(json.dumps({"error": f"missing key column {args.key}"}),
+                  file=sys.stderr)
+            return 2
+        write_keyed_table(df, args.table, args.key, files=args.files)
+        out = spark.read.parquet(args.table)
+        print(json.dumps({"op": "init", "table": args.table,
+                          "files": len(out.inputFiles()),
+                          "rows": out.count()}))
+        return 0
+    upd = spark.read.parquet(args.updates)
+    if args.latest_by:
+        upd = latest_per_key(upd, args.key, args.latest_by)
+    try:
+        stats = merge_upsert(spark, args.table, upd, args.key)
+    except (ValueError, OSError) as e:
+        print(json.dumps({"error": str(e)}), file=sys.stderr)
+        return 2
+    print(json.dumps({"op": "merge", "table": args.table, **stats}))
+    return 0
+
+
 def cmd_bpe(args) -> int:
     """Tokenizer flow: ``--train`` learns BPE merges from the corpus's
     documents table (one distributed word-count pass, driver-side merge
@@ -509,7 +551,8 @@ def main(argv=None) -> int:
                      ("dedup", cmd_dedup), ("classify", cmd_classify),
                      ("warc", cmd_warc),
                      ("wds", cmd_wds), ("layout", cmd_layout),
-                     ("bpe", cmd_bpe), ("explain", cmd_explain)):
+                     ("bpe", cmd_bpe), ("merge", cmd_merge),
+                     ("explain", cmd_explain)):
         p = sub.add_parser(name)
         p.add_argument("--data", default="/root/testdata/sf0.001",
                        help="testdata dir to load as the graph")
@@ -584,6 +627,19 @@ def main(argv=None) -> int:
                            help="z-ordered output file count")
             p.add_argument("--target-mb", type=int, default=256,
                            help="compaction target file size")
+        elif name == "merge":
+            p.add_argument("--table", required=True,
+                           help="keyed parquet table dir")
+            p.add_argument("--key", default="doc_id")
+            p.add_argument("--init", help="source parquet to lay out as "
+                           "the keyed table")
+            p.add_argument("--updates", help="update-batch parquet to "
+                           "MERGE in")
+            p.add_argument("--files", type=int, default=8,
+                           help="file count for --init")
+            p.add_argument("--latest-by", dest="latest_by",
+                           help="version column resolving in-batch "
+                           "duplicate keys (max wins)")
         elif name == "bpe":
             p.add_argument("--model", required=True,
                            help="merges parquet dir (save/load)")

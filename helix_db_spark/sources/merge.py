@@ -80,6 +80,21 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return jvm.org.apache.hadoop.fs.FileSystem.get(uri, conf), jvm
 
 
+def latest_per_key(df: DataFrame, key_col: str,
+                   latest_by: str) -> DataFrame:
+    """One row per key: the max (latest_by, ...remaining columns) row —
+    a deterministic total order, so replaying the same rows always picks
+    the same winner. The CDC dedupe step in front of merge_upsert (both
+    the streaming sink and the CLI use it)."""
+    others = [c for c in df.columns if c not in (key_col, latest_by)]
+    packed = df.groupBy(key_col).agg(
+        F.max(F.struct(latest_by, *others)).alias("_r"))
+    return (packed.select(
+        key_col, F.col(f"_r.{latest_by}").alias(latest_by),
+        *[F.col(f"_r.{c}").alias(c) for c in others])
+        .select(*df.columns))
+
+
 def merge_upsert(spark: SparkSession, root: str, updates: DataFrame,
                  key_col: str) -> dict:
     """Upsert ``updates`` into the keyed table at ``root``: rows whose

@@ -451,3 +451,31 @@ def stream_media_dedup_ingest(media: DataFrame, index_root: str,
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def stream_table_merge(rows: DataFrame, root: str, key_col: str,
+                       latest_by: Optional[str] = None):
+    """Streaming MERGE sink: every micro-batch upserts into the keyed
+    parquet table at ``root`` through sources.merge.merge_upsert — the
+    Structured Streaming twin of Delta's streaming ``MERGE INTO``
+    (foreachBatch is the documented pattern there too: stream-side
+    dedupe, then a batch MERGE per epoch). Rewrite cost per micro-batch
+    is bounded by the files the batch's keys TOUCH, not the table.
+
+    ``latest_by``: with at-least-once foreachBatch and unordered
+    sources a micro-batch can carry several versions of one key;
+    ``latest_by`` keeps the max (version, ...remaining columns) row per
+    key — a deterministic total order, so replays of the same batch
+    pick the same row. Without it, duplicate keys in one batch raise
+    (merge_upsert's contract). Replayed identical batches are content
+    no-ops either way. Returns the StreamingQuery."""
+    from ..sources.merge import latest_per_key, merge_upsert
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        b = batch_df
+        if latest_by is not None:
+            b = latest_per_key(b, key_col, latest_by)
+        merge_upsert(b.sparkSession, root, b, key_col)
+
+    return (rows.writeStream.outputMode("update")
+            .foreachBatch(_process).start())

@@ -290,3 +290,28 @@ def test_cli_classify_holdout_and_batch(spark, capsys, tmp_path):
     assert rc == 0
     rep = json.loads(out)
     assert rep["rows"] == 2 and rep["accuracy"] is None
+
+
+def test_merge_cli_lifecycle(spark, capsys, tmp_path):
+    """init -> merge with --latest-by -> pruned rewrite + content."""
+    src = str(tmp_path / "src")
+    upd = str(tmp_path / "upd")
+    tbl = str(tmp_path / "tbl")
+    spark.range(50).selectExpr("id AS k", "id*2 AS v") \
+        .write.parquet(src)
+    spark.createDataFrame([(3, 999), (3, 998), (49, -1)],
+                          "k long, v long").write.parquet(upd)
+    rc, out, _ = _run(capsys, "merge", "--table", tbl, "--key", "k",
+                      "--init", src, "--files", "4")
+    assert rc == 0 and json.loads(out)["rows"] == 50
+    # duplicate update keys without --latest-by must refuse
+    rc, _, err = _run(capsys, "merge", "--table", tbl, "--key", "k",
+                      "--updates", upd)
+    assert rc == 2 and "key-unique" in err
+    rc, out, _ = _run(capsys, "merge", "--table", tbl, "--key", "k",
+                      "--updates", upd, "--latest-by", "v")
+    assert rc == 0
+    st = json.loads(out)
+    assert st["files_total"] == 4 and st["files_rewritten"] <= 2
+    rows = {r["k"]: r["v"] for r in spark.read.parquet(tbl).collect()}
+    assert rows[3] == 999 and rows[49] == -1 and len(rows) == 50

@@ -98,3 +98,44 @@ def test_merge_rejects_bad_updates(spark, table):
     skew = spark.createDataFrame([(1, "a")], "k long, s string")
     with pytest.raises(ValueError, match="schema"):
         merge_upsert(spark, table, skew, "k")
+
+
+def test_stream_table_merge_cross_batch(spark, tmp_path, table):
+    """Streaming MERGE sink: batch 2 must overwrite a key batch 1
+    upserted, and in-batch duplicate keys resolve by latest_by."""
+    from helix_db_spark.streaming.ingest import stream_table_merge
+
+    src = str(tmp_path / "cdc")
+    # batch 1: update k=1, insert k=500; k=500 duplicated in-batch
+    # (version 1 then 2 -> version 2 must win)
+    spark.createDataFrame(
+        [(1, 1, 111, "b1-k1"), (500, 1, 1, "b1-k500-v1"),
+         (500, 2, 2, "b1-k500-v2")],
+        "k long, ver long, v long, s string"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    # batch 2: overwrite k=500 again
+    spark.createDataFrame(
+        [(500, 3, 3, "b2-k500-v3")],
+        "k long, ver long, v long, s string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    # widen the base table with the ver column the stream carries
+    base = spark.read.parquet(table).withColumn("ver", F.lit(0)) \
+        .select("k", "ver", "v", "s")
+    from helix_db_spark.sources.merge import write_keyed_table
+    write_keyed_table(base, table, "k", files=4)
+
+    stream = (spark.readStream.format("parquet")
+              .schema("k long, ver long, v long, s string")
+              .option("maxFilesPerTrigger", "1").load(src))
+    q = stream_table_merge(stream, table, "k", latest_by="ver")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["k"]: (r["ver"], r["v"], r["s"])
+           for r in spark.read.parquet(table).collect()}
+    assert len(got) == 101
+    assert got[1] == (1, 111, "b1-k1")
+    assert got[500] == (3, 3, "b2-k500-v3")
+    assert got[2] == (0, 20, "row-2")  # untouched base row intact
