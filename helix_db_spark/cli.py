@@ -406,20 +406,33 @@ def cmd_merge(args) -> int:
     """Keyed-table lifecycle: ``--init <parquet>`` lays the table out
     key-range-partitioned (tight footer stats => file-pruned merges);
     ``--updates <parquet>`` MERGEs an update batch in, rewriting only
-    the files the batch's key ranges touch (sources/merge.py). With
-    ``--latest-by`` an in-batch duplicate key keeps the max
-    (version, ...) row. Prints a summary JSON."""
+    the files the batch's key ranges touch and committing a new
+    manifest version (sources/merge.py — read back any version with
+    read_table); ``--vacuum-keep N`` retires data files no retained
+    version references. With ``--latest-by`` an in-batch duplicate key
+    keeps the max (version, ...) row. Prints a summary JSON."""
     from .session import get_spark
-    from .sources.merge import (latest_per_key, merge_upsert,
-                                write_keyed_table)
+    from .sources.merge import (latest_per_key, merge_upsert, read_table,
+                                vacuum, write_keyed_table)
 
-    if bool(args.init) == bool(args.updates):
-        print(json.dumps({"error": "exactly one of --init/--updates"}),
-              file=sys.stderr)
+    modes = [bool(args.init), bool(args.updates),
+             args.vacuum_keep is not None]
+    if sum(modes) != 1:
+        print(json.dumps(
+            {"error": "exactly one of --init/--updates/--vacuum-keep"}),
+            file=sys.stderr)
         return 2
     spark = get_spark("helix-spark-merge",
                       **{"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
+    if args.vacuum_keep is not None:
+        try:
+            stats = vacuum(spark, args.table, keep_versions=args.vacuum_keep)
+        except ValueError as e:
+            print(json.dumps({"error": str(e)}), file=sys.stderr)
+            return 2
+        print(json.dumps({"op": "vacuum", "table": args.table, **stats}))
+        return 0
     if args.init:
         df = spark.read.parquet(args.init)
         if args.key not in df.columns:
@@ -427,7 +440,7 @@ def cmd_merge(args) -> int:
                   file=sys.stderr)
             return 2
         write_keyed_table(df, args.table, args.key, files=args.files)
-        out = spark.read.parquet(args.table)
+        out = read_table(spark, args.table)
         print(json.dumps({"op": "init", "table": args.table,
                           "files": len(out.inputFiles()),
                           "rows": out.count()}))
@@ -640,6 +653,9 @@ def main(argv=None) -> int:
             p.add_argument("--latest-by", dest="latest_by",
                            help="version column resolving in-batch "
                            "duplicate keys (max wins)")
+            p.add_argument("--vacuum-keep", dest="vacuum_keep", type=int,
+                           help="retire data files outside the last N "
+                           "versions instead of merging")
         elif name == "bpe":
             p.add_argument("--model", required=True,
                            help="merges parquet dir (save/load)")

@@ -4823,9 +4823,12 @@ def merge_upsert_documents(spark, sf_dir):
     oracle recomputes the post-merge table from the raw corpus in SQL,
     so the value hash pins UPDATE semantics (old row gone), INSERT
     semantics (new key present), and survivor integrity at once.
-    Replay-safe: the same upsert applied again is a no-op on content,
-    so repeated gradings see identical aggregates."""
-    from .sources.merge import merge_upsert, write_keyed_table
+    Each merge COMMITS a manifest version (the commit point is one
+    filesystem rename — readers of version n never see an in-flight
+    merge, and read_table(version=...) time-travels). Replay-safe: the
+    same upsert applied again is a content no-op at a new version, so
+    repeated gradings see identical aggregates."""
+    from .sources.merge import merge_upsert, read_table, write_keyed_table
     docs = _docs(spark, sf_dir)
     root = _artifact_dir(
         spark, sf_dir, "merge_tbl",
@@ -4840,7 +4843,7 @@ def merge_upsert_documents(spark, sf_dir):
                        .alias("text"),
                        "lang", "source", "n_chars"))
     merge_upsert(spark, root, upd_old.unionByName(upd_new), "doc_id")
-    merged = spark.read.parquet(root)
+    merged = read_table(spark, root)
     return (merged.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(F.length("text")).alias("n_bytes"),

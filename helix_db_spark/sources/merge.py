@@ -1,40 +1,119 @@
 """MERGE upsert over a key-laid-out parquet table with file-level
-pruning — the lakehouse write-path primitive (Delta MERGE INTO /
-Iceberg copy-on-write at file granularity) the round-7 CoW cost curve
-pointed at: rewrite cost proportional to the files an update TOUCHES,
-not the table.
+pruning and a manifest commit log — the lakehouse write-path primitive
+(Delta MERGE INTO / Iceberg copy-on-write at file granularity) the
+round-7 CoW cost curve pointed at: rewrite cost proportional to the
+files an update TOUCHES, not the table.
 
 Layout contract: :func:`write_keyed_table` writes the table
 repartitionByRange + sortWithinPartitions on the key, so every data
 file owns a (nearly) disjoint key range and its parquet footer carries
 tight min/max key statistics. :func:`merge_upsert` then:
 
-1. reads ONE footer per file (driver-side, bounded by file count — the
-   transaction-log analogue; a 100 TB table keeps these stats in a
-   manifest instead of re-reading footers),
+1. reads ONE footer per live file (driver-side, bounded by file count —
+   at 100 TB these stats live in the manifest itself instead of
+   re-reading footers),
 2. finds the files whose [min, max] key range intersects any update key
    with a broadcast range join (the file-stats side is the broadcast:
    one row per file, never data-sized),
 3. rewrites ONLY those files (old rows anti-joined on the update keys,
    update rows unioned in — inserts with keys beyond every range land
    in the rewrite output too), and
-4. swaps the rewrite in through the Hadoop FileSystem API, so the
-   file ops run against whatever filesystem the table lives on (not
-   the driver's local os.* — the ADVICE r7 webdataset class).
+4. COMMITS by writing manifest v(n+1): the commit point is one
+   filesystem rename of the manifest (Hadoop FileSystem API, so it runs
+   against whatever filesystem the table lives on, not driver os.*).
+   Old data files are NOT touched — readers of version n are unaffected
+   by an in-flight merge, a crash before the rename leaves only orphan
+   data files, and a concurrent writer racing to the same version loses
+   the rename and gets a conflict error (optimistic concurrency, the
+   Delta protocol's shape).
 
-Single-writer assumption: the swap is delete-then-rename per file, not
-an atomic commit — concurrent writers need the transaction log this
-module deliberately stops short of (documented, like the CoW upgrade
-path in PLANS.md).
+Time travel: :func:`read_table` reads any committed version;
+:func:`vacuum` deletes data files no retained version references.
+Tables written before the manifest layer (bare parquet dirs) are
+adopted in place: the first merge commits v0 = the current listing.
 """
 
 from __future__ import annotations
 
+import json
 import os
-from typing import Tuple
+from typing import List, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_MDIR = "_manifests"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed this version first (the manifest rename
+    lost the race). Retry the merge against the new current version."""
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    uri = jvm.java.net.URI.create("file://" + path if "://" not in path
+                                  else path)
+    return jvm.org.apache.hadoop.fs.FileSystem.get(uri, conf), jvm
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(root, _MDIR, f"v{version:08d}.json")
+
+
+def _commit_manifest(spark: SparkSession, root: str, version: int,
+                     files: List[str], op: str) -> None:
+    """Write manifest v{version} via tmp-write + rename — the rename IS
+    the commit; a False return means the version already exists."""
+    mdir = os.path.join(root, _MDIR)
+    os.makedirs(mdir, exist_ok=True)
+    final = _manifest_path(root, version)
+    tmp = final + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "op": op,
+                   "files": sorted(files)}, f)
+    fs, jvm = _hadoop_fs(spark, root)
+    HPath = jvm.org.apache.hadoop.fs.Path
+    if fs.exists(HPath(final)) or not fs.rename(HPath(tmp), HPath(final)):
+        fs.delete(HPath(tmp), False)
+        raise ConcurrentWriteError(
+            f"version {version} of {root} was committed by another writer")
+
+
+def list_versions(root: str) -> List[int]:
+    mdir = os.path.join(root, _MDIR)
+    if not os.path.isdir(mdir):
+        return []
+    return sorted(int(n[1:9]) for n in os.listdir(mdir)
+                  if n.startswith("v") and n.endswith(".json"))
+
+
+def _live(root: str, version: Optional[int] = None
+          ) -> Tuple[Optional[int], List[str]]:
+    """(version, relative data file names). Falls back to the directory
+    listing (version None) for pre-manifest tables."""
+    versions = list_versions(root)
+    if not versions:
+        names = sorted(n for n in os.listdir(root)
+                       if n.endswith(".parquet"))
+        return None, names
+    v = max(versions) if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    with open(_manifest_path(root, v)) as f:
+        return v, json.load(f)["files"]
+
+
+def read_table(spark: SparkSession, root: str,
+               version: Optional[int] = None) -> DataFrame:
+    """The committed table at ``version`` (default: current). A bare
+    directory read would also see files superseded by later merges and
+    orphans from crashed ones — always read through the manifest."""
+    _, names = _live(root, version)
+    if not names:
+        raise ValueError(f"no data files under {root}")
+    return spark.read.parquet(*[os.path.join(root, n) for n in names])
 
 
 def write_keyed_table(df: DataFrame, root: str, key_col: str,
@@ -42,21 +121,26 @@ def write_keyed_table(df: DataFrame, root: str, key_col: str,
     """Write ``df`` as a key-range-partitioned parquet table: ``files``
     files, each owning a contiguous key range, rows sorted by key within
     the file so footer min/max stats are tight (the same layout argument
-    as sources/layout.zorder_write, in one dimension)."""
+    as sources/layout.zorder_write, in one dimension). Commits manifest
+    v0; re-initializing resets history (Spark's overwrite clears the
+    directory)."""
     (df.repartitionByRange(files, F.col(key_col))
        .sortWithinPartitions(key_col)
        .write.mode("overwrite").parquet(root))
+    names = sorted(n for n in os.listdir(root) if n.endswith(".parquet"))
+    _commit_manifest(df.sparkSession, root, 0, names, "init")
 
 
-def file_key_stats(spark: SparkSession, root: str,
-                   key_col: str) -> list:
-    """[(path, key_min, key_max)] from the parquet footers — one
-    metadata read per file, no data scan. Bounded by file count."""
+def file_key_stats(spark: SparkSession, root: str, key_col: str,
+                   names: Optional[List[str]] = None) -> list:
+    """[(path, key_min, key_max)] from the parquet footers of the given
+    (default: live) files — one metadata read per file, no data scan.
+    Bounded by file count."""
     import pyarrow.parquet as pq
+    if names is None:
+        _, names = _live(root)
     out = []
-    for name in sorted(os.listdir(root)):
-        if not name.endswith(".parquet"):
-            continue
+    for name in names:
         path = os.path.join(root, name)
         md = pq.read_metadata(path)
         idx = md.schema.names.index(key_col)
@@ -70,14 +154,6 @@ def file_key_stats(spark: SparkSession, root: str,
             kmax = st.max if kmax is None else max(kmax, st.max)
         out.append((path, kmin, kmax))
     return out
-
-
-def _hadoop_fs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    uri = jvm.java.net.URI.create("file://" + path if "://" not in path
-                                  else path)
-    return jvm.org.apache.hadoop.fs.FileSystem.get(uri, conf), jvm
 
 
 def latest_per_key(df: DataFrame, key_col: str,
@@ -99,7 +175,7 @@ def merge_upsert(spark: SparkSession, root: str, updates: DataFrame,
                  key_col: str) -> dict:
     """Upsert ``updates`` into the keyed table at ``root``: rows whose
     key exists are replaced, new keys are inserted. Returns
-    ``{"files_total", "files_rewritten", "rows_written"}``.
+    ``{"files_total", "files_rewritten", "rows_written", "version"}``.
 
     ``updates`` must be key-unique and key-non-null (raises otherwise —
     MERGE with duplicate source keys is non-deterministic in every
@@ -115,12 +191,18 @@ def merge_upsert(spark: SparkSession, root: str, updates: DataFrame,
     if updates.filter(F.col(key_col).isNull()).limit(1).count():
         raise ValueError("updates must have non-null merge keys")
 
-    stats = file_key_stats(spark, root, key_col)
-    if not stats:
+    version, live = _live(root)
+    if not live:
         raise ValueError(f"no parquet files under {root}")
+    if version is None:
+        # adopt a pre-manifest table in place: v0 = the current listing
+        _commit_manifest(spark, root, 0, live, "adopt")
+        version = 0
     if updates.limit(1).count() == 0:
-        return {"files_total": len(stats), "files_rewritten": 0,
-                "rows_written": 0}
+        return {"files_total": len(live), "files_rewritten": 0,
+                "rows_written": 0, "version": version}
+
+    stats = file_key_stats(spark, root, key_col, names=live)
     known = [(p, kmin, kmax) for p, kmin, kmax in stats
              if kmin is not None]
     blind = [p for p, kmin, _ in stats if kmin is None]
@@ -130,7 +212,7 @@ def merge_upsert(spark: SparkSession, root: str, updates: DataFrame,
     # side only (a range condition has no equi key).
     sdf = spark.createDataFrame(
         [(p, kmin, kmax) for p, kmin, kmax in known],
-        f"_path string, _kmin long, _kmax long")
+        "_path string, _kmin long, _kmax long")
     touched_rows = (updates.select(F.col(key_col).alias("_k"))
                     .join(F.broadcast(sdf),
                           F.col("_k").between(F.col("_kmin"),
@@ -138,7 +220,8 @@ def merge_upsert(spark: SparkSession, root: str, updates: DataFrame,
                     .select("_path").distinct().collect())
     touched = sorted({r["_path"] for r in touched_rows} | set(blind))
 
-    cols = spark.read.parquet(root).limit(0).columns
+    live_paths = [os.path.join(root, n) for n in live]
+    cols = spark.read.parquet(*live_paths).limit(0).columns
     if set(updates.columns) != set(cols):
         raise ValueError(
             f"updates schema {sorted(updates.columns)} != table schema "
@@ -151,7 +234,8 @@ def merge_upsert(spark: SparkSession, root: str, updates: DataFrame,
         out = old.unionByName(upd)
     else:
         out = upd  # pure insert beyond every file range
-    tmp = root.rstrip("/") + "_merge_tmp"
+    new_version = version + 1
+    tmp = root.rstrip("/") + f"_merge_tmp_{os.getpid()}"
     n_files = max(1, len(touched))
     (out.repartitionByRange(n_files, F.col(key_col))
         .sortWithinPartitions(key_col)
@@ -160,15 +244,50 @@ def merge_upsert(spark: SparkSession, root: str, updates: DataFrame,
 
     fs, jvm = _hadoop_fs(spark, root)
     HPath = jvm.org.apache.hadoop.fs.Path
-    for p in touched:
-        fs.delete(HPath(p), False)
-    moved = 0
-    for name in sorted(os.listdir(tmp)):
+    new_names = []
+    for i, name in enumerate(sorted(os.listdir(tmp))):
         if name.endswith(".parquet"):
-            dst = os.path.join(root, f"merge-{moved:05d}-{name}")
-            if not fs.rename(HPath(os.path.join(tmp, name)), HPath(dst)):
-                raise IOError(f"rename into {dst} failed")
-            moved += 1
+            dst_name = f"merge-{new_version:08d}-{i:05d}-{name}"
+            if not fs.rename(HPath(os.path.join(tmp, name)),
+                             HPath(os.path.join(root, dst_name))):
+                raise IOError(f"rename into {dst_name} failed")
+            new_names.append(dst_name)
     fs.delete(HPath(tmp), True)
-    return {"files_total": len(stats), "files_rewritten": len(touched),
-            "rows_written": rows_written}
+    touched_names = {os.path.basename(p) for p in touched}
+    survivors = [n for n in live if n not in touched_names]
+    # the commit point: old files stay (version `version` remains
+    # readable); a racing writer loses this rename and raises
+    _commit_manifest(spark, root, new_version, survivors + new_names,
+                     "merge")
+    return {"files_total": len(live), "files_rewritten": len(touched),
+            "rows_written": rows_written, "version": new_version}
+
+
+def vacuum(spark: SparkSession, root: str, keep_versions: int = 1) -> dict:
+    """Delete data files referenced by NO retained version and the
+    manifests of expired versions (Delta VACUUM). ``keep_versions``
+    counts back from the current version; time travel reaches only what
+    survives."""
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    versions = list_versions(root)
+    if not versions:
+        return {"deleted_files": 0, "deleted_versions": 0}
+    kept = versions[-keep_versions:]
+    keep = set()
+    for v in kept:
+        with open(_manifest_path(root, v)) as f:
+            keep.update(json.load(f)["files"])
+    fs, jvm = _hadoop_fs(spark, root)
+    HPath = jvm.org.apache.hadoop.fs.Path
+    deleted = 0
+    for name in sorted(os.listdir(root)):
+        if name.endswith(".parquet") and name not in keep:
+            fs.delete(HPath(os.path.join(root, name)), False)
+            deleted += 1
+    dropped = 0
+    for v in versions:
+        if v not in kept:
+            fs.delete(HPath(_manifest_path(root, v)), False)
+            dropped += 1
+    return {"deleted_files": deleted, "deleted_versions": dropped}

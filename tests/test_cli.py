@@ -313,5 +313,12 @@ def test_merge_cli_lifecycle(spark, capsys, tmp_path):
     assert rc == 0
     st = json.loads(out)
     assert st["files_total"] == 4 and st["files_rewritten"] <= 2
-    rows = {r["k"]: r["v"] for r in spark.read.parquet(tbl).collect()}
-    assert rows[3] == 999 and rows[49] == -1 and len(rows) == 50
+    assert st["version"] == 1
+    from helix_db_spark.sources.merge import read_table
+    got = read_table(spark, tbl).collect()
+    rows = {r["k"]: r["v"] for r in got}
+    assert rows[3] == 999 and rows[49] == -1 and len(got) == 50
+    # vacuum retires the superseded v0 files
+    rc, out, _ = _run(capsys, "merge", "--table", tbl, "--key", "k",
+                      "--vacuum-keep", "1")
+    assert rc == 0 and json.loads(out)["deleted_versions"] == 1

@@ -20,9 +20,10 @@ def table(spark, tmp_path):
     return root
 
 
-def _content(spark, root):
+def _content(spark, root, version=None):
+    from helix_db_spark.sources.merge import read_table
     return {(r["k"], r["v"], r["s"])
-            for r in spark.read.parquet(root).collect()}
+            for r in read_table(spark, root, version=version).collect()}
 
 
 def test_merge_updates_and_inserts(spark, table):
@@ -42,18 +43,41 @@ def test_merge_updates_and_inserts(spark, table):
 
 
 def test_merge_prunes_untouched_files(spark, table):
-    from helix_db_spark.sources.merge import merge_upsert
+    from helix_db_spark.sources.merge import _live, merge_upsert, vacuum
     before = {f: os.path.getmtime(os.path.join(table, f))
               for f in os.listdir(table) if f.endswith(".parquet")}
     upd = spark.createDataFrame([(3, -1, "x")], "k long, v long, s string")
     st = merge_upsert(spark, table, upd, "k")
-    assert st["files_rewritten"] == 1
-    after = {f: os.path.getmtime(os.path.join(table, f))
-             for f in os.listdir(table) if f.endswith(".parquet")}
-    survivors = set(before) & set(after)
-    assert len(survivors) == 3  # the other 3 range files untouched
-    for f in survivors:
-        assert before[f] == after[f]
+    assert st["files_rewritten"] == 1 and st["version"] == 1
+    _, live = _live(table)
+    survivors = set(before) & set(live)
+    assert len(survivors) == 3  # the other 3 range files stay LIVE
+    for f in survivors:  # ...and physically untouched
+        assert before[f] == os.path.getmtime(os.path.join(table, f))
+    # pre-merge files all still on disk (version 0 stays readable)...
+    assert set(before) <= {f for f in os.listdir(table)
+                           if f.endswith(".parquet")}
+    # ...until vacuum retires everything v1 doesn't reference
+    vc = vacuum(spark, table, keep_versions=1)
+    assert vc["deleted_files"] == 1 and vc["deleted_versions"] == 1
+    on_disk = {f for f in os.listdir(table) if f.endswith(".parquet")}
+    assert on_disk == set(live)
+
+
+def test_merge_time_travel_and_conflict(spark, table):
+    from helix_db_spark.sources.merge import (ConcurrentWriteError,
+                                              _commit_manifest,
+                                              merge_upsert)
+    v0 = _content(spark, table)
+    upd = spark.createDataFrame([(10, -10, "ten")],
+                                "k long, v long, s string")
+    st = merge_upsert(spark, table, upd, "k")
+    assert st["version"] == 1
+    assert _content(spark, table, version=0) == v0      # time travel
+    assert (10, -10, "ten") in _content(spark, table, version=1)
+    # optimistic concurrency: a writer racing to the same version loses
+    with pytest.raises(ConcurrentWriteError):
+        _commit_manifest(spark, table, 1, ["x.parquet"], "merge")
 
 
 def test_merge_pure_insert_beyond_ranges(spark, table):
@@ -133,8 +157,9 @@ def test_stream_table_merge_cross_batch(spark, tmp_path, table):
         q.processAllAvailable()
     finally:
         q.stop()
+    from helix_db_spark.sources.merge import read_table
     got = {r["k"]: (r["ver"], r["v"], r["s"])
-           for r in spark.read.parquet(table).collect()}
+           for r in read_table(spark, table).collect()}
     assert len(got) == 101
     assert got[1] == (1, 111, "b1-k1")
     assert got[500] == (3, 3, "b2-k500-v3")
