@@ -173,7 +173,10 @@ def personalized_pagerank(edges: DataFrame, seed_ids, iters: int = 4,
     reliable checkpointing on a real cluster).
 
     ``seed_ids`` is a bounded id list (top-k ANN output, k ~ 5-100).
-    Returns (node, ppr) over all nodes of the graph; mass sums to ~1.
+    Returns (node, ppr) over all nodes of the graph; mass sums to ~1
+    when every seed is a graph node (a seed absent from the edge list
+    contributes no mass — callers seeding from a different id space get
+    uniformly smaller ranks, not an error).
     """
     seeds = [int(s) for s in seed_ids]
     if not seeds:

@@ -297,6 +297,8 @@ def rrf_fuse(sides: Sequence[DataFrame], id_col: str, k: int,
     commutative) and the value-hash oracle holds without rounding
     tricks. Returns (id, rrf_score, n_systems, best_rank) top-k by
     score desc, id asc."""
+    if not sides:
+        raise ValueError("rrf_fuse requires >=1 ranked side")
     tagged = [s.select(F.col(id_col), F.col("_rank")) for s in sides]
     u = tagged[0]
     for s in tagged[1:]:

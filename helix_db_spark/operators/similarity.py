@@ -880,7 +880,8 @@ def mmr_rerank(df: DataFrame, id_col: str, vec_col: str,
     qn = [float(x) for x in query]
     rel = F.round(
         cosine_similarity_exact(F.col("_v"), lit_vector(qn)), 6)
-    cands = (df.select(F.col(id_col).alias("id"),
+    cands = (df.filter(F.col(vec_col).isNotNull())
+               .select(F.col(id_col).alias("id"),
                        F.col(vec_col).alias("_v"))
                .withColumn("_rel", rel)
                .orderBy(F.col("_rel").desc(), F.col("id").asc())

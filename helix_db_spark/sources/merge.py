@@ -31,6 +31,14 @@ Time travel: :func:`read_table` reads any committed version;
 :func:`vacuum` deletes data files no retained version references.
 Tables written before the manifest layer (bare parquet dirs) are
 adopted in place: the first merge commits v0 = the current listing.
+
+Filesystem scope: the COMMIT primitive (manifest rename) and all file
+retirement go through the Hadoop FileSystem API, but manifest
+read/write/listing and footer-stats reads use driver-local IO — this
+build targets a driver-visible table directory (local disk / NFS /
+fuse-mounted object store). Porting to a raw hdfs://-style URI means
+swapping open/os.listdir for fs.open/fs.listStatus — mechanical, called
+out here rather than discovered later (the webdataset ADVICE class).
 """
 
 from __future__ import annotations
@@ -171,6 +179,53 @@ def latest_per_key(df: DataFrame, key_col: str,
         .select(*df.columns))
 
 
+def _touched_files(spark: SparkSession, keys: DataFrame, key_col: str,
+                   stats: list) -> list:
+    """Live files whose [min, max] key range intersects any key in
+    ``keys`` — broadcast range join against one stats row per FILE;
+    files without footer stats are conservatively touched."""
+    known = [(p, kmin, kmax) for p, kmin, kmax in stats
+             if kmin is not None]
+    blind = [p for p, kmin, _ in stats if kmin is None]
+    sdf = spark.createDataFrame(
+        [(p, kmin, kmax) for p, kmin, kmax in known],
+        "_path string, _kmin long, _kmax long")
+    touched_rows = (keys.select(F.col(key_col).alias("_k"))
+                    .join(F.broadcast(sdf),
+                          F.col("_k").between(F.col("_kmin"),
+                                              F.col("_kmax")))
+                    .select("_path").distinct().collect())
+    return sorted({r["_path"] for r in touched_rows} | set(blind))
+
+
+def _commit_rewrite(spark: SparkSession, root: str, out: DataFrame,
+                    key_col: str, touched: list, live: list,
+                    version: int, op: str, n_files: int) -> Tuple[int, int]:
+    """Write ``out`` as new data files and commit manifest v+1 =
+    (live - touched) + new. Returns (new_version, rows_written)."""
+    new_version = version + 1
+    tmp = root.rstrip("/") + f"_merge_tmp_{os.getpid()}"
+    (out.repartitionByRange(max(1, n_files), F.col(key_col))
+        .sortWithinPartitions(key_col)
+        .write.mode("overwrite").parquet(tmp))
+    rows_written = spark.read.parquet(tmp).count()
+    fs, jvm = _hadoop_fs(spark, root)
+    HPath = jvm.org.apache.hadoop.fs.Path
+    new_names = []
+    for i, name in enumerate(sorted(os.listdir(tmp))):
+        if name.endswith(".parquet"):
+            dst = f"{op}-{new_version:08d}-{i:05d}-{name}"
+            if not fs.rename(HPath(os.path.join(tmp, name)),
+                             HPath(os.path.join(root, dst))):
+                raise IOError(f"rename into {dst} failed")
+            new_names.append(dst)
+    fs.delete(HPath(tmp), True)
+    touched_names = {os.path.basename(p) for p in touched}
+    survivors = [n for n in live if n not in touched_names]
+    _commit_manifest(spark, root, new_version, survivors + new_names, op)
+    return new_version, rows_written
+
+
 def merge_upsert(spark: SparkSession, root: str, updates: DataFrame,
                  key_col: str) -> dict:
     """Upsert ``updates`` into the keyed table at ``root``: rows whose
@@ -203,22 +258,7 @@ def merge_upsert(spark: SparkSession, root: str, updates: DataFrame,
                 "rows_written": 0, "version": version}
 
     stats = file_key_stats(spark, root, key_col, names=live)
-    known = [(p, kmin, kmax) for p, kmin, kmax in stats
-             if kmin is not None]
-    blind = [p for p, kmin, _ in stats if kmin is None]
-    # broadcast range join: file-stats side is one row per FILE —
-    # bounded however large the table or the update batch is. The
-    # BroadcastNestedLoopJoin this plans to is against that bounded
-    # side only (a range condition has no equi key).
-    sdf = spark.createDataFrame(
-        [(p, kmin, kmax) for p, kmin, kmax in known],
-        "_path string, _kmin long, _kmax long")
-    touched_rows = (updates.select(F.col(key_col).alias("_k"))
-                    .join(F.broadcast(sdf),
-                          F.col("_k").between(F.col("_kmin"),
-                                              F.col("_kmax")))
-                    .select("_path").distinct().collect())
-    touched = sorted({r["_path"] for r in touched_rows} | set(blind))
+    touched = _touched_files(spark, updates, key_col, stats)
 
     live_paths = [os.path.join(root, n) for n in live]
     cols = spark.read.parquet(*live_paths).limit(0).columns
@@ -234,32 +274,64 @@ def merge_upsert(spark: SparkSession, root: str, updates: DataFrame,
         out = old.unionByName(upd)
     else:
         out = upd  # pure insert beyond every file range
-    new_version = version + 1
-    tmp = root.rstrip("/") + f"_merge_tmp_{os.getpid()}"
-    n_files = max(1, len(touched))
-    (out.repartitionByRange(n_files, F.col(key_col))
-        .sortWithinPartitions(key_col)
-        .write.mode("overwrite").parquet(tmp))
-    rows_written = spark.read.parquet(tmp).count()
-
-    fs, jvm = _hadoop_fs(spark, root)
-    HPath = jvm.org.apache.hadoop.fs.Path
-    new_names = []
-    for i, name in enumerate(sorted(os.listdir(tmp))):
-        if name.endswith(".parquet"):
-            dst_name = f"merge-{new_version:08d}-{i:05d}-{name}"
-            if not fs.rename(HPath(os.path.join(tmp, name)),
-                             HPath(os.path.join(root, dst_name))):
-                raise IOError(f"rename into {dst_name} failed")
-            new_names.append(dst_name)
-    fs.delete(HPath(tmp), True)
-    touched_names = {os.path.basename(p) for p in touched}
-    survivors = [n for n in live if n not in touched_names]
-    # the commit point: old files stay (version `version` remains
-    # readable); a racing writer loses this rename and raises
-    _commit_manifest(spark, root, new_version, survivors + new_names,
-                     "merge")
+    new_version, rows_written = _commit_rewrite(
+        spark, root, out, key_col, touched, live, version, "merge",
+        len(touched))
     return {"files_total": len(live), "files_rewritten": len(touched),
+            "rows_written": rows_written, "version": new_version}
+
+
+def merge_delete(spark: SparkSession, root: str, keys: DataFrame,
+                 key_col: str) -> dict:
+    """Delete the rows whose key appears in ``keys`` (Delta's WHEN
+    MATCHED DELETE / DELETE WHERE key IN ...): same file pruning as
+    merge_upsert — only files whose key range intersects a delete key
+    are rewritten (anti-join), committed as a new manifest version.
+    Keys absent from the table are no-ops."""
+    if keys.filter(F.col(key_col).isNull()).limit(1).count():
+        raise ValueError("delete keys must be non-null")
+    version, live = _live(root)
+    if not live:
+        raise ValueError(f"no parquet files under {root}")
+    if version is None:
+        _commit_manifest(spark, root, 0, live, "adopt")
+        version = 0
+    dk = keys.select(key_col).distinct()
+    if dk.limit(1).count() == 0:
+        return {"files_total": len(live), "files_rewritten": 0,
+                "rows_written": 0, "version": version}
+    stats = file_key_stats(spark, root, key_col, names=live)
+    touched = _touched_files(spark, dk, key_col, stats)
+    if not touched:
+        return {"files_total": len(live), "files_rewritten": 0,
+                "rows_written": 0, "version": version}
+    out = (spark.read.parquet(*touched)
+           .join(dk, on=key_col, how="left_anti"))
+    new_version, rows_written = _commit_rewrite(
+        spark, root, out, key_col, touched, live, version, "delete",
+        len(touched))
+    return {"files_total": len(live), "files_rewritten": len(touched),
+            "rows_written": rows_written, "version": new_version}
+
+
+def compact_table(spark: SparkSession, root: str, key_col: str,
+                  files: int = 8) -> dict:
+    """Rewrite every live file into ``files`` key-range files and commit
+    as a new version (Delta OPTIMIZE for the keyed table: restores tight
+    per-file key ranges and retires small files accumulated by many
+    narrow merges — each merge writes >=1 file however small its batch).
+    Old versions stay readable until vacuum."""
+    version, live = _live(root)
+    if not live:
+        raise ValueError(f"no parquet files under {root}")
+    if version is None:
+        _commit_manifest(spark, root, 0, live, "adopt")
+        version = 0
+    out = spark.read.parquet(*[os.path.join(root, n) for n in live])
+    new_version, rows_written = _commit_rewrite(
+        spark, root, out, key_col, [os.path.join(root, n) for n in live],
+        live, version, "compact", files)
+    return {"files_total": len(live), "files_rewritten": len(live),
             "rows_written": rows_written, "version": new_version}
 
 
@@ -290,4 +362,9 @@ def vacuum(spark: SparkSession, root: str, keep_versions: int = 1) -> dict:
         if v not in kept:
             fs.delete(HPath(_manifest_path(root, v)), False)
             dropped += 1
+    # tmp manifests abandoned by crashed commits (the rename never ran)
+    mdir = os.path.join(root, _MDIR)
+    for name in os.listdir(mdir):
+        if ".tmp-" in name:
+            fs.delete(HPath(os.path.join(mdir, name)), False)
     return {"deleted_files": deleted, "deleted_versions": dropped}

@@ -164,3 +164,37 @@ def test_stream_table_merge_cross_batch(spark, tmp_path, table):
     assert got[1] == (1, 111, "b1-k1")
     assert got[500] == (3, 3, "b2-k500-v3")
     assert got[2] == (0, 20, "row-2")  # untouched base row intact
+
+
+def test_merge_delete_prunes_and_removes(spark, table):
+    from helix_db_spark.sources.merge import merge_delete
+    keys = spark.createDataFrame([(3,), (4,), (9999,)], "k long")
+    st = merge_delete(spark, table, keys, "k")
+    assert st["files_rewritten"] == 1  # 3 and 4 share one range file
+    got = _content(spark, table)
+    assert len(got) == 98
+    assert not any(k in (3, 4) for k, _, _ in got)
+    # absent key 9999 was a no-op; replay deletes nothing further
+    st2 = merge_delete(spark, table, keys, "k")
+    assert _content(spark, table) == got and st2["version"] == 2
+    with pytest.raises(ValueError, match="non-null"):
+        merge_delete(spark, table,
+                     spark.createDataFrame([(None,)], "k long"), "k")
+
+
+def test_compact_table_restores_file_count(spark, table):
+    from helix_db_spark.sources.merge import (_live, compact_table,
+                                              merge_upsert)
+    # three narrow merges each add a file
+    for k in (10, 20, 30):
+        upd = spark.createDataFrame([(k + 1000, k, f"ins-{k}")],
+                                    "k long, v long, s string")
+        merge_upsert(spark, table, upd, "k")
+    _, live = _live(table)
+    assert len(live) > 4
+    before = _content(spark, table)
+    st = compact_table(spark, table, "k", files=2)
+    assert st["rows_written"] == 103
+    _, live2 = _live(table)
+    assert len(live2) == 2
+    assert _content(spark, table) == before  # content invariant
