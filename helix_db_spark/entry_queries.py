@@ -4192,6 +4192,54 @@ def mmr_diversified_topk(spark, sf_dir):
                       F.round("mmr_score", 6).alias("mmr_score"))
 
 
+_RECALL_ORACLE = f"""
+WITH {_KNN_CELLED_BODY},
+qs AS (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0),
+approx AS (SELECT src, dst FROM r
+           WHERE nn_rank <= 5 AND src IN (SELECT vec_id FROM qs)),
+pe AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+         round(list_dot_product(a.embedding::DOUBLE[],
+                                b.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                    a.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]))), 6)
+           AS cosine
+       FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       WHERE a.vec_id % 50 = 0),
+re AS (SELECT src, dst, row_number() OVER (PARTITION BY src
+           ORDER BY cosine DESC, dst) AS nn_rank FROM pe),
+exact AS (SELECT src, dst FROM re WHERE nn_rank <= 5),
+ne AS (SELECT src, count(*)::BIGINT AS n_exact FROM exact GROUP BY src),
+nh AS (SELECT e.src, count(*)::BIGINT AS n_hits
+       FROM exact e JOIN approx a ON e.src = a.src AND e.dst = a.dst
+       GROUP BY e.src)
+SELECT ne.src, ne.n_exact,
+       coalesce(nh.n_hits, 0)::BIGINT AS n_hits,
+       round(coalesce(nh.n_hits, 0) / CAST(5 AS DOUBLE), 4) AS recall
+FROM ne LEFT JOIN nh ON ne.src = nh.src
+"""
+
+
+@q("ann_recall_report", _RECALL_ORACLE)
+def ann_recall_report(spark, sf_dir):
+    """Recall@5 of the celled ANN path vs exact ground truth over a
+    deterministic query sample (every 50th vector) — the faiss-style
+    index-quality report, as a first-class graded operator: both sides
+    run the knn_graph plans the engine actually serves (approx = the
+    knn_graph_celled construction, probing the SAME deterministic IVF
+    index), so the report measures the served configuration. Exact side
+    is (sample x corpus), bounded by the sample; intersection counts are
+    all-integer, so the APPROXIMATE path's quality number itself
+    value-hash replays in SQL — honest instrumentation, not a claimed
+    recall."""
+    from .operators.similarity import ann_recall
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_recall(emb, "vec_id", "embedding", k=5,
+                      src_filter=(F.col("vec_id") % 50 == 0),
+                      max_cells=4096, nprobe=2)
+
+
 def _ppr_oracle(iters: int = 4, k_out: int = 25) -> str:
     """Personalized-PageRank replay over the celled kNN graph: the
     _KNN_CELLED_BODY edge set + top-5 exact-cosine seeds, then ``iters``

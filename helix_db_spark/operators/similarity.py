@@ -770,7 +770,8 @@ def _assign_multi(df: DataFrame, id_col: str, vec_col: str,
 def knn_graph(df: DataFrame, id_col: str, vec_col: str,
               k: Optional[int] = None,
               max_cells: Optional[int] = None,
-              nprobe: int = 1, vector_config=None) -> DataFrame:
+              nprobe: int = 1, vector_config=None,
+              src_filter=None) -> DataFrame:
     """k-nearest-neighbor graph over an embedding corpus: for every
     vector, its top-k cosine neighbors as (src, dst, rank, cosine) —
     the substrate for graph-based curation (SemDeDup-style cluster
@@ -810,6 +811,11 @@ def knn_graph(df: DataFrame, id_col: str, vec_col: str,
         raise ValueError(
             "nprobe > 1 requires max_cells (the celled scale path); the "
             "exact quadratic baseline has no cells to probe")
+    # src_filter restricts the QUERY side only (the neighbor/corpus
+    # side stays whole): the shape of ANN recall evaluation, where a
+    # bounded query sample searches the full corpus. Cells/centroids
+    # always come from the full frame so a restricted run probes the
+    # same index the unrestricted one built.
     if max_cells is not None:
         assigned, cents = ivf_assign(df, id_col, vec_col, max_cells)
         if nprobe > 1:
@@ -819,20 +825,24 @@ def knn_graph(df: DataFrame, id_col: str, vec_col: str,
             # candidate volume grows nprobe x, recall follows the IVF
             # curve. A (src, dst) pair can still only match once: dst
             # lives in exactly one cell.
-            probed = _assign_multi(df, id_col, vec_col, cents, nprobe)
+            src_df = df if src_filter is None else df.filter(src_filter)
+            probed = _assign_multi(src_df, id_col, vec_col, cents, nprobe)
             left = probed.select(F.col(id_col).alias("src"),
                                  v.alias("_va"), nrm.alias("_na"),
                                  "_cell")
         else:
-            left = assigned.select(F.col(id_col).alias("src"),
-                                   v.alias("_va"), nrm.alias("_na"),
-                                   "_cell")
+            a_src = (assigned if src_filter is None
+                     else assigned.filter(src_filter))
+            left = a_src.select(F.col(id_col).alias("src"),
+                                v.alias("_va"), nrm.alias("_na"),
+                                "_cell")
         right = assigned.select(F.col(id_col).alias("dst"),
                                 v.alias("_vb"), nrm.alias("_nb"), "_cell")
         joined = left.join(right, on="_cell")
     else:
-        left = df.select(F.col(id_col).alias("src"),
-                         v.alias("_va"), nrm.alias("_na"))
+        ldf = df if src_filter is None else df.filter(src_filter)
+        left = ldf.select(F.col(id_col).alias("src"),
+                          v.alias("_va"), nrm.alias("_na"))
         right = df.select(F.col(id_col).alias("dst"),
                           v.alias("_vb"), nrm.alias("_nb"))
         joined = left.crossJoin(right)
@@ -920,3 +930,36 @@ def mmr_rerank(df: DataFrame, id_col: str, vec_col: str,
         StructField("mmr_score", DoubleType())])
     return spark.createDataFrame(
         [(int(i), int(r), float(s)) for i, r, s in out], schema)
+
+
+def ann_recall(df: DataFrame, id_col: str, vec_col: str, k: int,
+               src_filter, max_cells: int = IVF_MAX_CELLS,
+               nprobe: int = 1) -> DataFrame:
+    """Recall@k of the celled ANN path against exact ground truth, per
+    query — the instrumentation every ANN deployment ships (faiss/hnsw
+    benchmark convention): recall = |approx top-k ∩ exact top-k| / k
+    over a bounded query sample (``src_filter``). Both sides run as
+    knn_graph plans — exact is a (sample x corpus) broadcast-bounded
+    rank, approx the celled probe over the SAME deterministic index the
+    production search uses — so the report measures the served
+    configuration, not a reimplementation. All-integer intersection
+    counts: the report value-hash replays in SQL exactly.
+
+    Returns (src, n_exact, n_hits, recall); n_exact < k flags queries
+    whose corpus has fewer than k neighbors (tiny corpora), recall
+    divides by k regardless (the benchmark convention)."""
+    exact = knn_graph(df, id_col, vec_col, k=k, src_filter=src_filter) \
+        .select("src", "dst")
+    approx = knn_graph(df, id_col, vec_col, k=k, max_cells=max_cells,
+                       nprobe=nprobe, src_filter=src_filter) \
+        .select("src", "dst")
+    ne = exact.groupBy("src").agg(F.count(F.lit(1)).alias("n_exact"))
+    nh = (exact.join(approx, on=["src", "dst"], how="left_semi")
+          .groupBy("src").agg(F.count(F.lit(1)).alias("n_hits")))
+    return (ne.join(nh, on="src", how="left")
+            .select("src", "n_exact",
+                    F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
+                    .alias("n_hits"),
+                    F.round(F.coalesce(F.col("n_hits"),
+                                       F.lit(0).cast("long"))
+                            / F.lit(float(k)), 4).alias("recall")))

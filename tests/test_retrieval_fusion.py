@@ -187,3 +187,42 @@ def test_ppr_uniform_seed_over_cycle_is_stationary(spark):
     vals = [r["ppr"] for r in out.collect()]
     assert len(set(vals)) == 1
     assert sum(vals) == pytest.approx(1.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# ann_recall
+# ---------------------------------------------------------------------------
+
+
+def test_ann_recall_full_probe_is_perfect(spark):
+    from helix_db_spark.operators.similarity import (ann_recall,
+                                                     ivf_cell_budget)
+    import random
+    rng = random.Random(7)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(40)]
+    df = spark.createDataFrame(vecs, "vid long, v array<float>")
+    ncells = ivf_cell_budget(40)  # probe EVERY cell => recall must be 1
+    out = ann_recall(df, "vid", "v", k=3,
+                     src_filter=(F.col("vid") % 10 == 0),
+                     nprobe=ncells).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["n_exact"] == 3 and r["n_hits"] == 3
+        assert r["recall"] == 1.0
+
+
+def test_ann_recall_bounded_and_counts(spark):
+    from helix_db_spark.operators.similarity import ann_recall
+    import random
+    rng = random.Random(11)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(60)]
+    df = spark.createDataFrame(vecs, "vid long, v array<float>")
+    out = ann_recall(df, "vid", "v", k=4,
+                     src_filter=(F.col("vid") < 6), nprobe=1).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r["n_exact"] == 4
+        assert 0 <= r["n_hits"] <= 4
+        assert r["recall"] == pytest.approx(r["n_hits"] / 4.0)
