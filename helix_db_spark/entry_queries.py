@@ -3208,6 +3208,35 @@ def kmv_distinct_users(spark, sf_dir):
                 .select("event_type", "n_exact", "kmv_est")
 
 
+_KQ_H = ("CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) "
+         "AS BIGINT)")
+
+@q("events_quantile_sketch",
+   f"WITH h AS (SELECT event_type, event_id, value, {_KQ_H} AS _h "
+   "FROM events), "
+   "s AS (SELECT event_type, value, row_number() OVER "
+   "(PARTITION BY event_type ORDER BY _h, event_id) AS rn FROM h) "
+   "SELECT event_type, count(*)::BIGINT AS n_sample, "
+   "round(quantile_cont(value, 0.5), 6) AS p50, "
+   "round(quantile_cont(value, 0.9), 6) AS p90, "
+   "round(quantile_cont(value, 0.99), 6) AS p99 "
+   "FROM s WHERE rn <= 256 GROUP BY event_type")
+def events_quantile_sketch(spark, sf_dir):
+    """Quantiles from a deterministic bottom-k-by-hash row sample
+    (operators/sketch.kmv_quantiles, k=256) — the sketch family's third
+    axis (distinct = kmv_distinct, frequency = cms_heavy_hitters,
+    quantiles = this) and the mergeable O(k)-state alternative to the
+    exact twin events_value_quantiles: shards sketch independently and
+    a coordinator folds k-row synopses, no full per-group sort. The
+    sample is a pure function of the data (md5 row-id hash, id
+    tiebreak), so the APPROXIMATE percentile estimates value-hash-match
+    the SQL replay exactly — the kmv_distinct_users property extended
+    to quantiles."""
+    from .operators.sketch import kmv_quantiles
+    ev = _events(spark, sf_dir)
+    return kmv_quantiles(ev, ["event_type"], "value", "event_id", k=256)
+
+
 @q("kmv_set_ops_users",
    f"WITH a AS (SELECT user_id FROM events WHERE event_type = 'click' "
    "AND user_id IS NOT NULL GROUP BY user_id HAVING count(*) >= 14), "

@@ -321,3 +321,44 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, value_col: str,
                 .withColumn("_cnt", F.coalesce("_cnt", F.lit(0)))
     return (hit.groupBy(*groups, value_col)
             .agg(F.min("_cnt").alias(out_col)))
+
+
+def kmv_quantiles(df: DataFrame, group_cols: Sequence[str],
+                  value_col: str, id_col: str, k: int = 256,
+                  qs: Sequence[float] = (0.5, 0.9, 0.99)) -> DataFrame:
+    """Per-group approximate quantiles from a DETERMINISTIC bottom-k
+    row sample: keep the k rows whose md5-60-bit ROW-ID hash is
+    smallest per group (ties broken by id) — a uniform
+    without-replacement sample that is a pure function of the data, so
+    the APPROXIMATE estimate value-hash replays in SQL exactly (the
+    same property as kmv_distinct). Exact when a group has <= k rows.
+
+    The synopsis completes the sketch family's third axis (distinct =
+    kmv_distinct, frequency = cms_counts, quantiles = this) and is
+    mergeable like any KMV: the bottom-k of a union is the bottom-k of
+    the parts' synopses, so shards sketch independently and a
+    coordinator folds k-row synopses — O(k) state per group however
+    many rows the group has, vs the exact percentile's full sort.
+    Sampling error ~ O(1/sqrt(k)) in rank space. Estimates use the same
+    linear-interpolation percentile as the exact path (Spark
+    ``percentile`` == DuckDB ``quantile_cont``)."""
+    gcols = list(group_cols)
+    d = df.select(*gcols, F.col(value_col).alias("_v"),
+                  F.col(id_col).alias("_i")) \
+          .withColumn("_h", h60(F.col("_i")))
+    if gcols:
+        w = Window.partitionBy(*gcols).orderBy("_h", "_i")
+        kept = (d.withColumn("_r", F.row_number().over(w))
+                 .filter(F.col("_r") <= k))
+    else:
+        # global: TakeOrderedAndProject, never a partition-less window
+        # sort (the _bottom_k rule)
+        kept = d.orderBy("_h", "_i").limit(k)
+    pc = F.percentile(F.col("_v"),
+                      F.array(*[F.lit(float(q)) for q in qs]))
+    agg = kept.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_sample"), pc.alias("_p"))
+    return agg.select(
+        *gcols, "n_sample",
+        *[F.round(F.col("_p")[i], 6).alias(f"p{int(q * 100)}")
+          for i, q in enumerate(qs)])

@@ -298,3 +298,55 @@ def test_cms_null_group_never_underestimates(spark):
     got = {r.g: r.cms_est for r in cms_estimate(
         sketch, keys, "v", width=16, depth=2, group_cols=["g"]).collect()}
     assert got[None] == 5 and got["a"] == 3
+
+
+# ---------------------------------------------------------------------------
+# kmv_quantiles (the sketch family's quantile axis)
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_quantiles_exact_below_k(spark):
+    from helix_db_spark.operators.sketch import kmv_quantiles
+    df = spark.createDataFrame(
+        [("g", i, float(i)) for i in range(100)],
+        "grp string, id long, v double")
+    out = kmv_quantiles(df, ["grp"], "v", "id", k=256).collect()[0]
+    # fewer rows than k: the sample IS the group -> exact percentiles
+    assert out["n_sample"] == 100
+    assert out["p50"] == 49.5
+    assert out["p90"] == 89.1
+    assert out["p99"] == 98.01
+
+
+def test_kmv_quantiles_mergeable_and_bounded_error(spark):
+    from helix_db_spark.operators.sketch import kmv_quantiles
+    from pyspark.sql import functions as F
+    n = 20000
+    df = spark.range(n).select(
+        F.lit("g").alias("grp"), F.col("id"),
+        (F.col("id") % 1000).cast("double").alias("v"))
+    full = kmv_quantiles(df, ["grp"], "v", "id", k=256).collect()[0]
+    assert full["n_sample"] == 256
+    # mergeability: bottom-k of (bottom-k(half1) U bottom-k(half2))
+    # == bottom-k of the whole — shards sketch independently
+    h1 = df.filter(F.col("id") < n // 2)
+    h2 = df.filter(F.col("id") >= n // 2)
+    from helix_db_spark.operators.sketch import h60
+    syn = (h1.withColumn("_h", h60(F.col("id")))
+             .orderBy("_h", "id").limit(256)
+           .unionAll(h2.withColumn("_h", h60(F.col("id")))
+                       .orderBy("_h", "id").limit(256))
+           .drop("_h"))
+    merged = kmv_quantiles(syn, ["grp"], "v", "id", k=256).collect()[0]
+    assert merged == full
+    # rank-space error: uniform values over [0,1000), k=256 =>
+    # the p50 estimate lands within ~4/sqrt(k) of truth
+    assert abs(full["p50"] - 499.5) < 1000 * 4 / (256 ** 0.5)
+
+
+def test_kmv_quantiles_global_no_group(spark):
+    from helix_db_spark.operators.sketch import kmv_quantiles
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "id long, v double")
+    out = kmv_quantiles(df, [], "v", "id", k=10, qs=(0.5,)).collect()[0]
+    assert out["n_sample"] == 10
