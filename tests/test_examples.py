@@ -150,3 +150,32 @@ def test_embedding_example_runs(spark, tmp_path, capsys):
     # layout never scans MORE than the 1-D copy, and both cover matches
     assert by["layout"]["scan_rows_zorder"] <= by["layout"]["scan_rows_plain"]
     assert by["layout"]["scan_rows_zorder"] >= by["layout"]["box_matches"]
+
+
+def test_table_lifecycle_example_runs(spark, tmp_path, capsys):
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "table_lifecycle.py")
+    spec = importlib.util.spec_from_file_location("lifecycle_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    argv = sys.argv
+    sys.argv = [path, "/root/testdata/sf0.001", str(tmp_path)]
+    try:
+        mod.main()
+    finally:
+        sys.argv = argv
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    steps = [ln["step"] for ln in lines]
+    assert steps == ["init", "merge", "stream", "delete", "compact",
+                     "time_travel", "vacuum"]
+    by = {ln["step"]: ln for ln in lines}
+    # the narrow merge must NOT rewrite the whole table
+    assert 0 < by["merge"]["files_rewritten"] < by["merge"]["files_total"]
+    # the streamed key carries the LAST batch's version
+    assert by["stream"]["doc0"] == [["cdc batch two", 3]]
+    # time travel: v0 keeps the pre-merge count; current reflects
+    # 5 inserts minus 2 deletes
+    assert by["time_travel"]["current_rows"] == \
+        by["time_travel"]["v0_rows"] + 5 - 2
+    assert by["vacuum"]["deleted_versions"] == 5
