@@ -117,11 +117,14 @@ def read_table(spark: SparkSession, root: str,
                version: Optional[int] = None) -> DataFrame:
     """The committed table at ``version`` (default: current). A bare
     directory read would also see files superseded by later merges and
-    orphans from crashed ones — always read through the manifest."""
+    orphans from crashed ones — always read through the manifest.
+    mergeSchema: files written before a schema-evolving merge lack the
+    added columns; the union schema null-fills them."""
     _, names = _live(root, version)
     if not names:
         raise ValueError(f"no data files under {root}")
-    return spark.read.parquet(*[os.path.join(root, n) for n in names])
+    return (spark.read.option("mergeSchema", "true")
+            .parquet(*[os.path.join(root, n) for n in names]))
 
 
 def write_keyed_table(df: DataFrame, root: str, key_col: str,
@@ -227,7 +230,7 @@ def _commit_rewrite(spark: SparkSession, root: str, out: DataFrame,
 
 
 def merge_upsert(spark: SparkSession, root: str, updates: DataFrame,
-                 key_col: str) -> dict:
+                 key_col: str, allow_schema_evolution: bool = False) -> dict:
     """Upsert ``updates`` into the keyed table at ``root``: rows whose
     key exists are replaced, new keys are inserted. Returns
     ``{"files_total", "files_rewritten", "rows_written", "version"}``.
@@ -238,7 +241,17 @@ def merge_upsert(spark: SparkSession, root: str, updates: DataFrame,
     (write_keyed_table of a keyed frame); files with missing footer
     stats are conservatively treated as touched. Merge keys are
     integers (the file-stats frame is typed long); widen the schema
-    literal for string keys."""
+    literal for string keys.
+
+    ``allow_schema_evolution``: Delta's mergeSchema — columns the
+    updates add are appended (survivor rows null-fill them via the
+    unionByName rewrite; untouched files null-fill at read time through
+    read_table's mergeSchema), and columns the updates omit null-fill on
+    the update rows. Off by default: silent schema drift is usually a
+    bug, so the mismatch raises unless evolution is asked for. Adding
+    columns only — parquet schema merge has no type widening, so an
+    update changing an existing column's type (INT -> BIGINT) leaves
+    unmergeable files behind; keep column types stable."""
     dup = (updates.groupBy(key_col).count()
            .filter(F.col("count") > 1).limit(1).count())
     if dup:
@@ -262,16 +275,18 @@ def merge_upsert(spark: SparkSession, root: str, updates: DataFrame,
 
     live_paths = [os.path.join(root, n) for n in live]
     cols = spark.read.parquet(*live_paths).limit(0).columns
-    if set(updates.columns) != set(cols):
+    if set(updates.columns) != set(cols) and not allow_schema_evolution:
         raise ValueError(
             f"updates schema {sorted(updates.columns)} != table schema "
-            f"{sorted(cols)}")
-    upd = updates.select(*cols)
+            f"{sorted(cols)} (pass allow_schema_evolution=True to widen)")
+    upd = (updates if allow_schema_evolution
+           else updates.select(*cols))
     if touched:
-        old = (spark.read.parquet(*touched)
+        old = (spark.read.option("mergeSchema", "true")
+               .parquet(*touched)
                .join(upd.select(F.col(key_col)), on=key_col,
                      how="left_anti"))
-        out = old.unionByName(upd)
+        out = old.unionByName(upd, allowMissingColumns=True)
     else:
         out = upd  # pure insert beyond every file range
     new_version, rows_written = _commit_rewrite(
@@ -305,7 +320,7 @@ def merge_delete(spark: SparkSession, root: str, keys: DataFrame,
     if not touched:
         return {"files_total": len(live), "files_rewritten": 0,
                 "rows_written": 0, "version": version}
-    out = (spark.read.parquet(*touched)
+    out = (spark.read.option("mergeSchema", "true").parquet(*touched)
            .join(dk, on=key_col, how="left_anti"))
     new_version, rows_written = _commit_rewrite(
         spark, root, out, key_col, touched, live, version, "delete",
@@ -327,7 +342,8 @@ def compact_table(spark: SparkSession, root: str, key_col: str,
     if version is None:
         _commit_manifest(spark, root, 0, live, "adopt")
         version = 0
-    out = spark.read.parquet(*[os.path.join(root, n) for n in live])
+    out = (spark.read.option("mergeSchema", "true")
+           .parquet(*[os.path.join(root, n) for n in live]))
     new_version, rows_written = _commit_rewrite(
         spark, root, out, key_col, [os.path.join(root, n) for n in live],
         live, version, "compact", files)

@@ -144,8 +144,10 @@ def test_stream_table_merge_cross_batch(spark, tmp_path, table):
     ).coalesce(1).write.mode("append").parquet(src)
 
     # widen the base table with the ver column the stream carries
-    base = spark.read.parquet(table).withColumn("ver", F.lit(0)) \
-        .select("k", "ver", "v", "s")
+    # (same LONG type — parquet schema merge has no type widening)
+    base = (spark.read.parquet(table)
+            .withColumn("ver", F.lit(0).cast("long"))
+            .select("k", "ver", "v", "s"))
     from helix_db_spark.sources.merge import write_keyed_table
     write_keyed_table(base, table, "k", files=4)
 
@@ -198,3 +200,26 @@ def test_compact_table_restores_file_count(spark, table):
     _, live2 = _live(table)
     assert len(live2) == 2
     assert _content(spark, table) == before  # content invariant
+
+
+def test_merge_schema_evolution(spark, table):
+    from helix_db_spark.sources.merge import merge_upsert, read_table
+    # updates add a 'q' column; untouched files null-fill it at read
+    upd = spark.createDataFrame([(5, 999, "upd-5", 0.9)],
+                                "k long, v long, s string, q double")
+    st = merge_upsert(spark, table, upd, "k",
+                      allow_schema_evolution=True)
+    assert st["files_rewritten"] == 1
+    got = read_table(spark, table)
+    assert set(got.columns) == {"k", "v", "s", "q"}
+    rows = {r["k"]: (r["v"], r["q"]) for r in got.collect()}
+    assert rows[5] == (999, 0.9)
+    assert rows[6] == (60, None)     # same rewritten file, null-filled
+    assert rows[99] == (990, None)   # untouched file, read-time null
+    # a second evolving merge omitting 'q' null-fills the update row
+    upd2 = spark.createDataFrame([(6, -6, "six")],
+                                 "k long, v long, s string")
+    merge_upsert(spark, table, upd2, "k", allow_schema_evolution=True)
+    got2 = {r["k"]: (r["v"], r["q"])
+            for r in read_table(spark, table).collect()}
+    assert got2[6] == (-6, None) and got2[5] == (999, 0.9)
