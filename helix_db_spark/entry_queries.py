@@ -4958,8 +4958,16 @@ DRIVER_TOP50 = [
     # pass-through contract is also exercised by coalesce_fallback's
     # per-stream fallback) — the freed slot grades the served on-disk
     # ANN probe (VERDICT r6 'missing' #1 / next-round #1).
+    # union_branches demoted r8: Inject (§2 row 15) is COMPILED as a
+    # union of the injected var into the current stream, so
+    # inject_var_union's oracle is itself a UNION ALL — the Union family
+    # (row 39) stays graded through it (union_branches' multi-branch
+    # projection shape stays below the cap, vanilla-verified). The
+    # freed slot grades hybrid BM25+vector retrieval with
+    # reciprocal-rank fusion — the production search shape composing
+    # the two graded index probes, previously ungraded as a family.
     "within_without_filters", "inject_var_union",
-    "union_branches", "choose_conditional", "coalesce_fallback",
+    "hybrid_rrf_search", "choose_conditional", "coalesce_fallback",
     "repeat_bfs",
     # ordering / paging / aggregation (rows 9, 32-40).
     # group_aggregate_stats merges the Group-collect slot (§2 row 36)

@@ -40,7 +40,10 @@ def test_driver_top50_covers_survey_ops():
         "edge_endpoint_projection",
         "edge_to_nodes_dedup", "other_n_provenance",
         "within_without_filters",  # merged semi+anti slot (§2 row 14)
-        "inject_var_union", "union_branches",
+        # union_branches demoted r8: Inject compiles as a union, so
+        # inject_var_union's UNION ALL oracle keeps §2 row 39 graded;
+        # the slot grades hybrid BM25+vector RRF retrieval instead
+        "inject_var_union", "hybrid_rrf_search",
         # optional_passthrough demoted r7: Optional's pass-through
         # contract is exercised by coalesce_fallback's per-stream
         # fallback; the freed slot grades the served on-disk ANN probe
