@@ -449,7 +449,8 @@ def cmd_merge(args) -> int:
     if args.latest_by:
         upd = latest_per_key(upd, args.key, args.latest_by)
     try:
-        stats = merge_upsert(spark, args.table, upd, args.key)
+        stats = merge_upsert(spark, args.table, upd, args.key,
+                             allow_schema_evolution=args.evolve)
     except (ValueError, OSError) as e:
         print(json.dumps({"error": str(e)}), file=sys.stderr)
         return 2
@@ -656,6 +657,9 @@ def main(argv=None) -> int:
             p.add_argument("--vacuum-keep", dest="vacuum_keep", type=int,
                            help="retire data files outside the last N "
                            "versions instead of merging")
+            p.add_argument("--evolve", action="store_true",
+                           help="allow the update batch to add columns "
+                           "(mergeSchema semantics)")
         elif name == "bpe":
             p.add_argument("--model", required=True,
                            help="merges parquet dir (save/load)")
