@@ -4866,6 +4866,53 @@ def jsonl_ingest(spark, sf_dir):
                       F.md5("text").alias("digest"))
 
 
+_EXPECT_ORACLE = """
+WITH a AS (SELECT count(*) AS n,
+  sum(CASE WHEN doc_id IS NOT NULL THEN 0 ELSE 1 END)::BIGINT AS v1,
+  sum(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END)::BIGINT AS v2,
+  sum(CASE WHEN length(text) >= 200 THEN 0 ELSE 1 END)::BIGINT AS v3,
+  sum(CASE WHEN lang IN ('en','de','fr','es') THEN 0 ELSE 1 END)::BIGINT
+    AS v4,
+  sum(CASE WHEN right(text, 1) IN ('.', '!', '?') THEN 0 ELSE 1 END)
+    ::BIGINT AS v5
+  FROM documents),
+u AS (
+  SELECT 'doc_id_not_null' AS rule, n, v1 AS v FROM a
+  UNION ALL SELECT 'n_chars_consistent', n, v2 FROM a
+  UNION ALL SELECT 'min_length_200', n, v3 FROM a
+  UNION ALL SELECT 'lang_supported', n, v4 FROM a
+  UNION ALL SELECT 'ends_with_punctuation', n, v5 FROM a)
+SELECT rule, n AS n_rows, v AS n_violations,
+       round((n - v) / CAST(n AS DOUBLE), 6) AS pass_rate
+FROM u
+"""
+
+
+@q("data_quality_expectations", _EXPECT_ORACLE)
+def data_quality_expectations(spark, sf_dir):
+    """Data-quality expectation suite over the corpus in ONE scan
+    (operators/pipeline.validate_expectations — the Delta constraints /
+    dbt-test gate shape): five rules spanning always-pass invariants
+    (key non-null, n_chars == length), a partial gate (min length), a
+    vocabulary gate (supported languages — zh rows violate), and an
+    always-fail probe (ends-with-punctuation: 0% on this corpus), so
+    the graded row pins pass rates across the whole [0, 1] range.
+    Violation = predicate false OR NULL (SQL CHECK semantics). The
+    punctuation rule deliberately uses right(text, 1) instead of a
+    '[.!?]$' regex — Java's default '$' also matches before a final
+    newline while RE2/DuckDB's does not (the gopher-rules CRLF lesson,
+    avoided at design time)."""
+    from .operators.pipeline import validate_expectations
+    rules = [
+        ("doc_id_not_null", "doc_id IS NOT NULL"),
+        ("n_chars_consistent", "n_chars = length(text)"),
+        ("min_length_200", "length(text) >= 200"),
+        ("lang_supported", "lang IN ('en', 'de', 'fr', 'es')"),
+        ("ends_with_punctuation", "right(text, 1) IN ('.', '!', '?')"),
+    ]
+    return validate_expectations(_docs(spark, sf_dir), rules)
+
+
 _MERGE_ORACLE = """
 WITH upd AS (
   SELECT doc_id, upper(text) AS text, lang, source, n_chars

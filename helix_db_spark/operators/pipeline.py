@@ -155,3 +155,42 @@ def cluster_topics(docs: DataFrame, id_col: str, text_col: str,
                   .join(F.broadcast(sizes), on="_cell")
                   .select(F.col("_cell").alias("cell"), "n_docs",
                           "term", "term_rank", "lift"))
+
+
+def validate_expectations(df: DataFrame,
+                          rules: Sequence[tuple]) -> DataFrame:
+    """Data-quality expectations over a frame in ONE scan (the Delta
+    constraints / dbt-test / Great Expectations gate shape): ``rules``
+    is [(name, predicate_sql_or_Column), ...]; a row VIOLATES a rule
+    when the predicate is false or NULL (SQL check semantics: only
+    TRUE passes). Returns one row per rule — (rule, n_rows,
+    n_violations, pass_rate) — computed as a single projection of
+    conditional sums, so the whole expectation suite costs one
+    partial-aggregable pass however many rules it has; no per-rule
+    scans, no driver loop.
+
+    Per-rule results are deterministic integers (pass_rate divides two
+    exact longs), so expectation reports are value-hash gradable like
+    every other operator."""
+    if not rules:
+        raise ValueError("validate_expectations requires >=1 rule")
+    names = [n for n, _ in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rule names: {sorted(names)}")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for name, pred in rules:
+        cond = F.expr(pred) if isinstance(pred, str) else pred
+        aggs.append(F.sum(F.when(cond, F.lit(0)).otherwise(F.lit(1)))
+                     .alias(f"_v_{name}"))
+    row = df.agg(*aggs)
+    # explode the ONE agg row into per-rule rows — a union of selects
+    # over the agg would re-execute the scan once per rule
+    out = row.select(F.explode(F.array(*[
+        F.struct(F.lit(name).alias("rule"),
+                 F.col("_n").alias("n_rows"),
+                 F.col(f"_v_{name}").alias("n_violations"))
+        for name, _ in rules])).alias("_r")).select("_r.*")
+    return out.select(
+        "rule", "n_rows", "n_violations",
+        F.round((F.col("n_rows") - F.col("n_violations"))
+                / F.col("n_rows").cast("double"), 6).alias("pass_rate"))

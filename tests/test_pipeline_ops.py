@@ -3475,3 +3475,31 @@ def test_triangle_count_orientations_agree(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown orient"):
         triangle_count(df, src="s", dst="t", orient="nope")
+
+
+def test_validate_expectations_one_scan_and_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from helix_db_spark.operators.pipeline import validate_expectations
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -3.0), (3, None), (None, 5.0)],
+        "k long, v double")
+    out = validate_expectations(df, [
+        ("k_not_null", "k IS NOT NULL"),
+        ("v_positive", F.col("v") > 0),        # Column rules work too
+        ("always_true", "1 = 1"),
+    ])
+    got = {r["rule"]: (r["n_rows"], r["n_violations"], r["pass_rate"])
+           for r in out.collect()}
+    assert got["k_not_null"] == (4, 1, 0.75)
+    # NULL predicate counts as a violation (SQL CHECK semantics)
+    assert got["v_positive"] == (4, 2, 0.5)
+    assert got["always_true"] == (4, 0, 1.0)
+    # one scan: exactly one aggregate over the source in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LocalTableScan") <= 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="duplicate"):
+        validate_expectations(df, [("a", "1=1"), ("a", "1=1")])
+    with _pytest.raises(ValueError, match=">=1"):
+        validate_expectations(df, [])
