@@ -1064,8 +1064,10 @@ def graph_degree_distribution(spark, sf_dir):
 
 _NG8 = " || ' ' || ".join(f"toks[i+{k}]" for k in range(8))
 
-@q("contamination_ngram_overlap",
-   f"""WITH ct AS (SELECT doc_id, {_TOK.format(c='text')} AS toks
+# Shared by the exact broadcast-join entry and its Bloom-prefiltered
+# twin: the prefilter's false positives die in the exact verify, so the
+# two engine plans produce byte-identical results under ONE oracle.
+_CONTAM_ORACLE = f"""WITH ct AS (SELECT doc_id, {_TOK.format(c='text')} AS toks
         FROM documents),
 bt AS (SELECT doc_id AS bench_id,
         {_TOK.format(c="list_aggregate(toks[5:16], 'string_agg', ' ')")} AS toks
@@ -1079,7 +1081,10 @@ bg AS (SELECT bench_id, unnest(list_distinct(
 SELECT cg.doc_id,
   count(DISTINCT {_H60.format(x='gram')}) AS contaminated_ngrams,
   count(DISTINCT bg.bench_id) AS bench_docs_hit
-FROM cg JOIN bg USING (gram) GROUP BY cg.doc_id""")
+FROM cg JOIN bg USING (gram) GROUP BY cg.doc_id"""
+
+
+@q("contamination_ngram_overlap", _CONTAM_ORACLE)
 def contamination_ngram_overlap(spark, sf_dir):
     """Train/eval decontamination (GPT-3-style 8-gram collision): the
     'benchmark' here is a 12-token span of every 10th document — the
@@ -1094,6 +1099,30 @@ def contamination_ngram_overlap(spark, sf_dir):
         F.array_join(F.slice(tokens(F.col("text")), 5, 12), " ")
          .alias("text"))
     return benchmark_contamination(docs, bench, "doc_id", "text", n=8)
+
+
+@q("contamination_bloom_prefilter", _CONTAM_ORACLE)
+def contamination_bloom_prefilter(spark, sf_dir):
+    """The decontamination gate behind an 8 KB deterministic Bloom
+    prefilter (operators/dedup.bloom_words/bloom_might_contain —
+    Kirsch-Mitzenmacher double hashing over the gram hash's own 30-bit
+    halves, no RNG): corpus grams test k=4 bits of a broadcast word
+    array BEFORE the exact verify join, so at 100 TB the per-row probe
+    cost is four array lookups against a fixed 8 KB literal however
+    large the benchmark suite grows, and the exact join's input shrinks
+    from every corpus gram to the Bloom survivors. False positives die
+    in the exact verify — the result is bit-identical to
+    contamination_ngram_overlap, which is why the SAME oracle grades
+    both (the approximate structure never touches the answer)."""
+    from .functions.text import tokens
+    from .operators.dedup import benchmark_contamination_bloom
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.array_join(F.slice(tokens(F.col("text")), 5, 12), " ")
+         .alias("text"))
+    return benchmark_contamination_bloom(docs, bench, "doc_id", "text",
+                                         n=8)
 
 
 _COV_PAIRS = [(0, 0), (0, 1), (1, 1), (5, 10), (63, 63)]

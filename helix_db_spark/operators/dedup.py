@@ -891,3 +891,103 @@ def append_to_hamming_index(hashes: DataFrame, id_col: str, hash_col: str,
                                          meta["buckets"]))
            .write.mode("append").partitionBy("_bucket")
            .parquet(os.path.join(root, "bands")))
+
+
+# ---------------------------------------------------------------------------
+# deterministic Bloom prefilter for decontamination
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS = 1 << 16  # 64 Kbit = 8 KB of broadcast, any benchmark size
+BLOOM_K = 4
+
+
+def _bloom_positions(hash_col, m_bits: int, k: int):
+    """k bit positions from one 60-bit gram hash via Kirsch-Mitzenmacher
+    double hashing (public method: pos_i = (g1 + i*g2) mod m, with
+    g1/g2 the hash's low/high 30 bits) — no extra md5 per probe, and
+    the identical integer arithmetic replays in SQL."""
+    g1 = hash_col.bitwiseAND(F.lit((1 << 30) - 1))
+    g2 = F.shiftright(hash_col, 30)
+    return [F.pmod(g1 + F.lit(i) * g2, F.lit(m_bits)).cast("int")
+            for i in range(k)]
+
+
+def bloom_words(df: DataFrame, hash_col: str,
+                m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K) -> list:
+    """The Bloom filter over a hash column as ``m_bits/64`` long words —
+    built DISTRIBUTED (explode k positions, one groupBy bit_or over at
+    most m/64 word rows), collected bounded (8 KB at the default m) for
+    broadcast into a probe expression. Deterministic: md5-derived
+    positions, no RNG — so a filter built twice is bit-identical and
+    probe results are oracle-replayable."""
+    pos = df.select(F.explode(F.array(
+        *_bloom_positions(F.col(hash_col), m_bits, k))).alias("_p"))
+    rows = (pos.select(F.shiftright(F.col("_p"), 6).alias("_w"),
+                       F.col("_p").bitwiseAND(F.lit(63)).alias("_b"))
+            .groupBy("_w")
+            .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), _b))")
+                 .alias("_word"))
+            .collect())
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[r["_w"]] = r["_word"]
+    return words
+
+
+def bloom_might_contain(hash_col, words: list, m_bits: int = BLOOM_M_BITS,
+                        k: int = BLOOM_K):
+    """Membership Column against a collected word list: k array lookups
+    + bit tests, pure built-ins riding the scan — no join, no shuffle.
+    False positives possible (that is the point — callers exact-verify
+    survivors), false negatives impossible."""
+    arr = F.array(*[F.lit(int(w)) for w in words])
+    cond = None
+    for pos in _bloom_positions(hash_col, m_bits, k):
+        w = F.element_at(arr, F.shiftright(pos, 6) + F.lit(1))
+        b = pos.bitwiseAND(F.lit(63))
+        cond_i = (_shiftleft_col(F.lit(1).cast("long"), b)
+                  .bitwiseAND(w) != F.lit(0))
+        cond = cond_i if cond is None else (cond & cond_i)
+    return cond
+
+
+def _shiftleft_col(value, amount):
+    """shiftleft with a COLUMN shift amount (F.shiftleft takes only int
+    literals; the SQL function form accepts expressions)."""
+    from pyspark.sql import functions as _F
+    return _F.call_function("shiftleft", value, amount)
+
+
+def benchmark_contamination_bloom(corpus: DataFrame, bench: DataFrame,
+                                  id_col: str, text_col: str,
+                                  bench_id_col: Optional[str] = None,
+                                  bench_text_col: Optional[str] = None,
+                                  n: int = 8,
+                                  max_tokens: Optional[int] = None,
+                                  m_bits: int = BLOOM_M_BITS,
+                                  k: int = BLOOM_K) -> DataFrame:
+    """benchmark_contamination with a Bloom PREFILTER: the benchmark
+    gram table still exact-verifies matches, but corpus grams first pass
+    an 8 KB Bloom filter (vs broadcasting the full gram table to every
+    probe row's hash-join — fine for MB-scale eval suites, but the
+    filter stays 8 KB whatever the benchmark grows to, and the exact
+    join's input shrinks from every corpus gram to the Bloom survivors).
+    False positives are removed by the exact join, so the RESULT is
+    bit-identical to benchmark_contamination — the approximate structure
+    never touches the answer, which is why the same oracle grades both
+    (entry contamination_bloom_prefilter)."""
+    bench_id_col = bench_id_col or id_col
+    bench_text_col = bench_text_col or text_col
+    cg = shingle_rows(corpus, id_col, text_col, n=n, distinct=True,
+                      max_tokens=max_tokens) \
+        .select(F.col(id_col), md5_long(F.col("_s")).alias("_g"))
+    bg = shingle_rows(bench, bench_id_col, bench_text_col, n=n,
+                      distinct=True, max_tokens=max_tokens) \
+        .select(F.col(bench_id_col).alias("_bench_id"),
+                md5_long(F.col("_s")).alias("_g"))
+    words = bloom_words(bg.select("_g").distinct(), "_g", m_bits, k)
+    pref = cg.filter(bloom_might_contain(F.col("_g"), words, m_bits, k))
+    hits = pref.join(F.broadcast(bg), on="_g")
+    return (hits.groupBy(id_col)
+                .agg(F.count_distinct("_g").alias("contaminated_ngrams"),
+                     F.count_distinct("_bench_id").alias("bench_docs_hit")))

@@ -531,3 +531,48 @@ def test_nb_classify_sort_merge_model_path(spark):
         train, test, "doc_id", "text", "lang",
         broadcast_model=False).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# deterministic Bloom prefilter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    from pyspark.sql import functions as F
+
+    from helix_db_spark.operators.dedup import (bloom_might_contain,
+                                                bloom_words)
+    ins = spark.range(500).select(
+        (F.col("id") * 982451653 % (1 << 60)).alias("h"))
+    words = bloom_words(ins, "h")
+    assert len(words) == (1 << 16) // 64
+    # false negatives are impossible
+    assert ins.filter(bloom_might_contain(F.col("h"), words)).count() == 500
+    # determinism: rebuilding gives the identical filter
+    assert bloom_words(ins, "h") == words
+    # uniform (md5-hashed) absent probes mostly miss
+    probe = spark.range(50000).select(
+        F.conv(F.substring(F.md5(F.concat(F.lit("absent-"),
+                                          F.col("id").cast("string"))),
+                           1, 15), 16, 10).cast("long").alias("h"))
+    fp = probe.filter(bloom_might_contain(F.col("h"), words)).count()
+    assert fp < 50  # fpp ~1e-6 at n=500/m=65536/k=4; 50/50000 = 1e-3 cap
+
+
+def test_bloom_prefilter_matches_exact_contamination(spark):
+    from pyspark.sql import functions as F
+
+    from helix_db_spark.functions.text import tokens
+    from helix_db_spark.operators.dedup import (
+        benchmark_contamination, benchmark_contamination_bloom)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.array_join(F.slice(tokens(F.col("text")), 5, 12), " ")
+         .alias("text"))
+    a = sorted(map(tuple, benchmark_contamination(
+        docs, bench, "doc_id", "text").collect()))
+    b = sorted(map(tuple, benchmark_contamination_bloom(
+        docs, bench, "doc_id", "text").collect()))
+    assert a == b and len(a) > 0
