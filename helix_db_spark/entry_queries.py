@@ -4375,6 +4375,67 @@ def ppr_graph_expansion(spark, sf_dir):
                        F.round("ppr", 6).alias("ppr")))
 
 
+def _hits_oracle(iters: int = 4, topn: int = 10) -> str:
+    """Unrolled HITS replay: per iteration, authority = round-12 of the
+    hub-sum normalized by its MAX (order-independent, unlike an L1/L2
+    norm — see operators/graph.hits_bipartite), then hubs from the new
+    authorities the same way."""
+    parts = ["""WITH e AS (SELECT DISTINCT o_custkey AS src,
+    l_partkey AS dst FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+h0 AS (SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) AS s FROM e)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+ar{i} AS (SELECT e.dst AS node, round(sum(h.s), 12) AS r
+  FROM e JOIN h{i-1} h ON e.src = h.node GROUP BY e.dst),
+am{i} AS (SELECT max(r) AS m FROM ar{i}),
+a{i} AS (SELECT node, round(r / am{i}.m, 12) AS s
+  FROM ar{i} CROSS JOIN am{i}),
+hr{i} AS (SELECT e.src AS node, round(sum(a.s), 12) AS r
+  FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src),
+hm{i} AS (SELECT max(r) AS m FROM hr{i}),
+h{i} AS (SELECT node, round(r / hm{i}.m, 12) AS s
+  FROM hr{i} CROSS JOIN hm{i})""")
+    parts.append(f"""
+SELECT side, node, score FROM (
+  SELECT 'hub' AS side, node, round(s, 6) AS score FROM h{iters}
+  ORDER BY round(s, 6) DESC, node LIMIT {topn}) th
+UNION ALL
+SELECT side, node, score FROM (
+  SELECT 'authority' AS side, node, round(s, 6) AS score FROM a{iters}
+  ORDER BY round(s, 6) DESC, node LIMIT {topn}) ta""")
+    return "".join(parts)
+
+
+@q("copurchase_hits", _hits_oracle())
+def copurchase_hits(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg 1999) over the customer->part
+    purchase graph: hub customers buy the authoritative parts,
+    authoritative parts are bought by hub customers — the third leg of
+    the link-analysis family (PageRank = global, PPR = seeded, HITS =
+    the duality). Four power iterations, each one equi-join +
+    partial-agg per side with a single scalar (the max normalizer) on
+    the driver; MAX normalization instead of an L1/L2 norm keeps every
+    state bit-identical across engines (a global float sum's
+    order-of-addition wobble scales with node count; max over rounded
+    per-node sums is exact). Top-10 per side by rounded score, cut via
+    TakeOrderedAndProject."""
+    from .operators.graph import hits_bipartite
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = (orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+             .select(F.col("o_custkey").alias("src"),
+                     F.col("l_partkey").alias("dst")))
+    scores = hits_bipartite(edges, iters=4)
+    s6 = F.round(F.col("s"), 6)
+    hubs = (scores.filter(F.col("side") == "hub")
+            .orderBy(s6.desc(), F.col("node").asc()).limit(10)
+            .select("side", "node", s6.alias("score")))
+    auths = (scores.filter(F.col("side") == "authority")
+             .orderBy(s6.desc(), F.col("node").asc()).limit(10)
+             .select("side", "node", s6.alias("score")))
+    return hubs.unionAll(auths)
+
+
 @q("events_value_quantiles",
    "SELECT event_type, count(*)::BIGINT AS n, "
    "round(quantile_cont(value, 0.5), 6) AS p50, "

@@ -214,3 +214,48 @@ def personalized_pagerank(edges: DataFrame, seed_ids, iters: int = 4,
                                  state_round).alias("rank"))
                  .localCheckpoint())
     return ranks.select("node", F.col("rank").alias("ppr"))
+
+
+def hits_bipartite(edges: DataFrame, src: str = "src", dst: str = "dst",
+                   iters: int = 4, state_round: int = 12) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over a directed edge
+    list, fixed ``iters`` power iterations — the third leg of the
+    link-analysis family (PageRank = global importance, PPR = seeded
+    diffusion, HITS = the hub/authority duality: a good hub points at
+    good authorities and vice versa). Per iteration each side is one
+    equi-join + partial-agg groupBy; driver state is ONE scalar (the
+    normalizer) per phase, the pagerank pattern.
+
+    Determinism contract: normalization divides by the MAX score, not
+    the L1/L2 norm — a global float SUM over n nodes accumulates
+    order-of-addition wobble ~n*eps that round(12) cannot absorb at
+    corpus scale, while max over already-rounded per-node sums is
+    order-independent and exact, so every state is bit-identical to the
+    SQL replay (per-node sums have <=degree terms, the PPR argument).
+    Returns (side, node, score): side='hub' for source nodes,
+    'authority' for targets; scores in (0, 1], max node = 1.
+    """
+    e = edges.select(src, dst).distinct().localCheckpoint()
+    h = (e.select(F.col(src).alias("node")).distinct()
+         .withColumn("s", F.lit(1.0)))
+    a = None
+    for _ in range(int(iters)):
+        ar = (e.join(h, e[src] == h["node"])
+              .groupBy(e[dst])
+              .agg(F.round(F.sum("s"), state_round).alias("_r"))
+              .select(F.col(dst).alias("node"), "_r"))
+        amax = ar.agg(F.max("_r")).collect()[0][0]
+        a = ar.select("node",
+                      F.round(F.col("_r") / F.lit(float(amax)),
+                              state_round).alias("s")).localCheckpoint()
+        hr = (e.join(a, e[dst] == a["node"])
+              .groupBy(e[src])
+              .agg(F.round(F.sum("s"), state_round).alias("_r"))
+              .select(F.col(src).alias("node"), "_r"))
+        hmax = hr.agg(F.max("_r")).collect()[0][0]
+        h = hr.select("node",
+                      F.round(F.col("_r") / F.lit(float(hmax)),
+                              state_round).alias("s")).localCheckpoint()
+    hubs = h.select(F.lit("hub").alias("side"), "node", "s")
+    auths = a.select(F.lit("authority").alias("side"), "node", "s")
+    return hubs.unionAll(auths)

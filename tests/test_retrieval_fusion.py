@@ -226,3 +226,47 @@ def test_ann_recall_bounded_and_counts(spark):
         assert r["n_exact"] == 4
         assert 0 <= r["n_hits"] <= 4
         assert r["recall"] == pytest.approx(r["n_hits"] / 4.0)
+
+
+# ---------------------------------------------------------------------------
+# hits_bipartite
+# ---------------------------------------------------------------------------
+
+
+def _hits_reference(edges, iters=4):
+    srcs = sorted({a for a, _ in edges})
+    dsts = sorted({b for _, b in edges})
+    h = {v: 1.0 for v in srcs}
+    a = {}
+    for _ in range(iters):
+        raw = {u: round(sum(h[v] for v, w in edges if w == u), 12)
+               for u in dsts}
+        m = max(raw.values())
+        a = {u: round(raw[u] / m, 12) for u in dsts}
+        raw = {v: round(sum(a[w] for x, w in edges if x == v), 12)
+               for v in srcs}
+        m = max(raw.values())
+        h = {v: round(raw[v] / m, 12) for v in srcs}
+    return h, a
+
+
+def test_hits_matches_reference(spark):
+    from helix_db_spark.operators.graph import hits_bipartite
+    # customer 1 buys everything (hub); part 10 bought by everyone
+    # (authority)
+    edges = [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11), (3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = hits_bipartite(df, iters=4)
+    got = {(r["side"], r["node"]): r["s"] for r in out.collect()}
+    h, a = _hits_reference(edges)
+    for v, s in h.items():
+        assert got[("hub", v)] == pytest.approx(s, abs=1e-11)
+    for u, s in a.items():
+        assert got[("authority", u)] == pytest.approx(s, abs=1e-11)
+    # the max-normalized top scores are exactly 1
+    assert got[("hub", 1)] == 1.0
+    assert got[("authority", 10)] == 1.0
+    # duality: the all-buying customer out-hubs the others, the
+    # universally-bought part out-ranks the others
+    assert got[("hub", 1)] > got[("hub", 3)]
+    assert got[("authority", 10)] > got[("authority", 12)]
