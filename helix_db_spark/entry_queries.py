@@ -1003,6 +1003,53 @@ def dedup_ngram_jaccard_pairs(spark, sf_dir):
                                n=3, threshold=0.5)
 
 
+_DEDUP_QUALITY_ORACLE = f"""
+WITH truth AS (SELECT a, b FROM ({_NGRAM_ORACLE})),
+pred AS (SELECT a, b FROM ({_minhash_oracle()})),
+m AS (SELECT (SELECT count(*) FROM truth) AS nt,
+             (SELECT count(*) FROM pred) AS np,
+             (SELECT count(*) FROM truth t JOIN pred p
+                ON t.a = p.a AND t.b = p.b) AS nh)
+SELECT nt::BIGINT AS n_truth, np::BIGINT AS n_predicted,
+       nh::BIGINT AS n_hits,
+       round(nh / CAST(np AS DOUBLE), 6) AS precision_pairs,
+       round(nh / CAST(nt AS DOUBLE), 6) AS recall_pairs
+FROM m
+"""
+
+
+@q("dedup_quality_report", _DEDUP_QUALITY_ORACLE)
+def dedup_quality_report(spark, sf_dir):
+    """Precision/recall of the minhash-LSH near-dup miner against exact
+    n-gram Jaccard ground truth at the same threshold — ann_recall's
+    sibling for the dedup family: the quality number every production
+    dedup run should publish next to its survivor counts, as a graded
+    operator rather than a claim. Both sides are the engine's own
+    graded plans (dedup_minhash_pairs / dedup_ngram_jaccard_pairs);
+    totals ride lazy 1-row crossJoins (the repo contract — no eager
+    counts at construction), and the all-integer pair intersections
+    make the APPROXIMATE miner's quality value-hash replayable."""
+    from .operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    docs = _docs(spark, sf_dir)
+    truth = ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                threshold=0.5).select("a", "b")
+    pred = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64,
+                             bands=16, shingle_size=3,
+                             threshold=0.5).select("a", "b")
+    t1 = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    p1 = pred.agg(F.count(F.lit(1)).alias("n_predicted"))
+    h1 = (truth.join(pred, on=["a", "b"])
+          .agg(F.count(F.lit(1)).alias("n_hits")))
+    return (t1.crossJoin(p1).crossJoin(h1)
+            .select("n_truth", "n_predicted", "n_hits",
+                    F.round(F.col("n_hits")
+                            / F.col("n_predicted").cast("double"), 6)
+                    .alias("precision_pairs"),
+                    F.round(F.col("n_hits")
+                            / F.col("n_truth").cast("double"), 6)
+                    .alias("recall_pairs")))
+
+
 @q("dedup_embedding_cosine_pairs",
    "SELECT x.vec_id AS a, y.vec_id AS b, "
    "round(list_cosine_similarity(x.embedding::DOUBLE[], "
