@@ -4453,6 +4453,57 @@ SELECT side, node, score FROM (
     return "".join(parts)
 
 
+_PSI_QS = ", ".join(f"{i / 10}" for i in range(1, 10))
+_DRIFT_ORACLE = f"""
+WITH ref AS (SELECT event_type, value FROM events WHERE user_id < 500),
+cur AS (SELECT event_type, value FROM events WHERE user_id >= 500),
+ed AS (SELECT event_type, list_transform(
+         quantile_cont(value, [{_PSI_QS}]), x -> round(x, 6)) AS edges
+       FROM ref GROUP BY event_type),
+rb AS (SELECT r.event_type,
+         len(list_filter(ed.edges, e -> r.value > e)) AS bin
+       FROM ref r JOIN ed ON r.event_type = ed.event_type),
+cb AS (SELECT c.event_type,
+         len(list_filter(ed.edges, e -> c.value > e)) AS bin
+       FROM cur c JOIN ed ON c.event_type = ed.event_type),
+rc AS (SELECT event_type, bin, count(*) AS cr FROM rb GROUP BY 1, 2),
+cc AS (SELECT event_type, bin, count(*) AS ccnt FROM cb GROUP BY 1, 2),
+b2 AS (SELECT event_type, bin,
+         coalesce(cr, 0) AS cr, coalesce(ccnt, 0) AS ccnt
+       FROM rc FULL JOIN cc USING (event_type, bin)),
+tot AS (SELECT event_type, sum(cr) AS nr, sum(ccnt) AS nc
+        FROM b2 GROUP BY event_type),
+terms AS (SELECT b2.event_type, tot.nr, tot.nc,
+         ((b2.ccnt + 0.5) / (tot.nc + 5.0)
+          - (b2.cr + 0.5) / (tot.nr + 5.0))
+         * ln(((b2.ccnt + 0.5) / (tot.nc + 5.0))
+              / ((b2.cr + 0.5) / (tot.nr + 5.0))) AS t
+       FROM b2 JOIN tot ON b2.event_type = tot.event_type)
+SELECT event_type, nr::BIGINT AS n_ref, nc::BIGINT AS n_cur,
+       round(sum(t), 6) AS psi
+FROM terms GROUP BY event_type, nr, nc
+"""
+
+
+@q("events_value_drift", _DRIFT_ORACLE)
+def events_value_drift(spark, sf_dir):
+    """Population-stability-index drift monitor per event type
+    (operators/pipeline.drift_psi): the reference slice's exact decile
+    edges bin both slices, Laplace-smoothed proportions feed
+    sum((q-p)*ln(q/p)) — the standard train/serve distribution-shift
+    gate (PSI > 0.25 = investigate), graded end to end. Here reference
+    vs current = a deterministic user-id split of the same corpus, so
+    the graded values pin the near-zero-drift regime (the shape a
+    healthy pipeline reports); the operator itself is slice-agnostic.
+    All built-ins riding the two scans; edges rounded to 6 before
+    binning, the <=10-term PSI sum rounded to 6."""
+    from .operators.pipeline import drift_psi
+    ev = _events(spark, sf_dir)
+    ref = ev.filter(F.col("user_id") < 500)
+    cur = ev.filter(F.col("user_id") >= 500)
+    return drift_psi(ref, cur, "value", ["event_type"], bins=10)
+
+
 @q("copurchase_hits", _hits_oracle())
 def copurchase_hits(spark, sf_dir):
     """HITS hubs & authorities (Kleinberg 1999) over the customer->part

@@ -194,3 +194,63 @@ def validate_expectations(df: DataFrame,
         "rule", "n_rows", "n_violations",
         F.round((F.col("n_rows") - F.col("n_violations"))
                 / F.col("n_rows").cast("double"), 6).alias("pass_rate"))
+
+
+def drift_psi(ref: DataFrame, cur: DataFrame, value_col: str,
+              group_cols: Sequence[str] = (), bins: int = 10) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    slice of a numeric column (the standard train/serve drift monitor;
+    PSI < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 action):
+
+        PSI = sum_bins (q_b - p_b) * ln(q_b / p_b)
+
+    with bin edges = the REFERENCE slice's exact interpolated
+    percentiles (per group), so the reference lands ~uniformly and any
+    PSI mass comes from the current slice's reshaping. Proportions are
+    Laplace-smoothed ((count + 0.5) / (n + 0.5 * bins)) so empty bins
+    contribute finitely instead of dividing by zero — the standard PSI
+    practice, and deterministic.
+
+    Shape: one percentile agg over the reference per group, broadcast
+    edge arrays joined back, bin assignment = size(filter(edges)) riding
+    both scans, then two partial-aggregable bin counts — no UDFs, no
+    driver loops. Edges rounded to 6 before binning and the <=bins-term
+    PSI sum rounded to 6 (the repo float contract). Returns
+    (group..., n_ref, n_cur, psi)."""
+    gcols = list(group_cols)
+    qs = [i / bins for i in range(1, bins)]
+    pc = F.percentile(F.col(value_col), F.array(*[F.lit(q) for q in qs]))
+    edges = (ref.groupBy(*gcols)
+             .agg(F.transform(pc, lambda x: F.round(x, 6)).alias("_edges")))
+
+    def binned(df):
+        j = (df.join(F.broadcast(edges), on=gcols) if gcols
+             else df.crossJoin(F.broadcast(edges)))
+        b = F.size(F.filter(
+            F.col("_edges"), lambda e: F.col(value_col) > e))
+        return (j.withColumn("_bin", b)
+                .groupBy(*gcols, "_bin")
+                .agg(F.count(F.lit(1)).alias("_c")))
+
+    rb = binned(ref).withColumnRenamed("_c", "_cr")
+    cb = binned(cur).withColumnRenamed("_c", "_cc")
+    both = rb.join(cb, on=gcols + ["_bin"], how="full") \
+             .select(*gcols, "_bin",
+                     F.coalesce("_cr", F.lit(0)).alias("_cr"),
+                     F.coalesce("_cc", F.lit(0)).alias("_cc"))
+    nr = F.sum("_cr").alias("n_ref")
+    nc = F.sum("_cc").alias("n_cur")
+    # smoothed proportions inside the final agg: totals via window-free
+    # second agg join (per group, bounded rows)
+    totals = both.groupBy(*gcols).agg(nr, nc)
+    j = (both.join(F.broadcast(totals), on=gcols) if gcols
+         else both.crossJoin(F.broadcast(totals)))
+    half_bins = 0.5 * bins
+    p = (F.col("_cr") + F.lit(0.5)) / (F.col("n_ref") + F.lit(half_bins))
+    q = (F.col("_cc") + F.lit(0.5)) / (F.col("n_cur") + F.lit(half_bins))
+    term = (q - p) * F.log(q / p)
+    return (j.withColumn("_t", term)
+            .groupBy(*gcols)
+            .agg(F.first("n_ref").alias("n_ref"),
+                 F.first("n_cur").alias("n_cur"),
+                 F.round(F.sum("_t"), 6).alias("psi")))

@@ -3503,3 +3503,49 @@ def test_validate_expectations_one_scan_and_semantics(spark):
         validate_expectations(df, [("a", "1=1"), ("a", "1=1")])
     with _pytest.raises(ValueError, match=">=1"):
         validate_expectations(df, [])
+
+
+def test_drift_psi_detects_shift(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from helix_db_spark.operators.pipeline import drift_psi
+    ref = spark.range(2000).select(
+        F.lit("g").alias("grp"),
+        (F.col("id") % 100).cast("double").alias("v"))
+    same = spark.range(2000).select(
+        F.lit("g").alias("grp"),
+        ((F.col("id") + 7) % 100).cast("double").alias("v"))
+    shifted = spark.range(2000).select(
+        F.lit("g").alias("grp"),
+        ((F.col("id") % 100) + 80.0).alias("v"))
+    lo = drift_psi(ref, same, "v", ["grp"]).collect()[0]
+    hi = drift_psi(ref, shifted, "v", ["grp"]).collect()[0]
+    assert lo["n_ref"] == 2000 and lo["n_cur"] == 2000
+    assert lo["psi"] < 0.05          # identical distribution: stable
+    assert hi["psi"] > 0.25          # +80 shift: action threshold
+    # reference recompute of the stable case (edges = ref deciles)
+    vals_r = sorted(r["v"] for r in ref.collect())
+
+    def pct(vs, q):
+        x = (len(vs) - 1) * q
+        lo_i, hi_i = int(math.floor(x)), int(math.ceil(x))
+        return round(vs[lo_i] + (vs[hi_i] - vs[lo_i]) * (x - lo_i), 6)
+
+    edges = [pct(vals_r, i / 10) for i in range(1, 10)]
+
+    def dist(df):
+        vs = [r["v"] for r in df.collect()]
+        cnt = [0] * 10
+        for v in vs:
+            cnt[sum(1 for e in edges if v > e)] += 1
+        return cnt, len(vs)
+
+    cr, nr = dist(ref)
+    cc, nc = dist(same)
+    psi = sum(((cc[b] + 0.5) / (nc + 5.0) - (cr[b] + 0.5) / (nr + 5.0))
+              * math.log(((cc[b] + 0.5) / (nc + 5.0))
+                         / ((cr[b] + 0.5) / (nr + 5.0)))
+              for b in range(10))
+    assert lo["psi"] == pytest.approx(round(psi, 6), abs=1e-6)
