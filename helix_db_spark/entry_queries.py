@@ -4345,6 +4345,68 @@ def ann_recall_report(spark, sf_dir):
                       max_cells=4096, nprobe=2)
 
 
+def _dim_recall_oracle(dim: int = 16, k: int = 5) -> str:
+    """Two exact rank CTEs — full-width cosine truth vs cosine over the
+    first ``dim`` components — intersected per query."""
+    full = _COS6("a.v", "b.v")
+    sl = _COS6("a.t", "b.t")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             (embedding::DOUBLE[])[1:{dim}] AS t FROM embeddings),
+pf AS (SELECT a.vec_id AS src, b.vec_id AS dst, {full} AS c
+       FROM e a JOIN e b ON a.vec_id <> b.vec_id
+       WHERE a.vec_id % 50 = 0),
+rf AS (SELECT src, dst, row_number() OVER (PARTITION BY src
+           ORDER BY c DESC, dst) AS rn FROM pf),
+truth AS (SELECT src, dst FROM rf WHERE rn <= {k}),
+pt AS (SELECT a.vec_id AS src, b.vec_id AS dst, {sl} AS c
+       FROM e a JOIN e b ON a.vec_id <> b.vec_id
+       WHERE a.vec_id % 50 = 0),
+rt AS (SELECT src, dst, row_number() OVER (PARTITION BY src
+           ORDER BY c DESC, dst) AS rn FROM pt),
+pred AS (SELECT src, dst FROM rt WHERE rn <= {k}),
+nh AS (SELECT t.src, count(*)::BIGINT AS n_hits
+       FROM truth t JOIN pred p ON t.src = p.src AND t.dst = p.dst
+       GROUP BY t.src)
+SELECT q.src, coalesce(nh.n_hits, 0)::BIGINT AS n_hits,
+       round(coalesce(nh.n_hits, 0) / CAST({k} AS DOUBLE), 4) AS recall
+FROM (SELECT DISTINCT src FROM truth) q LEFT JOIN nh ON q.src = nh.src
+"""
+
+
+@q("embedding_dim_recall", _dim_recall_oracle())
+def embedding_dim_recall(spark, sf_dir):
+    """Dimension-truncation recall: how much of the exact top-5
+    neighborhood survives when vectors are cut to their first 16 of 64
+    components — the Matryoshka-style capacity probe (Kusupati 2022,
+    public method) that decides how far an index can shrink its vectors
+    before retrieval degrades. Both sides are exact searches (the
+    truncation effect isolated from any index approximation), bounded
+    by the query sample; all-integer intersections, so the capacity
+    number itself value-hash replays. Pairs with ann_recall_report
+    (index approximation) and vector_search_pq/quantize (storage
+    compression) as the third axis of the embedding-budget story."""
+    from .operators.similarity import knn_graph
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sample = F.col("vec_id") % 50 == 0
+    truth = knn_graph(emb, "vec_id", "embedding", k=5,
+                      src_filter=sample).select("src", "dst")
+    emb16 = emb.select("vec_id",
+                       F.slice(F.col("embedding"), 1, 16).alias("emb16"))
+    pred = knn_graph(emb16, "vec_id", "emb16", k=5,
+                     src_filter=sample).select("src", "dst")
+    nh = (truth.join(pred, on=["src", "dst"])
+          .groupBy("src").agg(F.count(F.lit(1)).alias("n_hits")))
+    qs = truth.select("src").distinct()
+    return (qs.join(nh, on="src", how="left")
+            .select("src",
+                    F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
+                    .alias("n_hits"),
+                    F.round(F.coalesce(F.col("n_hits"),
+                                       F.lit(0).cast("long"))
+                            / F.lit(5.0), 4).alias("recall")))
+
+
 def _ppr_oracle(iters: int = 4, k_out: int = 25) -> str:
     """Personalized-PageRank replay over the celled kNN graph: the
     _KNN_CELLED_BODY edge set + top-5 exact-cosine seeds, then ``iters``
