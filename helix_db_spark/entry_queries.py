@@ -4620,6 +4620,29 @@ def events_value_quantiles(spark, sf_dir):
                       F.round(F.col("_p")[2], 6).alias("p99")))
 
 
+@q("events_user_ewma",
+   "WITH s AS (SELECT user_id, count(*)::BIGINT AS n_events, "
+   "list(value ORDER BY ts, event_id) AS seq "
+   "FROM events WHERE user_id < 100 GROUP BY user_id) "
+   "SELECT user_id, n_events, "
+   "round(list_reduce(seq, (acc, x) -> CAST(0.25 AS DOUBLE) * x "
+   "+ CAST(0.75 AS DOUBLE) * acc), 6) AS ewma FROM s")
+def events_user_ewma(spark, sf_dir):
+    """Per-user exponentially-weighted value state (alpha 0.25) — the
+    time-decayed per-entity feature a monitoring/feature-store pipeline
+    maintains. The float recurrence folds sequentially over each user's
+    (ts, event_id)-ordered events in BOTH engines (F.aggregate ==
+    DuckDB list_reduce, same left fold), so the result is bit-identical
+    with no intermediate rounding schedule — the knn exact-fold cosine
+    contract applied to a stateful time series."""
+    from .operators.sampling import ewma_by_key
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 100)
+    out = ewma_by_key(ev, ["user_id"], ["ts", "event_id"], "value",
+                      alpha=0.25, decay=0.75)
+    return out.select("user_id", "n_events",
+                      F.round("ewma", 6).alias("ewma"))
+
+
 @q("events_user_running_sum",
    "SELECT event_id, user_id, "
    "round(sum(value) OVER (PARTITION BY user_id "

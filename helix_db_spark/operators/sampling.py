@@ -525,3 +525,42 @@ def resample_locf(df: DataFrame, ts_col: str, value_col: str,
         *groups, "bucket_s",
         F.last("_obs", ignorenulls=True).over(locf_w).alias("value_locf"),
         F.col("_obs").isNull().alias("filled"))
+
+
+def ewma_by_key(df: DataFrame, key_cols, order_cols,
+                value_col: str, alpha: float = 0.25,
+                decay: float = 0.75) -> DataFrame:
+    """Per-key exponentially-weighted moving average of ``value_col``
+    in ``order_cols`` order — the time-decayed state every monitoring /
+    feature-store pipeline keeps per entity (TimescaleDB/Flink EWMA):
+
+        ewma_1 = x_1;  ewma_t = alpha * x_t + decay * ewma_{t-1}
+
+    ``alpha`` and ``decay`` are INDEPENDENT literals (the 1-alpha trap:
+    Python's 1-0.25 is exact, but for alphas like 0.3 it is not the
+    double SQL's 0.7 casts to — the mmr_rerank lesson applies, so the
+    caller spells both). Computed as one groupBy collecting each key's
+    ordered (order..., value) structs and ONE sequential fold over the
+    sorted array — the same left-fold DuckDB's list_reduce performs, so
+    the float recurrence is BIT-IDENTICAL cross-engine with no rounding
+    schedule (unlike a closed-form sum of powers, which also overflows
+    (1/decay)^n for long series). Per-key state is that key's event
+    array: bounded for entity keys (users, devices); for pathological
+    keys chunk by session/window first (the pack_documents bound
+    argument). Returns (key..., n_events, ewma) with ewma raw — callers
+    round at the edge."""
+    keys = list(key_cols)
+    orders = list(order_cols)
+    packed = F.struct(*[F.col(c) for c in orders],
+                      F.col(value_col).alias("_v"))
+    rows = (df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sort_array(F.collect_list(packed)).alias("_seq")))
+    fold = F.aggregate(
+        F.col("_seq"),
+        F.lit(None).cast("double"),
+        lambda acc, s: F.when(acc.isNull(), s["_v"].cast("double"))
+                        .otherwise(F.lit(float(alpha))
+                                   * s["_v"].cast("double")
+                                   + F.lit(float(decay)) * acc))
+    return rows.select(*keys, "n_events", fold.alias("ewma"))

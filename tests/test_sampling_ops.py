@@ -380,3 +380,25 @@ def test_resample_locf_null_group(spark):
     assert out[(None, base)] == (4.0, False)      # attached, not stranded
     assert out[(None, base + 60)] == (4.0, True)  # and carried forward
     assert out[("a", base + 60)] == (7.0, False)
+
+
+def test_ewma_matches_sequential_reference(spark):
+    from pyspark.sql import functions as F
+
+    from helix_db_spark.operators.sampling import ewma_by_key
+    rows = [("u", i, float(v)) for i, v in
+            enumerate([10, 20, 0, 5, 40])] + [("w", 0, 7.0)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    out = {r["k"]: (r["n_events"], r["ewma"])
+           for r in ewma_by_key(df, ["k"], ["t"], "v").collect()}
+    ref = 10.0
+    for x in [20.0, 0.0, 5.0, 40.0]:
+        ref = 0.25 * x + 0.75 * ref
+    assert out["u"] == (5, ref)      # bit-identical sequential fold
+    assert out["w"] == (1, 7.0)      # single event: ewma = the value
+    # order columns drive the fold: reversed input, same result
+    rev = spark.createDataFrame(list(reversed(rows)),
+                                "k string, t long, v double")
+    out2 = {r["k"]: r["ewma"]
+            for r in ewma_by_key(rev, ["k"], ["t"], "v").collect()}
+    assert out2["u"] == ref
