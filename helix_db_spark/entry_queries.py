@@ -4620,6 +4620,31 @@ def events_value_quantiles(spark, sf_dir):
                       F.round(F.col("_p")[2], 6).alias("p99")))
 
 
+@q("events_skew_report",
+   "WITH h AS (SELECT user_id % 20 AS key_bucket, count(*)::BIGINT AS n "
+   "FROM events GROUP BY 1), "
+   "t AS (SELECT sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys "
+   "FROM h), "
+   "c AS (SELECT * FROM h ORDER BY n DESC, key_bucket LIMIT 5) "
+   "SELECT c.key_bucket, c.n, t.n_rows, t.n_keys, "
+   "round(c.n / CAST(t.n_rows AS DOUBLE), 6) AS share, "
+   "round(c.n / (CAST(t.n_rows AS DOUBLE) / t.n_keys), 4) "
+   "AS skew_vs_avg FROM c CROSS JOIN t")
+def events_skew_report(spark, sf_dir):
+    """Shuffle-skew diagnosis (functions/skew.skew_report): the top hot
+    keys with share and skew-vs-uniform multiple — the report that
+    decides between the plain equi-join, AQE skew splitting, and
+    explicit salting (salted_join) BEFORE a 100 TB shuffle runs. Two
+    partial-aggregable groupBys + TakeOrderedAndProject + a 1-row
+    broadcast total; skew_vs_avg divides in double (an integer
+    n * n_keys product overflows long at petabyte row counts —
+    caught at design time)."""
+    from .functions.skew import skew_report
+    ev = _events(spark, sf_dir).select(
+        (F.col("user_id") % 20).alias("key_bucket"))
+    return skew_report(ev, "key_bucket", top=5)
+
+
 @q("events_user_ewma",
    "WITH s AS (SELECT user_id, count(*)::BIGINT AS n_events, "
    "list(value ORDER BY ts, event_id) AS seq "

@@ -41,3 +41,26 @@ def key_histogram(df: DataFrame, key: str, top: int = 20) -> DataFrame:
     before reaching for salting."""
     return (df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.col("n").desc()).limit(top))
+
+
+def skew_report(df: DataFrame, key: str, top: int = 10) -> DataFrame:
+    """The numbers that decide the salting call, in one report: the
+    ``top`` heaviest keys with their row count, share of all rows, and
+    ``skew_vs_avg`` (count over the uniform per-key expectation — the
+    multiple a hot key's shuffle task is oversized by; >~4 with a
+    non-broadcastable other side is when :func:`salted_join` pays).
+    Two partial-aggregable groupBys + a TakeOrderedAndProject cut + a
+    1-row broadcast total — runs at any corpus size. skew_vs_avg is
+    computed as n / (n_rows / n_keys) in DOUBLE (the n * n_keys integer
+    product would overflow long at petabyte row counts)."""
+    hist = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    totals = hist.agg(F.sum("n").alias("n_rows"),
+                      F.count(F.lit(1)).alias("n_keys"))
+    cut = hist.orderBy(F.col("n").desc(), F.col(key).asc()).limit(top)
+    return (cut.crossJoin(F.broadcast(totals))
+            .select(key, "n", "n_rows", "n_keys",
+                    F.round(F.col("n") / F.col("n_rows").cast("double"),
+                            6).alias("share"),
+                    F.round(F.col("n") / (F.col("n_rows").cast("double")
+                                          / F.col("n_keys")), 4)
+                    .alias("skew_vs_avg")))
