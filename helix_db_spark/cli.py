@@ -412,8 +412,9 @@ def cmd_merge(args) -> int:
     version references. With ``--latest-by`` an in-batch duplicate key
     keeps the max (version, ...) row. Prints a summary JSON."""
     from .session import get_spark
-    from .sources.merge import (latest_per_key, merge_upsert, read_table,
-                                vacuum, write_keyed_table)
+    from .sources.merge import (ConcurrentWriteError, latest_per_key,
+                                merge_upsert, read_table, vacuum,
+                                write_keyed_table)
 
     modes = [bool(args.init), bool(args.updates),
              args.vacuum_keep is not None]
@@ -451,7 +452,10 @@ def cmd_merge(args) -> int:
     try:
         stats = merge_upsert(spark, args.table, upd, args.key,
                              allow_schema_evolution=args.evolve)
-    except (ValueError, OSError) as e:
+    except (ValueError, OSError, ConcurrentWriteError) as e:
+        # ConcurrentWriteError is a RuntimeError, not an OSError — a
+        # commit race (e.g. vs a streaming sink) must still produce the
+        # JSON error contract + exit 2, not a raw traceback
         print(json.dumps({"error": str(e)}), file=sys.stderr)
         return 2
     print(json.dumps({"op": "merge", "table": args.table, **stats}))

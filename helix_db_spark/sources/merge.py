@@ -18,27 +18,28 @@ tight min/max key statistics. :func:`merge_upsert` then:
 3. rewrites ONLY those files (old rows anti-joined on the update keys,
    update rows unioned in — inserts with keys beyond every range land
    in the rewrite output too), and
-4. COMMITS by writing manifest v(n+1): the commit point is one
-   filesystem rename of the manifest (Hadoop FileSystem API, so it runs
-   against whatever filesystem the table lives on, not driver os.*).
+4. COMMITS by writing manifest v(n+1): the commit point is one atomic
+   create-if-absent of the manifest (link(2) of the fully-written tmp
+   file — link never overwrites, so of two writers racing to the same
+   version exactly one wins; see :func:`_commit_manifest`).
    Old data files are NOT touched — readers of version n are unaffected
-   by an in-flight merge, a crash before the rename leaves only orphan
-   data files, and a concurrent writer racing to the same version loses
-   the rename and gets a conflict error (optimistic concurrency, the
-   Delta protocol's shape).
+   by an in-flight merge, a crash before the claim leaves only orphan
+   data files, and the losing concurrent writer gets a conflict error
+   (optimistic concurrency, the Delta protocol's shape).
 
 Time travel: :func:`read_table` reads any committed version;
 :func:`vacuum` deletes data files no retained version references.
 Tables written before the manifest layer (bare parquet dirs) are
 adopted in place: the first merge commits v0 = the current listing.
 
-Filesystem scope: the COMMIT primitive (manifest rename) and all file
-retirement go through the Hadoop FileSystem API, but manifest
+Filesystem scope: data-file renames and all file retirement go through
+the Hadoop FileSystem API, but the commit claim (link), manifest
 read/write/listing and footer-stats reads use driver-local IO — this
 build targets a driver-visible table directory (local disk / NFS /
 fuse-mounted object store). Porting to a raw hdfs://-style URI means
-swapping open/os.listdir for fs.open/fs.listStatus — mechanical, called
-out here rather than discovered later (the webdataset ADVICE class).
+swapping open/os.listdir/os.link for fs.open/fs.listStatus/a
+conditional create — mechanical, called out here rather than
+discovered later (the webdataset ADVICE class).
 """
 
 from __future__ import annotations
@@ -50,20 +51,14 @@ from typing import List, Optional, Tuple
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .fsutil import hadoop_fs as _hadoop_fs
+
 _MDIR = "_manifests"
 
 
 class ConcurrentWriteError(RuntimeError):
-    """Another writer committed this version first (the manifest rename
+    """Another writer committed this version first (the manifest claim
     lost the race). Retry the merge against the new current version."""
-
-
-def _hadoop_fs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    uri = jvm.java.net.URI.create("file://" + path if "://" not in path
-                                  else path)
-    return jvm.org.apache.hadoop.fs.FileSystem.get(uri, conf), jvm
 
 
 def _manifest_path(root: str, version: int) -> str:
@@ -72,8 +67,16 @@ def _manifest_path(root: str, version: int) -> str:
 
 def _commit_manifest(spark: SparkSession, root: str, version: int,
                      files: List[str], op: str) -> None:
-    """Write manifest v{version} via tmp-write + rename — the rename IS
-    the commit; a False return means the version already exists."""
+    """Write manifest v{version} via tmp-write + atomic claim: the
+    commit point is ``link(tmp, final)`` — POSIX link(2) NEVER
+    overwrites an existing destination, so two writers racing to the
+    same version cannot both succeed (rename(2), by contrast, silently
+    replaces, which made exists()-then-rename a TOCTOU). The loser's
+    EEXIST becomes ConcurrentWriteError; the winner's manifest is
+    complete at claim time (content was fully written to tmp first), so
+    a concurrent reader never observes a half-written manifest. On an
+    object store swap this for the store's conditional put
+    (if-none-match) — same contract, different spelling."""
     mdir = os.path.join(root, _MDIR)
     os.makedirs(mdir, exist_ok=True)
     final = _manifest_path(root, version)
@@ -81,12 +84,18 @@ def _commit_manifest(spark: SparkSession, root: str, version: int,
     with open(tmp, "w") as f:
         json.dump({"version": version, "op": op,
                    "files": sorted(files)}, f)
-    fs, jvm = _hadoop_fs(spark, root)
-    HPath = jvm.org.apache.hadoop.fs.Path
-    if fs.exists(HPath(final)) or not fs.rename(HPath(tmp), HPath(final)):
-        fs.delete(HPath(tmp), False)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
         raise ConcurrentWriteError(
             f"version {version} of {root} was committed by another writer")
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:  # pragma: no cover - already vacuumed
+            pass
 
 
 def list_versions(root: str) -> List[int]:
@@ -274,7 +283,11 @@ def merge_upsert(spark: SparkSession, root: str, updates: DataFrame,
     touched = _touched_files(spark, updates, key_col, stats)
 
     live_paths = [os.path.join(root, n) for n in live]
-    cols = spark.read.parquet(*live_paths).limit(0).columns
+    # mergeSchema so the probe sees the UNION schema after a prior
+    # schema-evolving merge — without it the sampled schema depends on
+    # which live file Spark picks, making the drift guard nondeterministic
+    cols = (spark.read.option("mergeSchema", "true")
+            .parquet(*live_paths).limit(0).columns)
     if set(updates.columns) != set(cols) and not allow_schema_evolution:
         raise ValueError(
             f"updates schema {sorted(updates.columns)} != table schema "
@@ -355,7 +368,18 @@ def vacuum(spark: SparkSession, root: str, keep_versions: int = 1) -> dict:
     """Delete data files referenced by NO retained version and the
     manifests of expired versions (Delta VACUUM). ``keep_versions``
     counts back from the current version; time travel reaches only what
-    survives."""
+    survives.
+
+    Concurrency grace window (Delta VACUUM's retention period, applied
+    at commit granularity): any file at least as new as the latest
+    committed manifest is SKIPPED — an in-flight merge's data files are
+    renamed into the root (and its tmp manifest written) strictly after
+    the commit it read, so they are newer than that commit and survive
+    here; only after the merge commits (or a later commit supersedes it)
+    does a subsequent vacuum see them as older-than-latest and eligible.
+    Without the window, a vacuum racing an in-flight merge would delete
+    files a commit that then succeeds still references — silent table
+    corruption instead of a conflict error."""
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
     versions = list_versions(root)
@@ -366,11 +390,13 @@ def vacuum(spark: SparkSession, root: str, keep_versions: int = 1) -> dict:
     for v in kept:
         with open(_manifest_path(root, v)) as f:
             keep.update(json.load(f)["files"])
+    grace = os.path.getmtime(_manifest_path(root, versions[-1]))
     fs, jvm = _hadoop_fs(spark, root)
     HPath = jvm.org.apache.hadoop.fs.Path
     deleted = 0
     for name in sorted(os.listdir(root)):
-        if name.endswith(".parquet") and name not in keep:
+        if name.endswith(".parquet") and name not in keep \
+                and os.path.getmtime(os.path.join(root, name)) < grace:
             fs.delete(HPath(os.path.join(root, name)), False)
             deleted += 1
     dropped = 0
@@ -378,9 +404,11 @@ def vacuum(spark: SparkSession, root: str, keep_versions: int = 1) -> dict:
         if v not in kept:
             fs.delete(HPath(_manifest_path(root, v)), False)
             dropped += 1
-    # tmp manifests abandoned by crashed commits (the rename never ran)
+    # tmp manifests abandoned by crashed commits (the claim never ran);
+    # ones newer than the latest commit may be an in-flight writer's
     mdir = os.path.join(root, _MDIR)
     for name in os.listdir(mdir):
-        if ".tmp-" in name:
-            fs.delete(HPath(os.path.join(mdir, name)), False)
+        path = os.path.join(mdir, name)
+        if ".tmp-" in name and os.path.getmtime(path) < grace:
+            fs.delete(HPath(path), False)
     return {"deleted_files": deleted, "deleted_versions": dropped}

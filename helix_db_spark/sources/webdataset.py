@@ -14,9 +14,10 @@ member ``(shard, key, ext, content, size)`` — the relational shape, so
 sample-level views are one ``groupBy(key)`` away and per-modality
 pipelines (decode, dedup, feature-extract) filter on ``ext`` and reuse
 the multimodal operators unchanged. ``write_webdataset`` emits one tar
-per partition — repartition first to pick the shard count; at cluster
-scale ``out_dir`` must be a shared filesystem (documented single-box
-assumption here, the same one the on-disk index stores make).
+per partition — repartition first to pick the shard count; its
+directory lifecycle runs through the Hadoop FileSystem API and only
+the tar byte writes need ``out_dir`` executor-mounted (see the
+function's staging contract).
 
 Parity note: the reference treats ingestion as the SDK's problem (its
 engine receives rows over the wire); this source exists for the
@@ -112,23 +113,28 @@ def write_webdataset(df: DataFrame, out_dir: str, key_col: str,
     back in — the write.mode("overwrite") contract of every other
     sink here).
 
-    FILESYSTEM CONTRACT: ``out_dir`` must be one directory visible at
-    the same path from the driver AND every executor (local[] mode, or
-    NFS/Lustre-style shared storage). The stale-shard cleanup runs on
-    the driver and the tar writes run on executors via
-    ``foreachPartition`` — on a multi-node cluster with node-local
-    disks the cleanup would run on the wrong machine and stale shards
-    from a previous, larger repartition would survive to be mixed back
-    in by the read glob. For object stores (s3a/abfs/gs) route both
-    the listing/delete and the writes through the Hadoop FileSystem
-    API instead of ``os``/``tarfile``-on-local-path; this sink keeps
-    the posix spelling because tar members must be written through
-    ``tarfile`` anyway and the shared-path contract is the common
-    deployment for WebDataset corpora."""
-    os.makedirs(out_dir, exist_ok=True)
-    for old in os.listdir(out_dir):
-        if old.endswith(".tar"):
-            os.remove(os.path.join(out_dir, old))
+    Directory lifecycle (mkdir, stale-``.tar`` cleanup, final count)
+    goes through the Hadoop FileSystem API (sources/fsutil.py, the
+    merge.py pattern), so it operates on the filesystem ``out_dir``'s
+    scheme actually names — a driver-local ``os.listdir`` cleanup on a
+    cluster without shared POSIX storage would "succeed" against the
+    wrong directory and let a re-pack with fewer partitions resurrect
+    stale shards into the read glob.
+
+    TAR STAGING CONTRACT: the member writes themselves run on
+    executors through ``tarfile`` against the literal ``out_dir`` path,
+    so the DATA path still needs ``out_dir`` mounted at the same path
+    on every executor (local[] mode, NFS/Lustre, or a fuse-mounted
+    object store — the common WebDataset deployment). For a raw
+    ``s3a://``-style URI, stage each shard to executor-local tmp and
+    upload; the lifecycle half is already scheme-correct."""
+    spark = df.sparkSession
+    from .fsutil import hadoop_fs, list_file_names
+    fs, jvm = hadoop_fs(spark, out_dir)
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs.mkdirs(HPath(out_dir))
+    for old in list_file_names(spark, out_dir, suffix=".tar"):
+        fs.delete(HPath(os.path.join(out_dir, old)), False)
     cols = [key_col] + list(members.values())
 
     def write_part(it):
@@ -154,4 +160,4 @@ def write_webdataset(df: DataFrame, out_dir: str, key_col: str,
             os.remove(path)
 
     df.select(*cols).foreachPartition(write_part)
-    return sum(1 for f in os.listdir(out_dir) if f.endswith(".tar"))
+    return len(list_file_names(spark, out_dir, suffix=".tar"))

@@ -322,3 +322,28 @@ def test_merge_cli_lifecycle(spark, capsys, tmp_path):
     rc, out, _ = _run(capsys, "merge", "--table", tbl, "--key", "k",
                       "--vacuum-keep", "1")
     assert rc == 0 and json.loads(out)["deleted_versions"] == 1
+
+
+def test_merge_cli_conflict_is_json_not_traceback(spark, capsys, tmp_path,
+                                                  monkeypatch):
+    """A commit race (ConcurrentWriteError, a RuntimeError subclass —
+    NOT an OSError) must still produce the command's JSON error contract
+    and exit code 2, e.g. a CLI merge racing a streaming sink."""
+    from helix_db_spark.sources import merge as merge_mod
+    src = str(tmp_path / "src")
+    upd = str(tmp_path / "upd")
+    tbl = str(tmp_path / "tbl")
+    spark.range(10).selectExpr("id AS k", "id*2 AS v").write.parquet(src)
+    spark.createDataFrame([(3, 999)], "k long, v long").write.parquet(upd)
+    rc, _, _ = _run(capsys, "merge", "--table", tbl, "--key", "k",
+                    "--init", src, "--files", "2")
+    assert rc == 0
+
+    def lose_race(*a, **kw):
+        raise merge_mod.ConcurrentWriteError("version 1 was committed "
+                                             "by another writer")
+    monkeypatch.setattr(merge_mod, "merge_upsert", lose_race)
+    rc, _, err = _run(capsys, "merge", "--table", tbl, "--key", "k",
+                      "--updates", upd)
+    assert rc == 2
+    assert "another writer" in json.loads(err.strip())["error"]

@@ -223,3 +223,64 @@ def test_merge_schema_evolution(spark, table):
     got2 = {r["k"]: (r["v"], r["q"])
             for r in read_table(spark, table).collect()}
     assert got2[6] == (-6, None) and got2[5] == (999, 0.9)
+
+
+def test_commit_claim_never_overwrites(spark, table, tmp_path):
+    """The commit point is link(2) create-if-absent: a writer racing to
+    an already-claimed version must FAIL, leaving the winner's manifest
+    byte-identical — rename(2) would have silently replaced it (the
+    TOCTOU the round-8 ADVICE flagged)."""
+    import json as _json
+    from helix_db_spark.sources.merge import (ConcurrentWriteError,
+                                              _commit_manifest,
+                                              _manifest_path)
+    winner = _manifest_path(table, 1)
+    os.makedirs(os.path.dirname(winner), exist_ok=True)
+    with open(winner, "w") as f:
+        _json.dump({"version": 1, "op": "merge",
+                    "files": ["winner.parquet"]}, f)
+    before = open(winner).read()
+    with pytest.raises(ConcurrentWriteError):
+        _commit_manifest(spark, table, 1, ["loser.parquet"], "merge")
+    assert open(winner).read() == before          # never overwritten
+    mdir = os.path.dirname(winner)
+    assert not any(".tmp-" in n for n in os.listdir(mdir))  # tmp cleaned
+
+
+def test_vacuum_grace_skips_inflight_files(spark, table):
+    """Vacuum must not delete files newer than the latest commit — an
+    in-flight merge's data files are renamed into the root before its
+    manifest claim, and deleting them would corrupt a commit that then
+    succeeds. Older unreferenced orphans (a crashed merge from before
+    the last commit) are still collected."""
+    from helix_db_spark.sources.merge import (_manifest_path,
+                                              merge_upsert, vacuum)
+    upd = spark.createDataFrame([(3, -1, "x")], "k long, v long, s string")
+    merge_upsert(spark, table, upd, "k")          # commit v1
+    grace = os.path.getmtime(_manifest_path(table, 1))
+    inflight = os.path.join(table, "merge-00000002-00000-inflight.parquet")
+    open(inflight, "wb").write(b"PAR1")           # newer than v1's commit
+    stale = os.path.join(table, "merge-00000000-00000-crashed.parquet")
+    open(stale, "wb").write(b"PAR1")
+    os.utime(stale, (grace - 100, grace - 100))   # older than v1's commit
+    st = vacuum(spark, table, keep_versions=1)
+    # deleted: v0's superseded file + the old orphan; kept: the new one
+    assert st["deleted_files"] == 2
+    assert os.path.exists(inflight)
+    assert not os.path.exists(stale)
+
+
+def test_schema_guard_deterministic_after_evolution(spark, table):
+    """After an evolving merge adds a column, a later NON-evolving merge
+    that omits it must raise — deterministically. The probe reads with
+    mergeSchema, so the union schema (not whichever live file Spark
+    samples) is what the updates are compared against."""
+    from helix_db_spark.sources.merge import merge_upsert
+    ev = spark.createDataFrame([(5, 999, "upd-5", 0.9)],
+                               "k long, v long, s string, q double")
+    merge_upsert(spark, table, ev, "k", allow_schema_evolution=True)
+    narrow = spark.createDataFrame([(6, -6, "six")],
+                                   "k long, v long, s string")
+    for _ in range(3):  # was nondeterministic pre-fix; now always raises
+        with pytest.raises(ValueError, match="schema"):
+            merge_upsert(spark, table, narrow, "k")
