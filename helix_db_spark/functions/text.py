@@ -7,7 +7,7 @@ documented so oracle SQL can reproduce it exactly
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT = "[^a-z0-9]+"
@@ -51,47 +51,76 @@ def token_shingles(text: Column, n: int = 2) -> Column:
     return shingles_from_tokens(tokens(text), n)
 
 
+def tokenized_docs(df: DataFrame, id_col: str, text_col: str,
+                   max_tokens: int | None = None) -> DataFrame:
+    """(id, _tk: array<string>) with the tokenizer materialized through a
+    GENERATE BARRIER: ``explode(array(tokens(text)))`` is a one-row-per-doc
+    generator whose output attribute downstream projections can only
+    REFERENCE — Catalyst's CollapseProject would otherwise inline the
+    tokens() expression into every consumer (higher-order lambdas also
+    block subexpression elimination), re-running the tokenizer regex once
+    per shingle (~50x measured, r5; re-confirmed r9: the barrier-less
+    array form ran 10.5s vs 0.9s at sf0.1).
+
+    Low-parallelism-source guard: a corpus that arrives in fewer
+    partitions than the cluster has slots (the single-file local bench
+    read, a coalesced upstream) is first hash-repartitioned ON THE ID to
+    defaultParallelism — one exchange of the raw docs that (a) spreads
+    the tokenizer/shingle CPU across every core and (b) pre-aligns the
+    partitioning with every per-doc consumer (groupBy(id), window by id),
+    which then needs NO further exchange. Inputs that already have enough
+    partitions skip it: at cluster scale a corpus scan arrives in
+    thousands of partitions and per-doc aggregates map-side-combine to
+    one row per doc before their shuffle.
+
+    ``max_tokens`` is a straggler bound for pathological documents (a
+    documented quality knob, like winnowing's max_df): docs are compared
+    on their first ``max_tokens`` tokens only — applied as an array slice
+    here, before any shingle is built.
+    """
+    if not df.isStreaming:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target, F.col(id_col))
+    tk = tokens(F.col(text_col))
+    if max_tokens is not None:
+        tk = F.slice(tk, 1, max_tokens)
+    return df.select(F.col(id_col), F.explode(F.array(tk)).alias("_tk"))
+
+
+def shingle_array(toks: Column, n: int) -> Column:
+    """ALL word n-grams (duplicates kept, document order) from a
+    materialized token array — the non-distinct sibling of
+    shingles_from_tokens; same barrier requirement."""
+    last = F.size(toks) - F.lit(n)
+    idx = F.sequence(F.lit(0), last)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.when(last >= 0, grams) \
+        .otherwise(F.array().cast("array<string>"))
+
+
 def shingle_rows(df: DataFrame, id_col: str, text_col: str,
                  n: int = 3, distinct: bool = True,
                  max_tokens: int | None = None) -> DataFrame:
-    """Word n-gram rows (id, _s) — the hot-path shingle shape (DISTINCT per
-    doc unless ``distinct=False``; pass False when the consumer is
-    idempotent over duplicates, e.g. a min-aggregate, to skip a shuffle).
+    """Word n-gram rows (id, _s) — the hot-path shingle shape (DISTINCT
+    per doc unless ``distinct=False``).
 
-    posexplode evaluates the tokenizer ONCE per document (generators do
-    not re-evaluate their child), then window lead() assembles n-grams.
-
-    An array formulation (slice+concat_ws per row, one explode — the
-    winnow_fingerprints shape) was MEASURED AND REJECTED here (r5):
-    under honest full work (cache cleared per rep) the window version
-    wins — minhash pairs 2.37s vs 2.8-3.1s, ngram jaccard 1.93s vs
-    2.7-3.0s at sf0.1. The window's exchange on the doc id is NOT an
-    extra shuffle for the main consumers: minhash's signature groupBy
-    and the per-doc set collection reuse the same hash partitioning,
-    while the array form pays the same downstream shuffle PLUS the
-    per-row array build (O(tokens x n) string copying inside one task).
-    The count-only explode microbenchmark shows the opposite (0.71 vs
-    1.05s) — it omits the downstream aggregate that amortizes the
-    window's sort; don't re-swap based on it.
-
-    ``max_tokens`` is a straggler bound for pathological documents: one
-    10 MB doc otherwise explodes to ~2M (doc, token) rows in a SINGLE
-    window/groupBy group — a per-key straggler no partitioning fixes. It
-    is a documented quality knob (like winnowing's max_df): docs are
-    compared on their first ``max_tokens`` tokens only.
+    Array formulation (r9): tokenized_docs' Generate barrier -> per-doc
+    shingle array -> one explode. Replaces the r5 window/lead form: no
+    window sort, no token-rows exchange (the only exchange is
+    tokenized_docs' low-parallelism guard, which pre-aligns per-doc
+    consumers), and ``distinct`` is a per-doc array_distinct instead of a
+    dropDuplicates SHUFFLE. The r5 window-vs-array measurement that
+    rejected arrays predated the barrier — without it CollapseProject
+    re-ran the tokenizer per shingle, which is what actually lost.
+    Interleaved A/B at sf0.1 (r9): minhash 2.44 -> 2.21s, ngram jaccard
+    3.03 -> 2.71s, outputs bit-identical.
     """
-    toks = df.select(F.col(id_col),
-                     F.posexplode(tokens(F.col(text_col))).alias("_p", "_t"))
-    if max_tokens is not None:
-        toks = toks.filter(F.col("_p") < max_tokens)
-    w = Window.partitionBy(id_col).orderBy("_p")
-    parts = [F.col("_t")] + [F.lead("_t", k).over(w) for k in range(1, n)]
-    last = parts[-1]
-    sh = toks.select(F.col(id_col),
-                     F.concat_ws(" ", *parts).alias("_s"),
-                     last.isNotNull().alias("_ok"))
-    out = sh.filter("_ok").drop("_ok")
-    return out.dropDuplicates([id_col, "_s"]) if distinct else out
+    base = tokenized_docs(df, id_col, text_col, max_tokens)
+    grams = shingle_array(F.col("_tk"), n)
+    if distinct:
+        grams = F.array_distinct(grams)
+    return base.select(F.col(id_col), F.explode(grams).alias("_s"))
 
 
 def md5_long(col: Column) -> Column:

@@ -28,7 +28,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import char_shingles, md5_long, md5_long32, \
-    shingle_rows, shingles_from_tokens, token_shingles, tokens
+    shingle_rows, shingles_from_tokens, token_shingles, tokenized_docs, \
+    tokens
 
 # fixed universal-hash prime: with 32-bit inputs and 31-bit multipliers,
 # a*h + b < 2^63 — no long overflow under ANSI mode, and the exact same
@@ -398,43 +399,49 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # verify join-backs) — materialize once instead of recomputing the
     # tokenize+shingle pipeline per branch. See _mat() for the
     # persist-vs-localCheckpoint tradeoff (driver-bench A/B'd in r5).
+    # r9: the per-doc shingle SET is built map-only (tokenized_docs
+    # barrier -> distinct shingle array) — the former explode + window +
+    # collect_list groupBy spent a token-rows exchange and a sort to
+    # reassemble exactly this frame (0.78 -> 0.33s at sf0.1).
     if use_tokens:
-        ex = shingle_rows(df, id_col, text_col, n, max_tokens=max_tokens) \
+        base = tokenized_docs(df, id_col, text_col, max_tokens) \
             .withColumnRenamed(id_col, "_doc")
-        sets = _mat(ex.groupBy("_doc").agg(
-            F.collect_list("_s").alias("_sh"),
-            F.count(F.lit(1)).alias("_size")))
+        sh = base.select("_doc",
+                         shingles_from_tokens(F.col("_tk"), n).alias("_sh"))
+        sets = _mat(sh.withColumn("_size", F.size("_sh"))
+                      .filter(F.col("_size") > 0))
     else:
         sets = _mat(_shingle_sets(df, id_col, text_col, n, use_tokens)
                     .withColumnRenamed(id_col, "_doc")
                     .withColumn("_size", F.size("_sh"))
                     .filter(F.col("_size") > 0))
-    # derive the exploded view from the PERSISTED sets — re-deriving it from
-    # the raw shingle pipeline would recompute tokenization + the n-gram
-    # window for every downstream branch (freq, ranked), ~3x the work.
-    exploded = sets.select("_doc", "_size", F.explode("_sh").alias("_s"))
-    freq = exploded.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
-    # rank shingles within each doc by (global df, shingle); prefix length
+    # derive the exploded view from the PERSISTED sets, hashing each
+    # shingle ONCE to a 60-bit md5 key: frequency counting, the rarity
+    # rank, and the prefix self-join all run on 8-byte longs instead of
+    # shingle strings (narrower shuffles; one hash evaluation total).
+    # Hash-equal is a strict SUPERSET of string-equal, so a collision can
+    # only (a) merge two shingles' df counts — the rarity order is a
+    # performance heuristic, ANY consistent global order preserves
+    # PPJoin's no-false-negative prefix guarantee — or (b) add a candidate
+    # pair, which the exact string-array verify below rejects. Output is
+    # decided solely by that exact verify.
+    exploded = sets.select("_doc", "_size", F.explode("_sh").alias("_s")) \
+                   .select("_doc", "_size", md5_long(F.col("_s")).alias("_k"))
+    freq = exploded.groupBy("_k").agg(F.count(F.lit(1)).alias("_df"))
+    # rank shingles within each doc by (global df, hash); prefix length
     # L = size - ceil(t*size) + 1
-    ranked = exploded.join(freq, on="_s").withColumn(
+    ranked = exploded.join(freq, on="_k").withColumn(
         "_rk",
         F.row_number().over(
             Window.partitionBy("_doc").orderBy(F.col("_df").asc(),
-                                               F.col("_s").asc())))
+                                               F.col("_k").asc())))
     prefix_len = (F.col("_size") -
                   F.ceil(F.lit(threshold) * F.col("_size")) + 1)
     # The candidate self-join reads the prefix table twice; materialize it
     # once (_mat, eager) so both sides read finished blocks instead of
-    # recomputing the rank pipeline. Join on a 60-bit md5 of the shingle,
-    # not the string: hash-equal is a strict SUPERSET of string-equal, so a
-    # collision can only add a candidate pair (rejected by the exact verify
-    # below), never drop one — the PPJoin no-false-negative guarantee is
-    # untouched, while the long key roughly halves the self-join shuffle
-    # width. Prefix SELECTION keeps the exact (df, shingle-string) global
-    # order.
+    # recomputing the rank pipeline.
     prefix = _mat(ranked.filter(F.col("_rk") <= prefix_len)
-                  .select("_doc", md5_long(F.col("_s")).alias("_k"),
-                          "_size", "_rk"))
+                  .select("_doc", "_k", "_size", "_rk"))
 
     # length filter (exact): J(A,B) >= t requires |A∩B| >= t·(|A|+|B|−|A∩B|)
     # and |A∩B| <= min(|A|,|B|), hence t·|A| <= |B| <= |A|/t. Applied inside
