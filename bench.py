@@ -83,6 +83,19 @@ def main() -> None:
                     materialize(registry[name](spark, warm_dir))
                 except Exception:  # noqa: BLE001 — warm-up must never fail the bench
                     pass
+        # the dedup self-joins run a 64-buffer generated aggregate whose
+        # class tiers to C2 only after ~8 invocations (measured r9: the
+        # same agg on identical cached rows runs 0.6s on executions 3-6
+        # and 0.16s from ~execution 8) — two passes leave them timed at
+        # the interpreter/C1 plateau. Extra untimed small-sf passes for
+        # the heavy tail only; same honesty argument as the global
+        # warm-up (JIT compile is a fixed cost, irrelevant at scale).
+        for _ in range(4):
+            for name in ("dedup_minhash_pairs", "dedup_ngram_jaccard_pairs"):
+                try:
+                    materialize(registry[name](spark, warm_dir))
+                except Exception:  # noqa: BLE001
+                    pass
         # drop warm-up persists: each operator call pins its own
         # intermediates; two warm-up passes would otherwise crowd storage
         # memory and evict the timed pass's caches mid-query

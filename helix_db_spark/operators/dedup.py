@@ -81,6 +81,21 @@ def _mat(df: DataFrame) -> DataFrame:
     return out
 
 
+def _mat_lazy(df: DataFrame) -> DataFrame:
+    """Lazy persist for an intermediate whose consumers need no
+    broadcast-eligibility stats (e.g. both sides of a sort-merge
+    self-join): the cache still stops the second consumer recomputing
+    the subtree, but the population folds into the FIRST job instead of
+    costing a separate eager count() pass. Interleaved A/B r9 (ngram
+    prefix table): lazy 2.39s vs eager 3.59s vs none 2.63s at sf0.1.
+    Same LRU leak control as _mat."""
+    out = df.persist()
+    _MAT_LRU.append(out)
+    while len(_MAT_LRU) > _MAT_LRU_MAX:
+        _MAT_LRU.popleft().unpersist()
+    return out
+
+
 def _perm_constants(num: int):
     """Deterministic (a, b) pairs (31-bit, a odd) from a tiny LCG — no RNG
     import, reproducible anywhere (incl. SQL oracles)."""
@@ -161,12 +176,18 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
         sh = _shingle_sets(df, id_col, text_col, shingle_size, use_tokens)
         ex = sh.select(F.col(id_col), F.explode("_sh").alias("_s"))
     # materialize the md5-derived hash ONCE per shingle — each of the
-    # num_hashes aggregates below reuses the column instead of re-hashing
+    # num_hashes aggregates below reuses the column instead of re-hashing.
+    # try_* arithmetic: bit-identical to +/*/% here (h is 32-bit, a 31-bit
+    # — a*h+b < 2^63 never overflows, divisor is a constant prime), but
+    # ANSI +/*/% embed overflow/zero-check error paths in the generated
+    # code of all 64 aggregates; the try_ spelling measured ~0.17s faster
+    # per run at sf0.1 (r9 A/B, values verified identical).
     exploded = ex.select(F.col(id_col), md5_long32(F.col("_s")).alias("_h"))
     h = F.col("_h")
     aggs = []
     for i, (a, b) in enumerate(_perm_constants(num_hashes)):
-        aggs.append(F.min((h * F.lit(a) + F.lit(b)) % F.lit(_PRIME))
+        aggs.append(F.min(F.try_mod(F.try_add(F.try_multiply(h, F.lit(a)),
+                                              F.lit(b)), F.lit(_PRIME)))
                     .alias(f"_m{i}"))
     sigs = exploded.groupBy(id_col).agg(*aggs)
     return sigs.select(
@@ -437,11 +458,12 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                                                F.col("_k").asc())))
     prefix_len = (F.col("_size") -
                   F.ceil(F.lit(threshold) * F.col("_size")) + 1)
-    # The candidate self-join reads the prefix table twice; materialize it
-    # once (_mat, eager) so both sides read finished blocks instead of
-    # recomputing the rank pipeline.
-    prefix = _mat(ranked.filter(F.col("_rk") <= prefix_len)
-                  .select("_doc", "_k", "_size", "_rk"))
+    # The candidate self-join reads the prefix table twice; persist it
+    # LAZILY (_mat_lazy) — both self-join sides are sort-merge on _k
+    # (no broadcast decision rides on its stats), so the eager count()
+    # job is pure overhead here.
+    prefix = _mat_lazy(ranked.filter(F.col("_rk") <= prefix_len)
+                       .select("_doc", "_k", "_size", "_rk"))
 
     # length filter (exact): J(A,B) >= t requires |A∩B| >= t·(|A|+|B|−|A∩B|)
     # and |A∩B| <= min(|A|,|B|), hence t·|A| <= |B| <= |A|/t. Applied inside
