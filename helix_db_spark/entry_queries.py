@@ -2560,6 +2560,46 @@ def drop_cascade_counts(spark, sf_dir):
             .crossJoin(out["ne"].select(F.col("count").alias("n_edges"))))
 
 
+@q("write_update_drop_lifecycle",
+   "SELECT * FROM (VALUES ('bob', 'high', CAST(2 AS BIGINT), "
+   "CAST(1 AS BIGINT)), ('carol', 'high', 2, 1)) "
+   "AS t(name, tier, n_nodes, n_edges) ORDER BY name")
+def write_update_drop_lifecycle(spark, sf_dir):
+    """SetProperty + AddE + Drop-cascade in ONE graded write batch (§2
+    rows 51-54 — the count_and_exists merge pattern, VERDICT r8 #5):
+    tier properties are set by score band, two edges added, then alice
+    is dropped — which must cascade to her incident edge
+    (dsl.rs:3146-3147) — and the surviving (name, tier) rows ride with
+    the post-drop node/edge counts. The single-op variants
+    (set_property_update, drop_cascade_counts) stay registered below
+    the driver cap."""
+    from .catalog import GraphCatalog
+    cat = GraphCatalog(spark)
+    cat.add_nodes("user", spark.createDataFrame(
+        [(1, "alice", 40.0), (2, "bob", 75.0), (3, "carol", 90.0)],
+        "k long, name string, score double"), key_col="k")
+    eng = HelixSparkEngine(cat)
+    out = eng.execute_batch(
+        dsl.write_batch()
+        .var_as("lo", g().n("user").where(P.lt("score", 50.0))
+                .set_property("tier", "low"))
+        .var_as("hi", g().n("user").where(P.gte("score", 50.0))
+                .set_property("tier", "high"))
+        .var_as("e1", g().n("user").where(P.eq("name", "alice"))
+                .add_e("knows", to=[2]))
+        .var_as("e2", g().n("user").where(P.eq("name", "bob"))
+                .add_e("knows", to=[3]))
+        .var_as("gone", g().n("user").where(P.eq("name", "alice")).drop())
+        .var_as("res", g().n("user").order_by("name")
+                .values("name", "tier"))
+        .var_as("nn", g().n("user").count())
+        .var_as("ne", g().e("knows").count())
+        .returning("res", "nn", "ne"))
+    return (out["res"]
+            .crossJoin(out["nn"].select(F.col("count").alias("n_nodes")))
+            .crossJoin(out["ne"].select(F.col("count").alias("n_edges"))))
+
+
 # ---------------------------------------------------------------------------
 # 13. simhash pairs, tenant + IVF vector search
 # ---------------------------------------------------------------------------
@@ -4515,6 +4555,58 @@ SELECT side, node, score FROM (
     return "".join(parts)
 
 
+def _pagerank_oracle(iters: int = 4, topn: int = 25) -> str:
+    """Unrolled max-normalized PageRank replay (the _hits_oracle
+    pattern): per iteration, inflow = round-12 of sum(rank/out_degree)
+    per target, raw = round-12 of 0.15 + 0.85*inflow (independent DOUBLE
+    literals), state = round-12 of raw / max(raw). Dangling mass is
+    dropped on both sides — see operators/graph.pagerank_maxnorm."""
+    parts = ["""WITH e AS (SELECT DISTINCT o_custkey AS src,
+    l_partkey AS dst FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+od AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS s FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+f{i} AS (SELECT e.dst AS node, round(sum(r.s / od.od), 12) AS f
+  FROM e JOIN r{i-1} r ON e.src = r.node JOIN od ON e.src = od.src
+  GROUP BY e.dst),
+raw{i} AS (SELECT n.node,
+    round(CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
+          * coalesce(f{i}.f, CAST(0 AS DOUBLE)), 12) AS r
+  FROM nodes n LEFT JOIN f{i} ON n.node = f{i}.node),
+m{i} AS (SELECT max(r) AS m FROM raw{i}),
+r{i} AS (SELECT node, round(r / m{i}.m, 12) AS s
+  FROM raw{i} CROSS JOIN m{i})""")
+    parts.append(f"""
+SELECT node, round(s, 6) AS score FROM r{iters}
+ORDER BY round(s, 6) DESC, node LIMIT {topn}""")
+    return "".join(parts)
+
+
+@q("copurchase_pagerank", _pagerank_oracle())
+def copurchase_pagerank(spark, sf_dir):
+    """Graded PageRank over the customer->part purchase graph — the
+    last link-analysis member to get a value-hash oracle (VERDICT r8
+    #6): pagerank_maxnorm applies the HITS determinism recipe (round-12
+    states, MAX normalization, dangling mass dropped, independent
+    0.15/0.85 literals) so four power iterations replay bit-identically
+    in the unrolled SQL CTE. Classic sum-to-1 PageRank stays available
+    as operators/graph.pagerank (numpy-pinned tests — its L1 scale and
+    dangling redistribution are global float sums no rounding grid can
+    pin). Top-25 by rounded score via TakeOrderedAndProject."""
+    from .operators.graph import pagerank_maxnorm
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = (orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+             .select(F.col("o_custkey").alias("src"),
+                     F.col("l_partkey").alias("dst")))
+    pr = pagerank_maxnorm(edges, iters=4)
+    s6 = F.round(F.col("score"), 6)
+    return (pr.orderBy(s6.desc(), F.col("node").asc()).limit(25)
+              .select("node", s6.alias("score")))
+
+
 _PSI_QS = ", ".join(f"{i / 10}" for i in range(1, 10))
 _DRIFT_ORACLE = f"""
 WITH ref AS (SELECT event_type, value FROM events WHERE user_id < 500),
@@ -5332,8 +5424,16 @@ DRIVER_TOP50 = [
     # edge_search_modes merges VectorSearchEdges + TextSearchEdges
     # (§2 row 7 is one row); the freed slot grades the kNN graph family.
     "bm25_text_search", "edge_search_modes",
-    # write path + batch machinery (rows 53-63)
-    "write_batch_adds", "set_property_update", "drop_cascade_counts",
+    # write path + batch machinery (rows 53-63).
+    # write_update_drop_lifecycle merges the SetProperty slot (§2 row
+    # 52) with the Drop-cascade slot (rows 53-54) in one graded batch —
+    # the count_and_exists pattern; both single-op variants stay below
+    # the cap, vanilla-verified. The freed slot grades the lakehouse
+    # MERGE path (merge_upsert_documents — file-pruned upsert + manifest
+    # commit + time-travel read, the repo's durable write story and the
+    # strongest r8 artifact the driver had never graded; VERDICT r8 #5).
+    "write_batch_adds", "write_update_drop_lifecycle",
+    "merge_upsert_documents",
     "batch_condition_gate", "foreach_accumulate",
     # LLM-pipeline: dedup / text / multimodal / streaming / dataset prep.
     # Near-duplicate slots merged (r3 task #4, r5 task #3):

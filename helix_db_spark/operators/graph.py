@@ -216,6 +216,58 @@ def personalized_pagerank(edges: DataFrame, seed_ids, iters: int = 4,
     return ranks.select("node", F.col("rank").alias("ppr"))
 
 
+def pagerank_maxnorm(edges: DataFrame, src: str = "src",
+                     dst: str = "dst", iters: int = 4,
+                     state_round: int = 12) -> DataFrame:
+    """Deterministic (oracle-gradable) PageRank: fixed power iterations
+    with the HITS determinism recipe (see :func:`hits_bipartite`) —
+    per-node inflow sums rounded to ``state_round``, then each state
+    normalized by its MAX (order-independent, unlike the L1 norm
+    classic PageRank implies), so every state is bit-identical to an
+    unrolled SQL replay.
+
+        raw_{i+1}(v) = round(0.15 + 0.85 * inflow_i(v), 12)
+        r_{i+1}(v)   = round(raw_{i+1}(v) / max raw_{i+1}, 12)
+
+    Contract differences from :func:`pagerank` (kept for the classic
+    semantics): scores are max-normalized to (0, 1] rather than summing
+    to 1, and dangling mass is DROPPED rather than redistributed — a
+    global float sum over all dangling nodes wobbles with order of
+    addition (~n*eps) beyond any rounding grid, which is exactly what
+    makes classic PageRank un-gradable across engines; dropping it
+    changes absolute scores, not the importance ordering a ranking
+    consumer reads. Damping constants are independent literals (0.15 /
+    0.85, never 1-d — Python's 1-0.85 is 0.15000000000000002).
+    Per iteration: one equi-join + partial-agg groupBy, one scalar
+    (the max) on the driver; linear in edges, the pagerank shape.
+    Returns (node, score), max node = 1.
+    """
+    e = edges.select(src, dst).distinct().localCheckpoint()
+    out_deg = e.groupBy(src).agg(
+        F.count(F.lit(1)).cast("double").alias("_od"))
+    ann = e.join(out_deg, on=src).localCheckpoint()
+    nodes = (e.select(F.col(src).alias("node"))
+             .unionAll(e.select(F.col(dst).alias("node")))
+             .distinct().localCheckpoint())
+    r = nodes.withColumn("s", F.lit(1.0))
+    for _ in range(int(iters)):
+        inflow = (ann.join(r, ann[src] == r["node"])
+                  .select(F.col(dst).alias("node"),
+                          (F.col("s") / F.col("_od")).alias("_c"))
+                  .groupBy("node")
+                  .agg(F.round(F.sum("_c"), state_round).alias("_f")))
+        raw = (nodes.join(inflow, on="node", how="left")
+               .select("node",
+                       F.round(F.lit(0.15) + F.lit(0.85)
+                               * F.coalesce(F.col("_f"), F.lit(0.0)),
+                               state_round).alias("_r")))
+        m = raw.agg(F.max("_r")).collect()[0][0]
+        r = raw.select("node",
+                       F.round(F.col("_r") / F.lit(float(m)),
+                               state_round).alias("s")).localCheckpoint()
+    return r.select("node", F.col("s").alias("score"))
+
+
 def hits_bipartite(edges: DataFrame, src: str = "src", dst: str = "dst",
                    iters: int = 4, state_round: int = 12) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999) over a directed edge

@@ -163,6 +163,11 @@ def brute_force_topk(df: DataFrame, vec_col: str, query: Sequence[float],
 
 IVF_MAX_CELLS = 4096
 
+# mmr_rerank's driver-side greedy chain holds pool^2 similarity rows;
+# 1000 => at most 1M (16 MB of (long,long,double)) — far above any sane
+# re-rank pool (20-200) yet safely inside driver memory.
+MMR_MAX_POOL = 1000
+
 
 def ivf_cell_budget(n: int, max_cells: int = IVF_MAX_CELLS) -> int:
     """Centroid count for an n-row corpus: ceil(sqrt(n)) capped at
@@ -884,8 +889,20 @@ def mmr_rerank(df: DataFrame, id_col: str, vec_col: str,
     Returns (id, mmr_rank, mmr_score): pick order and the score at
     selection time (pick_1's score is its relevance). mmr_score is the
     RAW double — callers round with F.round (Spark's HALF_UP matches
-    the SQL oracle; Python's round() is half-to-even — ADVICE r7)."""
+    the SQL oracle; Python's round() is half-to-even — ADVICE r7).
+
+    ``pool`` is capped at MMR_MAX_POOL (raises above it): the greedy
+    chain collects pool rel rows + pool^2 similarity rows to the
+    driver, so the documented bounded-driver-state exemption holds only
+    while the bound is enforced IN CODE — a caller passing a
+    corpus-sized pool must get an error, not a driver OOM."""
     from ..functions.vector import cosine_similarity_exact, lit_vector
+    if pool > MMR_MAX_POOL:
+        raise ValueError(
+            f"pool={pool} exceeds MMR_MAX_POOL={MMR_MAX_POOL}: the MMR "
+            f"greedy chain holds pool^2 similarity rows in driver "
+            f"memory; re-rank a bounded candidate pool (the ANN top-N), "
+            f"not the corpus")
     spark = df.sparkSession
     qn = [float(x) for x in query]
     rel = F.round(

@@ -55,8 +55,14 @@ def test_driver_top50_covers_survey_ops():
         "vector_search_ivf_disk",  # served on-disk index layout (r7)
         "tenant_vector_search", "bm25_text_search",
         "edge_search_modes",       # merged edge-target search slot (row 7)
-        "write_batch_adds", "set_property_update",
-        "drop_cascade_counts", "batch_condition_gate", "foreach_accumulate",
+        # set_property_update + drop_cascade_counts merged r9 into one
+        # write-lifecycle batch (the count_and_exists pattern); the
+        # single-op variants stay below the cap, and the freed slot
+        # grades the lakehouse MERGE path (file-pruned upsert + manifest
+        # commit + time travel — VERDICT r8 #5)
+        "write_batch_adds", "write_update_drop_lifecycle",
+        "merge_upsert_documents",
+        "batch_condition_gate", "foreach_accumulate",
         # LLM-pipeline + dataset-prep families (merged slots are the sole
         # graded representative of their operators)
         "dedup_pipeline_survivors",

@@ -270,3 +270,15 @@ def test_hits_matches_reference(spark):
     # universally-bought part out-ranks the others
     assert got[("hub", 1)] > got[("hub", 3)]
     assert got[("authority", 10)] > got[("authority", 12)]
+
+
+def test_mmr_pool_bound_enforced(spark):
+    """The pool^2 driver chain is bounded IN CODE: a corpus-sized pool
+    must raise, not OOM the driver (VERDICT r8 #7)."""
+    import pytest
+    from helix_db_spark.operators.similarity import MMR_MAX_POOL, mmr_rerank
+    df = spark.range(5).selectExpr(
+        "id AS vec_id", "array(cast(id as float), 1.0F) AS embedding")
+    with pytest.raises(ValueError, match="MMR_MAX_POOL"):
+        mmr_rerank(df, "vec_id", "embedding", [1.0, 0.0], k=3,
+                   pool=MMR_MAX_POOL + 1)
