@@ -754,6 +754,78 @@ def append_to_ivf_index(df: DataFrame, root: str) -> None:
         .parquet(_os.path.join(root, "cells"))
 
 
+def ivf_cell_skew_report(spark, root: str) -> dict:
+    """Cell-occupancy health of an on-disk IVF index — the number the
+    append path silently degrades: :func:`append_to_ivf_index` assigns
+    new vectors to FROZEN centroids, so a drifting ingest piles into a
+    few cells and both probe cost (a probed hot cell scans its whole
+    directory) and recall (one centroid covering two true clusters)
+    erode. One partial-aggregable groupBy over the partition column +
+    a bounded (<= max_cells rows) driver aggregate — the
+    functions/skew.skew_report pattern applied to the index layout.
+    Returns {ncells, n_rows, max_cell, median_cell, skew_ratio} with
+    skew_ratio = max/median (the recluster trigger's input)."""
+    import os as _os
+    cells = spark.read.parquet(_os.path.join(root, "cells"))
+    hist = cells.groupBy("_cell").agg(F.count(F.lit(1)).alias("n"))
+    row = hist.agg(F.count(F.lit(1)).alias("ncells"),
+                   F.sum("n").alias("n_rows"),
+                   F.max("n").alias("max_cell"),
+                   F.median("n").alias("median_cell")).collect()[0]
+    med = float(row["median_cell"] or 0.0)
+    return {"ncells": int(row["ncells"]), "n_rows": int(row["n_rows"]),
+            "max_cell": int(row["max_cell"]),
+            "median_cell": med,
+            "skew_ratio": round(row["max_cell"] / med, 4) if med else
+            float("inf")}
+
+
+def recluster_ivf_index(spark, root: str, max_skew: float = 4.0,
+                        refine_iters: int = 2) -> dict:
+    """Skew-triggered recluster of an on-disk IVF index: when sustained
+    appends have pushed ``max_cell/median_cell`` above ``max_skew``,
+    rebuild the coarse quantizer (Lloyd refinement over the CURRENT
+    corpus, :func:`kmeans_refine`) and rewrite the layout; below the
+    bound it is a no-op that just returns the report — so a maintenance
+    cron can call it unconditionally, the Delta OPTIMIZE usage shape.
+
+    Quantized (SQ8) layouts raise: codes cannot be re-meaned into
+    centroids — rebuild those from the raw source with store_ivf_index.
+    The rebuild stages into ``<root>_rebuild_<pid>`` and swaps by
+    directory rename (two renames + rmtree) — a maintenance window, not
+    a lock-free commit: run it single-writer like compact_table/vacuum
+    (the manifest-commit upgrade path is merge.py's if an index ever
+    needs concurrent probes during rebuild at 100 TB).
+
+    Returns {"reclustered": bool, "before": report[, "after": report]}.
+    """
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    before = ivf_cell_skew_report(spark, root)
+    if before["skew_ratio"] <= max_skew:
+        return {"reclustered": False, "before": before}
+    with open(_os.path.join(root, "meta.json")) as fh:
+        meta = _json.load(fh)
+    if meta.get("quantized"):
+        raise ValueError(
+            "cannot recluster a quantized (SQ8) layout from its codes; "
+            "rebuild from the raw vectors with store_ivf_index")
+    corpus = (spark.read.parquet(_os.path.join(root, "cells"))
+              .select(meta["id_col"], meta["vec_col"]))
+    tmp = root.rstrip("/") + f"_rebuild_{_os.getpid()}"
+    store_ivf_index(corpus, meta["id_col"], meta["vec_col"], tmp,
+                    max_cells=meta["max_cells"],
+                    refine_iters=refine_iters)
+    old = root.rstrip("/") + f"_old_{_os.getpid()}"
+    _os.rename(root, old)
+    _os.rename(tmp, root)
+    _shutil.rmtree(old)
+    after = ivf_cell_skew_report(spark, root)
+    return {"reclustered": True, "before": before, "after": after}
+
+
 def _assign_multi(df: DataFrame, id_col: str, vec_col: str,
                   cents: DataFrame, nprobe: int) -> DataFrame:
     """Top-``nprobe`` nearest-centroid assignment (one row per (id,
