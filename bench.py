@@ -153,6 +153,13 @@ def main() -> None:
     FORCE3 = {"dedup_minhash_pairs", "dedup_ngram_jaccard_pairs",
               "vector_search_topk", "vector_search_ivf",
               "bm25_text_search"}
+    # --reps N: same-session repeat protocol for variance forensics
+    # (PLANS.md r9) — raises every query's rep count so one command
+    # separates shared-VM load from a code regression. The judged
+    # default path (no args) is untouched.
+    reps_override = None
+    if "--reps" in sys.argv:
+        reps_override = int(sys.argv[sys.argv.index("--reps") + 1])
     timings = {}
     total = 0.0
     for name in BENCH_QUERIES:
@@ -161,7 +168,7 @@ def main() -> None:
         if name in NEEDS_INDEX:
             rebuild_indexes()
         rows = fn(spark, SF_DIR).count()  # untimed; rows for the log only
-        min_reps = 3 if name in FORCE3 else 2
+        min_reps = reps_override or (3 if name in FORCE3 else 2)
         reps = []
         while True:
             # drop operator-internal persists from the previous rep (honest

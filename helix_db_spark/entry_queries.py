@@ -982,17 +982,22 @@ def dedup_simhash_fingerprints(spark, sf_dir):
     return simhash64(_docs(spark, sf_dir), "doc_id", "text")
 
 
+# shingles compared by 60-bit md5 hash on BOTH engines (the operator's
+# engine-symmetric-collision contract — see dedup.ngram_jaccard_pairs):
+# per-doc sizes and intersections count DISTINCT hashes
 _NGRAM_ORACLE = f"""
 WITH t AS (SELECT doc_id, {_TOK.format(c='text')} AS ts FROM documents),
 sh AS (SELECT doc_id, {_SHINGLE3} AS s FROM t),
-e AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+e AS (SELECT DISTINCT doc_id, {_H60.format(x='g')} AS h
+      FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
 inter AS (
-  SELECT l.doc_id AS a, r.doc_id AS b, l.n AS na, r.n AS nb,
-         count(*) AS i
-  FROM e l JOIN e r ON l.g = r.g AND l.doc_id < r.doc_id
-  GROUP BY 1, 2, 3, 4)
-SELECT a, b, i / (na + nb - i) AS jaccard
-FROM inter WHERE i / (na + nb - i) >= 0.5
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+  FROM e l JOIN e r ON l.h = r.h AND l.doc_id < r.doc_id
+  GROUP BY 1, 2)
+SELECT a, b, i / (sa.n + sb.n - i) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+WHERE i / (sa.n + sb.n - i) >= 0.5
 """
 
 
@@ -4605,6 +4610,49 @@ def copurchase_pagerank(spark, sf_dir):
     s6 = F.round(F.col("score"), 6)
     return (pr.orderBy(s6.desc(), F.col("node").asc()).limit(25)
               .select("node", s6.alias("score")))
+
+
+_IVF_SKEW_ORACLE = """
+WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+              FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+              LIMIT least(4096, CAST(ceil(sqrt(
+                  (SELECT count(*) FROM embeddings))) AS BIGINT))),
+ranked AS (SELECT e.vec_id, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                      1.0 - list_cosine_similarity(e.embedding::DOUBLE[],
+                                                   c.cvec), c.cid) AS rn
+           FROM embeddings e CROSS JOIN cent c),
+asgn AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+hist AS (SELECT cell, count(*) AS n FROM asgn GROUP BY cell)
+SELECT count(*) AS ncells, CAST(sum(n) AS BIGINT) AS n_rows,
+       max(n) AS max_cell,
+       CAST(quantile_cont(n, 0.5) AS DOUBLE) AS median_cell,
+       round(max(n) / quantile_cont(n, 0.5), 4) AS skew_ratio
+FROM hist
+"""
+
+
+@q("ivf_cell_skew_profile", _IVF_SKEW_ORACLE)
+def ivf_cell_skew_profile(spark, sf_dir):
+    """Cell-occupancy health of the served IVF index (VERDICT r8 #4's
+    report, graded): per-cell histogram of the deterministic assignment
+    -> ncells / n_rows / max_cell / median_cell / skew_ratio in one
+    bounded aggregate — the number a maintenance cron compares against
+    the recluster trigger (similarity.recluster_ivf_index; the Lloyd
+    rebuild itself is float-iterative, tests-gated). All-integer counts
+    plus an interpolated median both engines define identically, so the
+    APPROXIMATE index's health metric value-hash replays in SQL."""
+    from .operators.similarity import ivf_index
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, _ = ivf_index(emb, "vec_id", "embedding")
+    hist = assigned.groupBy("_cell").agg(F.count(F.lit(1)).alias("n"))
+    return hist.agg(
+        F.count(F.lit(1)).alias("ncells"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_cell"),
+        F.median("n").alias("median_cell"),
+        F.round(F.max("n") / F.median("n"), 4).alias("skew_ratio"))
 
 
 _PSI_QS = ", ".join(f"{i / 10}" for i in range(1, 10))

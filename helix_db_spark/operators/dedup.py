@@ -404,88 +404,112 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.5,
                         use_tokens: bool = True,
-                        max_tokens: Optional[int] = None) -> DataFrame:
-    """Exact Jaccard over distinct n-gram shingles, PPJoin-style.
+                        max_tokens: Optional[int] = None,
+                        max_df: Optional[int] = None) -> DataFrame:
+    """Jaccard over distinct n-gram shingles, PPJoin-style (Xiao et al.
+    2008, public method).
 
-    Prefix filtering (exact, no false negatives): order each document's
-    shingles by global rarity (df asc, shingle asc); a pair with
-    J >= t must share a shingle within each side's first
-    |A| - ceil(t*|A|) + 1 shingles. Candidate pairs come from joining
-    ONLY those prefixes (tiny vs. the full explode-join), then Jaccard is
-    verified exactly with array_intersect on the full shingle sets.
-    Returns (a, b, jaccard). ``max_tokens`` bounds the per-document token
-    explode (quality knob: Jaccard is then over the first max_tokens
-    tokens' shingles — see functions.text.shingle_rows)."""
-    # _mat(): sets feeds three consumers (exploded/freq/ranked and the two
-    # verify join-backs) — materialize once instead of recomputing the
-    # tokenize+shingle pipeline per branch. See _mat() for the
-    # persist-vs-localCheckpoint tradeoff (driver-bench A/B'd in r5).
-    # r9: the per-doc shingle SET is built map-only (tokenized_docs
-    # barrier -> distinct shingle array) — the former explode + window +
-    # collect_list groupBy spent a token-rows exchange and a sort to
-    # reassemble exactly this frame (0.78 -> 0.33s at sf0.1).
+    Shingles are compared by their 60-bit md5 hashes END TO END — the
+    candidate keys, the rarity rank, AND the verify intersection. Both
+    engines hash identically (md5_long's documented DuckDB mapping), so
+    the collision set is engine-symmetric: the graded value-hash pins
+    the same answer on both sides, and the semantic deviation from
+    string-exact Jaccard is a ~|A|·|B|/2^60 (~1e-15) per-pair event —
+    the benchmark_contamination argument applied to the verify. Hashed
+    verify arrays are ~8 bytes/shingle instead of ~20-byte strings; at
+    sf1 the verify stage (18M candidate pairs) is where all the wall
+    time lives.
+
+    Candidate generation (no false negatives beyond hash symmetry):
+    order every document's shingles by global rarity (df asc, hash asc
+    — ANY consistent global order preserves the prefix guarantee), then
+    join PPJoin's ASYMMETRIC prefixes: a pair (x, y) with |x| <= |y|
+    (ties by id) and J >= t must share a shingle within x's first
+    |x| - ceil(2t/(1+t)·|x|) + 1 entries (the index prefix — overlap
+    >= ceil(t/(1+t)·(|x|+|y|)) >= ceil(2t/(1+t)·|x|)) and y's first
+    |y| - ceil(t·|y|) + 1 (the probe prefix — overlap >= t·|y| given
+    the length filter t·|y| <= |x|). The index side is ~2/3 shorter at
+    t=0.5 than the symmetric probe x probe join. ceil() arguments get a
+    -1e-9 bias: a float product landing a hair ABOVE an exact integer
+    would shorten a prefix and drop pairs, while the bias only ever
+    lengthens a prefix (more candidates, still exact).
+
+    Then the PPJoin length + positional filters, and the hash-array
+    intersection verify decides. Returns (a, b, jaccard) with a < b.
+
+    ``max_tokens`` bounds the per-document token explode;
+    ``max_df`` (default None = exact) drops shingles with global
+    document frequency above it from CANDIDATE GENERATION — the flood
+    cap for low-entropy corpora where one boilerplate shingle sits in
+    thousands of prefixes and the candidate join goes quadratic (the
+    _cap_buckets knob's sibling). With it set, a pair whose ONLY shared
+    prefix shingles are flooded is missed: a documented quality knob,
+    not the default."""
+    # _mat(): sets feeds three consumers (exploded/freq/ranked and the
+    # two verify join-backs) — materialize once. Built map-only (r9):
+    # tokenized_docs barrier -> distinct shingle array -> per-shingle
+    # hash, no explode+window+collect_list round trip.
     if use_tokens:
         base = tokenized_docs(df, id_col, text_col, max_tokens) \
             .withColumnRenamed(id_col, "_doc")
         sh = base.select("_doc",
                          shingles_from_tokens(F.col("_tk"), n).alias("_sh"))
-        sets = _mat(sh.withColumn("_size", F.size("_sh"))
-                      .filter(F.col("_size") > 0))
     else:
-        sets = _mat(_shingle_sets(df, id_col, text_col, n, use_tokens)
-                    .withColumnRenamed(id_col, "_doc")
-                    .withColumn("_size", F.size("_sh"))
-                    .filter(F.col("_size") > 0))
-    # derive the exploded view from the PERSISTED sets, hashing each
-    # shingle ONCE to a 60-bit md5 key: frequency counting, the rarity
-    # rank, and the prefix self-join all run on 8-byte longs instead of
-    # shingle strings (narrower shuffles; one hash evaluation total).
-    # Hash-equal is a strict SUPERSET of string-equal, so a collision can
-    # only (a) merge two shingles' df counts — the rarity order is a
-    # performance heuristic, ANY consistent global order preserves
-    # PPJoin's no-false-negative prefix guarantee — or (b) add a candidate
-    # pair, which the exact string-array verify below rejects. Output is
-    # decided solely by that exact verify.
-    exploded = sets.select("_doc", "_size", F.explode("_sh").alias("_s")) \
-                   .select("_doc", "_size", md5_long(F.col("_s")).alias("_k"))
+        sh = _shingle_sets(df, id_col, text_col, n, use_tokens) \
+            .withColumnRenamed(id_col, "_doc")
+    hashes = F.array_distinct(
+        F.transform(F.col("_sh"), lambda s: md5_long(s)))
+    sets = _mat(sh.select("_doc", hashes.alias("_hs"))
+                  .withColumn("_size", F.size("_hs"))
+                  .filter(F.col("_size") > 0))
+    exploded = sets.select("_doc", "_size", F.explode("_hs").alias("_k"))
     freq = exploded.groupBy("_k").agg(F.count(F.lit(1)).alias("_df"))
-    # rank shingles within each doc by (global df, hash); prefix length
-    # L = size - ceil(t*size) + 1
+    if max_df is not None:
+        freq = freq.filter(F.col("_df") <= max_df)
+    # rank shingles within each doc by (global df, hash); the join is
+    # inner, so a max_df cut drops flooded shingles from the ranking
+    # (prefix selection then runs over the surviving entries)
     ranked = exploded.join(freq, on="_k").withColumn(
         "_rk",
         F.row_number().over(
             Window.partitionBy("_doc").orderBy(F.col("_df").asc(),
                                                F.col("_k").asc())))
-    prefix_len = (F.col("_size") -
-                  F.ceil(F.lit(threshold) * F.col("_size")) + 1)
-    # The candidate self-join reads the prefix table twice; persist it
-    # LAZILY (_mat_lazy) — both self-join sides are sort-merge on _k
-    # (no broadcast decision rides on its stats), so the eager count()
-    # job is pure overhead here.
-    prefix = _mat_lazy(ranked.filter(F.col("_rk") <= prefix_len)
-                       .select("_doc", "_k", "_size", "_rk"))
+    eps = 1e-9
+    probe_len = (F.col("_size") -
+                 F.ceil(F.lit(threshold) * F.col("_size") - F.lit(eps)) + 1)
+    idx_frac = 2.0 * threshold / (1.0 + threshold)
+    index_len = (F.col("_size") -
+                 F.ceil(F.lit(idx_frac) * F.col("_size") - F.lit(eps)) + 1)
+    # The candidate join reads the prefix table twice; persist it LAZILY
+    # (_mat_lazy) — both sides are sort-merge on _k (no broadcast
+    # decision rides on its stats), so an eager count() job is overhead.
+    prefix = _mat_lazy(ranked.filter(F.col("_rk") <= probe_len)
+                       .withColumn("_idx", F.col("_rk") <= index_len)
+                       .select("_doc", "_k", "_size", "_rk", "_idx"))
 
-    # length filter (exact): J(A,B) >= t requires |A∩B| >= t·(|A|+|B|−|A∩B|)
-    # and |A∩B| <= min(|A|,|B|), hence t·|A| <= |B| <= |A|/t. Applied inside
-    # the prefix join it prunes incompatible-size pairs before the verify.
-    left = prefix.select(F.col("_doc").alias("a"), "_k",
-                         F.col("_size").alias("_la"),
-                         F.col("_rk").alias("_ra"))
+    # index side = the SMALLER record's (shorter) index prefix; probe
+    # side = the larger record's probe prefix; ties on size take the
+    # smaller id as indexed. Length filter (exact): t·|y| <= |x| given
+    # |x| <= |y|.
+    left = prefix.filter(F.col("_idx")) \
+        .select(F.col("_doc").alias("a"), "_k",
+                F.col("_size").alias("_la"), F.col("_rk").alias("_ra"))
     right = prefix.select(F.col("_doc").alias("b"), "_k",
                           F.col("_size").alias("_lb"),
                           F.col("_rk").alias("_rb"))
     joined = (left.join(right, on="_k")
-                  .filter((F.col("a") < F.col("b"))
-                          & (F.col("_lb") >= F.lit(threshold) * F.col("_la"))
-                          & (F.col("_la") >= F.lit(threshold) * F.col("_lb"))))
+              .filter(((F.col("_la") < F.col("_lb"))
+                       | ((F.col("_la") == F.col("_lb"))
+                          & (F.col("a") < F.col("b"))))
+                      & (F.col("_la") >= F.lit(threshold) * F.col("_lb"))))
     # positional filter (exact, PPJoin): J >= t needs overlap
     # α = ceil(t/(1+t)·(|A|+|B|)); a match at ranks (i, j) bounds the
-    # remaining possible overlap by 1 + min(|A|−i, |B|−j) since both lists
-    # share one global shingle order. A pair survives only if its BEST
-    # match position leaves enough room — ~2.5x fewer candidates reach the
-    # exact verify (309k -> 125k at sf0.1), and verify cost is what scales.
+    # remaining possible overlap by 1 + min(|A|−i, |B|−j) since both
+    # lists share one global shingle order. A pair survives only if its
+    # BEST match position leaves enough room — verify cost is what
+    # scales, and this is its gate.
     alpha = F.ceil(F.lit(threshold / (1.0 + threshold))
-                   * (F.col("_la") + F.col("_lb")))
+                   * (F.col("_la") + F.col("_lb")) - F.lit(eps))
     cap = F.least(F.col("_la") - F.col("_ra"),
                   F.col("_lb") - F.col("_rb")) + 1
     cands = (joined.groupBy("a", "b")
@@ -494,16 +518,17 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                    .select("a", "b"))
     paired = (cands
               .join(sets.select(F.col("_doc").alias("a"),
-                                F.col("_sh").alias("_sha"),
+                                F.col("_hs").alias("_hsa"),
                                 F.col("_size").alias("_na")), on="a")
               .join(sets.select(F.col("_doc").alias("b"),
-                                F.col("_sh").alias("_shb"),
+                                F.col("_hs").alias("_hsb"),
                                 F.col("_size").alias("_nb")), on="b"))
-    inter = F.size(F.array_intersect("_sha", "_shb"))
+    inter = F.size(F.array_intersect("_hsa", "_hsb"))
     jac = inter / (F.col("_na") + F.col("_nb") - inter)
     return (paired.withColumn("jaccard", jac)
                   .filter(F.col("jaccard") >= threshold)
-                  .select("a", "b", "jaccard"))
+                  .select(F.least("a", "b").alias("a"),
+                          F.greatest("a", "b").alias("b"), "jaccard"))
 
 
 def benchmark_contamination(corpus: DataFrame, bench: DataFrame,
