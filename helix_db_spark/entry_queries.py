@@ -1008,6 +1008,55 @@ def dedup_ngram_jaccard_pairs(spark, sf_dir):
                                n=3, threshold=0.5)
 
 
+_PARA_DEDUP_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOK.format(c='text')} AS ts FROM documents
+           WHERE len({_TOK.format(c='text')}) > 0),
+chunked AS (SELECT doc_id, list_transform(
+    generate_series(0, CAST(ceil(len(ts) / 20.0) AS BIGINT) - 1),
+    i -> array_to_string(ts[i*20+1 : i*20+20], ' ')) AS ps FROM t),
+paras AS (SELECT doc_id, unnest(ps) AS para,
+                 unnest(generate_series(1, len(ps))) AS pos FROM chunked),
+keyed AS (SELECT doc_id, pos, para, {_H60.format(x='para')} AS h
+          FROM paras WHERE len(para) > 0),
+win AS (SELECT doc_id, pos, para,
+               row_number() OVER (PARTITION BY h
+                                  ORDER BY doc_id, pos) AS rn FROM keyed),
+tot AS (SELECT doc_id, count(*) AS n_paragraphs FROM keyed GROUP BY 1),
+kept AS (SELECT doc_id,
+                array_to_string(list(para ORDER BY pos), chr(10)) AS text,
+                count(*) AS n_kept
+         FROM win WHERE rn = 1 GROUP BY doc_id)
+SELECT t.doc_id, coalesce(k.text, '') AS text, t.n_paragraphs,
+       coalesce(k.n_kept, 0) AS n_kept
+FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id
+"""
+
+
+@q("dedup_paragraph_firstwins", _PARA_DEDUP_ORACLE)
+def dedup_paragraph_firstwins(spark, sf_dir):
+    """CCNet/Dolma paragraph-level dedup, graded end to end including
+    the REASSEMBLED cleaned text: documents are chunked into 20-token
+    paragraphs (the corpus is single-line, so the entry synthesizes the
+    paragraph structure the operator consumes via newline joins — both
+    engines build identical chunks from the shared tokenizer), then
+    every paragraph keeps only its corpus-wide first (doc, position)
+    occurrence and the survivors re-join in document order. The
+    string-valued output makes the value hash pin the exact trimming —
+    not just the counts."""
+    from .functions.text import tokenized_docs
+    from .operators.dedup import paragraph_dedup
+    toks = tokenized_docs(_docs(spark, sf_dir), "doc_id", "text") \
+        .filter(F.size("_tk") > 0)
+    nch = F.ceil(F.size("_tk") / F.lit(20.0)).cast("long")
+    paras = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_tk"),
+                                           i * 20 + 1, 20)))
+    docs2 = toks.select(
+        "doc_id", F.concat_ws("\n", paras).alias("text"))
+    return paragraph_dedup(docs2, "doc_id", "text", sep="\n")
+
+
 _DEDUP_QUALITY_ORACLE = f"""
 WITH truth AS (SELECT a, b FROM ({_NGRAM_ORACLE})),
 pred AS (SELECT a, b FROM ({_minhash_oracle()})),

@@ -531,6 +531,57 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                           F.greatest("a", "b").alias("b"), "jaccard"))
 
 
+def paragraph_dedup(df: DataFrame, id_col: str, text_col: str,
+                    sep: str = r"\n+") -> DataFrame:
+    """CCNet/Dolma-style duplicate-PARAGRAPH removal (CCNet §3.1 and the
+    Dolma dedupe stage both deduplicate at paragraph granularity before
+    any document-level pass): split each document on ``sep``, normalize
+    (lower, whitespace-collapse) and hash every paragraph, keep only the
+    corpus-wide FIRST occurrence of each distinct paragraph (smallest
+    (doc id, position) — the deterministic winner rule), and reassemble
+    the surviving paragraphs in document order. Cross-document
+    boilerplate (headers, navigation, license blocks) disappears from
+    every document except the first that carried it — the trimming pass
+    whole-document dedup cannot do.
+
+    Returns (id, text, n_paragraphs, n_kept): the cleaned text (empty
+    string when every paragraph was a repeat), the pre-dedup paragraph
+    count, and the kept count.
+
+    Scale shape: one explode, one narrow shuffle on the 60-bit paragraph
+    hash (uniform — the winner rule is a row_number over the hash), one
+    per-doc reassembly groupBy that reuses the doc partitioning; no
+    driver state. The hash winner rule makes the pass engine-symmetric
+    (the ngram_jaccard_pairs collision argument: both engines hash
+    identically, so even a collision — which would drop a distinct
+    paragraph as a 'repeat' — replays bit-identically)."""
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_p", "_para"))
+    norm = F.regexp_replace(F.lower(F.trim(F.col("_para"))), r"\s+", " ")
+    keyed = (paras.withColumn("_norm", norm)
+             .filter(F.length("_norm") > 0)
+             .withColumn("_h", md5_long(F.col("_norm"))))
+    w = Window.partitionBy("_h").orderBy(F.col(id_col).asc(),
+                                         F.col("_p").asc())
+    keep = keyed.withColumn("_rn", F.row_number().over(w)) \
+                .filter(F.col("_rn") == 1)
+    totals = keyed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_paragraphs"))
+    kept_text = F.concat_ws(
+        "\n", F.transform(
+            F.array_sort(F.collect_list(F.struct("_p", "_para"))),
+            lambda x: x["_para"]))
+    cleaned = keep.groupBy(id_col).agg(
+        kept_text.alias("text"),
+        F.count(F.lit(1)).alias("n_kept"))
+    return (totals.join(cleaned, on=id_col, how="left")
+            .select(id_col,
+                    F.coalesce(F.col("text"), F.lit("")).alias("text"),
+                    "n_paragraphs",
+                    F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept")))
+
+
 def benchmark_contamination(corpus: DataFrame, bench: DataFrame,
                             id_col: str, text_col: str,
                             bench_id_col: Optional[str] = None,

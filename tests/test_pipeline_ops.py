@@ -3615,3 +3615,25 @@ def test_ivf_skew_report_and_recluster(spark, tmp_path):
                ivf_topk_disk(spark, root, q, k=5, nprobe=4).collect()}
         recalls.append(len(truth & got) / 5)
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_paragraph_dedup_firstwins(spark):
+    """Cross-document boilerplate keeps only its first (doc, pos)
+    occurrence; within-doc repeats drop too; all-repeat docs come back
+    with empty text and n_kept=0; document order is preserved."""
+    from helix_db_spark.operators.dedup import paragraph_dedup
+    df = spark.createDataFrame(
+        [(1, "Header\nalpha beta\nFooter"),
+         (2, "header\ngamma delta\nfooter\ngamma delta"),
+         (3, "HEADER\nFOOTER")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["text"], r["n_paragraphs"], r["n_kept"])
+           for r in paragraph_dedup(df, "doc_id", "text",
+                                    sep="\n").collect()}
+    # doc 1 carries the first occurrence of header+footer
+    assert out[1] == ("Header\nalpha beta\nFooter", 3, 3)
+    # doc 2: header/footer are repeats (case-insensitive normalize);
+    # its own duplicated paragraph drops the second instance
+    assert out[2] == ("gamma delta", 4, 1)
+    # doc 3 is pure boilerplate -> trimmed to nothing, still reported
+    assert out[3] == ("", 2, 0)
