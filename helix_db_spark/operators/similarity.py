@@ -180,7 +180,8 @@ def ivf_cell_budget(n: int, max_cells: int = IVF_MAX_CELLS) -> int:
 
 
 def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
-               max_cells: int = IVF_MAX_CELLS) -> tuple:
+               max_cells: int = IVF_MAX_CELLS,
+               kernel: bool = False) -> tuple:
     """Deterministic IVF cell assignment with a FIXED centroid budget:
     ncells = min(max_cells, ceil(sqrt(n))). Centroids are a deterministic
     uniform sample — the first ncells rows ordered by (md5(id), id) — so
@@ -204,6 +205,13 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
                .orderBy(F.md5(F.col("_cid").cast("string")).asc(),
                         F.col("_cid").asc())
                .limit(ncells))
+    if kernel:
+        # batch-analytics spelling (bit-identical cells — see
+        # _assign_pandas); the served probe path keeps the broadcast
+        # join its plan gates pin
+        assigned = df.join(_assign_pandas(df, id_col, vec_col, cents),
+                           on=id_col)
+        return assigned, cents
     return _assign_to(df, id_col, vec_col, cents), cents
 
 
@@ -220,6 +228,75 @@ def _assign_to(df: DataFrame, id_col: str, vec_col: str,
                                 F.struct("_cdist", "_cid"))["_cid"]
                        .alias("_cell")))
     return df.join(assigned, on=id_col)
+
+
+def _assign_pandas(df: DataFrame, id_col: str, vec_col: str,
+                   cents: DataFrame, nprobe: int = 1) -> DataFrame:
+    """(id, _cell) nearest-centroid assignment (top-``nprobe`` rows when
+    > 1) — the Arrow-batched twin of _assign_to/_assign_multi, used by
+    the BATCH analytics paths (knn_graph, semantic_dedup) that rebuild
+    the assignment every run: there the n x ncells interpreted
+    higher-order cosine fold dominated wall time at scale (PLANS r9),
+    while the SERVED probe path keeps the broadcast-join spelling its
+    plan gates pin (the build is cached there, amortized across
+    queries).
+
+    Bit-identical to the join: dots fold in float64 via
+    np.add.accumulate (documented sequential), norms follow each side's
+    COLUMN dtype exactly as Spark's norm() does (float32 squares cast
+    to double for float columns — cosine_similarity_cols' uncast fold —
+    or double products for double columns), distance = 1.0 - cos, ties
+    resolved by smallest centroid id (argmin-first over cid-sorted
+    centroids == min_by struct(_cdist, _cid); stable argsort for
+    nprobe). The bounded (<= max_cells) centroid table collects to the
+    driver — the nprobe probe-planning exemption class."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = sorted(cents.collect(), key=lambda r: r["_cid"])
+    cids = np.array([r["_cid"] for r in rows], dtype=np.int64)
+    c_float = isinstance(cents.schema["_cvec"].dataType.elementType,
+                         T.FloatType)
+    C = np.array([list(r["_cvec"]) for r in rows],
+                 dtype=np.float32 if c_float else np.float64)
+    C64 = C.astype(np.float64)
+    cprod = ((C * C).astype(np.float64) if c_float else C64 * C64)
+    nc = np.sqrt(np.add.accumulate(cprod, axis=1)[:, -1])
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            V = np.stack(pdf[vec_col].to_numpy())
+            V64 = V.astype(np.float64, copy=False)
+            vprod = ((V * V).astype(np.float64)
+                     if V.dtype == np.float32 else V64 * V64)
+            na = np.sqrt(np.add.accumulate(vprod, axis=1)[:, -1])
+            c, d = C64.shape
+            step = max(1, int(8_000_000 / max(1, c * d)))
+            out_i, out_c = [], []
+            for i0 in range(0, len(V64), step):
+                Vb = V64[i0:i0 + step]
+                dots = np.add.accumulate(
+                    Vb[:, None, :] * C64[None, :, :], axis=2)[:, :, -1]
+                dist = 1.0 - dots / (na[i0:i0 + step, None] * nc[None, :])
+                if nprobe == 1:
+                    j = np.argmin(dist, axis=1)
+                    out_i.append(ids[i0:i0 + step])
+                    out_c.append(cids[j])
+                else:
+                    order = np.argsort(dist, axis=1,
+                                       kind="stable")[:, :nprobe]
+                    out_i.append(np.repeat(ids[i0:i0 + step],
+                                           order.shape[1]))
+                    out_c.append(cids[order].ravel())
+            yield pd.DataFrame({id_col: np.concatenate(out_i),
+                                "_cell": np.concatenate(out_c)})
+
+    src = df.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    return src.mapInPandas(assign, f"{id_col} long, _cell long")
 
 
 # LRU-bounded index cache: a long-lived served engine rebuilds indexes as
@@ -332,26 +409,126 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str,
                  .drop("_cell"))
 
 
+def _blocked_pair_cosines(left: DataFrame, right: DataFrame,
+                          out_a: str, out_b: str, pair_filter: str,
+                          norm_mode: str = "double",
+                          threshold: Optional[float] = None) -> DataFrame:
+    """(a, b, _cos RAW double) for every same-block (left-row, right-row)
+    pair — the Arrow-batched twin of the zip_with/aggregate pairwise
+    join, BIT-IDENTICAL to it: per-element products are IEEE doubles and
+    the reduction is ``np.add.accumulate``, whose semantics are
+    DOCUMENTED sequential (r[i] = r[i-1] + a[i] — the same left fold as
+    F.aggregate), vectorized ACROSS pairs instead of interpreted per
+    element. Why: the fold expressions are higher-order functions, which
+    whole-stage codegen cannot compile — measured ~14 us per 64-dim pair
+    interpreted vs ~0.3 us here, the difference between 41s and single
+    digits for the celled kNN at sf1 (PLANS r9). Rounding and ranking
+    stay in Spark (F.round's HALF_UP is the oracle contract; numpy
+    rounds half-to-even).
+
+    ``left``: (_cell, <out_a>, _v) / ``right``: (_cell, <out_b>, _v);
+    ``pair_filter``: 'ne' (a != b, kNN) or 'lt' (a < b, dedup pairs);
+    ``norm_mode``: 'double' = norms from the double-cast fold
+    (cosine_similarity_exact's spelling), 'float_sq' = per-element
+    squares in FLOAT32 then the double fold (vector.norm's uncast
+    spelling — cosine_similarity_cols). ``threshold`` pre-filters on the
+    RAW cosine inside the kernel (IEEE-identical to the Spark filter),
+    shrinking the Arrow output to the passing pairs.
+
+    Input transfer is one row per VECTOR (never per pair); output is one
+    narrow row per surviving pair. Src-side chunking bounds kernel
+    memory at ~64 MB of products per block however large a cell is.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _norms(M64: "np.ndarray") -> "np.ndarray":
+        if norm_mode == "float_sq":
+            # callers pass the RAW float32 vectors in this mode, so the
+            # float64 Arrow values convert back to float32 exactly
+            m32 = M64.astype(np.float32)
+            prod = (m32 * m32).astype(np.float64)
+        else:
+            prod = M64 * M64
+        return np.sqrt(np.add.accumulate(prod, axis=1)[:, -1])
+
+    def pairs(key, lpdf: "pd.DataFrame", rpdf: "pd.DataFrame"):
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({out_a: [], out_b: [], "_cos": []})
+        la = lpdf[out_a].to_numpy()
+        rb = rpdf[out_b].to_numpy()
+        A = np.stack(lpdf["_v"].to_numpy()).astype(np.float64, copy=False)
+        B = np.stack(rpdf["_v"].to_numpy()).astype(np.float64, copy=False)
+        na = _norms(A)
+        nb = _norms(B)
+        m, d = B.shape
+        step = max(1, int(8_000_000 / max(1, m * d)))
+        oa, ob, oc = [], [], []
+        for i0 in range(0, len(A), step):
+            Ab = A[i0:i0 + step]
+            dots = np.add.accumulate(
+                Ab[:, None, :] * B[None, :, :], axis=2)[:, :, -1]
+            cos = dots / (na[i0:i0 + step, None] * nb[None, :])
+            ia = la[i0:i0 + step, None]
+            if pair_filter == "lt":
+                mask = ia < rb[None, :]
+            else:
+                mask = ia != rb[None, :]
+            if threshold is not None:
+                mask &= cos >= threshold
+            ii, jj = np.nonzero(mask)
+            oa.append(la[i0 + ii])
+            ob.append(rb[jj])
+            oc.append(cos[ii, jj])
+        return pd.DataFrame({out_a: np.concatenate(oa),
+                             out_b: np.concatenate(ob),
+                             "_cos": np.concatenate(oc)})
+
+    # distinct key names per side: left/right usually derive from ONE
+    # frame and cogroup on the same attribute trips the ambiguous
+    # self-join check (keys match positionally, names are free)
+    lk = (left.filter(F.col("_v").isNotNull())
+          .select(F.col("_cell").alias("_cl"),
+                  F.col(out_a), F.col("_v")))
+    rk = (right.filter(F.col("_v").isNotNull())
+          .select(F.col("_cell").alias("_cr"),
+                  F.col(out_b), F.col("_v")))
+    return (lk.groupBy("_cl").cogroup(rk.groupBy("_cr"))
+            .applyInPandas(pairs,
+                           f"{out_a} long, {out_b} long, _cos double"))
+
+
 def cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
                  threshold: float,
                  block_col: Optional[str] = None) -> DataFrame:
     """All (a, b) pairs with cosine >= threshold, a < b. EXACT.
 
     With ``block_col`` the self-join is restricted to equal blocks
-    (e.g. an LSH band or cluster label) — the scale path; a full
-    cross-join self-join is quadratic and only for small frames. For
-    unblocked data at scale use :func:`cosine_pairs_lsh` (banded candidate
-    generation, exact verify, approximate recall).
+    (e.g. an LSH band or cluster label) — the scale path, running in
+    the Arrow-batched per-block kernel (_blocked_pair_cosines,
+    bit-identical to the cosine_similarity_cols fold incl. its
+    float-squares norms; the threshold applies INSIDE the kernel so
+    only passing pairs cross Arrow). A full cross-join self-join is
+    quadratic and only for small frames. For unblocked data at scale
+    use :func:`cosine_pairs_lsh` (banded candidate generation, exact
+    verify, approximate recall).
     """
+    if block_col:
+        left = df.select(F.col(block_col).alias("_cell"),
+                         F.col(id_col).alias("a"),
+                         F.col(vec_col).alias("_v"))
+        right = df.select(F.col(block_col).alias("_cell"),
+                          F.col(id_col).alias("b"),
+                          F.col(vec_col).alias("_v"))
+        return (_blocked_pair_cosines(left, right, "a", "b", "lt",
+                                      norm_mode="float_sq",
+                                      threshold=float(threshold))
+                .select("a", "b", F.col("_cos").alias("cosine")))
     left = df.select(F.col(id_col).alias("a"),
-                     F.col(vec_col).alias("_va"),
-                     *( [F.col(block_col).alias("_blk")] if block_col else []))
+                     F.col(vec_col).alias("_va"))
     right = df.select(F.col(id_col).alias("b"),
-                      F.col(vec_col).alias("_vb"),
-                      *( [F.col(block_col).alias("_blk")] if block_col else []))
-    cond = F.col("a") < F.col("b")
-    joined = (left.join(right, on="_blk") if block_col
-              else left.crossJoin(right)).filter(cond)
+                      F.col(vec_col).alias("_vb"))
+    joined = left.crossJoin(right).filter(F.col("a") < F.col("b"))
     sim = cosine_similarity_cols(F.col("_va"), F.col("_vb"))
     return (joined.withColumn("cosine", sim)
                   .filter(F.col("cosine") >= threshold)
@@ -414,7 +591,8 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     width) or sub-block hot cells with LSH band keys; the anti-join back
     is on the id — a narrow shuffle.
     """
-    assigned, _ = ivf_assign(df, id_col, vec_col, max_cells)
+    assigned, _ = ivf_assign(df, id_col, vec_col, max_cells,
+                             kernel=True)
     pairs = cosine_pairs(assigned, id_col, vec_col, threshold,
                          block_col="_cell")
     dropped = pairs.select(F.col("b").alias(id_col)).distinct()
@@ -894,7 +1072,13 @@ def knn_graph(df: DataFrame, id_col: str, vec_col: str,
     # always come from the full frame so a restricted run probes the
     # same index the unrestricted one built.
     if max_cells is not None:
-        assigned, cents = ivf_assign(df, id_col, vec_col, max_cells)
+        # celled scale path: per-cell pairwise cosines run in the
+        # Arrow-batched kernel (_blocked_pair_cosines — bit-identical
+        # sequential-fold math; the zip_with/aggregate expressions are
+        # higher-order functions codegen can't compile, measured ~12x
+        # the wall at sf1, PLANS r9). Rounding + ranking stay in Spark.
+        assigned, cents = ivf_assign(df, id_col, vec_col, max_cells,
+                                     kernel=True)
         if nprobe > 1:
             # query side probes its nprobe nearest cells; the corpus
             # side stays in its home cell, so each true neighbor is
@@ -903,32 +1087,34 @@ def knn_graph(df: DataFrame, id_col: str, vec_col: str,
             # curve. A (src, dst) pair can still only match once: dst
             # lives in exactly one cell.
             src_df = df if src_filter is None else df.filter(src_filter)
-            probed = _assign_multi(src_df, id_col, vec_col, cents, nprobe)
-            left = probed.select(F.col(id_col).alias("src"),
-                                 v.alias("_va"), nrm.alias("_na"),
-                                 "_cell")
+            probed = src_df.join(
+                _assign_pandas(src_df, id_col, vec_col, cents,
+                               nprobe=nprobe), on=id_col)
+            left = probed.select("_cell", F.col(id_col).alias("src"),
+                                 v.alias("_v"))
         else:
             a_src = (assigned if src_filter is None
                      else assigned.filter(src_filter))
-            left = a_src.select(F.col(id_col).alias("src"),
-                                v.alias("_va"), nrm.alias("_na"),
-                                "_cell")
-        right = assigned.select(F.col(id_col).alias("dst"),
-                                v.alias("_vb"), nrm.alias("_nb"), "_cell")
-        joined = left.join(right, on="_cell")
+            left = a_src.select("_cell", F.col(id_col).alias("src"),
+                                v.alias("_v"))
+        right = assigned.select("_cell", F.col(id_col).alias("dst"),
+                                v.alias("_v"))
+        scored = _blocked_pair_cosines(left, right, "src", "dst", "ne",
+                                       norm_mode="double") \
+            .withColumn("cosine", F.round(F.col("_cos"), 6))
     else:
         ldf = df if src_filter is None else df.filter(src_filter)
         left = ldf.select(F.col(id_col).alias("src"),
                           v.alias("_va"), nrm.alias("_na"))
         right = df.select(F.col(id_col).alias("dst"),
                           v.alias("_vb"), nrm.alias("_nb"))
-        joined = left.crossJoin(right)
-    joined = joined.filter(F.col("src") != F.col("dst"))
-    sim = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+        joined = left.crossJoin(right).filter(F.col("src") != F.col("dst"))
+        sim = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na")
+                                                  * F.col("_nb"))
+        scored = joined.withColumn("cosine", F.round(sim, 6))
     w = Window.partitionBy("src").orderBy(F.col("cosine").desc(),
                                           F.col("dst").asc())
-    return (joined.withColumn("cosine", F.round(sim, 6))
-                  .withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)
                   .select("src", "dst", "rank", "cosine"))
 
