@@ -233,7 +233,8 @@ def _assign_to(df: DataFrame, id_col: str, vec_col: str,
 def _assign_pandas(df: DataFrame, id_col: str, vec_col: str,
                    cents: DataFrame, nprobe: int = 1) -> DataFrame:
     """(id, _cell) nearest-centroid assignment (top-``nprobe`` rows when
-    > 1) — the Arrow-batched twin of _assign_to/_assign_multi, used by
+    > 1) — the Arrow-batched twin of _assign_to (and its former
+    multi-probe sibling), used by
     the BATCH analytics paths (knn_graph, semantic_dedup) that rebuild
     the assignment every run: there the n x ncells interpreted
     higher-order cosine fold dominated wall time at scale (PLANS r9),
@@ -1002,24 +1003,6 @@ def recluster_ivf_index(spark, root: str, max_skew: float = 4.0,
     _shutil.rmtree(old)
     after = ivf_cell_skew_report(spark, root)
     return {"reclustered": True, "before": before, "after": after}
-
-
-def _assign_multi(df: DataFrame, id_col: str, vec_col: str,
-                  cents: DataFrame, nprobe: int) -> DataFrame:
-    """Top-``nprobe`` nearest-centroid assignment (one row per (id,
-    probed cell)) against a bounded broadcast centroid set — the
-    query-side fan-out that trades nprobe x candidate volume for IVF
-    recall. Same broadcast-join matmul pass as _assign_to; the rank
-    window partitions on the id (uniform, no skew)."""
-    dist = F.lit(1.0) - cosine_similarity_cols(F.col(vec_col),
-                                               F.col("_cvec"))
-    w = Window.partitionBy(id_col).orderBy("_cdist", "_cid")
-    return (df.join(F.broadcast(cents))
-              .withColumn("_cdist", dist)
-              .withColumn("_rn", F.row_number().over(w))
-              .filter(F.col("_rn") <= nprobe)
-              .select(F.col(id_col), F.col(vec_col),
-                      F.col("_cid").alias("_cell")))
 
 
 def knn_graph(df: DataFrame, id_col: str, vec_col: str,
