@@ -559,17 +559,21 @@ def cosine_pairs_lsh(df: DataFrame, id_col: str, vec_col: str,
                .filter(F.col(vec_col).isNotNull())
                .withColumn("_bands", signature_udf(dim)(F.col(vec_col))))
     ex = keyed.select(id_col, vec_col, F.explode("_bands").alias("_bk"))
-    left = ex.select(F.col(id_col).alias("a"),
-                     F.col(vec_col).alias("_va"), "_bk")
-    right = ex.select(F.col(id_col).alias("b"),
-                      F.col(vec_col).alias("_vb"), "_bk")
-    cands = (left.join(right, on="_bk")
-                 .filter(F.col("a") < F.col("b"))
-                 .dropDuplicates(["a", "b"]))
-    sim = cosine_similarity_cols(F.col("_va"), F.col("_vb"))
-    return (cands.withColumn("cosine", sim)
-                 .filter(F.col("cosine") >= threshold)
-                 .select("a", "b", "cosine"))
+    # per-band pairwise cosines in the Arrow kernel (bit-identical to
+    # the cosine_similarity_cols fold — see _blocked_pair_cosines);
+    # the threshold applies in-kernel, and a pair matching in several
+    # bands dedupes AFTER the verify (its cosine is identical in every
+    # band, so this trades a few repeat dot products for shuffling only
+    # the PASSING pairs instead of every candidate).
+    left = ex.select(F.col("_bk").alias("_cell"),
+                     F.col(id_col).alias("a"), F.col(vec_col).alias("_v"))
+    right = ex.select(F.col("_bk").alias("_cell"),
+                      F.col(id_col).alias("b"), F.col(vec_col).alias("_v"))
+    return (_blocked_pair_cosines(left, right, "a", "b", "lt",
+                                  norm_mode="float_sq",
+                                  threshold=float(threshold))
+            .dropDuplicates(["a", "b"])
+            .select("a", "b", F.col("_cos").alias("cosine")))
 
 
 def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
