@@ -55,8 +55,16 @@ def curate_corpus(docs: DataFrame, bench: Optional[DataFrame] = None,
     from .textstats import gopher_keep, lm_cross_entropy, \
         quality_score, repetition_stats
 
+    # Generate barrier on the quality column (explode of a 1-element
+    # array — the tokenized_docs trick): the gate filter below would
+    # otherwise be pushed under the join and CollapseProject would
+    # inline quality_score's expression tree — which re-runs the
+    # tokenizer inside its HOF lambdas — into every reference (22
+    # tokenizer evaluations/row measured in the gated plan vs 5,
+    # 166s -> ~17s at sf1, r9).
     q = docs.select(F.col(id_col), F.col(text_col),
-                    F.round(quality_score(F.col(text_col)), 6)
+                    F.explode(F.array(
+                        F.round(quality_score(F.col(text_col)), 6)))
                      .alias("quality"))
     rep = repetition_stats(docs, id_col, text_col) \
         .select(F.col(id_col), "top_2gram_frac")

@@ -269,13 +269,20 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str,
     s2, s3 = rep_fold(F.col("_g2")), rep_fold(F.col("_g3"))
     n2 = F.size("_g2").cast("long")
     n3 = F.size("_g3").cast("long")
-    return base.select(
+    # output rides a Generate barrier (explode of a 1-element struct
+    # array): a downstream gate like top_2gram_frac <= 0.5 would
+    # otherwise be filter-pushed BELOW these projections, inlining the
+    # whole tokenize->grams->fold pipeline into one scan predicate with
+    # multiplicative expression blow-up (curate_corpus' gated stage
+    # measured 147s at sf1 from exactly that; ~17s with the barrier).
+    out = F.struct(
         F.col(id_col), *extra,
         n2.alias("n_2grams"),
         F.when(n2 > 0, s2["best"]).alias("top_2gram_count"),
         F.when(n2 > 0, F.round(s2["best"] / n2, 6)).alias("top_2gram_frac"),
         F.when(n3 > 0, F.round(s3["dups"] / n3, 6)).alias("dup_3gram_frac"),
     )
+    return base.select(F.explode(F.array(out)).alias("_r")).select("_r.*")
 
 
 def doc_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
