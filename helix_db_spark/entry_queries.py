@@ -1582,9 +1582,9 @@ def text_hash_embeddings(spark, sf_dir):
     no vocabulary, deterministic — components are signed token-occurrence
     sums, so they are exact integers and the value hash is float-risk
     free. Bridges pure text corpora into the vector operators."""
-    from .operators.textstats import hash_embedding
-    return _docs(spark, sf_dir).select(
-        "doc_id", hash_embedding(F.col("text"), _HE_DIM).alias("embedding"))
+    from .operators.textstats import with_hash_embedding
+    return with_hash_embedding(_docs(spark, sf_dir), "text", "embedding",
+                               _HE_DIM).select("doc_id", "embedding")
 
 
 _BPE_RE_SQL = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
@@ -3731,9 +3731,9 @@ def text_semantic_dedup(spark, sf_dir):
     one composed DuckDB oracle. No model, no vocabulary, fully
     distributed."""
     from .operators.similarity import semantic_dedup
-    from .operators.textstats import hash_embedding
-    emb = _docs(spark, sf_dir).select(
-        "doc_id", hash_embedding(F.col("text"), _HE_DIM).alias("emb"))
+    from .operators.textstats import with_hash_embedding
+    emb = with_hash_embedding(_docs(spark, sf_dir), "text", "emb",
+                              _HE_DIM).select("doc_id", "emb")
     out = semantic_dedup(emb, "doc_id", "emb", threshold=0.8)
     return out.select("doc_id", F.col("_cell").alias("cell"))
 

@@ -132,11 +132,12 @@ def cluster_topics(docs: DataFrame, id_col: str, text_col: str,
 
     from ..functions.text import shingle_rows
     from .similarity import ivf_assign
-    from .textstats import hash_embedding
+    from .textstats import with_hash_embedding
 
-    emb = docs.select(F.col(id_col), F.col(text_col),
-                      hash_embedding(F.col(text_col), dim).alias("_e"))
-    assigned, _ = ivf_assign(emb, id_col, "_e", max_cells)
+    emb = with_hash_embedding(
+        docs.select(F.col(id_col), F.col(text_col)), text_col, "_e", dim)
+    assigned, _ = ivf_assign(emb, id_col, "_e", max_cells,
+                             kernel=True)
     sizes = assigned.groupBy("_cell").agg(
         F.count(F.lit(1)).alias("n_docs"))
     keyed = assigned.select(

@@ -423,7 +423,15 @@ def hash_embedding(text: Column, dim: int = 64) -> Column:
     toks = tokens(text)
     h = F.transform(toks, lambda t: F.conv(
         F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    return F.when(text.isNotNull(), _he_from_hashes(h, dim))
 
+
+def _he_from_hashes(h: Column, dim: int) -> Column:
+    """hash_embedding's component array from an (ideally materialized)
+    token-hash array column. When ``h`` is an inline expression every
+    component re-expands it (the Column form above — fine for one-off
+    use); :func:`with_hash_embedding` passes an ATTRIBUTE so the
+    tokenize+md5 work runs once per row however large ``dim`` is."""
     def component(i):
         hits = F.filter(h, lambda x: x % dim == i)
         # floor, not cast: double->int casts ROUND in some dialects
@@ -433,8 +441,25 @@ def hash_embedding(text: Column, dim: int = 64) -> Column:
             .otherwise(F.lit(-1.0)))
         return F.aggregate(signs, F.lit(0.0), lambda a, s: a + s)
 
-    arr = F.array(*[component(F.lit(i)) for i in range(dim)])
-    return F.when(text.isNotNull(), arr)
+    return F.array(*[component(F.lit(i)) for i in range(dim)])
+
+
+def with_hash_embedding(df: DataFrame, text_col: str, out_col: str,
+                        dim: int = 64) -> DataFrame:
+    """``df`` + ``out_col`` = hash_embedding(text) with the token-hash
+    array materialized through a Generate barrier first: the Column form
+    inlines tokenize+md5 into EVERY one of the ``dim`` component
+    expressions (164 tokenizer sites measured in cluster_topic_cards'
+    plan at dim=64 — the r9 expression-bomb class); here they evaluate
+    once per row and the components reference the attribute. Values
+    identical (same expressions over the same hashes)."""
+    toks = tokens(F.col(text_col))
+    hexpr = F.transform(toks, lambda t: F.conv(
+        F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    b = df.withColumn("_he_h", F.explode(F.array(hexpr)))
+    out = F.when(F.col(text_col).isNotNull(),
+                 _he_from_hashes(F.col("_he_h"), dim))
+    return b.withColumn(out_col, out).drop("_he_h")
 
 
 def dataset_card(df: DataFrame, id_col: str, text_col: str,
