@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, FloatType, LongType
 
 from ..catalog import _ID
 from ..functions.vector import cosine_distance, cosine_similarity_cols, norm
@@ -249,8 +249,17 @@ def _assign_pandas(df: DataFrame, id_col: str, vec_col: str,
     or double products for double columns), distance = 1.0 - cos, ties
     resolved by smallest centroid id (argmin-first over cid-sorted
     centroids == min_by struct(_cdist, _cid); stable argsort for
-    nprobe). The bounded (<= max_cells) centroid table collects to the
-    driver — the nprobe probe-planning exemption class."""
+    nprobe). NaN distances (a zero-norm vector or centroid — e.g. the
+    hash embedding of a token-less doc) map to +inf BEFORE the argmin/
+    argsort, on both the nprobe=1 and nprobe>1 paths (ADVICE r9): a
+    zero-norm CENTROID can then never beat a real one, and a zero-norm
+    VECTOR assigns deterministically to the smallest cid — where the
+    JVM twin is simply undefined (its division throws under ANSI), so
+    bit-identity holds over the JVM path's whole domain and the kernel
+    degrades gracefully outside it. The bounded (<= max_cells) centroid
+    table collects to the driver — the nprobe probe-planning exemption
+    class. The id column keeps its source type (schema derived from
+    ``df``, not hardcoded — ADVICE r9)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -282,7 +291,12 @@ def _assign_pandas(df: DataFrame, id_col: str, vec_col: str,
                 Vb = V64[i0:i0 + step]
                 dots = np.add.accumulate(
                     Vb[:, None, :] * C64[None, :, :], axis=2)[:, :, -1]
-                dist = 1.0 - dots / (na[i0:i0 + step, None] * nc[None, :])
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    dist = 1.0 - dots / (na[i0:i0 + step, None]
+                                         * nc[None, :])
+                # zero-norm => NaN; min_by sorts NaN last, argmin would
+                # pick it first — +inf matches the JVM ordering
+                dist = np.where(np.isnan(dist), np.inf, dist)
                 if nprobe == 1:
                     j = np.argmin(dist, axis=1)
                     out_i.append(ids[i0:i0 + step])
@@ -296,8 +310,9 @@ def _assign_pandas(df: DataFrame, id_col: str, vec_col: str,
             yield pd.DataFrame({id_col: np.concatenate(out_i),
                                 "_cell": np.concatenate(out_c)})
 
+    id_t = df.schema[id_col].dataType.simpleString()
     src = df.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
-    return src.mapInPandas(assign, f"{id_col} long, _cell long")
+    return src.mapInPandas(assign, f"{id_col} {id_t}, _cell long")
 
 
 # LRU-bounded index cache: a long-lived served engine rebuilds indexes as
@@ -410,6 +425,17 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str,
                  .drop("_cell"))
 
 
+def _norm_mode_for(df: DataFrame, vec_col: str) -> str:
+    """Kernel norm mode matching what the JVM fold would compute on this
+    COLUMN dtype: vector.norm squares float32 elements before the double
+    fold only when the column is array<float>; for array<double> the
+    products are double end-to-end. Hardcoding 'float_sq' silently
+    changed blocked-path cosines for real-valued double embeddings
+    (threshold-adjacent pairs could flip — ADVICE r9)."""
+    elem = df.schema[vec_col].dataType.elementType
+    return "float_sq" if isinstance(elem, FloatType) else "double"
+
+
 def _blocked_pair_cosines(left: DataFrame, right: DataFrame,
                           out_a: str, out_b: str, pair_filter: str,
                           norm_mode: str = "double",
@@ -434,7 +460,14 @@ def _blocked_pair_cosines(left: DataFrame, right: DataFrame,
     squares in FLOAT32 then the double fold (vector.norm's uncast
     spelling — cosine_similarity_cols). ``threshold`` pre-filters on the
     RAW cosine inside the kernel (IEEE-identical to the Spark filter),
-    shrinking the Arrow output to the passing pairs.
+    shrinking the Arrow output to the passing pairs. Zero-norm vectors
+    (NaN cosine in the kernel) DROP from thresholded output: the JVM
+    spelling throws DIVIDE_BY_ZERO under ANSI and the DuckDB oracle's
+    0/0 is NULL, which fails any ``>=`` filter — dropping is the one
+    behavior consistent with the oracle over the domain where the JVM
+    path is undefined (ADVICE-r9 NaN class). Id columns keep their
+    source types (output schema derived from the inputs, not hardcoded
+    long — ADVICE r9).
 
     Input transfer is one row per VECTOR (never per pair); output is one
     narrow row per surviving pair. Src-side chunking bounds kernel
@@ -469,13 +502,18 @@ def _blocked_pair_cosines(left: DataFrame, right: DataFrame,
             Ab = A[i0:i0 + step]
             dots = np.add.accumulate(
                 Ab[:, None, :] * B[None, :, :], axis=2)[:, :, -1]
-            cos = dots / (na[i0:i0 + step, None] * nb[None, :])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = dots / (na[i0:i0 + step, None] * nb[None, :])
             ia = la[i0:i0 + step, None]
             if pair_filter == "lt":
                 mask = ia < rb[None, :]
             else:
                 mask = ia != rb[None, :]
             if threshold is not None:
+                # numpy NaN-comparisons are False => zero-norm pairs
+                # DROP, matching the oracle (DuckDB's 0/0 is NULL, which
+                # fails the filter); the JVM spelling THROWS on them
+                # under ANSI, so there is no JVM behavior to match
                 mask &= cos >= threshold
             ii, jj = np.nonzero(mask)
             oa.append(la[i0 + ii])
@@ -488,6 +526,8 @@ def _blocked_pair_cosines(left: DataFrame, right: DataFrame,
     # distinct key names per side: left/right usually derive from ONE
     # frame and cogroup on the same attribute trips the ambiguous
     # self-join check (keys match positionally, names are free)
+    a_t = left.schema[out_a].dataType.simpleString()
+    b_t = right.schema[out_b].dataType.simpleString()
     lk = (left.filter(F.col("_v").isNotNull())
           .select(F.col("_cell").alias("_cl"),
                   F.col(out_a), F.col("_v")))
@@ -496,7 +536,7 @@ def _blocked_pair_cosines(left: DataFrame, right: DataFrame,
                   F.col(out_b), F.col("_v")))
     return (lk.groupBy("_cl").cogroup(rk.groupBy("_cr"))
             .applyInPandas(pairs,
-                           f"{out_a} long, {out_b} long, _cos double"))
+                           f"{out_a} {a_t}, {out_b} {b_t}, _cos double"))
 
 
 def cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
@@ -507,9 +547,13 @@ def cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
     With ``block_col`` the self-join is restricted to equal blocks
     (e.g. an LSH band or cluster label) — the scale path, running in
     the Arrow-batched per-block kernel (_blocked_pair_cosines,
-    bit-identical to the cosine_similarity_cols fold incl. its
-    float-squares norms; the threshold applies INSIDE the kernel so
-    only passing pairs cross Arrow). A full cross-join self-join is
+    bit-identical to the cosine_similarity_cols fold, whose norms
+    follow the COLUMN dtype: float32 squares only for array<float>
+    columns, double products for array<double> — norm_mode is selected
+    from the element type here, not hardcoded, so double embeddings
+    keep their double norms on the blocked path too (ADVICE r9); the
+    threshold applies INSIDE the kernel so only passing pairs cross
+    Arrow). A full cross-join self-join is
     quadratic and only for small frames. For unblocked data at scale
     use :func:`cosine_pairs_lsh` (banded candidate generation, exact
     verify, approximate recall).
@@ -522,7 +566,7 @@ def cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
                           F.col(id_col).alias("b"),
                           F.col(vec_col).alias("_v"))
         return (_blocked_pair_cosines(left, right, "a", "b", "lt",
-                                      norm_mode="float_sq",
+                                      norm_mode=_norm_mode_for(df, vec_col),
                                       threshold=float(threshold))
                 .select("a", "b", F.col("_cos").alias("cosine")))
     left = df.select(F.col(id_col).alias("a"),
@@ -570,7 +614,7 @@ def cosine_pairs_lsh(df: DataFrame, id_col: str, vec_col: str,
     right = ex.select(F.col("_bk").alias("_cell"),
                       F.col(id_col).alias("b"), F.col(vec_col).alias("_v"))
     return (_blocked_pair_cosines(left, right, "a", "b", "lt",
-                                  norm_mode="float_sq",
+                                  norm_mode=_norm_mode_for(df, vec_col),
                                   threshold=float(threshold))
             .dropDuplicates(["a", "b"])
             .select("a", "b", F.col("_cos").alias("cosine")))

@@ -617,6 +617,102 @@ def test_cosine_pairs_blocked(spark, oracle):
               AND list_cosine_similarity(x.embedding, y.embedding) >= 0.5"""))
 
 
+def test_cosine_pairs_blocked_string_ids(spark):
+    """ADVICE r9: the Arrow kernel hardcoded `long` id columns — string
+    ids (accepted by the unblocked path) crashed with an Arrow type
+    error. The output schema now follows the input id type."""
+    from helix_db_spark.operators.similarity import cosine_pairs
+
+    rows = [("d-a", [1.0, 0.0]), ("d-b", [0.9, 0.1]),
+            ("d-c", [0.0, 1.0]), ("d-d", [0.89, 0.11])]
+    df = (spark.createDataFrame(rows, "id string, vec array<double>")
+          .withColumn("blk", F.lit(1)))
+    blocked = {(r["a"], r["b"], r["cosine"]) for r in cosine_pairs(
+        df, "id", "vec", threshold=0.5, block_col="blk").collect()}
+    exact = {(r["a"], r["b"], r["cosine"]) for r in cosine_pairs(
+        df, "id", "vec", threshold=0.5).collect()}
+    assert blocked == exact and len(blocked) > 0
+
+
+def test_cosine_pairs_blocked_double_norms_bit_identical(spark):
+    """ADVICE r9: the blocked path hardcoded float32-squared norms, so
+    array<double> cosines silently differed from the unblocked JVM fold
+    (threshold-adjacent pairs could flip). norm_mode now follows the
+    column dtype — raw cosines must match the JVM spelling BIT-FOR-BIT
+    on values that are not float32-representable."""
+    from helix_db_spark.operators.similarity import cosine_pairs
+
+    rows = [(i, [0.1 + 0.01 * i + 0.001 * j for j in range(8)])
+            for i in range(12)]
+    df = (spark.createDataFrame(rows, "id long, vec array<double>")
+          .withColumn("blk", F.lit(0)))
+    blocked = {(r["a"], r["b"]): r["cosine"] for r in cosine_pairs(
+        df, "id", "vec", threshold=0.9, block_col="blk").collect()}
+    exact = {(r["a"], r["b"]): r["cosine"] for r in cosine_pairs(
+        df, "id", "vec", threshold=0.9).collect()}
+    assert set(blocked) == set(exact) and blocked
+    for k in blocked:  # raw doubles, no rounding: bit-identity required
+        assert blocked[k] == exact[k], (k, blocked[k], exact[k])
+
+
+def test_cosine_pairs_blocked_zero_norm_dropped(spark):
+    """Zero-norm vectors: the JVM spelling throws DIVIDE_BY_ZERO under
+    ANSI and DuckDB's 0/0 is NULL (fails any >= filter) — the kernel
+    DROPS those pairs instead of crashing or emitting NaN rows, and the
+    real pairs still come out right."""
+    from helix_db_spark.operators.similarity import cosine_pairs
+
+    rows = [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 0.0]),
+            (4, [0.9, 0.1])]
+    df = (spark.createDataFrame(rows, "id long, vec array<double>")
+          .withColumn("blk", F.lit(0)))
+    blocked = {(r["a"], r["b"]) for r in cosine_pairs(
+        df, "id", "vec", threshold=0.5, block_col="blk").collect()}
+    assert blocked == {(2, 4)}  # zero-norm pairs dropped, real pair kept
+
+
+def test_assign_pandas_zero_norms_and_string_ids(spark):
+    """ADVICE r9 pair: (a) NaN distances (zero-norm vector OR centroid)
+    map to +inf so a degenerate centroid never wins and a degenerate
+    vector assigns deterministically (the JVM twin just throws under
+    ANSI there); (b) the id column keeps its source type instead of
+    hardcoded long."""
+    from helix_db_spark.operators.similarity import (_assign_pandas,
+                                                     _assign_to)
+
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]),       # zero-norm centroid: NaN to everyone
+         (1, [1.0, 0.0]),
+         (2, [0.0, 1.0])],
+        "_cid long, _cvec array<double>")
+    df = spark.createDataFrame(
+        [(10, [0.9, 0.1]), (11, [0.1, 0.9]),
+         (12, [0.0, 0.0])],      # zero-norm vector: NaN to every centroid
+        "id long, vec array<double>")
+    kernel = {(r["id"], r["_cell"]) for r in
+              _assign_pandas(df, "id", "vec", cents).collect()}
+    # real vectors never land in the degenerate cell; the degenerate
+    # vector assigns deterministically to the smallest cid
+    assert kernel == {(10, 1), (11, 2), (12, 0)}
+    # nprobe=2: NaN-distance cells sort last, never crowd out real cells
+    two = {(r["id"], r["_cell"]) for r in
+           _assign_pandas(df, "id", "vec", cents, nprobe=2).collect()}
+    assert (10, 1) in two and (10, 2) in two and (10, 0) not in two
+
+    # string ids flow through both kernels (hardcoded-long regression);
+    # kernel == JVM on the non-degenerate centroid set
+    good = cents.filter(F.col("_cid") > 0)
+    sdf = spark.createDataFrame(
+        [("x", [0.9, 0.1]), ("y", [0.1, 0.9])],
+        "id string, vec array<double>")
+    got = {(r["id"], r["_cell"]) for r in
+           _assign_pandas(sdf, "id", "vec", good).collect()}
+    jvm = {(r["id"], r["_cell"]) for r in
+           _assign_to(sdf, "id", "vec", good).select("id", "_cell")
+           .collect()}
+    assert got == jvm == {("x", 1), ("y", 2)}
+
+
 def test_cosine_pairs_lsh_recall(spark):
     """Unblocked near-dup scale path: banded candidates + exact verify.
     No false positives by construction; recall vs the exact crossJoin must
