@@ -33,13 +33,22 @@ Tables written before the manifest layer (bare parquet dirs) are
 adopted in place: the first merge commits v0 = the current listing.
 
 Filesystem scope: data-file renames and all file retirement go through
-the Hadoop FileSystem API, but the commit claim (link), manifest
-read/write/listing and footer-stats reads use driver-local IO — this
-build targets a driver-visible table directory (local disk / NFS /
-fuse-mounted object store). Porting to a raw hdfs://-style URI means
-swapping open/os.listdir/os.link for fs.open/fs.listStatus/a
-conditional create — mechanical, called out here rather than
-discovered later (the webdataset ADVICE class).
+the Hadoop FileSystem API. Manifest IO is scheme-aware: a BARE path
+(no ``scheme://``) takes the driver-local POSIX fast path, whose commit
+claim is link(2) — genuinely atomic create-if-absent on local disk and
+NFS (fuse object stores like s3fs/gcsfuse usually lack hardlinks; the
+claim raises a pointed error there — use a scheme'd URI instead). Any
+SCHEME'D URI (hdfs://, file://, s3a://, abfs://) routes manifest
+read/write/listing/mtime through the Hadoop FileSystem API: the claim
+is write-tmp-then-``fs.rename(tmp, final)``, which on HDFS-like
+filesystems fails (returns false) when the destination exists — an
+atomic arbiter with the full content present at claim time. An
+exists() pre-check backstops filesystems whose rename overwrites
+(raw local, S3A): there the conflict window shrinks to the
+check->rename gap rather than disappearing — acceptable for the test
+vehicle (file://) and for stores that should front a real conditional
+put. Footer-stats reads fall back to "no stats" (conservatively
+touched files) on schemes pyarrow cannot open directly.
 """
 
 from __future__ import annotations
@@ -52,6 +61,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .fsutil import hadoop_fs as _hadoop_fs
+from .fsutil import list_file_names as _list_file_names
 
 _MDIR = "_manifests"
 
@@ -65,44 +75,133 @@ def _manifest_path(root: str, version: int) -> str:
     return os.path.join(root, _MDIR, f"v{version:08d}.json")
 
 
+def _posix(root: str) -> bool:
+    """Bare paths use driver-local POSIX IO (link(2) commit claim);
+    scheme'd URIs — including file:// — route through the Hadoop FS API
+    (see the module docstring's filesystem-scope paragraph)."""
+    return "://" not in root
+
+
+def _require_spark() -> SparkSession:
+    """Manifest IO on a scheme'd root needs the JVM; list_versions/_live
+    keep their spark-free signatures for the POSIX path, so the FS-API
+    branch picks up the active session (there is always one — the table
+    was read or written through it)."""
+    spark = SparkSession.getActiveSession()
+    if spark is None:  # pragma: no cover - defensive
+        raise RuntimeError(
+            "a scheme'd table root needs an active SparkSession for "
+            "Hadoop FileSystem manifest IO")
+    return spark
+
+
+def _read_manifest(root: str, version: int) -> dict:
+    path = _manifest_path(root, version)
+    if _posix(root):
+        with open(path) as f:
+            return json.load(f)
+    fs, jvm = _hadoop_fs(_require_spark(), root)
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(path))
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
+def _list_parquet_names(root: str) -> List[str]:
+    """Sorted basenames of the .parquet files directly under ``root``
+    (missing dir => [])."""
+    if _posix(root):
+        if not os.path.isdir(root):
+            return []
+        return sorted(n for n in os.listdir(root) if n.endswith(".parquet"))
+    return _list_file_names(_require_spark(), root, ".parquet")
+
+
 def _commit_manifest(spark: SparkSession, root: str, version: int,
                      files: List[str], op: str) -> None:
-    """Write manifest v{version} via tmp-write + atomic claim: the
-    commit point is ``link(tmp, final)`` — POSIX link(2) NEVER
-    overwrites an existing destination, so two writers racing to the
-    same version cannot both succeed (rename(2), by contrast, silently
-    replaces, which made exists()-then-rename a TOCTOU). The loser's
-    EEXIST becomes ConcurrentWriteError; the winner's manifest is
-    complete at claim time (content was fully written to tmp first), so
-    a concurrent reader never observes a half-written manifest. On an
-    object store swap this for the store's conditional put
-    (if-none-match) — same contract, different spelling."""
+    """Write manifest v{version} via tmp-write + atomic claim.
+
+    POSIX roots: the commit point is ``link(tmp, final)`` — link(2)
+    NEVER overwrites an existing destination, so two writers racing to
+    the same version cannot both succeed (rename(2), by contrast,
+    silently replaces, which made exists()-then-rename a TOCTOU). The
+    loser's EEXIST becomes ConcurrentWriteError; the winner's manifest
+    is complete at claim time (content was fully written to tmp first),
+    so a concurrent reader never observes a half-written manifest.
+    Filesystems without hardlink support (fuse object stores: s3fs,
+    gcsfuse) raise a pointed error instead of a raw EPERM — route those
+    through a scheme'd URI instead (ADVICE r9).
+
+    Scheme'd roots: tmp is fully written through ``fs.create``, then
+    claimed with ``fs.rename(tmp, final)`` — on HDFS-like filesystems
+    rename-to-existing FAILS (returns false), an atomic arbiter with
+    complete content at claim time; an exists() pre-check backstops
+    overwriting renames (raw local, S3A) at TOCTOU-window fidelity
+    (module docstring). On a real object store, front this with the
+    store's conditional put (if-none-match) — same contract."""
+    payload = json.dumps({"version": version, "op": op,
+                          "files": sorted(files)})
     mdir = os.path.join(root, _MDIR)
-    os.makedirs(mdir, exist_ok=True)
     final = _manifest_path(root, version)
-    tmp = final + f".tmp-{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump({"version": version, "op": op,
-                   "files": sorted(files)}, f)
-        f.flush()
-        os.fsync(f.fileno())
-    try:
-        os.link(tmp, final)
-    except FileExistsError:
-        raise ConcurrentWriteError(
-            f"version {version} of {root} was committed by another writer")
-    finally:
+    if _posix(root):
+        os.makedirs(mdir, exist_ok=True)
+        tmp = final + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            os.unlink(tmp)
-        except OSError:  # pragma: no cover - already vacuumed
+            os.link(tmp, final)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"version {version} of {root} was committed by another "
+                f"writer")
+        except OSError as e:
+            raise OSError(
+                f"manifest commit claim needs hardlink support, which "
+                f"{root}'s filesystem lacks (fuse object stores like "
+                f"s3fs/gcsfuse do not implement link(2)); use a scheme'd "
+                f"URI (e.g. file:///, hdfs://) to route the commit "
+                f"through the Hadoop FileSystem API instead: {e}") from e
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:  # pragma: no cover - already vacuumed
+                pass
+        return
+    fs, jvm = _hadoop_fs(spark, root)
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs.mkdirs(HPath(mdir))
+    tmp = final + f".tmp-{os.getpid()}"
+    out = fs.create(HPath(tmp), True)
+    try:
+        out.write(bytearray(payload.encode("utf-8")))
+    finally:
+        out.close()
+    try:
+        if fs.exists(HPath(final)) or not fs.rename(HPath(tmp),
+                                                    HPath(final)):
+            raise ConcurrentWriteError(
+                f"version {version} of {root} was committed by another "
+                f"writer")
+    finally:
+        try:  # no-op when the rename claimed it
+            fs.delete(HPath(tmp), False)
+        except Exception:  # pragma: no cover - defensive
             pass
 
 
 def list_versions(root: str) -> List[int]:
     mdir = os.path.join(root, _MDIR)
-    if not os.path.isdir(mdir):
-        return []
-    return sorted(int(n[1:9]) for n in os.listdir(mdir)
+    if _posix(root):
+        if not os.path.isdir(mdir):
+            return []
+        names = os.listdir(mdir)
+    else:
+        names = _list_file_names(_require_spark(), mdir, ".json")
+    return sorted(int(n[1:9]) for n in names
                   if n.startswith("v") and n.endswith(".json"))
 
 
@@ -112,14 +211,11 @@ def _live(root: str, version: Optional[int] = None
     listing (version None) for pre-manifest tables."""
     versions = list_versions(root)
     if not versions:
-        names = sorted(n for n in os.listdir(root)
-                       if n.endswith(".parquet"))
-        return None, names
+        return None, _list_parquet_names(root)
     v = max(versions) if version is None else version
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")
-    with open(_manifest_path(root, v)) as f:
-        return v, json.load(f)["files"]
+    return v, _read_manifest(root, v)["files"]
 
 
 def read_table(spark: SparkSession, root: str,
@@ -147,7 +243,7 @@ def write_keyed_table(df: DataFrame, root: str, key_col: str,
     (df.repartitionByRange(files, F.col(key_col))
        .sortWithinPartitions(key_col)
        .write.mode("overwrite").parquet(root))
-    names = sorted(n for n in os.listdir(root) if n.endswith(".parquet"))
+    names = _list_parquet_names(root)
     _commit_manifest(df.sparkSession, root, 0, names, "init")
 
 
@@ -162,7 +258,17 @@ def file_key_stats(spark: SparkSession, root: str, key_col: str,
     out = []
     for name in names:
         path = os.path.join(root, name)
-        md = pq.read_metadata(path)
+        try:
+            # pyarrow opens bare paths and file:// URIs directly; on
+            # schemes it cannot reach, fall back to "no stats" — the
+            # file is conservatively treated as touched (correct,
+            # just unpruned). At 100 TB the stats live in the manifest
+            # itself rather than footers (module docstring).
+            md = pq.read_metadata(path[7:] if path.startswith("file://")
+                                  else path)
+        except Exception:  # unreachable scheme / unreadable footer
+            out.append((path, None, None))
+            continue
         idx = md.schema.names.index(key_col)
         kmin = kmax = None
         for rg in range(md.num_row_groups):
@@ -224,13 +330,12 @@ def _commit_rewrite(spark: SparkSession, root: str, out: DataFrame,
     fs, jvm = _hadoop_fs(spark, root)
     HPath = jvm.org.apache.hadoop.fs.Path
     new_names = []
-    for i, name in enumerate(sorted(os.listdir(tmp))):
-        if name.endswith(".parquet"):
-            dst = f"{op}-{new_version:08d}-{i:05d}-{name}"
-            if not fs.rename(HPath(os.path.join(tmp, name)),
-                             HPath(os.path.join(root, dst))):
-                raise IOError(f"rename into {dst} failed")
-            new_names.append(dst)
+    for i, name in enumerate(_list_parquet_names(tmp)):
+        dst = f"{op}-{new_version:08d}-{i:05d}-{name}"
+        if not fs.rename(HPath(os.path.join(tmp, name)),
+                         HPath(os.path.join(root, dst))):
+            raise IOError(f"rename into {dst} failed")
+        new_names.append(dst)
     fs.delete(HPath(tmp), True)
     touched_names = {os.path.basename(p) for p in touched}
     survivors = [n for n in live if n not in touched_names]
@@ -388,15 +493,41 @@ def vacuum(spark: SparkSession, root: str, keep_versions: int = 1) -> dict:
     kept = versions[-keep_versions:]
     keep = set()
     for v in kept:
-        with open(_manifest_path(root, v)) as f:
-            keep.update(json.load(f)["files"])
-    grace = os.path.getmtime(_manifest_path(root, versions[-1]))
+        keep.update(_read_manifest(root, v)["files"])
     fs, jvm = _hadoop_fs(spark, root)
     HPath = jvm.org.apache.hadoop.fs.Path
+
+    def _mtimes(dirpath: str) -> List[Tuple[str, float]]:
+        """(name, mtime) for plain files under dirpath. POSIX stats race
+        concurrent unlinks (a winner's _commit_manifest finally-block, a
+        concurrent vacuum) — a vanished entry is simply skipped instead
+        of aborting the sweep partway (ADVICE r9). The FS API's
+        listStatus snapshot carries mtimes, race-free by construction."""
+        if _posix(dirpath):
+            out = []
+            for name in sorted(os.listdir(dirpath)):
+                try:
+                    out.append((name,
+                                os.path.getmtime(os.path.join(dirpath,
+                                                              name))))
+                except FileNotFoundError:
+                    continue
+            return out
+        return sorted((st.getPath().getName(),
+                       st.getModificationTime() / 1000.0)
+                      for st in fs.listStatus(HPath(dirpath))
+                      if st.isFile())
+
+    latest = _manifest_path(root, versions[-1])
+    if _posix(root):
+        grace = os.path.getmtime(latest)
+    else:
+        grace = fs.getFileStatus(HPath(latest)).getModificationTime() \
+            / 1000.0
     deleted = 0
-    for name in sorted(os.listdir(root)):
+    for name, mtime in _mtimes(root):
         if name.endswith(".parquet") and name not in keep \
-                and os.path.getmtime(os.path.join(root, name)) < grace:
+                and mtime < grace:
             fs.delete(HPath(os.path.join(root, name)), False)
             deleted += 1
     dropped = 0
@@ -407,8 +538,7 @@ def vacuum(spark: SparkSession, root: str, keep_versions: int = 1) -> dict:
     # tmp manifests abandoned by crashed commits (the claim never ran);
     # ones newer than the latest commit may be an in-flight writer's
     mdir = os.path.join(root, _MDIR)
-    for name in os.listdir(mdir):
-        path = os.path.join(mdir, name)
-        if ".tmp-" in name and os.path.getmtime(path) < grace:
-            fs.delete(HPath(path), False)
+    for name, mtime in _mtimes(mdir):
+        if ".tmp-" in name and mtime < grace:
+            fs.delete(HPath(os.path.join(mdir, name)), False)
     return {"deleted_files": deleted, "deleted_versions": dropped}

@@ -284,3 +284,110 @@ def test_schema_guard_deterministic_after_evolution(spark, table):
     for _ in range(3):  # was nondeterministic pre-fix; now always raises
         with pytest.raises(ValueError, match="schema"):
             merge_upsert(spark, table, narrow, "k")
+
+
+@pytest.fixture()
+def uri_table(spark, tmp_path):
+    """Same keyed table, but the root is a file:// URI — every manifest
+    read/write/list/mtime goes through the Hadoop FS API branch (the
+    exact code path an hdfs:// table root would take)."""
+    from helix_db_spark.sources.merge import write_keyed_table
+    root = "file://" + str(tmp_path / "t_uri")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        F.concat(F.lit("row-"), F.col("id").cast("string")).alias("s"))
+    write_keyed_table(df, root, "k", files=4)
+    return root
+
+
+def test_fsapi_merge_lifecycle(spark, uri_table):
+    """Full lifecycle on a scheme'd root: merge, prune, time travel,
+    vacuum — all manifest IO through the Hadoop FileSystem API
+    (VERDICT r9 #4: the commit claim no longer assumes POSIX)."""
+    from helix_db_spark.sources.merge import (_live, list_versions,
+                                              merge_upsert, vacuum)
+    v0 = _content(spark, uri_table)
+    assert len(v0) == 100
+    upd = spark.createDataFrame(
+        [(5, 999, "upd-5"), (200, 2000, "new-200")],
+        "k long, v long, s string")
+    st = merge_upsert(spark, uri_table, upd, "k")
+    assert st["version"] == 1 and st["files_total"] == 4
+    assert st["files_rewritten"] == 1  # footer pruning works on file://
+    got = _content(spark, uri_table)
+    assert (5, 999, "upd-5") in got and (200, 2000, "new-200") in got
+    assert len(got) == 101
+    assert _content(spark, uri_table, version=0) == v0    # time travel
+    assert list_versions(uri_table) == [0, 1]
+    vc = vacuum(spark, uri_table, keep_versions=1)
+    assert vc["deleted_files"] == 1 and vc["deleted_versions"] == 1
+    _, live = _live(uri_table)
+    assert _content(spark, uri_table) == got
+    local = uri_table[len("file://"):]
+    on_disk = {f for f in os.listdir(local) if f.endswith(".parquet")}
+    assert on_disk == set(live)
+
+
+def test_fsapi_occ_conflict(spark, uri_table):
+    """The FS-API claim (exists-check + rename-no-overwrite) still turns
+    a lost race into ConcurrentWriteError, and the loser's tmp manifest
+    does not survive."""
+    from helix_db_spark.sources.merge import (ConcurrentWriteError,
+                                              _commit_manifest,
+                                              merge_upsert)
+    upd = spark.createDataFrame([(10, -10, "ten")],
+                                "k long, v long, s string")
+    merge_upsert(spark, uri_table, upd, "k")
+    with pytest.raises(ConcurrentWriteError):
+        _commit_manifest(spark, uri_table, 1, ["x.parquet"], "merge")
+    local = uri_table[len("file://"):]
+    tmps = [n for n in os.listdir(os.path.join(local, "_manifests"))
+            if ".tmp-" in n]
+    assert tmps == []
+
+
+def test_posix_link_unsupported_raises_pointed_error(spark, table,
+                                                     monkeypatch):
+    """ADVICE r9: on filesystems without hardlinks (fuse object stores)
+    the POSIX claim raises an actionable error naming the missing
+    link(2) support and the scheme'd-URI alternative, not a raw EPERM."""
+    import errno
+
+    from helix_db_spark.sources.merge import merge_upsert
+
+    def no_link(src, dst):
+        raise OSError(errno.EPERM, "Operation not permitted")
+
+    monkeypatch.setattr(os, "link", no_link)
+    upd = spark.createDataFrame([(1, 1, "one")], "k long, v long, s string")
+    with pytest.raises(OSError, match="hardlink support.*scheme'd URI"):
+        merge_upsert(spark, table, upd, "k")
+
+
+def test_vacuum_survives_racing_unlink(spark, table, monkeypatch):
+    """ADVICE r9: a concurrent writer unlinking its tmp manifest (or a
+    concurrent vacuum deleting a parquet) between listdir and getmtime
+    must not abort the sweep — the vanished entry is skipped."""
+    from helix_db_spark.sources import merge as merge_mod
+    from helix_db_spark.sources.merge import merge_upsert, vacuum
+
+    upd = spark.createDataFrame([(3, -1, "x")], "k long, v long, s string")
+    merge_upsert(spark, table, upd, "k")
+    # a stale tmp manifest from a "crashed" commit, then make its stat
+    # race a concurrent unlink
+    stale = os.path.join(table, "_manifests", "v00000009.json.tmp-999")
+    with open(stale, "w") as f:
+        f.write("{}")
+    past = os.path.getmtime(merge_mod._manifest_path(table, 1)) - 60
+    os.utime(stale, (past, past))
+    real_getmtime = os.path.getmtime
+
+    def racy(path):
+        if path.endswith(".tmp-999"):
+            raise FileNotFoundError(path)
+        return real_getmtime(path)
+
+    monkeypatch.setattr(os.path, "getmtime", racy)
+    st = vacuum(spark, table, keep_versions=1)  # must not raise
+    assert st["deleted_versions"] == 1
