@@ -208,24 +208,101 @@ def test_curation_op_plan_shapes(spark):
         "graded kNN entry must run the celled plan, not the quadratic"
 
 
-def test_registry_wide_no_plan_antipatterns(spark):
+@pytest.fixture(scope="module")
+def registry_plans(spark):
+    """Compile EVERY queries() entry once (plan strings only, nothing
+    executes) — shared by the registry-wide gates below so the ~178
+    compilations are paid a single time per test session."""
+    from helix_db_spark import entry_queries as eq
+
+    sf = "/root/testdata/sf0.001"
+    return {name: fn(spark, sf)._jdf.queryExecution()
+            .executedPlan().toString()
+            for name, fn in eq.queries().items()}
+
+
+def test_registry_wide_no_plan_antipatterns(registry_plans):
     """EVERY queries() entry compiles free of the two scale-killers:
     CartesianProduct (unpartitionable quadratic — even the quadratic
     oracle baselines broadcast one bounded side instead) and
     BatchEvalPython (row-at-a-time Python UDF; all Python in the repo is
     Arrow-batched). A new entry that regresses either fails here."""
-    from helix_db_spark import entry_queries as eq
-
-    sf = "/root/testdata/sf0.001"
     offenders = {}
-    for name, fn in eq.queries().items():
-        p = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    for name, p in registry_plans.items():
         flags = [f for f, marker in
                  (("cartesian", "CartesianProduct"),
                   ("row-python-udf", "BatchEvalPython")) if marker in p]
         if flags:
             offenders[name] = flags
     assert offenders == {}, offenders
+
+
+# Tokenizer-site ceiling for the expression-bomb gate below. Entries that
+# COMPOSE several tokenizing operators by design carry explicit
+# allowances (measured r10 count + slack for plan-shape drift); anything
+# else exceeding the default bound is the ~50x CollapseProject-inlining
+# class (PLANS r9) and needs a Generate output barrier, not an allowance.
+_TOKENIZER_SITE_BOUND = 16
+_TOKENIZER_SITE_ALLOWANCES = {
+    "curate_corpus_pipeline": 60,    # full curation recipe (54 measured)
+    "dedup_quality_report": 44,      # composes two graded pipelines (40)
+    "dataset_card_by_source": 32,    # card = union of per-stat scans (32)
+    "text_language_id": 28,          # 26: one site per langid profile
+    "language_id_accuracy": 28,      # same profile fan-out (26)
+}
+
+
+def test_registry_wide_no_expression_bombs(registry_plans):
+    """The Catalyst filter-pushdown expression bomb (PLANS r9): a filter
+    on an operator's computed column gets pushed below its projections
+    and CollapseProject re-expands every alias reference into the
+    predicate — multiplicative, and HOF lambdas block CSE. The fix is a
+    Generate output barrier at the operator boundary; this gate keeps
+    the class from silently returning by counting tokenizer sites
+    (`split(lower`, the expensive leaf every text operator shares) in
+    every compiled plan."""
+    offenders = {}
+    for name, p in registry_plans.items():
+        bound = _TOKENIZER_SITE_ALLOWANCES.get(name,
+                                               _TOKENIZER_SITE_BOUND)
+        c = p.count("split(lower")
+        if c > bound:
+            offenders[name] = (c, bound)
+    assert offenders == {}, \
+        f"tokenizer-site blow-up (count, bound): {offenders} — add a " \
+        f"Generate output barrier (explode(array(struct(...)))) at the " \
+        f"operator output instead of raising the allowance"
+
+
+def test_expression_bomb_audit_catches_unbarriered_operator(spark):
+    """Canary for the gate above: a deliberately un-barriered operator
+    stack — CHAINED aliases each referencing the previous one twice,
+    then a filter pushed below the projections — must light up the
+    tokenizer-site counter far beyond the default bound (the expansion
+    is multiplicative: every alias reference re-expands its whole tree,
+    2^depth sites). A Generate barrier at the same spot must kill it.
+    If Catalyst ever stops inlining this way (making barriers
+    unnecessary), this test tells us the gate can go."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tok = F.split(F.lower(F.col("text")), " ")
+    d = docs.select("doc_id", tok.alias("_t0"))
+    for k in range(5):  # each level doubles the tokenize tree
+        d = d.select("doc_id",
+                     F.concat(F.col(f"_t{k}"),
+                              F.col(f"_t{k}")).alias(f"_t{k + 1}"))
+    unbarriered = d.select("doc_id", F.size(F.col("_t5")).alias("n"))
+    p = (unbarriered.filter(F.col("n") > 3)
+         ._jdf.queryExecution().executedPlan().toString())
+    assert p.count("split(lower") > _TOKENIZER_SITE_BOUND, p
+
+    # the CLAUDE.md rule's fix: a Generate output barrier pins the
+    # computed column as an attribute — the same filter stays cheap
+    barriered = d.select(
+        "doc_id",
+        F.explode(F.array(F.size(F.col("_t5")))).alias("n"))
+    pb = (barriered.filter(F.col("n") > 3)
+          ._jdf.queryExecution().executedPlan().toString())
+    assert pb.count("split(lower") <= 2, pb
 
 
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
