@@ -462,6 +462,67 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_ivf(args) -> int:
+    """On-disk IVF vector-index lifecycle (operators/similarity.py — the
+    maintenance story behind the served ANN probes): ``--build
+    <parquet>`` writes the cell-partitioned layout; ``--append
+    <parquet>`` assigns new vectors to the frozen centroids and appends
+    (the skew report prints with the summary, and a ratio above
+    ``--max-skew`` logs the recluster warning); ``--skew-report`` prints
+    the cell-occupancy health JSON; ``--recluster`` rebuilds the coarse
+    quantizer when skew exceeds ``--max-skew`` and is a reported no-op
+    below it — safe for an unconditional maintenance cron (the Delta
+    OPTIMIZE usage shape). Prints a summary JSON."""
+    from .operators.similarity import (append_to_ivf_index,
+                                       ivf_cell_skew_report,
+                                       recluster_ivf_index,
+                                       store_ivf_index)
+    from .session import get_spark
+
+    modes = [bool(args.build), bool(args.append),
+             args.skew_report, args.recluster]
+    if sum(map(bool, modes)) != 1:
+        print(json.dumps({"error": "exactly one of --build/--append/"
+                          "--skew-report/--recluster"}), file=sys.stderr)
+        return 2
+    spark = get_spark("helix-spark-ivf",
+                      **{"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        if args.build:
+            df = spark.read.parquet(args.build)
+            for c in (args.id_col, args.vec_col):
+                if c not in df.columns:
+                    print(json.dumps({"error": f"missing column {c}"}),
+                          file=sys.stderr)
+                    return 2
+            store_ivf_index(df, args.id_col, args.vec_col, args.index,
+                            max_cells=args.max_cells,
+                            refine_iters=args.refine_iters)
+            print(json.dumps({"op": "build", "index": args.index,
+                              **ivf_cell_skew_report(spark, args.index)}))
+            return 0
+        if args.append:
+            report = append_to_ivf_index(spark.read.parquet(args.append),
+                                         args.index,
+                                         warn_skew=args.max_skew)
+            print(json.dumps({"op": "append", "index": args.index,
+                              **report}))
+            return 0
+        if args.skew_report:
+            print(json.dumps({"op": "skew_report", "index": args.index,
+                              **ivf_cell_skew_report(spark, args.index)}))
+            return 0
+        st = recluster_ivf_index(spark, args.index,
+                                 max_skew=args.max_skew,
+                                 refine_iters=args.refine_iters)
+        print(json.dumps({"op": "recluster", "index": args.index, **st}))
+        return 0
+    except (ValueError, OSError) as e:   # quantized recluster, bad dir
+        print(json.dumps({"error": str(e)}), file=sys.stderr)
+        return 2
+
+
 def cmd_bpe(args) -> int:
     """Tokenizer flow: ``--train`` learns BPE merges from the corpus's
     documents table (one distributed word-count pass, driver-side merge
@@ -570,6 +631,7 @@ def main(argv=None) -> int:
                      ("warc", cmd_warc),
                      ("wds", cmd_wds), ("layout", cmd_layout),
                      ("bpe", cmd_bpe), ("merge", cmd_merge),
+                     ("ivf", cmd_ivf),
                      ("explain", cmd_explain)):
         p = sub.add_parser(name)
         p.add_argument("--data", default="/root/testdata/sf0.001",
@@ -664,6 +726,33 @@ def main(argv=None) -> int:
             p.add_argument("--evolve", action="store_true",
                            help="allow the update batch to add columns "
                            "(mergeSchema semantics)")
+        elif name == "ivf":
+            p.add_argument("--index", required=True,
+                           help="on-disk IVF index dir (cells/ + "
+                           "centroids/ + meta.json)")
+            p.add_argument("--build", help="(id, vector) parquet to "
+                           "index")
+            p.add_argument("--append", help="new-vectors parquet to "
+                           "assign + append")
+            p.add_argument("--skew-report", dest="skew_report",
+                           action="store_true",
+                           help="print cell-occupancy health JSON")
+            p.add_argument("--recluster", action="store_true",
+                           help="rebuild the coarse quantizer if skew "
+                           "exceeds --max-skew (no-op below)")
+            p.add_argument("--id-col", dest="id_col", default="vec_id")
+            p.add_argument("--vec-col", dest="vec_col",
+                           default="embedding")
+            p.add_argument("--max-cells", dest="max_cells", type=int,
+                           default=4096,  # similarity.IVF_MAX_CELLS
+                           help="centroid-count cap (actual count is "
+                           "~sqrt(n), capped here)")
+            p.add_argument("--max-skew", dest="max_skew", type=float,
+                           default=4.0,
+                           help="max/median cell-occupancy trigger")
+            p.add_argument("--refine-iters", dest="refine_iters",
+                           type=int, default=2,
+                           help="Lloyd iterations for build/recluster")
         elif name == "bpe":
             p.add_argument("--model", required=True,
                            help="merges parquet dir (save/load)")

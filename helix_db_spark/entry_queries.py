@@ -107,14 +107,24 @@ def nwhere_source_filter(spark, sf_dir):
 @q("predicate_algebra",
    "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O' AND "
    "o_totalprice BETWEEN 1000.0 AND 400000.0 AND "
-   "(o_totalprice > 150000.0 OR o_orderpriority LIKE '1%')")
+   "(o_totalprice > 150000.0 OR o_orderpriority LIKE '1%') AND "
+   "o_orderdate >= TIMESTAMP '1995-06-01'")
 def predicate_algebra(spark, sf_dir):
-    """And/Or/Not + Eq/Gt + Between (inclusive) + StartsWith in one
-    predicate tree — one graded row covers §2 rows 18-20, 24."""
+    """And/Or/Not + Eq/Gt + Between (inclusive) + StartsWith + a
+    timestamp comparison in one predicate tree — one graded row covers
+    §2 rows 18-20, 24, and since r10 row 27 (Timestamp/DateTimeNow):
+    the datetime predicate folded in from datetime_filter, whose slot
+    was freed for paragraph-level dedup (VERDICT r9 #7; the single-op
+    datetime_filter stays below the cap with its epoch-projection
+    value fidelity, vanilla-verified)."""
+    import datetime
     pred = P.and_(P.eq("o_orderstatus", "O"),
                   P.between("o_totalprice", 1000.0, 400000.0),
                   P.or_(P.gt("o_totalprice", 150000.0),
-                        P.starts_with("o_orderpriority", "1")))
+                        P.starts_with("o_orderpriority", "1")),
+                  P.gte("o_orderdate",
+                        datetime.datetime(1995, 6, 1,
+                                          tzinfo=datetime.timezone.utc)))
     return engine_for(spark, sf_dir).run(
         g().n("orders").where(pred).values("o_orderkey"))
 
@@ -5472,9 +5482,13 @@ def merge_upsert_documents(spark, sf_dir):
 # (redundant variants + a few approximate ops) still exercised by
 # tools/check_oracle.py and the test suite.
 DRIVER_TOP50 = [
-    # sources & predicates (§2 rows 1-2, 18-31)
+    # sources & predicates (§2 rows 1-2, 18-31). datetime_filter demoted
+    # r10: the Timestamp family (row 27) folded into predicate_algebra's
+    # predicate tree (the count_and_exists pattern; the single-op epoch
+    # projection stays below the cap, vanilla-verified) — the freed slot
+    # grades paragraph-level dedup (VERDICT r9 #7).
     "count_and_exists", "nwhere_source_filter", "predicate_algebra",
-    "string_predicates", "json_dotted_path", "datetime_filter",
+    "string_predicates", "json_dotted_path",
     "case_expression", "arithmetic_projection",
     # hops, edges, provenance (rows 10-15). two_hop_regions moved below
     # the cap in r5: the hop family stays graded via out_hop_group_count
@@ -5560,7 +5574,12 @@ DRIVER_TOP50 = [
     # md5-KMV estimate value-hash-matches the SQL oracle exactly, and
     # the entry runs the filtered scale path so the threshold+fallback
     # machinery is driver-verified).
-    "dedup_pipeline_survivors", "incremental_dedup_classify",
+    # dedup_paragraph_firstwins hoisted r10 (VERDICT r9 #7): paragraph-
+    # level dedup is a first-class production stage (CCNet 3.1 / Dolma
+    # run it corpus-wide) and its oracle value-hashes the reassembled
+    # TEXT — the hardest artifact in the dedup family.
+    "dedup_pipeline_survivors", "dedup_paragraph_firstwins",
+    "incremental_dedup_classify",
     "kmv_distinct_users", "overlap_pair_mining",
     # events_window_agg swapped for stream_watermarked_counts (r7): the
     # SAME tumbling-window aggregation and the SAME oracle, but executed

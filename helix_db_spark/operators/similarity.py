@@ -15,6 +15,7 @@ Deterministic by construction: hyperplanes from a fixed-seed RNG.
 
 from __future__ import annotations
 
+import logging
 import math
 from typing import List, Optional, Sequence
 
@@ -26,6 +27,8 @@ from pyspark.sql.types import ArrayType, FloatType, LongType
 
 from ..catalog import _ID
 from ..functions.vector import cosine_distance, cosine_similarity_cols, norm
+
+_LOG = logging.getLogger(__name__)
 
 LSH_SEED = 42
 # 16 bands x 6 bits: tuned for moderate-similarity neighborhoods
@@ -957,7 +960,9 @@ def pq_rerank_topk(encoded: DataFrame, codebooks: list,
                 .limit(k_results))
 
 
-def append_to_ivf_index(df: DataFrame, root: str) -> None:
+def append_to_ivf_index(df: DataFrame, root: str,
+                        warn_skew: Optional[float] = 4.0
+                        ) -> Optional[dict]:
     """Incremental maintenance of an on-disk IVF index: assign NEW
     vectors to the EXISTING centroids (no retrain — the standard IVF add
     path; quantizer drift is handled by periodic store_ivf_index
@@ -965,7 +970,15 @@ def append_to_ivf_index(df: DataFrame, root: str) -> None:
     cell directories the new vectors land in; existing data is never
     rewritten, so maintenance cost scales with the batch, not the
     corpus. Probes (ivf_topk_disk) see appended rows immediately — no
-    metadata to refresh, partition discovery picks up the new files."""
+    metadata to refresh, partition discovery picks up the new files.
+
+    ``warn_skew``: after the append, the cell-occupancy report runs
+    (one partition-column groupBy — footer-cheap) and a skew_ratio above
+    the bound logs a WARNING pointing at :func:`recluster_ivf_index`,
+    so sustained drift is operationally visible instead of silently
+    eroding probe cost/recall (VERDICT r9 #8). Returns the report, or
+    None with ``warn_skew=None`` (skip the check entirely — e.g. a
+    bulk-load loop that reclusters once at the end)."""
     import json as _json
     import os as _os
 
@@ -979,6 +992,16 @@ def append_to_ivf_index(df: DataFrame, root: str) -> None:
             .drop(meta["vec_col"])
     assigned.write.mode("append").partitionBy("_cell") \
         .parquet(_os.path.join(root, "cells"))
+    if warn_skew is None:
+        return None
+    report = ivf_cell_skew_report(spark, root)
+    if report["skew_ratio"] > warn_skew:
+        _LOG.warning(
+            "IVF index %s cell skew %.1fx exceeds %.1fx after append — "
+            "hot-cell probes scan their whole directory and recall "
+            "erodes; schedule recluster_ivf_index (cli: `ivf --index %s "
+            "--recluster`)", root, report["skew_ratio"], warn_skew, root)
+    return report
 
 
 def ivf_cell_skew_report(spark, root: str) -> dict:

@@ -347,3 +347,62 @@ def test_merge_cli_conflict_is_json_not_traceback(spark, capsys, tmp_path,
                       "--updates", upd)
     assert rc == 2
     assert "another writer" in json.loads(err.strip())["error"]
+
+
+def test_cli_ivf_lifecycle(spark, capsys, tmp_path, caplog):
+    """ivf subcommand round-trip (VERDICT r9 #8): build -> skew-report ->
+    drifted append (logs the recluster warning) -> recluster (acts above
+    the trigger, reported no-op below)."""
+    import logging
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    # 3 well-separated clusters, 200 vectors each
+    rows = []
+    for ci, center in enumerate((-4.0, 0.0, 4.0)):
+        for i in range(200):
+            rows.append((ci * 200 + i,
+                         (rng.standard_normal(8) * 0.1 + center).tolist()))
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>") \
+        .write.parquet(src)
+    idx = str(tmp_path / "ivf")
+    rc, out, _ = _run(capsys, "ivf", "--index", idx, "--build", src,
+                      "--max-cells", "3")
+    assert rc == 0
+    st = json.loads(out)
+    assert st["op"] == "build" and st["n_rows"] == 600
+    rc, out, _ = _run(capsys, "ivf", "--index", idx, "--skew-report")
+    assert rc == 0
+    healthy = json.loads(out)
+    assert healthy["skew_ratio"] < 2.0
+
+    # drifted ingest: everything piles into the cluster-2 cell
+    drift = str(tmp_path / "drift")
+    drows = [(10000 + i, (rng.standard_normal(8) * 0.1 + 4.0).tolist())
+             for i in range(2000)]
+    spark.createDataFrame(drows, "vec_id long, embedding array<double>") \
+        .write.parquet(drift)
+    with caplog.at_level(logging.WARNING,
+                         logger="helix_db_spark.operators.similarity"):
+        rc, out, _ = _run(capsys, "ivf", "--index", idx,
+                          "--append", drift)
+    assert rc == 0
+    st = json.loads(out)
+    assert st["op"] == "append" and st["n_rows"] == 2600
+    assert st["skew_ratio"] > 4.0
+    assert any("recluster_ivf_index" in r.message for r in caplog.records)
+
+    # recluster acts (skew above the trigger), then a second call no-ops
+    rc, out, _ = _run(capsys, "ivf", "--index", idx, "--recluster")
+    assert rc == 0
+    st = json.loads(out)
+    assert st["reclustered"] is True
+    assert st["after"]["skew_ratio"] < st["before"]["skew_ratio"]
+    rc, out, _ = _run(capsys, "ivf", "--index", idx, "--recluster")
+    assert rc == 0 and json.loads(out)["reclustered"] is False
+
+    # mode exclusivity error contract
+    rc, _, err = _run(capsys, "ivf", "--index", idx)
+    assert rc == 2 and "exactly one" in err

@@ -33,8 +33,11 @@ def test_driver_top50_covers_survey_ops():
     assert len(set(DRIVER_TOP50)) == 50
     critical = {
         # one per §2 family that has no second representative in the top 50
+        # datetime_filter demoted r10: the Timestamp family (§2 row 27)
+        # is carried by predicate_algebra's folded-in datetime predicate;
+        # the freed slot grades paragraph-level dedup
         "count_and_exists", "nwhere_source_filter", "predicate_algebra",
-        "string_predicates", "json_dotted_path", "datetime_filter",
+        "string_predicates", "json_dotted_path",
         "case_expression", "arithmetic_projection", "limit_by_param",
         "out_hop_group_count", "semantic_dedup_survivors",
         "edge_endpoint_projection",
@@ -91,6 +94,9 @@ def test_driver_top50_covers_survey_ops():
         "dsir_importance_weights", "knn_graph_celled",
         "incremental_dedup_classify", "events_value_quantiles",
         "text_lm_cross_entropy",
+        # r10 hoist: paragraph-level dedup (CCNet 3.1 / Dolma), whose
+        # oracle value-hashes the reassembled TEXT
+        "dedup_paragraph_firstwins",
     }
     assert critical <= set(DRIVER_TOP50)
     # every top-50 entry has a DuckDB oracle (full value-hash grading)
