@@ -1371,7 +1371,10 @@ def text_token_count_total(spark, sf_dir):
         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
         FROM documents),
 h AS (SELECT doc_id,
-        [CAST(('0x' || substr(md5(substr(s, i, 5)), 1, 8)) AS BIGINT)
+        [((ord(s[i])::BIGINT * 4362470401 + ord(s[i+1])::BIGINT * 16974593
+           + ord(s[i+2])::BIGINT * 66049 + ord(s[i+3])::BIGINT * 257
+           + ord(s[i+4])::BIGINT) % 2147483647
+          * 1103515245 + 12345) % 2147483647
          for i in generate_series(1, length(s) - 4)] AS hs
       FROM t WHERE length(s) >= 5),
 wn AS (SELECT doc_id,
@@ -1390,7 +1393,10 @@ _WINNOW_ORACLE = r"""WITH t AS (SELECT doc_id,
         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
         FROM documents),
 h AS (SELECT doc_id,
-        [CAST(('0x' || substr(md5(substr(s, i, 5)), 1, 8)) AS BIGINT)
+        [((ord(s[i])::BIGINT * 4362470401 + ord(s[i+1])::BIGINT * 16974593
+           + ord(s[i+2])::BIGINT * 66049 + ord(s[i+3])::BIGINT * 257
+           + ord(s[i+4])::BIGINT) % 2147483647
+          * 1103515245 + 12345) % 2147483647
          for i in generate_series(1, length(s) - 4)] AS hs
       FROM t WHERE length(s) >= 5),
 wn AS (SELECT doc_id,

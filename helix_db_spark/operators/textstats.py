@@ -126,6 +126,23 @@ def fingerprint(text: Column) -> Column:
     return F.md5(toks)
 
 
+# Rabin-Karp polynomial hash constants for winnowing: base 257 (above
+# every codepoint byte pattern's low weight), modulus 2^31-1 (Mersenne —
+# the classic Karp-Rabin choice; 31-bit outputs like the former
+# md5-prefix form). The raw polynomial is ORDER-BIASED (a k-gram whose
+# first codepoint is small — e.g. a leading space — hashes small, so
+# window minima would keep selecting word-boundary grams and unrelated
+# docs share fingerprints); the LCG-style affine mixer (glibc
+# multiplier) scrambles that order so minima select ~uniformly, per the
+# winnowing paper's uniform-hash assumption. Integer math end-to-end,
+# so the numpy kernel and the DuckDB oracle's ord()/BIGINT arithmetic
+# are bit-identical with no fold-order caveats (unlike float folds).
+WINNOW_B = 257
+WINNOW_M = (1 << 31) - 1
+WINNOW_A = 1103515245
+WINNOW_C = 12345
+
+
 def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
                         k: int = 5, w: int = 4) -> DataFrame:
     """Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the MOSS
@@ -135,37 +152,63 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
     partial-overlap detection where whole-doc digests (``fingerprint``)
     and set-based MinHash miss local matches. Returns (id, fp) rows.
 
-    Shape: fully in-array, ZERO shuffles — the k-gram hash array is
-    materialized as a column, window minima come from a per-position
-    ``array_min(slice(...))`` transform, and the per-doc distinct is an
-    ``array_distinct`` BEFORE the explode (fingerprints are already
-    unique per doc, so no cross-row distinct is needed). The previous
-    formulation posexploded every hash and ran a rolling min window —
-    a corpus-wide shuffle on the doc id plus a distinct shuffle; the
-    array form is multiset-identical and 9x faster at sf0.1 (36s -> 4s).
-    The CSE re-inline trap (functions/text.py) does not apply: ``_s``
-    and ``_h`` are materialized columns, and CollapseProject declines on
-    multi-referenced non-cheap expressions. md5-derived 32-bit hashes
-    keep the arithmetic reproducible in the DuckDB oracle. Texts shorter
-    than ``k`` emit nothing; fewer than ``w`` k-grams collapse to one
-    whole-array window (slice truncates at the end).
+    Hash: Karp-Rabin polynomial over Unicode codepoints mixed through an
+    affine scrambler, ``fp(i) = ((sum_j cp(s[i+j]) * B^(k-1-j)) mod M
+    * A + C) mod M`` with B=257, M=2^31-1, A/C the glibc LCG constants —
+    the paper's own rolling-hash family (§4) plus the uniformity its
+    min-selection assumes (see the constants' comment), and pure
+    integer math, so the kernel and the DuckDB oracle agree bit-for-bit.
+
+    Shape: normalization (lower/trim/whitespace-collapse) stays JVM-side;
+    hashing, windowed minima, and the per-doc distinct run in ONE
+    Arrow-batched numpy kernel (mapInPandas) — zero shuffles, one narrow
+    output row per selected fingerprint. The r9 HOF lesson applied: the
+    former per-position expression form (an md5 + hex-conv per character
+    under `transform`) is an interpreted higher-order lambda Catalyst
+    never compiles, and it was 41s of curate-the-corpus's 43s stage
+    total at sf1 (PLANS r9/r10); the kernel vectorizes the same
+    positions with `sliding_window_view`/`np.unique`. Texts shorter than
+    ``k`` emit nothing; fewer than ``w`` k-grams collapse to one
+    whole-array window — both edge cases identical to the old form.
     """
+    import numpy as np
+    import pandas as pd
+
+    pows = np.array([WINNOW_B ** (k - 1 - j) for j in range(k)],
+                    dtype=np.int64)
+
+    def fps(batches):
+        from numpy.lib.stride_tricks import sliding_window_view
+        for pdf in batches:
+            ids_out, fp_out = [], []
+            for i, s in zip(pdf["_i"].to_numpy(), pdf["_s"].to_numpy()):
+                if s is None:
+                    continue
+                # codepoints via one C-level utf-32 decode (== DuckDB
+                # ord(s[i]) and Python ord — verified bit-identical)
+                c = np.frombuffer(s.encode("utf-32-le"),
+                                  dtype=np.uint32).astype(np.int64)
+                n = c.size - (k - 1)
+                if n < 1:
+                    continue
+                H = np.zeros(n, dtype=np.int64)
+                for j in range(k):
+                    H += c[j:j + n] * pows[j]
+                H %= WINNOW_M
+                H = (H * WINNOW_A + WINNOW_C) % WINNOW_M
+                mins = (sliding_window_view(H, w).min(axis=1)
+                        if n >= w else H.min(keepdims=True))
+                u = np.unique(mins)
+                ids_out.append(np.full(u.size, i))
+                fp_out.append(u)
+            if ids_out:
+                yield pd.DataFrame({id_col: np.concatenate(ids_out),
+                                    "fp": np.concatenate(fp_out)})
+
+    id_t = df.schema[id_col].dataType.simpleString()
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    base = df.select(F.col(id_col), norm.alias("_s"))
-    n_grams = F.length("_s") - F.lit(k - 1)
-    hashes = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.conv(F.substring(
-            F.md5(F.col("_s").substr(i, F.lit(k))), 1, 8), 16, 10)
-        .cast("long"))
-    hcol = base.filter(n_grams >= 1).select(F.col(id_col),
-                                            hashes.alias("_h"))
-    wins = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("_h") - F.lit(w - 1),
-                                        F.lit(1))),
-        lambda p: F.array_min(F.slice("_h", p, w)))
-    return hcol.select(F.col(id_col),
-                       F.explode(F.array_distinct(wins)).alias("fp"))
+    src = df.select(F.col(id_col).alias("_i"), norm.alias("_s"))
+    return src.mapInPandas(fps, f"{id_col} {id_t}, fp long")
 
 
 def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str,

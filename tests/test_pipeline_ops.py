@@ -1162,10 +1162,11 @@ def test_repetition_stats(spark):
 
 def test_winnow_fingerprints(spark):
     """Winnowing guarantee: docs sharing a substring of >= k+w-1 chars
-    share a fingerprint; values match a straight python reference."""
-    import hashlib
-
-    from helix_db_spark.operators.textstats import winnow_fingerprints
+    share a fingerprint; values match a straight python reference (the
+    Karp-Rabin polynomial hash over codepoints, B=257 M=2^31-1)."""
+    from helix_db_spark.operators.textstats import (WINNOW_A, WINNOW_B,
+                                                    WINNOW_C, WINNOW_M,
+                                                    winnow_fingerprints)
 
     k, w = 5, 4
     shared = "the quick brown fox jumps over the lazy dog"
@@ -1179,7 +1180,9 @@ def test_winnow_fingerprints(spark):
 
     def ref(text):
         s = " ".join(text.lower().strip().split())
-        hs = [int(hashlib.md5(s[i:i + k].encode()).hexdigest()[:8], 16)
+        hs = [(sum(ord(s[i + j]) * WINNOW_B ** (k - 1 - j)
+                   for j in range(k)) % WINNOW_M
+               * WINNOW_A + WINNOW_C) % WINNOW_M
               for i in range(len(s) - k + 1)]
         if not hs:
             return set()
@@ -1202,9 +1205,13 @@ def test_winnow_overlap_pairs(spark):
 
     shared = ("we hold these truths to be self evident that all are "
               "created equal and endowed with certain rights")
+    # docs 3 and 4 must not share ANY substring of length >= k+w-1 = 8:
+    # the winnowing guarantee would otherwise (correctly) pair them —
+    # the original wording had " unrelated " in both, which shares 3
+    # fingerprints by the guarantee itself
     rows = [(1, f"intro {shared} outro"), (2, f"{shared} trailing words"),
             (3, "completely unrelated content about spark shuffles"),
-            (4, "more unrelated text on parquet row groups")]
+            (4, "more dissimilar writing on parquet row groups")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {(r["a"], r["b"]): r["shared_fps"] for r in
            winnow_overlap_pairs(df, "doc_id", "text",
