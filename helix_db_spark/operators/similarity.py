@@ -184,7 +184,7 @@ def ivf_cell_budget(n: int, max_cells: int = IVF_MAX_CELLS) -> int:
 
 def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
                max_cells: int = IVF_MAX_CELLS,
-               kernel: bool = False) -> tuple:
+               kernel: bool = True) -> tuple:
     """Deterministic IVF cell assignment with a FIXED centroid budget:
     ncells = min(max_cells, ceil(sqrt(n))). Centroids are a deterministic
     uniform sample — the first ncells rows ordered by (md5(id), id) — so
@@ -195,12 +195,19 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
     Returns (assigned_df with a ``_cell`` column, centroids_df).
 
     Scale shape: the centroid set is bounded (<= max_cells rows) and
-    broadcasts; assignment is one broadcast-join + one groupBy(id) min_by
-    — n * ncells distance evals (the standard IVF build cost, a
-    matmul-shaped workload), NOT the n²/const of the previous
-    id-modulo scheme whose centroid count grew linearly with n. At
-    100 TB the assigned table would be written partitioned by ``_cell``
-    so probes prune to nprobe partitions.
+    broadcasts or collects; assignment is n * ncells distance evals (the
+    standard IVF build cost, a matmul-shaped workload), NOT the n²/const
+    of the previous id-modulo scheme whose centroid count grew linearly
+    with n. Since r10 the DEFAULT spelling is the Arrow kernel
+    (_assign_pandas — bit-identical to the min_by join over the JVM
+    path's whole domain): the r10 sf10 sweep caught the served build at
+    118s for 200k x 448 x 64d because the JVM fold is an interpreted
+    higher-order lambda, the same class the r9 batch paths already
+    escaped — "the build amortizes" does not excuse a 12x interpreted
+    build at 100 TB. ``kernel=False`` keeps the broadcast-join + min_by
+    spelling (the oracle's SQL shape, exercised in tests). At 100 TB the
+    assigned table is written partitioned by ``_cell`` so probes prune
+    to nprobe partitions.
     """
     ncells = ivf_cell_budget(df.count(), max_cells)
     cents = (df.select(F.col(id_col).alias("_cid"),
@@ -209,9 +216,6 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
                         F.col("_cid").asc())
                .limit(ncells))
     if kernel:
-        # batch-analytics spelling (bit-identical cells — see
-        # _assign_pandas); the served probe path keeps the broadcast
-        # join its plan gates pin
         assigned = df.join(_assign_pandas(df, id_col, vec_col, cents),
                            on=id_col)
         return assigned, cents
@@ -684,7 +688,12 @@ def kmeans_refine(df: DataFrame, id_col: str, vec_col: str,
         vecs = assigned.select("_cell", F.col(vec_col).alias("_v"))
         cents = vecs.groupBy("_cell").applyInPandas(
             cell_mean, "_cid long, _cvec array<double>").localCheckpoint()
-        assigned = _assign_to(df, id_col, vec_col, cents)
+        # kernel reassignment (r10): each Lloyd round is a full n x ncells
+        # pass — the interpreted min_by fold made refinement the build's
+        # dominant cost at sf10 (kmeans_refine is tests/recall-gated, not
+        # bit-pinned, so the kernel is unconditionally right here)
+        assigned = df.join(_assign_pandas(df, id_col, vec_col, cents),
+                           on=id_col)
     return assigned, cents
 
 
@@ -986,7 +995,9 @@ def append_to_ivf_index(df: DataFrame, root: str,
         meta = _json.load(fh)
     spark = df.sparkSession
     cents = spark.read.parquet(_os.path.join(root, "centroids"))
-    assigned = _assign_to(df, meta["id_col"], meta["vec_col"], cents)
+    assigned = df.join(_assign_pandas(df, meta["id_col"],
+                                      meta["vec_col"], cents),
+                       on=meta["id_col"])
     if meta.get("quantized"):  # match the stored cells' SQ8 codec
         assigned = quantize_embeddings(assigned, meta["vec_col"]) \
             .drop(meta["vec_col"])

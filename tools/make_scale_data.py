@@ -125,8 +125,16 @@ def main() -> None:
                 t = _perturb_embeddings(t, r)
             parts.append(t)
         out = pa.concat_tables(parts)
-        pq.write_table(out, os.path.join(dst, f"{name}.parquet"))
-        print(f"{name}: {base.num_rows} -> {out.num_rows} rows")
+        # bounded row groups: pyarrow's default (~1M rows) would put a
+        # whole 200k-row replica table into ONE row group => ONE Spark
+        # partition — a single-thread scan that serializes every
+        # downstream stage (caught by a thread dump in the r10 sf10
+        # sweep). >= 32 groups per table keeps local[32] saturated.
+        rg = max(8192, min(1_000_000, out.num_rows // 32))
+        pq.write_table(out, os.path.join(dst, f"{name}.parquet"),
+                       row_group_size=rg)
+        print(f"{name}: {base.num_rows} -> {out.num_rows} rows "
+              f"(row_group={rg})")
 
 
 if __name__ == "__main__":
