@@ -5421,7 +5421,7 @@ WITH upd AS (
   SELECT doc_id, upper(text) AS text, lang, source, n_chars
   FROM documents WHERE doc_id % 7 = 0
   UNION ALL
-  SELECT doc_id + 100000, 'new doc ' || CAST(doc_id AS VARCHAR),
+  SELECT doc_id + 100000000, 'new doc ' || CAST(doc_id AS VARCHAR),
          lang, source, n_chars
   FROM documents WHERE doc_id % 11 = 0),
 merged AS (
@@ -5463,8 +5463,12 @@ def merge_upsert_documents(spark, sf_dir):
     upd_old = (docs.filter(F.col("doc_id") % 7 == 0)
                .select("doc_id", F.upper("text").alias("text"),
                        "lang", "source", "n_chars"))
+    # insert keys sit 1e8 beyond ANY corpus scale's id range — at
+    # sf10 (500k docs) the old +100000 offset collided with real
+    # doc_ids and MERGE correctly refused the non-key-unique batch
+    # (r10 sweep); the entry must be scale-invariant
     upd_new = (docs.filter(F.col("doc_id") % 11 == 0)
-               .select((F.col("doc_id") + 100000).alias("doc_id"),
+               .select((F.col("doc_id") + 100000000).alias("doc_id"),
                        F.concat(F.lit("new doc "),
                                 F.col("doc_id").cast("string"))
                        .alias("text"),
