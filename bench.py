@@ -146,8 +146,8 @@ def main() -> None:
     # catching post-build churn) locks in a bad best-of-2 — exactly what
     # r5's vector_search_ivf showed (r4 reps [0.79, 0.53, 0.56] vs r5
     # [0.87, 0.78] — the >25%-disagreement trigger never fired). Other
-    # queries keep the 2-rep fast path with the disagreement-triggered
-    # extras, capped at min_reps + 2.
+    # queries keep the 2-rep fast path with the disagreement- and
+    # still-descending-triggered extras, capped at min_reps + 3.
     FORCE3 = {"dedup_minhash_pairs", "dedup_ngram_jaccard_pairs",
               "vector_search_topk", "vector_search_ivf",
               "bm25_text_search"}

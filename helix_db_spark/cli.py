@@ -485,6 +485,8 @@ def cmd_ivf(args) -> int:
         print(json.dumps({"error": "exactly one of --build/--append/"
                           "--skew-report/--recluster"}), file=sys.stderr)
         return 2
+    from pyspark.errors import AnalysisException
+
     spark = get_spark("helix-spark-ivf",
                       **{"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
@@ -518,7 +520,10 @@ def cmd_ivf(args) -> int:
                                  refine_iters=args.refine_iters)
         print(json.dumps({"op": "recluster", "index": args.index, **st}))
         return 0
-    except (ValueError, OSError) as e:   # quantized recluster, bad dir
+    # AnalysisException: missing index dir / batch without the meta
+    # columns must honor the JSON-error + exit-2 contract like the
+    # other failure modes (r10 review)
+    except (ValueError, OSError, AnalysisException) as e:
         print(json.dumps({"error": str(e)}), file=sys.stderr)
         return 2
 

@@ -210,14 +210,23 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
     to nprobe partitions.
     """
     ncells = ivf_cell_budget(df.count(), max_cells)
-    cents = (df.select(F.col(id_col).alias("_cid"),
+    # a NULL vector can never BE a centroid (its distance to everything
+    # is undefined: the kernel would crash materializing it, the JVM
+    # fold would yield NULL distances) — exclude nulls from the sample.
+    # No-op on null-free corpora, so oracle spellings are unaffected.
+    cents = (df.filter(F.col(vec_col).isNotNull())
+               .select(F.col(id_col).alias("_cid"),
                        F.col(vec_col).alias("_cvec"))
                .orderBy(F.md5(F.col("_cid").cast("string")).asc(),
                         F.col("_cid").asc())
                .limit(ncells))
     if kernel:
+        # LEFT join: rows with NULL vectors keep flowing with a NULL
+        # _cell (the kernel skips them; an inner join would silently
+        # drop them — r10 review), matching the JVM twin's
+        # row-preserving shape
         assigned = df.join(_assign_pandas(df, id_col, vec_col, cents),
-                           on=id_col)
+                           on=id_col, how="left")
         return assigned, cents
     return _assign_to(df, id_col, vec_col, cents), cents
 
@@ -241,13 +250,12 @@ def _assign_pandas(df: DataFrame, id_col: str, vec_col: str,
                    cents: DataFrame, nprobe: int = 1) -> DataFrame:
     """(id, _cell) nearest-centroid assignment (top-``nprobe`` rows when
     > 1) — the Arrow-batched twin of _assign_to (and its former
-    multi-probe sibling), used by
-    the BATCH analytics paths (knn_graph, semantic_dedup) that rebuild
-    the assignment every run: there the n x ncells interpreted
-    higher-order cosine fold dominated wall time at scale (PLANS r9),
-    while the SERVED probe path keeps the broadcast-join spelling its
-    plan gates pin (the build is cached there, amortized across
-    queries).
+    multi-probe sibling). Since r10 this is the DEFAULT assignment
+    spelling everywhere, including the served index build (ivf_assign
+    kernel=True): the n x ncells interpreted higher-order cosine fold
+    dominated wall time at scale on the batch paths in r9, and the r10
+    sf10 sweep showed the served BUILD pays the same 12-19x interpreted
+    tax (_assign_to remains as the oracle's SQL shape, kernel=False).
 
     Bit-identical to the join: dots fold in float64 via
     np.add.accumulate (documented sequential), norms follow each side's
@@ -265,14 +273,26 @@ def _assign_pandas(df: DataFrame, id_col: str, vec_col: str,
     bit-identity holds over the JVM path's whole domain and the kernel
     degrades gracefully outside it. The bounded (<= max_cells) centroid
     table collects to the driver — the nprobe probe-planning exemption
-    class. The id column keeps its source type (schema derived from
-    ``df``, not hardcoded — ADVICE r9)."""
+    class. Id AND centroid-id columns keep their source types (schema
+    derived from ``df``/``cents``, not hardcoded — ADVICE r9 + r10
+    review); NULL centroid vectors are skipped (they cannot win an
+    assignment — the JVM fold gives them NULL distances), and an empty
+    centroid set yields an empty assignment frame instead of a numpy
+    axis error (both r10 review)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    rows = sorted(cents.collect(), key=lambda r: r["_cid"])
-    cids = np.array([r["_cid"] for r in rows], dtype=np.int64)
+    id_t = df.schema[id_col].dataType.simpleString()
+    cid_t = cents.schema["_cid"].dataType.simpleString()
+    src = df.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    rows = sorted((r for r in cents.collect()
+                   if r["_cvec"] is not None),
+                  key=lambda r: r["_cid"])
+    if not rows:  # empty/all-null centroid set => nothing assignable
+        return (src.select(id_col).limit(0)
+                .withColumn("_cell", F.lit(None).cast(cid_t)))
+    cids = np.array([r["_cid"] for r in rows])
     c_float = isinstance(cents.schema["_cvec"].dataType.elementType,
                          T.FloatType)
     C = np.array([list(r["_cvec"]) for r in rows],
@@ -317,9 +337,7 @@ def _assign_pandas(df: DataFrame, id_col: str, vec_col: str,
             yield pd.DataFrame({id_col: np.concatenate(out_i),
                                 "_cell": np.concatenate(out_c)})
 
-    id_t = df.schema[id_col].dataType.simpleString()
-    src = df.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
-    return src.mapInPandas(assign, f"{id_col} {id_t}, _cell long")
+    return src.mapInPandas(assign, f"{id_col} {id_t}, _cell {cid_t}")
 
 
 # LRU-bounded index cache: a long-lived served engine rebuilds indexes as

@@ -174,8 +174,13 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
     import numpy as np
     import pandas as pd
 
-    pows = np.array([WINNOW_B ** (k - 1 - j) for j in range(k)],
-                    dtype=np.int64)
+    # powers reduced mod M and the fold reduced PER TERM: codepoints
+    # reach 0x10FFFF, so an unreduced c*B^(k-1) already wraps int64 at
+    # k >= 7 (and building B**k overflows for k >= 9) — per-step modular
+    # arithmetic is value-identical to the docstring formula for any k
+    # (r10 review). Max intermediate: M + 0x10FFFF*(M-1) < 2^52.
+    pows = np.array([pow(WINNOW_B, k - 1 - j, WINNOW_M)
+                     for j in range(k)], dtype=np.int64)
 
     def fps(batches):
         from numpy.lib.stride_tricks import sliding_window_view
@@ -193,8 +198,7 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
                     continue
                 H = np.zeros(n, dtype=np.int64)
                 for j in range(k):
-                    H += c[j:j + n] * pows[j]
-                H %= WINNOW_M
+                    H = (H + c[j:j + n] * pows[j]) % WINNOW_M
                 H = (H * WINNOW_A + WINNOW_C) % WINNOW_M
                 mins = (sliding_window_view(H, w).min(axis=1)
                         if n >= w else H.min(keepdims=True))

@@ -55,6 +55,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 from typing import List, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
@@ -134,6 +135,12 @@ def _commit_manifest(spark: SparkSession, root: str, version: int,
     gcsfuse) raise a pointed error instead of a raw EPERM — route those
     through a scheme'd URI instead (ADVICE r9).
 
+    The tmp name carries a uuid, not a pid: two drivers on different
+    hosts (or pid-recycled containers) racing the same version would
+    otherwise overwrite each other's tmp bytes through the
+    overwrite=True create and commit the WRONG writer's file list
+    under the claim (r10 review).
+
     Scheme'd roots: tmp is fully written through ``fs.create``, then
     claimed with ``fs.rename(tmp, final)`` — on HDFS-like filesystems
     rename-to-existing FAILS (returns false), an atomic arbiter with
@@ -145,9 +152,9 @@ def _commit_manifest(spark: SparkSession, root: str, version: int,
                           "files": sorted(files)})
     mdir = os.path.join(root, _MDIR)
     final = _manifest_path(root, version)
+    tmp = final + f".tmp-{uuid.uuid4().hex}"
     if _posix(root):
         os.makedirs(mdir, exist_ok=True)
-        tmp = final + f".tmp-{os.getpid()}"
         with open(tmp, "w") as f:
             f.write(payload)
             f.flush()
@@ -174,7 +181,6 @@ def _commit_manifest(spark: SparkSession, root: str, version: int,
     fs, jvm = _hadoop_fs(spark, root)
     HPath = jvm.org.apache.hadoop.fs.Path
     fs.mkdirs(HPath(mdir))
-    tmp = final + f".tmp-{os.getpid()}"
     out = fs.create(HPath(tmp), True)
     try:
         out.write(bytearray(payload.encode("utf-8")))

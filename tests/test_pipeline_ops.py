@@ -713,6 +713,64 @@ def test_assign_pandas_zero_norms_and_string_ids(spark):
     assert got == jvm == {("x", 1), ("y", 2)}
 
 
+def test_ivf_assign_kernel_nulls_strings_empty(spark):
+    """r10 review triad on the kernel-default ivf_assign path: (a) a
+    NULL vector inside the centroid-sample window must not crash the
+    build and must never become a centroid; (b) NULL-vector rows flow
+    through with a NULL _cell instead of silently dropping; (c) string
+    ids work end-to-end; (d) an empty frame assigns to nothing instead
+    of a numpy axis error."""
+    from helix_db_spark.operators.similarity import (_assign_pandas,
+                                                     ivf_assign)
+
+    rows = [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0]), (4, [0.9, 0.1])]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    assigned, cents = ivf_assign(df, "id", "vec", max_cells=2)
+    got = {r["id"]: r["_cell"] for r in assigned.collect()}
+    assert set(got) == {1, 2, 3, 4}          # no silent row drop
+    assert got[2] is None                    # null vector => null cell
+    assert all(r["_cvec"] is not None for r in cents.collect())
+
+    sdf = spark.createDataFrame(
+        [("x", [1.0, 0.0]), ("y", [0.0, 1.0])],
+        "id string, vec array<double>")
+    sa, sc = ivf_assign(sdf, "id", "vec", max_cells=2)
+    srows = sa.collect()
+    assert {r["id"] for r in srows} == {"x", "y"}
+    assert all(isinstance(r["_cell"], str) for r in srows)
+
+    empty = spark.createDataFrame([], "id long, vec array<double>")
+    ea, _ = ivf_assign(empty, "id", "vec", max_cells=2)
+    assert ea.count() == 0
+    # direct kernel call with an empty centroid frame: empty result,
+    # right schema
+    cents0 = spark.createDataFrame([], "_cid long, _cvec array<double>")
+    out = _assign_pandas(df, "id", "vec", cents0)
+    assert out.count() == 0 and out.columns == ["id", "_cell"]
+
+
+def test_winnow_large_k_no_overflow(spark):
+    """r10 review: k >= 7 with astral-plane codepoints must stay on the
+    documented modular formula (per-term reduction), not wrap int64."""
+    from helix_db_spark.operators.textstats import (WINNOW_A, WINNOW_B,
+                                                    WINNOW_C, WINNOW_M,
+                                                    winnow_fingerprints)
+
+    k, w = 9, 4
+    text = "abc \U0001F600\U0001F601 xyz pqr \U0001F602 tail words here"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {r["fp"] for r in
+           winnow_fingerprints(df, "doc_id", "text", k=k, w=w).collect()}
+
+    s = " ".join(text.lower().strip().split())
+    hs = [(sum(ord(s[i + j]) * WINNOW_B ** (k - 1 - j)
+               for j in range(k)) % WINNOW_M
+           * WINNOW_A + WINNOW_C) % WINNOW_M
+          for i in range(len(s) - k + 1)]
+    wins = {min(hs[p:p + w]) for p in range(max(len(hs) - w + 1, 1))}
+    assert got == wins and all(0 <= fp < WINNOW_M for fp in got)
+
+
 def test_cosine_pairs_lsh_recall(spark):
     """Unblocked near-dup scale path: banded candidates + exact verify.
     No false positives by construction; recall vs the exact crossJoin must

@@ -45,9 +45,13 @@ print(json.dumps({{"rows": rows, "reps": reps}}))
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    reps = (int(sys.argv[sys.argv.index("--reps") + 1])
-            if "--reps" in sys.argv else 3)
+    argv = sys.argv[1:]
+    reps = 3
+    if "--reps" in argv:
+        i = argv.index("--reps")
+        reps = int(argv[i + 1])
+        del argv[i:i + 2]  # drop the flag AND its value
+    args = [a for a in argv if not a.startswith("--")]
     entries = args[0].split(",")
     sf_dirs = args[1].split(",")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
