@@ -56,15 +56,20 @@ def pagerank(edges: DataFrame, iters: int = 10,
     the ADVICE r4 executor-loss tradeoff). Returns (node, rank); ranks
     sum to 1. Float fixpoint => tests-gated, no SQL oracle.
     """
+    # STATIC frames persist() (serialized columnar, spills to disk)
+    # instead of localCheckpoint (deserialized heap rows): at sf10 the
+    # ~55M-edge co-purchase graph's checkpointed copies alone exceeded
+    # the 16g heap (r10 sweep OOM); lineage here is shallow and only the
+    # per-ITERATION state needs checkpoint truncation.
     nodes = (edges.select(F.col(_SRC).alias("node"))
              .unionAll(edges.select(F.col(_DST).alias("node")))
-             .distinct().localCheckpoint())
+             .distinct().persist())
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     out_deg = edges.groupBy(_SRC).agg(F.count(F.lit(1)).alias("_od"))
     # edges annotated once with the sender's out-degree; reused every round
-    ann = edges.select(_SRC, _DST).join(out_deg, on=_SRC).localCheckpoint()
+    ann = edges.select(_SRC, _DST).join(out_deg, on=_SRC).persist()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for _ in range(iters):
@@ -184,16 +189,18 @@ def personalized_pagerank(edges: DataFrame, seed_ids, iters: int = 4,
     d = float(damping)
     # The input edge frame may itself be expensive (e.g. the celled kNN
     # build): materialize it ONCE into the annotated edge list and
-    # derive nodes/out-degrees from that checkpoint — without this, the
+    # derive nodes/out-degrees from that cache — without this, the
     # per-iteration dangling probe re-ran the full upstream build
     # (measured 26.7s -> 8.8s at sf0.1 on the kNN-graph entry).
+    # persist(), not localCheckpoint: serialized columnar + disk
+    # spill vs deserialized heap rows (the r10 sf10 OOM class).
     out_deg0 = edges.groupBy(src).agg(
         F.count(F.lit(1)).cast("double").alias("_od"))
     ann = (edges.select(src, dst).join(out_deg0, on=src)
-           .localCheckpoint())
+           .persist())
     nodes = (ann.select(F.col(src).alias("node"))
              .unionAll(ann.select(F.col(dst).alias("node")))
-             .distinct().localCheckpoint())
+             .distinct().persist())
     out_deg = ann.select(F.col(src), F.col("_od")).distinct()
     reset = F.when(F.col("node").isin(seeds),
                    F.lit(1.0 / len(seeds))).otherwise(F.lit(0.0))
@@ -242,13 +249,13 @@ def pagerank_maxnorm(edges: DataFrame, src: str = "src",
     (the max) on the driver; linear in edges, the pagerank shape.
     Returns (node, score), max node = 1.
     """
-    e = edges.select(src, dst).distinct().localCheckpoint()
+    e = edges.select(src, dst).distinct().persist()
     out_deg = e.groupBy(src).agg(
         F.count(F.lit(1)).cast("double").alias("_od"))
-    ann = e.join(out_deg, on=src).localCheckpoint()
+    ann = e.join(out_deg, on=src).persist()
     nodes = (e.select(F.col(src).alias("node"))
              .unionAll(e.select(F.col(dst).alias("node")))
-             .distinct().localCheckpoint())
+             .distinct().persist())
     r = nodes.withColumn("s", F.lit(1.0))
     for _ in range(int(iters)):
         inflow = (ann.join(r, ann[src] == r["node"])
@@ -287,7 +294,7 @@ def hits_bipartite(edges: DataFrame, src: str = "src", dst: str = "dst",
     Returns (side, node, score): side='hub' for source nodes,
     'authority' for targets; scores in (0, 1], max node = 1.
     """
-    e = edges.select(src, dst).distinct().localCheckpoint()
+    e = edges.select(src, dst).distinct().persist()
     h = (e.select(F.col(src).alias("node")).distinct()
          .withColumn("s", F.lit(1.0)))
     a = None
