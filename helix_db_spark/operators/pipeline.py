@@ -134,10 +134,17 @@ def cluster_topics(docs: DataFrame, id_col: str, text_col: str,
     from .similarity import ivf_assign
     from .textstats import with_hash_embedding
 
+    # persist the embedded corpus AND its assignment: ivf_assign alone
+    # reads emb four ways (row count, centroid sample, kernel input,
+    # join-back) and sizes/keyed re-read assigned — unpersisted, the
+    # tokenize+hash pipeline re-executes per consumer (~5x the wall at
+    # sf1; ivf_assign's eager count() materializes the cache up front)
     emb = with_hash_embedding(
-        docs.select(F.col(id_col), F.col(text_col)), text_col, "_e", dim)
+        docs.select(F.col(id_col), F.col(text_col)), text_col, "_e",
+        dim).persist()
     assigned, _ = ivf_assign(emb, id_col, "_e", max_cells,
                              kernel=True)
+    assigned = assigned.persist()
     sizes = assigned.groupBy("_cell").agg(
         F.count(F.lit(1)).alias("n_docs"))
     keyed = assigned.select(
