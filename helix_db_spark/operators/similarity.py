@@ -667,6 +667,10 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     """
     assigned, _ = ivf_assign(df, id_col, vec_col, max_cells,
                              kernel=True)
+    # three consumers (pair-join left, pair-join right, the anti-join
+    # back) — unpersisted, the assignment kernel re-runs per consumer
+    # (the cluster_topics r10 lesson)
+    assigned = assigned.persist()
     pairs = cosine_pairs(assigned, id_col, vec_col, threshold,
                          block_col="_cell")
     dropped = pairs.select(F.col("b").alias(id_col)).distinct()
@@ -1162,6 +1166,10 @@ def knn_graph(df: DataFrame, id_col: str, vec_col: str,
         # the wall at sf1, PLANS r9). Rounding + ranking stay in Spark.
         assigned, cents = ivf_assign(df, id_col, vec_col, max_cells,
                                      kernel=True)
+        # the pair join reads assigned on BOTH sides (and the nprobe>1
+        # path re-probes the query side) — persist so the assignment
+        # kernel runs once (the cluster_topics r10 lesson)
+        assigned = assigned.persist()
         if nprobe > 1:
             # query side probes its nprobe nearest cells; the corpus
             # side stays in its home cell, so each true neighbor is
