@@ -251,6 +251,43 @@ _TOKENIZER_SITE_ALLOWANCES = {
     "language_id_accuracy": 28,      # same profile fan-out (26)
 }
 
+_EXPR_ID = re.compile(r"#\d+L?")
+
+
+def _count_tokenizer_sites(plan: str, needle: str = "split(lower") -> int:
+    """Cache-aware tokenizer-site counter (VERDICT r10 #1): a persisted
+    subtree's child plan reprints under EVERY InMemoryTableScan consumer
+    in `executedPlan().toString()`, with expression ids re-aliased per
+    reprint — so a raw `plan.count(needle)` over-reports sites that
+    execute exactly once (the cache is built a single time). Count each
+    DISTINCT InMemoryRelation block once (keyed on its exprId-normalized,
+    dedented text) plus every site outside cached blocks. Real
+    CollapseProject re-expansion happens OUTSIDE caches and still counts
+    in full — the canary test below proves the gate keeps catching it."""
+    lines = plan.splitlines()
+
+    def indent(line: str) -> int:
+        return len(line) - len(line.lstrip(" :+-"))
+
+    total, seen, i = 0, set(), 0
+    while i < len(lines):
+        line = lines[i]
+        if "InMemoryRelation" in line:
+            depth = indent(line)
+            j = i + 1
+            while j < len(lines) and indent(lines[j]) > depth:
+                j += 1
+            key = _EXPR_ID.sub(
+                "#", "\n".join(l.lstrip(" :+-") for l in lines[i:j]))
+            if key not in seen:
+                seen.add(key)
+                total += key.count(needle)
+            i = j
+        else:
+            total += line.count(needle)
+            i += 1
+    return total
+
 
 def test_registry_wide_no_expression_bombs(registry_plans):
     """The Catalyst filter-pushdown expression bomb (PLANS r9): a filter
@@ -265,7 +302,7 @@ def test_registry_wide_no_expression_bombs(registry_plans):
     for name, p in registry_plans.items():
         bound = _TOKENIZER_SITE_ALLOWANCES.get(name,
                                                _TOKENIZER_SITE_BOUND)
-        c = p.count("split(lower")
+        c = _count_tokenizer_sites(p)
         if c > bound:
             offenders[name] = (c, bound)
     assert offenders == {}, \
@@ -293,7 +330,11 @@ def test_expression_bomb_audit_catches_unbarriered_operator(spark):
     unbarriered = d.select("doc_id", F.size(F.col("_t5")).alias("n"))
     p = (unbarriered.filter(F.col("n") > 3)
          ._jdf.queryExecution().executedPlan().toString())
+    # both the raw count and the cache-aware counter the gate actually
+    # uses must light up: re-expansion happens outside any cache, so
+    # cache-dedup must not hide it
     assert p.count("split(lower") > _TOKENIZER_SITE_BOUND, p
+    assert _count_tokenizer_sites(p) > _TOKENIZER_SITE_BOUND, p
 
     # the CLAUDE.md rule's fix: a Generate output barrier pins the
     # computed column as an attribute — the same filter stays cheap
@@ -303,6 +344,29 @@ def test_expression_bomb_audit_catches_unbarriered_operator(spark):
     pb = (barriered.filter(F.col("n") > 3)
           ._jdf.queryExecution().executedPlan().toString())
     assert pb.count("split(lower") <= 2, pb
+
+
+def test_tokenizer_site_counter_is_cache_aware(spark):
+    """VERDICT r10 #1: a persisted tokenizing subtree reprints its child
+    plan at every InMemoryTableScan consumer (with re-aliased exprIds),
+    so the raw string count multiplies by consumer count while the
+    tokenize executes exactly once (at cache build). The gate's counter
+    must charge a distinct cached block once — otherwise every future
+    persist() spawns a bogus allowance (the round-10 red-suite class)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tok = F.size(F.split(F.lower(F.col("text")), " ")).alias("n")
+    cached = docs.select("doc_id", tok).persist()
+    try:
+        # four consumers of one cache: raw count sees >=4 reprints,
+        # the cache-aware counter sees the single build-time site
+        u = cached.union(cached).union(cached).union(cached)
+        p = (u.groupBy("n").count()
+             ._jdf.queryExecution().executedPlan().toString())
+        assert p.count("InMemoryTableScan") >= 4, p
+        assert p.count("split(lower") >= 4, p
+        assert _count_tokenizer_sites(p) == 1, p
+    finally:
+        cached.unpersist()
 
 
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
