@@ -66,7 +66,9 @@ def pagerank(edges: DataFrame, iters: int = 10,
              .distinct().persist())
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
+        out = nodes.withColumn("rank", F.lit(0.0))
+        nodes.unpersist(blocking=False)
+        return out
     out_deg = edges.groupBy(_SRC).agg(F.count(F.lit(1)).alias("_od"))
     # edges annotated once with the sender's out-degree; reused every round
     ann = edges.select(_SRC, _DST).join(out_deg, on=_SRC).persist()
@@ -87,6 +89,13 @@ def pagerank(edges: DataFrame, iters: int = 10,
                                * F.coalesce(F.col("_in"), F.lit(0.0)))
                               .alias("rank"))
                       .localCheckpoint())
+    # the final state is checkpointed (materialized, lineage-free), so
+    # the static frames can release their storage blocks now — without
+    # this, repeated calls in a long-lived served session accumulate
+    # pinned blocks until LRU pressure (ADVICE r10). iters=0 returns an
+    # un-checkpointed frame whose lineage stays valid, just uncached.
+    ann.unpersist(blocking=False)
+    nodes.unpersist(blocking=False)
     return ranks
 
 
@@ -220,6 +229,9 @@ def personalized_pagerank(edges: DataFrame, seed_ids, iters: int = 4,
                                  * F.coalesce(F.col("_in"), F.lit(0.0)),
                                  state_round).alias("rank"))
                  .localCheckpoint())
+    # final state checkpointed -> release the static frames (ADVICE r10)
+    ann.unpersist(blocking=False)
+    nodes.unpersist(blocking=False)
     return ranks.select("node", F.col("rank").alias("ppr"))
 
 
@@ -272,6 +284,10 @@ def pagerank_maxnorm(edges: DataFrame, src: str = "src",
         r = raw.select("node",
                        F.round(F.col("_r") / F.lit(float(m)),
                                state_round).alias("s")).localCheckpoint()
+    # final state checkpointed -> release the static frames (ADVICE r10)
+    ann.unpersist(blocking=False)
+    nodes.unpersist(blocking=False)
+    e.unpersist(blocking=False)
     return r.select("node", F.col("s").alias("score"))
 
 
@@ -315,6 +331,9 @@ def hits_bipartite(edges: DataFrame, src: str = "src", dst: str = "dst",
         h = hr.select("node",
                       F.round(F.col("_r") / F.lit(float(hmax)),
                               state_round).alias("s")).localCheckpoint()
+    # final h/a states are checkpointed -> release the edge cache
+    # (ADVICE r10; iters=0 never persisted anything it must keep)
+    e.unpersist(blocking=False)
     hubs = h.select(F.lit("hub").alias("side"), "node", "s")
     auths = a.select(F.lit("authority").alias("side"), "node", "s")
     return hubs.unionAll(auths)

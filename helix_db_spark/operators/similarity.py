@@ -741,6 +741,12 @@ def store_ivf_index(df: DataFrame, id_col: str, vec_col: str, root: str,
                                         refine_iters, max_cells)
     else:
         assigned, cents = ivf_assign(df, id_col, vec_col, max_cells)
+    # NULL-vector rows carry a NULL _cell (ivf_assign's left join) and
+    # can never be probed — ivf_topk_disk filters _cell IN (probe set) —
+    # so writing them would only create a __HIVE_DEFAULT_PARTITION__
+    # directory that pollutes the skew report (ADVICE r10). Drop them
+    # from the DISK layout; the in-memory assignment keeps them.
+    assigned = assigned.filter(F.col("_cell").isNotNull())
     if quantize:
         assigned = quantize_embeddings(assigned, vec_col).drop(vec_col)
     assigned.write.mode("overwrite").partitionBy("_cell") \
@@ -1017,17 +1023,37 @@ def append_to_ivf_index(df: DataFrame, root: str,
         meta = _json.load(fh)
     spark = df.sparkSession
     cents = spark.read.parquet(_os.path.join(root, "centroids"))
+    # LEFT join for shape consistency with ivf_assign (ADVICE r10: the
+    # inner join silently dropped NULL-vector rows); unservable NULL-cell
+    # rows are then filtered like store_ivf_index does, with the dropped
+    # count OBSERVED on the write pass (free — no second action) and
+    # surfaced in the returned report instead of vanishing.
+    from pyspark.sql import Observation
     assigned = df.join(_assign_pandas(df, meta["id_col"],
                                       meta["vec_col"], cents),
-                       on=meta["id_col"])
+                       on=meta["id_col"], how="left")
+    obs = Observation()
+    assigned = assigned.observe(
+        obs,
+        F.count(F.lit(1)).alias("_batch"),
+        F.count(F.when(F.col("_cell").isNull(), 1)).alias("_dropped"))
+    assigned = assigned.filter(F.col("_cell").isNotNull())
     if meta.get("quantized"):  # match the stored cells' SQ8 codec
         assigned = quantize_embeddings(assigned, meta["vec_col"]) \
             .drop(meta["vec_col"])
     assigned.write.mode("append").partitionBy("_cell") \
         .parquet(_os.path.join(root, "cells"))
+    dropped = int(obs.get["_dropped"])
+    if dropped:
+        _LOG.warning(
+            "append_to_ivf_index %s: %d of %d batch rows had NULL "
+            "vectors and were not appended (unservable by any probe)",
+            root, dropped, int(obs.get["_batch"]))
     if warn_skew is None:
         return None
     report = ivf_cell_skew_report(spark, root)
+    report["appended"] = int(obs.get["_batch"]) - dropped
+    report["dropped_null_vectors"] = dropped
     if report["skew_ratio"] > warn_skew:
         _LOG.warning(
             "IVF index %s cell skew %.1fx exceeds %.1fx after append — "
@@ -1050,7 +1076,11 @@ def ivf_cell_skew_report(spark, root: str) -> dict:
     skew_ratio = max/median (the recluster trigger's input)."""
     import os as _os
     cells = spark.read.parquet(_os.path.join(root, "cells"))
-    hist = cells.groupBy("_cell").agg(F.count(F.lit(1)).alias("n"))
+    # a legacy index written before the NULL-cell filter may carry a
+    # __HIVE_DEFAULT_PARTITION__ directory (NULL-vector rows) — it is
+    # not a real cell and must not skew ncells/median/skew_ratio
+    hist = (cells.filter(F.col("_cell").isNotNull())
+            .groupBy("_cell").agg(F.count(F.lit(1)).alias("n")))
     row = hist.agg(F.count(F.lit(1)).alias("ncells"),
                    F.sum("n").alias("n_rows"),
                    F.max("n").alias("max_cell"),

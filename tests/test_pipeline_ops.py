@@ -1392,6 +1392,47 @@ def test_ivf_append_incremental(spark, tmp_path):
     assert got[0]["vec_id"] == target["vec_id"]
 
 
+def test_ivf_disk_index_null_vectors(spark, tmp_path):
+    """NULL-vector rows are unservable (no probe can ever select a NULL
+    _cell), so the DISK layout excludes them everywhere (ADVICE r10):
+    store writes no __HIVE_DEFAULT_PARTITION__ directory, append keeps
+    the left-join shape but reports the dropped count instead of
+    silently inner-join-dropping, and the skew report never counts a
+    junk null cell."""
+    import os
+
+    from helix_db_spark.operators.similarity import (append_to_ivf_index,
+                                                     ivf_cell_skew_report,
+                                                     store_ivf_index)
+
+    emb = _clustered_vectors(spark).localCheckpoint()
+    base = emb.filter("vec_id < 300")
+    with_nulls = base.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 100 == 7, F.lit(None))
+        .otherwise(F.col("embedding")))
+    root = str(tmp_path / "ivf_nulls")
+    store_ivf_index(with_nulls, "vec_id", "embedding", root)
+    dirs = os.listdir(f"{root}/cells")
+    assert not any("HIVE_DEFAULT" in d for d in dirs), dirs
+    stored = spark.read.parquet(f"{root}/cells").count()
+    assert stored == 297  # 3 null-vector rows excluded
+
+    newbies = emb.filter("vec_id >= 300").withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 100 == 7, F.lit(None))
+        .otherwise(F.col("embedding")))
+    n_new = newbies.count()  # 100 rows, one null (vec_id 307)
+    report = append_to_ivf_index(newbies, root)
+    assert report["dropped_null_vectors"] == 1
+    assert report["appended"] == n_new - 1
+    after = spark.read.parquet(f"{root}/cells").count()
+    assert after == stored + n_new - 1
+    # the skew report's cell census matches the written real cells
+    assert report["n_rows"] == after
+    assert ivf_cell_skew_report(spark, root)["n_rows"] == after
+
+
 def test_ivf_sq8_quantized_cells(spark, tmp_path):
     """IVF-SQ8: cells store int8 codes (no raw floats on disk), probes
     rank on dequantized codes with recall@5 >= 0.9 vs brute force, and

@@ -60,7 +60,11 @@ def main() -> None:
             code = _CHILD.format(repo=repo, entry=entry, sf=sf, reps=reps)
             out = subprocess.run([sys.executable, "-c", code],
                                  capture_output=True, text=True)
-            line = out.stdout.strip().splitlines()[-1] if out.stdout else ""
+            # strip BEFORE the truthiness check: whitespace-only stdout
+            # is truthy but splits to [], and the [-1] must not raise
+            # outside the try (ADVICE r10 — it crashed the whole sweep)
+            stdout = out.stdout.strip() if out.stdout else ""
+            line = stdout.splitlines()[-1] if stdout else ""
             try:
                 res = json.loads(line)
                 print(f"{entry} {sf} {min(res['reps']):.3f}s "
