@@ -5559,8 +5559,16 @@ DRIVER_TOP50 = [
     # with the AggregateBy Sum/Mean/Min/Max slot (row 38) — single-op
     # variants (group_collect, aggregate_stats, aggregate_min_max) stay
     # below the cap; the freed slot hoists events_value_quantiles (r6).
+    # events_value_quantiles demoted r11: the sketch family keeps its
+    # graded representative (kmv_distinct_users — the same deterministic
+    # md5-sketch machinery; the exact-percentile entry stays below the
+    # cap, vanilla-verified). The freed slot grades copurchase_pagerank:
+    # the link-analysis family (PageRank/PPR/HITS — graph.py's iterative
+    # fixpoint class, the only operator family whose per-iteration
+    # join+partial-agg shape the driver had never executed) previously
+    # had NO representative inside the cap (VERDICT r10 #8).
     "order_limit_topk", "limit_by_param", "group_aggregate_stats",
-    "events_value_quantiles",
+    "copurchase_pagerank",
     # terminals & output shaping (rows 46-52; id_value_map merges the Id
     # terminal + ValueMap slots — both load-bearing via an id join)
     "id_value_map", "project_bindings_rows",

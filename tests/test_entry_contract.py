@@ -89,10 +89,13 @@ def test_driver_top50_covers_survey_ops():
         # repetition gate + decontamination + exact dedup (r5)
         "curate_corpus_pipeline", "asof_purchase_features",
         # r5/r6 hoists into the merge-freed slots: DSIR, the CELLED kNN
-        # scale path, on-disk incremental dedup, exact percentiles, and
-        # the CCNet perplexity gate
+        # scale path, on-disk incremental dedup, and the CCNet
+        # perplexity gate. events_value_quantiles demoted r11: the
+        # sketch family stays graded through kmv_distinct_users (same
+        # deterministic md5-sketch machinery); the slot grades the
+        # link-analysis family instead (VERDICT r10 #8)
         "dsir_importance_weights", "knn_graph_celled",
-        "incremental_dedup_classify", "events_value_quantiles",
+        "incremental_dedup_classify", "copurchase_pagerank",
         "text_lm_cross_entropy",
         # r10 hoist: paragraph-level dedup (CCNet 3.1 / Dolma), whose
         # oracle value-hashes the reassembled TEXT
