@@ -391,3 +391,84 @@ def test_vacuum_survives_racing_unlink(spark, table, monkeypatch):
     monkeypatch.setattr(os.path, "getmtime", racy)
     st = vacuum(spark, table, keep_versions=1)  # must not raise
     assert st["deleted_versions"] == 1
+
+
+def test_fsapi_rename_arbiter_conflict_hdfs_semantics(spark, uri_table,
+                                                      monkeypatch):
+    """VERDICT r10 #6: drive the RENAME-ARBITER leg of the scheme'd
+    claim, not just the exists() pre-check. On file:// the underlying
+    rename OVERWRITES an existing destination (RawLocalFileSystem is
+    File.renameTo), so test_fsapi_occ_conflict only ever exercises the
+    pre-check; on HDFS-like filesystems rename-to-existing returns
+    false and THAT is the atomic arbiter inside the TOCTOU window. An
+    in-process test double gives the local fs HDFS rename semantics
+    and blinds the loser's exists() pre-check (simulating the winner
+    landing inside the window): the loser must fall through to the
+    rename, lose there, raise ConcurrentWriteError, clean its tmp —
+    and the WINNER's manifest bytes must survive unclobbered (exactly
+    what raw rename semantics would have violated)."""
+    import json
+
+    from helix_db_spark.sources import merge as merge_mod
+    from helix_db_spark.sources.merge import (ConcurrentWriteError,
+                                              _commit_manifest,
+                                              _read_manifest, merge_upsert)
+
+    upd = spark.createDataFrame([(20, -20, "twenty")],
+                                "k long, v long, s string")
+    merge_upsert(spark, uri_table, upd, "k")     # the WINNER commits v1
+    winner = _read_manifest(uri_table, 1)
+
+    real_hadoop_fs = merge_mod._hadoop_fs
+
+    class HdfsSemanticsFS:
+        """Minimal Hadoop FileSystem double: delegates everything the
+        commit path touches, but (a) rename fails on an existing
+        destination (HDFS contract) instead of overwriting, and (b)
+        exists() lies `false` for the final manifest — the loser's
+        pre-check ran before the winner's commit became visible."""
+
+        def __init__(self, fs):
+            self._fs = fs
+            self.rename_refusals = 0
+
+        def mkdirs(self, p):
+            return self._fs.mkdirs(p)
+
+        def create(self, p, overwrite):
+            return self._fs.create(p, overwrite)
+
+        def delete(self, p, recursive):
+            return self._fs.delete(p, recursive)
+
+        def exists(self, p):
+            return False  # the TOCTOU window: commit not yet visible
+
+        def rename(self, src, dst):
+            if self._fs.exists(dst):
+                self.rename_refusals += 1
+                return False
+            return self._fs.rename(src, dst)
+
+    doubles = []
+
+    def doubled(s, root):
+        fs, jvm = real_hadoop_fs(s, root)
+        d = HdfsSemanticsFS(fs)
+        doubles.append(d)
+        return d, jvm
+
+    monkeypatch.setattr(merge_mod, "_hadoop_fs", doubled)
+    with pytest.raises(ConcurrentWriteError):
+        _commit_manifest(spark, uri_table, 1, ["loser.parquet"], "merge")
+    monkeypatch.setattr(merge_mod, "_hadoop_fs", real_hadoop_fs)
+
+    assert doubles and doubles[0].rename_refusals == 1, \
+        "the conflict must be decided BY the rename arbiter"
+    # the winner's manifest survived byte-identical; loser's tmp is gone
+    assert _read_manifest(uri_table, 1) == winner
+    assert "loser.parquet" not in json.dumps(winner)
+    local = uri_table[len("file://"):]
+    tmps = [n for n in os.listdir(os.path.join(local, "_manifests"))
+            if ".tmp-" in n]
+    assert tmps == []
