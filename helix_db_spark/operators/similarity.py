@@ -1359,3 +1359,186 @@ def ann_recall(df: DataFrame, id_col: str, vec_col: str, k: int,
                     F.round(F.coalesce(F.col("n_hits"),
                                        F.lit(0).cast("long"))
                             / F.lit(float(k)), 4).alias("recall")))
+
+
+def _explicit_pair_cosines(pairs: DataFrame, pts: DataFrame,
+                           src: str = "_src", dst: str = "_dst"
+                           ) -> DataFrame:
+    """RAW double cosine for an EXPLICIT (src, dst) pair list — the
+    Arrow-batched scorer NN-Descent needs (the blocked kernel scores
+    every same-block pair; here the candidate set IS the block
+    structure). Vectors join on each endpoint, then one mapInPandas
+    pass computes the documented-sequential np.add.accumulate fold —
+    the same bit-contract as _blocked_pair_cosines, one narrow row out
+    per pair. Zero-norm endpoints yield NaN cosines, which are DROPPED
+    inside the kernel (Spark's descending sort puts NaN FIRST, so a
+    NaN row would otherwise win every top-k) — the same
+    undefined-domain rule as _blocked_pair_cosines' thresholded path."""
+    out_t = (f"{src} {pairs.schema[src].dataType.simpleString()}, "
+             f"{dst} {pairs.schema[dst].dataType.simpleString()}, "
+             f"_cos double")
+    j = (pairs
+         .join(pts.select(F.col("_id").alias(src), F.col("_v")
+                          .alias("_va")), on=src)
+         .join(pts.select(F.col("_id").alias(dst), F.col("_v")
+                          .alias("_vb")), on=dst))
+
+    def kern(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf["_va"].to_numpy()).astype(np.float64,
+                                                       copy=False)
+            B = np.stack(pdf["_vb"].to_numpy()).astype(np.float64,
+                                                       copy=False)
+            dots = np.add.accumulate(A * B, axis=1)[:, -1]
+            na = np.sqrt(np.add.accumulate(A * A, axis=1)[:, -1])
+            nb = np.sqrt(np.add.accumulate(B * B, axis=1)[:, -1])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = dots / (na * nb)
+            keep = ~np.isnan(cos)
+            yield pd.DataFrame({src: pdf[src].to_numpy()[keep],
+                                dst: pdf[dst].to_numpy()[keep],
+                                "_cos": cos[keep]})
+
+    return j.mapInPandas(kern, out_t)
+
+
+
+def knn_graph_nndescent(df: DataFrame, id_col: str, vec_col: str,
+                        k: Optional[int] = None, iters: int = 3,
+                        build_k: Optional[int] = None,
+                        max_degree: Optional[int] = None,
+                        vector_config=None) -> DataFrame:
+    """Batch NN-Descent kNN-graph build (Dong, Charikar & Li, WWW 2011 —
+    public method): every point keeps a best-so-far neighbor list, and
+    each round proposes all pairs that co-occur in someone's (forward +
+    sampled-reverse) list — "a neighbor of a neighbor is likely a
+    neighbor" — keeping the k best. This is the HONEST batch equivalent
+    of HNSW's neighbor graph (the reference's index structure,
+    helix-cli/src/config.rs:148-158): HNSW's pointer-chasing incremental
+    insert is anti-Spark, but its layer-0 graph IS a kNN graph, and
+    NN-Descent builds one in O(iters * n * max_degree^2) candidate
+    evaluations — LINEAR in n per round, beating the celled build's
+    sum-of-cell-sizes^2 (~n^1.5 at the sqrt budget) at large n.
+
+    Spark shape per round: capped friend-list union (forward edges
+    first — they carry the descent gradient — then md5-sampled reverse,
+    Dong's rho-sampling), one self-join on the shared list owner
+    (candidate volume <= n * max_degree^2, bounded by construction,
+    never all-pairs), an anti-join against the known list, Arrow-kernel
+    scoring of NEW pairs only (_explicit_pair_cosines — per-pair HOF
+    folds are the interpreted-slow class), and a per-src top-k window.
+    State localCheckpoints per round (the iterative-fixpoint class).
+
+    ``build_k`` (default max(k, 20), the paper's working regime) is the
+    INTERNAL list width: measured on the sf0.01 embeddings, building at
+    the output k=5 plateaus at 0.47 recall — the sparse graph starves
+    candidate generation — while build_k=20 reaches 0.99 in two rounds;
+    the output returns the top ``k`` of the wider list. Init is k_build
+    per-node md5-random targets (md5(id, o) mod n through the md5-order
+    permutation): a RING init (k successors in one global pseudo-random
+    order) looks random but is a 1-D lattice whose neighbors-of-
+    neighbors stay ring-local — measured 0.15 vs 0.47 recall at equal
+    width. Deterministic end to end (md5 init, md5 reverse-sampling, id
+    tie-breaks): reruns reproduce bit-identically; like kmeans_refine it
+    is recall-gated in tests rather than SQL-replayed (an iterative
+    fixpoint has no tractable oracle spelling). Returns
+    (src, dst, rank, cosine) exactly like :func:`knn_graph`."""
+    if k is None:
+        k = vector_config.knn_k() if vector_config is not None else 5
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1: {iters}")
+    v = F.col(vec_col).cast("array<double>")
+    pts = (df.filter(F.col(vec_col).isNotNull())
+           .select(F.col(id_col).alias("_id"), v.alias("_v")).persist())
+    n = pts.count()
+    if n <= 1:
+        pts.unpersist(blocking=False)
+        return (df.select(F.col(id_col).alias("src"),
+                          F.col(id_col).alias("dst"))
+                .withColumn("rank", F.lit(1))
+                .withColumn("cosine", F.lit(0.0)).limit(0))
+    k_eff = min(int(k), n - 1)
+    k_build = min(int(build_k) if build_k is not None
+                  else max(k_eff, 20), n - 1)
+    max_degree = (int(max_degree) if max_degree is not None
+                  else k_build + 10)
+
+    # init: k_build md5-random targets per node, resolved to ids through
+    # the md5-order permutation (one narrow global sort over ids only —
+    # the zipWithIndex class, build-time cost). Self-targets and
+    # duplicate targets drop; NN-Descent needs a non-degenerate random
+    # start, not exactly-k edges.
+    w0 = Window.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+    pos = pts.select("_id", (F.row_number().over(w0) - 1).alias("_p"))
+    tp = [(F.conv(F.substring(
+        F.md5(F.concat(F.col("_id").cast("string"), F.lit(f"_{o}"))),
+        1, 8), 16, 10).cast("long") % n) for o in range(1, k_build + 1)]
+    tgt = pos.select(F.col("_id").alias("_src"),
+                     F.explode(F.array(*tp)).alias("_tp"))
+    edges0 = (tgt.join(pos.select(F.col("_p").alias("_tp"),
+                                  F.col("_id").alias("_dst")), on="_tp")
+              .filter(F.col("_src") != F.col("_dst"))
+              .dropDuplicates(["_src", "_dst"])
+              .select("_src", "_dst"))
+    # every scored comparison updates BOTH endpoints (Dong 2011's
+    # update rule): without the reverse rows a node whose md5 targets
+    # all self-collided starts with an EMPTY list and generates no
+    # candidates. Iteration rounds propose both directions already
+    # (the local join is symmetric); only the init needs this.
+    s0 = _explicit_pair_cosines(edges0, pts)
+    nn = (s0.unionAll(s0.select(F.col("_dst").alias("_src"),
+                                F.col("_src").alias("_dst"), "_cos"))
+          .dropDuplicates(["_src", "_dst"])
+          .localCheckpoint())
+
+    # cap order: a node's own FORWARD edges first (evicting them for
+    # sampled reverse edges stalls the descent), then md5-sampled
+    # reverse fill up to max_degree (Dong 2011's rho-sampling of R[v])
+    wcap = Window.partitionBy("_fsrc").orderBy(
+        F.col("_rev").asc(), F.md5(F.col("_fdst").cast("string")),
+        F.col("_fdst"))
+    wk = Window.partitionBy("_src").orderBy(F.col("_cos").desc(),
+                                            F.col("_dst").asc())
+    for _ in range(int(iters)):
+        friends = (nn.select(F.col("_src").alias("_fsrc"),
+                             F.col("_dst").alias("_fdst"),
+                             F.lit(0).alias("_rev"))
+                   .unionAll(nn.select(F.col("_dst").alias("_fsrc"),
+                                       F.col("_src").alias("_fdst"),
+                                       F.lit(1).alias("_rev"))))
+        capped = (friends.groupBy("_fsrc", "_fdst")
+                  .agg(F.min("_rev").alias("_rev"))
+                  .withColumn("_r", F.row_number().over(wcap))
+                  .filter(F.col("_r") <= max_degree)
+                  .select("_fsrc", "_fdst"))
+        # local join: u and x co-occurring in _fsrc's list propose the
+        # pair in both directions (cosine is symmetric; each endpoint
+        # keeps its own top-k)
+        cand = (capped.select(F.col("_fsrc").alias("_w"),
+                              F.col("_fdst").alias("_u"))
+                .join(capped.select(F.col("_fsrc").alias("_w"),
+                                    F.col("_fdst").alias("_x")), on="_w")
+                .filter(F.col("_u") != F.col("_x"))
+                .select(F.col("_u").alias("_src"),
+                        F.col("_x").alias("_dst"))
+                .dropDuplicates(["_src", "_dst"]))
+        fresh = cand.join(nn.select("_src", "_dst"),
+                          on=["_src", "_dst"], how="left_anti")
+        scored = _explicit_pair_cosines(fresh, pts)
+        nn = (nn.unionAll(scored)
+              .withColumn("_r", F.row_number().over(wk))
+              .filter(F.col("_r") <= k_build)
+              .select("_src", "_dst", "_cos")
+              .localCheckpoint())
+    pts.unpersist(blocking=False)
+    # final ranking matches knn_graph's contract: round BEFORE ranking,
+    # ties to the smaller neighbor id
+    out = nn.withColumn("cosine", F.round(F.col("_cos"), 6))
+    wr = Window.partitionBy("_src").orderBy(F.col("cosine").desc(),
+                                            F.col("_dst").asc())
+    return (out.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= k_eff)
+            .select(F.col("_src").alias("src"),
+                    F.col("_dst").alias("dst"), "rank", "cosine"))
