@@ -1361,50 +1361,6 @@ def ann_recall(df: DataFrame, id_col: str, vec_col: str, k: int,
                             / F.lit(float(k)), 4).alias("recall")))
 
 
-def _explicit_pair_cosines(pairs: DataFrame, pts: DataFrame,
-                           src: str = "_src", dst: str = "_dst"
-                           ) -> DataFrame:
-    """RAW double cosine for an EXPLICIT (src, dst) pair list — the
-    Arrow-batched scorer NN-Descent needs (the blocked kernel scores
-    every same-block pair; here the candidate set IS the block
-    structure). Vectors join on each endpoint, then one mapInPandas
-    pass computes the documented-sequential np.add.accumulate fold —
-    the same bit-contract as _blocked_pair_cosines, one narrow row out
-    per pair. Zero-norm endpoints yield NaN cosines, which are DROPPED
-    inside the kernel (Spark's descending sort puts NaN FIRST, so a
-    NaN row would otherwise win every top-k) — the same
-    undefined-domain rule as _blocked_pair_cosines' thresholded path."""
-    out_t = (f"{src} {pairs.schema[src].dataType.simpleString()}, "
-             f"{dst} {pairs.schema[dst].dataType.simpleString()}, "
-             f"_cos double")
-    j = (pairs
-         .join(pts.select(F.col("_id").alias(src), F.col("_v")
-                          .alias("_va")), on=src)
-         .join(pts.select(F.col("_id").alias(dst), F.col("_v")
-                          .alias("_vb")), on=dst))
-
-    def kern(it):
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            A = np.stack(pdf["_va"].to_numpy()).astype(np.float64,
-                                                       copy=False)
-            B = np.stack(pdf["_vb"].to_numpy()).astype(np.float64,
-                                                       copy=False)
-            dots = np.add.accumulate(A * B, axis=1)[:, -1]
-            na = np.sqrt(np.add.accumulate(A * A, axis=1)[:, -1])
-            nb = np.sqrt(np.add.accumulate(B * B, axis=1)[:, -1])
-            with np.errstate(invalid="ignore", divide="ignore"):
-                cos = dots / (na * nb)
-            keep = ~np.isnan(cos)
-            yield pd.DataFrame({src: pdf[src].to_numpy()[keep],
-                                dst: pdf[dst].to_numpy()[keep],
-                                "_cos": cos[keep]})
-
-    return j.mapInPandas(kern, out_t)
-
-
-
 def knn_graph_nndescent(df: DataFrame, id_col: str, vec_col: str,
                         k: Optional[int] = None, iters: int = 3,
                         build_k: Optional[int] = None,
@@ -1412,24 +1368,27 @@ def knn_graph_nndescent(df: DataFrame, id_col: str, vec_col: str,
                         vector_config=None) -> DataFrame:
     """Batch NN-Descent kNN-graph build (Dong, Charikar & Li, WWW 2011 —
     public method): every point keeps a best-so-far neighbor list, and
-    each round proposes all pairs that co-occur in someone's (forward +
+    each round scores all pairs that co-occur in someone's (forward +
     sampled-reverse) list — "a neighbor of a neighbor is likely a
-    neighbor" — keeping the k best. This is the HONEST batch equivalent
+    neighbor" — keeping the best. This is the HONEST batch equivalent
     of HNSW's neighbor graph (the reference's index structure,
     helix-cli/src/config.rs:148-158): HNSW's pointer-chasing incremental
     insert is anti-Spark, but its layer-0 graph IS a kNN graph, and
-    NN-Descent builds one in O(iters * n * max_degree^2) candidate
+    NN-Descent builds one in O(iters * n * max_degree^2) pair
     evaluations — LINEAR in n per round, beating the celled build's
     sum-of-cell-sizes^2 (~n^1.5 at the sqrt budget) at large n.
 
     Spark shape per round: capped friend-list union (forward edges
     first — they carry the descent gradient — then md5-sampled reverse,
-    Dong's rho-sampling), one self-join on the shared list owner
-    (candidate volume <= n * max_degree^2, bounded by construction,
-    never all-pairs), an anti-join against the known list, Arrow-kernel
-    scoring of NEW pairs only (_explicit_pair_cosines — per-pair HOF
-    folds are the interpreted-slow class), and a per-src top-k window.
-    State localCheckpoints per round (the iterative-fixpoint class).
+    Dong's rho-sampling), then the LOCAL JOIN runs as the blocked Arrow
+    kernel with the list owner as the block key (_blocked_pair_cosines:
+    each member vector transfers ONCE PER LIST, ~max_degree rows per
+    node, and the deg^2 pair cosines are one matmul per block — the
+    first spelling scored an explicit pair list and moved BOTH vectors
+    per PAIR, n * max_degree^2 * dim doubles per round, which timed out
+    at 200k x 64d where this one completes), a (src, dst) dedup, and a
+    per-src top-width window. State localCheckpoints per round (the
+    iterative-fixpoint class).
 
     ``build_k`` (default max(k, 20), the paper's working regime) is the
     INTERNAL list width: measured on the sf0.01 embeddings, building at
@@ -1440,9 +1399,12 @@ def knn_graph_nndescent(df: DataFrame, id_col: str, vec_col: str,
     permutation): a RING init (k successors in one global pseudo-random
     order) looks random but is a 1-D lattice whose neighbors-of-
     neighbors stay ring-local — measured 0.15 vs 0.47 recall at equal
-    width. Deterministic end to end (md5 init, md5 reverse-sampling, id
-    tie-breaks): reruns reproduce bit-identically; like kmeans_refine it
-    is recall-gated in tests rather than SQL-replayed (an iterative
+    width — and every scored init pair updates BOTH endpoints (Dong's
+    update rule; without the reverse rows an md5-self-colliding node
+    starts empty and generates no candidates). Deterministic end to end
+    (md5 init, md5 reverse-sampling, id tie-breaks, the bit-pinned
+    kernel fold): reruns reproduce bit-identically; like kmeans_refine
+    it is recall-gated in tests rather than SQL-replayed (an iterative
     fixpoint has no tractable oracle spelling). Returns
     (src, dst, rank, cosine) exactly like :func:`knn_graph`."""
     if k is None:
@@ -1467,9 +1429,8 @@ def knn_graph_nndescent(df: DataFrame, id_col: str, vec_col: str,
 
     # init: k_build md5-random targets per node, resolved to ids through
     # the md5-order permutation (one narrow global sort over ids only —
-    # the zipWithIndex class, build-time cost). Self-targets and
-    # duplicate targets drop; NN-Descent needs a non-degenerate random
-    # start, not exactly-k edges.
+    # the zipWithIndex class, build-time cost). Self/duplicate targets
+    # drop; NN-Descent needs a non-degenerate start, not exactly-k edges.
     w0 = Window.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
     pos = pts.select("_id", (F.row_number().over(w0) - 1).alias("_p"))
     tp = [(F.conv(F.substring(
@@ -1482,12 +1443,17 @@ def knn_graph_nndescent(df: DataFrame, id_col: str, vec_col: str,
               .filter(F.col("_src") != F.col("_dst"))
               .dropDuplicates(["_src", "_dst"])
               .select("_src", "_dst"))
-    # every scored comparison updates BOTH endpoints (Dong 2011's
-    # update rule): without the reverse rows a node whose md5 targets
-    # all self-collided starts with an EMPTY list and generates no
-    # candidates. Iteration rounds propose both directions already
-    # (the local join is symmetric); only the init needs this.
-    s0 = _explicit_pair_cosines(edges0, pts)
+    # init scoring through the blocked kernel: block = the src id, left
+    # = the owner's single row, right = its targets; both directions
+    # enter the initial state (Dong's both-endpoint update)
+    lk0 = pts.select(F.col("_id").alias("_cell"),
+                     F.col("_id").alias("_src"),
+                     F.col("_v").alias("_v"))
+    rk0 = (edges0.join(pts.select(F.col("_id").alias("_dst"),
+                                  F.col("_v").alias("_vd")), on="_dst")
+           .select(F.col("_src").alias("_cell"), F.col("_dst"),
+                   F.col("_vd").alias("_v")))
+    s0 = _blocked_pair_cosines(lk0, rk0, "_src", "_dst", "ne")
     nn = (s0.unionAll(s0.select(F.col("_dst").alias("_src"),
                                 F.col("_src").alias("_dst"), "_cos"))
           .dropDuplicates(["_src", "_dst"])
@@ -1513,21 +1479,21 @@ def knn_graph_nndescent(df: DataFrame, id_col: str, vec_col: str,
                   .withColumn("_r", F.row_number().over(wcap))
                   .filter(F.col("_r") <= max_degree)
                   .select("_fsrc", "_fdst"))
-        # local join: u and x co-occurring in _fsrc's list propose the
-        # pair in both directions (cosine is symmetric; each endpoint
-        # keeps its own top-k)
-        cand = (capped.select(F.col("_fsrc").alias("_w"),
-                              F.col("_fdst").alias("_u"))
-                .join(capped.select(F.col("_fsrc").alias("_w"),
-                                    F.col("_fdst").alias("_x")), on="_w")
-                .filter(F.col("_u") != F.col("_x"))
-                .select(F.col("_u").alias("_src"),
-                        F.col("_x").alias("_dst"))
-                .dropDuplicates(["_src", "_dst"]))
-        fresh = cand.join(nn.select("_src", "_dst"),
-                          on=["_src", "_dst"], how="left_anti")
-        scored = _explicit_pair_cosines(fresh, pts)
+        # local join: all pairs within each owner's list, one blocked
+        # matmul per list; a pair co-occurring in many lists dedups
+        # after (its cosine is bit-identical wherever computed, so the
+        # surviving copy is the same row)
+        mem = (capped.join(pts.select(F.col("_id").alias("_fdst"), "_v"),
+                           on="_fdst")
+               .select(F.col("_fsrc").alias("_cell"), "_fdst", "_v"))
+        scored = _blocked_pair_cosines(
+            mem.select("_cell", F.col("_fdst").alias("_src"),
+                       F.col("_v").alias("_v")),
+            mem.select("_cell", F.col("_fdst").alias("_dst"),
+                       F.col("_v").alias("_v")),
+            "_src", "_dst", "ne")
         nn = (nn.unionAll(scored)
+              .dropDuplicates(["_src", "_dst"])
               .withColumn("_r", F.row_number().over(wk))
               .filter(F.col("_r") <= k_build)
               .select("_src", "_dst", "_cos")
