@@ -3926,3 +3926,42 @@ def test_knn_graph_nndescent_recall_and_contract(spark):
                               iters=1).collect()
     assert len(got) == 6 and {r["rank"] for r in got} == {1, 2}
     assert all(r["src"] != 4 and r["dst"] != 4 for r in got)
+
+
+def test_incremental_dedup_candidate_cap(spark, tmp_path):
+    """The near-dup probe's flood knob (r11): a batch doc with hundreds
+    of near-copies in the corpus floods the band-candidate join (77M
+    pairs measured on the 300x replica corpus), and classification only
+    returns the SMALLEST passing corpus_id — max_candidates keeps each
+    batch doc's smallest-corpus_id candidates and still classifies
+    planted floods correctly."""
+    from helix_db_spark.operators.dedup import (incremental_dedup,
+                                                store_dedup_index)
+
+    base = ("the exact same flooded document body repeated verbatim "
+            "across the whole crawl partition again and again")
+    corpus = spark.createDataFrame(
+        [(i, base) for i in range(200)]
+        + [(500, "a unique passage about rivers bridges and morning fog "
+                 "rolling over the valley floor before sunrise")],
+        "doc_id long, text string")
+    root = str(tmp_path / "flood_idx")
+    store_dedup_index(corpus, "doc_id", "text", root)
+    batch = spark.createDataFrame(
+        [(900, base + " extra"),        # near-dup of the flood
+         (901, base),                   # exact dup of the flood
+         (902, "completely different content about glaciers and wind "
+               "patterns over the high plateau during winter storms")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["dup_kind"], r["match_id"]) for r in
+           incremental_dedup(spark, batch, "doc_id", "text", root,
+                             threshold=0.5, max_candidates=10).collect()}
+    # the flood's smallest corpus id wins under the cap, same as exact
+    assert got[900] == ("near", 0)
+    assert got[901] == ("exact", 0)
+    assert got[902] == (None, None)
+    # and the capped answer matches the exact answer on this corpus
+    exact = {r["doc_id"]: (r["dup_kind"], r["match_id"]) for r in
+             incremental_dedup(spark, batch, "doc_id", "text", root,
+                               threshold=0.5).collect()}
+    assert got == exact
