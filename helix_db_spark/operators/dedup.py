@@ -245,6 +245,17 @@ def _sig_agreement(df: DataFrame, a_col: str, b_col: str,
         for pdf in it:
             if len(pdf) == 0:
                 continue
+            # precondition: both signature columns non-null, fixed width
+            # (every producer joins sigs on the id, so a NULL here means
+            # a corrupt index row) — raise a diagnosable error instead of
+            # letting np.stack fail with an opaque ValueError (ADVICE r11)
+            for col in (a_col, b_col):
+                bad = pdf[col].isna()
+                if bad.any():
+                    raise ValueError(
+                        f"_sig_agreement: NULL {col} signature for keys "
+                        f"{pdf.loc[bad, keys].head(3).to_dict('records')} "
+                        f"— upstream signature index is corrupt")
             A = np.stack(pdf[a_col].to_numpy())
             B = np.stack(pdf[b_col].to_numpy())
             out = pdf[keys].copy()
@@ -302,10 +313,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     if max_candidate_pairs is not None:
         # post-cap histogram: the guard reads what the join will DO,
         # so an already-applied max_bucket counts as mitigation
+        # shiftright keeps the C(n,2) sum in integer arithmetic (n*(n-1)
+        # is always even): the double-division spelling lost exactness
+        # above ~2^53 projected pairs (ADVICE r11)
         est = (banded.groupBy("band", "bkey")
                .agg(F.count(F.lit(1)).alias("_n"))
-               .agg(F.sum(F.col("_n") * (F.col("_n") - 1) / 2)
-                    .cast("long").alias("_e")).collect()[0]["_e"]) or 0
+               .agg(F.sum(F.shiftright(F.col("_n") * (F.col("_n") - 1), 1))
+                    .alias("_e")).collect()[0]["_e"]) or 0
         if est > max_candidate_pairs:
             raise DedupFloodError(
                 f"minhash_lsh_pairs projects ~{est:,} candidate pairs "
@@ -850,12 +864,16 @@ def incremental_dedup(spark, new_docs: DataFrame, id_col: str,
     many band candidates, all verified — measured 77M candidate pairs
     for a 150k-doc batch on a 300x-replicated corpus, with the verify
     dominating the whole probe. The classification only RETURNS the
-    smallest passing corpus_id, so capping each batch doc to its
-    ``max_candidates`` smallest-corpus_id candidates bounds verify
-    volume at batch * cap while answering identically whenever any
-    passing match sits inside the cap — on flood corpora (the only
-    regime where the cap binds) near-copies overwhelmingly pass, so
-    misses need a non-matching id-cluster below every matching one.
+    smallest passing corpus_id, so capping each batch doc's candidate
+    window bounds verify volume at batch * cap while answering
+    identically whenever any passing match sits inside the cap. The
+    window ranks by band-collision count DESC (a pair colliding in more
+    bands shares more signature rows — a monotone proxy for minhash
+    agreement, so a passing match almost always sits at the top;
+    corpus_id asc tiebreak keeps it deterministic), replacing the r11
+    smallest-corpus_id order that was uncorrelated with match
+    likelihood (ADVICE r11). Misses now need ``max_candidates``
+    HIGHER-collision non-matching candidates above every matching one.
     The max_bucket/max_df knob class (quality knob, documented, off by
     default)."""
     import json
@@ -891,15 +909,28 @@ def incremental_dedup(spark, new_docs: DataFrame, id_col: str,
             for r in banded_new.select("_bucket").distinct().collect()]
     bands_idx = (spark.read.parquet(os.path.join(root, "bands"))
                  .filter(F.col("_bucket").isin(bbks)))
-    cands = (bands_idx.join(F.broadcast(banded_new),
-                            on=["_bucket", "band", "bkey"])
-             .filter(F.col("corpus_id") != F.col(id_col))
-             .select(F.col(id_col), "corpus_id").distinct())
+    hits = (bands_idx.join(F.broadcast(banded_new),
+                           on=["_bucket", "band", "bkey"])
+            .filter(F.col("corpus_id") != F.col(id_col)))
     if max_candidates is not None:
-        wc = Window.partitionBy(id_col).orderBy(F.col("corpus_id").asc())
-        cands = (cands.withColumn("_cr", F.row_number().over(wc))
+        # keep the candidates MOST LIKELY to verify: band-collision count
+        # is a monotone proxy for minhash agreement (a pair colliding in
+        # more bands shares more signature rows), so ranking by it puts a
+        # passing match inside the cap far more often than the previous
+        # smallest-corpus_id order, which was uncorrelated with match
+        # likelihood (ADVICE r11). corpus_id asc tiebreak keeps the rank
+        # deterministic AND means that among equally-likely candidates
+        # the returned min-id match is preserved. Same shuffle shape as
+        # the uncapped distinct (one partial-agg groupBy on the pair).
+        wc = Window.partitionBy(id_col).orderBy(F.col("_hits").desc(),
+                                                F.col("corpus_id").asc())
+        cands = (hits.groupBy(id_col, "corpus_id")
+                 .agg(F.count(F.lit(1)).alias("_hits"))
+                 .withColumn("_cr", F.row_number().over(wc))
                  .filter(F.col("_cr") <= int(max_candidates))
-                 .drop("_cr"))
+                 .select(F.col(id_col), "corpus_id"))
+    else:
+        cands = hits.select(F.col(id_col), "corpus_id").distinct()
     cbks = [r["_b"] for r in cands
             .select(bucket_col(F.col("corpus_id"), nbuckets).alias("_b"))
             .distinct().collect()]

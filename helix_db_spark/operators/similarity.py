@@ -745,12 +745,27 @@ def store_ivf_index(df: DataFrame, id_col: str, vec_col: str, root: str,
     # can never be probed — ivf_topk_disk filters _cell IN (probe set) —
     # so writing them would only create a __HIVE_DEFAULT_PARTITION__
     # directory that pollutes the skew report (ADVICE r10). Drop them
-    # from the DISK layout; the in-memory assignment keeps them.
+    # from the DISK layout; the in-memory assignment keeps them. The
+    # dropped count is OBSERVED on the write pass and logged, mirroring
+    # append_to_ivf_index — the build path previously lost rows with no
+    # signal beyond this comment (ADVICE r11).
+    from pyspark.sql import Observation
+    obs = Observation()
+    assigned = assigned.observe(
+        obs,
+        F.count(F.lit(1)).alias("_total"),
+        F.count(F.when(F.col("_cell").isNull(), 1)).alias("_dropped"))
     assigned = assigned.filter(F.col("_cell").isNotNull())
     if quantize:
         assigned = quantize_embeddings(assigned, vec_col).drop(vec_col)
     assigned.write.mode("overwrite").partitionBy("_cell") \
         .parquet(_os.path.join(root, "cells"))
+    _dropped = int(obs.get["_dropped"])
+    if _dropped:
+        _LOG.warning(
+            "store_ivf_index %s: %d of %d corpus rows had NULL vectors "
+            "and were not stored (unservable by any probe)",
+            root, _dropped, int(obs.get["_total"]))
     cents.write.mode("overwrite").parquet(_os.path.join(root, "centroids"))
     spark = df.sparkSession
     with open(_os.path.join(root, "meta.json"), "w") as fh:
