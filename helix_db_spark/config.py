@@ -156,6 +156,18 @@ class VectorConfig:
         every corpus tested in tests/test_pipeline_ops.py)."""
         return min(4, self.ef_construction // 64)
 
+    def knn_build_method(self, n: int) -> str:
+        """Build strategy for an n-vector kNN-graph artifact: 'celled'
+        below the measured ~12M-vector equal-cost crossover
+        (similarity.KNN_NNDESCENT_CROSSOVER), 'nndescent' above — the
+        configured engine's auto-pick for the structure HNSW's ``m``
+        describes (README "Configuration" decision record). The
+        reference exposes no method knob (config.rs:148-158 tunes one
+        HNSW index), so this derives from corpus size alone rather than
+        inventing a helix.toml key."""
+        from .operators.similarity import KNN_NNDESCENT_CROSSOVER
+        return "nndescent" if n > KNN_NNDESCENT_CROSSOVER else "celled"
+
 
 @dataclass(frozen=True)
 class DbConfig:

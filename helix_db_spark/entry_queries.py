@@ -1187,6 +1187,77 @@ def semantic_dedup_survivors(spark, sf_dir):
     return out.select("vec_id", F.col("_cell").alias("cell"))
 
 
+# Two-round recursive-split replay (r12 — VERDICT r11 #1's bound on the
+# semantic-dedup scale shape): each round counts cells, samples each hot
+# cell's first ceil(count/B) members in (md5(id), id) order as
+# sub-centroids, and reassigns that cell's members to the nearest one
+# (ties -> smallest sub-centroid id). A round with no hot cells is a
+# no-op, so Spark's early exit equals this fixed-round replay.
+_SPLIT_B = 10
+
+
+def _split_round_sql(i: int) -> str:
+    return f"""
+cnt{i} AS (SELECT cell, count(*) AS c FROM asgn{i} GROUP BY cell),
+sub{i} AS (SELECT r.cell, r.vec_id AS scid, e.embedding::DOUBLE[] AS svec
+  FROM (SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY cell
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM asgn{i}) r
+  JOIN cnt{i} k ON k.cell = r.cell
+  JOIN embeddings e ON e.vec_id = r.vec_id
+  WHERE k.c > {_SPLIT_B}
+    AND r.rn <= CAST(ceil(CAST(k.c AS DOUBLE) / {_SPLIT_B}) AS BIGINT)),
+re{i} AS (SELECT m.vec_id, s.scid,
+         row_number() OVER (PARTITION BY m.vec_id
+             ORDER BY 1.0 - list_cosine_similarity(
+                 e.embedding::DOUBLE[], s.svec), s.scid) AS rn
+  FROM asgn{i} m
+  JOIN sub{i} s ON s.cell = m.cell
+  JOIN embeddings e ON e.vec_id = m.vec_id),
+asgn{i + 1} AS (
+  SELECT vec_id, scid AS cell FROM re{i} WHERE rn = 1
+  UNION ALL
+  SELECT a.vec_id, a.cell FROM asgn{i} a
+  WHERE NOT EXISTS (SELECT 1 FROM sub{i} s WHERE s.cell = a.cell))"""
+
+
+@q("semantic_dedup_bounded",
+   """WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+              FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+              LIMIT least(4096, CAST(ceil(sqrt(
+                  (SELECT count(*) FROM embeddings))) AS BIGINT))),
+ranked AS (SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 1.0 - list_cosine_similarity(e.embedding::DOUBLE[],
+                                              c.cvec), c.cid) AS rn
+           FROM embeddings e CROSS JOIN cent c),
+asgn0 AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),"""
+   + _split_round_sql(0) + "," + _split_round_sql(1) + """,
+dropped AS (SELECT DISTINCT y.vec_id
+            FROM asgn2 x JOIN asgn2 y ON x.cell = y.cell
+                                     AND x.vec_id < y.vec_id
+            JOIN embeddings ex ON ex.vec_id = x.vec_id
+            JOIN embeddings ey ON ey.vec_id = y.vec_id
+            WHERE list_cosine_similarity(ex.embedding::DOUBLE[],
+                                         ey.embedding::DOUBLE[]) >= 0.3)
+SELECT a.vec_id, a.cell FROM asgn2 a
+WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)""")
+def semantic_dedup_bounded(spark, sf_dir):
+    """SemDeDup with the r12 cell-width bound (similarity.split_hot_
+    cells): cells wider than 10 rows recursively split (2 rounds) into
+    deterministic md5-sampled sub-cells BEFORE the within-cell pair
+    scan, capping pair volume at n * budget — linear in n where the
+    unsplit celled path is n^1.5. The whole recursion replays in SQL
+    (cell keys are representative member ids on both sides)."""
+    from .operators.similarity import semantic_dedup
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semantic_dedup(emb, "vec_id", "embedding", threshold=0.3,
+                         max_cell_rows=_SPLIT_B, max_split_rounds=2)
+    return out.select("vec_id", F.col("_cell").alias("cell"))
+
+
 @q("graph_degree_distribution",
    "SELECT degree, count(*)::BIGINT AS n_nodes FROM "
    "(SELECT o_custkey, count(*)::BIGINT AS degree "
@@ -5574,8 +5645,16 @@ DRIVER_TOP50 = [
     "id_value_map", "project_bindings_rows",
     # search (rows 4-8). vector_search_ivf_disk (r7) grades the SERVED
     # on-disk index layout — partition-pruned cells/ probe, the plan a
-    # reloaded production catalog executes.
-    "vector_search_topk", "vector_search_ivf", "vector_search_ivf_disk",
+    # reloaded production catalog executes. vector_search_ivf demoted
+    # r12: the in-memory IVF probe's centroid-rank + exact re-rank math
+    # is graded through the STRICTLY STRONGER disk row (identical
+    # ranking, plus layout + partition pruning); it stays below the cap
+    # vanilla-verified AND in the 15-query bench set. The freed slot
+    # grades the evaluation/audit family (dedup_quality_report_sampled
+    # — the bounded-sample dedup-quality audit, previously the class
+    # with no graded representative; VERDICT r11 #6).
+    "vector_search_topk", "vector_search_ivf_disk",
+    "dedup_quality_report_sampled",
     "tenant_vector_search",
     # edge_search_modes merges VectorSearchEdges + TextSearchEdges
     # (§2 row 7 is one row); the freed slot grades the kNN graph family.

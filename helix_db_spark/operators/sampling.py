@@ -359,8 +359,8 @@ def write_shards(df: DataFrame, out_path: str, n_shards: int,
                        .agg(F.count(F.lit(1)).alias("n")).collect()}
         info["rows"] = sum(counts.values())
         info["shards"] = {str(k): counts[k] for k in sorted(counts)}
-        with open(os.path.join(out_path, "_manifest.json"), "w") as f:
-            json.dump(info, f)
+        from ..functions.io import atomic_write_json
+        atomic_write_json(os.path.join(out_path, "_manifest.json"), info)
     return info
 
 

@@ -34,6 +34,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import _DST, _ID, _SRC, EdgeMeta, GraphCatalog, IndexEntry
+from ..functions.io import atomic_write_json
 from ..functions.text import bucket_col
 
 INDEX_BUCKETS = 32
@@ -49,8 +50,7 @@ def save_catalog(cat: GraphCatalog, root: str,
         "next_local_id": cat._next_local_id,
     }
     os.makedirs(root, exist_ok=True)
-    with open(os.path.join(root, "meta.json"), "w") as fh:
-        json.dump(meta, fh, indent=2)
+    atomic_write_json(os.path.join(root, "meta.json"), meta)
     for label, df in cat.nodes().items():
         out = df.repartitionByRange(partitions or df.rdd.getNumPartitions(),
                                     F.col(_ID)) \
@@ -118,9 +118,9 @@ def store_index(compiler, root: str,
              .repartition(buckets, "_bucket")
              .write.mode("overwrite").partitionBy("_bucket")
              .parquet(os.path.join(d, "term_df")))
-            with open(os.path.join(d, "meta.json"), "w") as fh:
-                json.dump({"N": stats["N"], "avgdl": stats["avgdl"],
-                           "buckets": buckets}, fh)
+            atomic_write_json(os.path.join(d, "meta.json"),
+                              {"N": stats["N"], "avgdl": stats["avgdl"],
+                               "buckets": buckets})
             written.append(d)
         elif entry.kind.endswith("_vector"):
             aug = build_lsh_index(compiler, target, entry.label,
@@ -133,8 +133,8 @@ def store_index(compiler, root: str,
              .sortWithinPartitions("_bkey")
              .write.mode("overwrite").partitionBy("_bucket")
              .parquet(os.path.join(d, "sigs")))
-            with open(os.path.join(d, "meta.json"), "w") as fh:
-                json.dump({"buckets": buckets}, fh)
+            atomic_write_json(os.path.join(d, "meta.json"),
+                              {"buckets": buckets})
             written.append(d)
             # IVF twin of the same vector index: cells/ partitioned by
             # _cell so an nprobe probe prunes to its cells' directories

@@ -320,7 +320,8 @@ def stream_curate(docs: DataFrame, bench: Optional[DataFrame],
 def stream_dedup_ingest(docs: DataFrame, id_col: str, text_col: str,
                         index_root: str, out_path: str,
                         threshold: float = 0.7,
-                        checkpoint: Optional[str] = None):
+                        checkpoint: Optional[str] = None,
+                        max_candidate_pairs: "int | str | None" = "auto"):
     """Continuous-ingest deduplication: every micro-batch is classified
     against the on-disk dedup index (operators/dedup.incremental_dedup —
     exact / near / novel with the matched corpus id), the annotations
@@ -334,7 +335,14 @@ def stream_dedup_ingest(docs: DataFrame, id_col: str, text_col: str,
     can express. Duplicates WITHIN one micro-batch are all novel w.r.t.
     the index; compose batch exact_dedup upstream if intra-batch copies
     matter (at ingest granularity they are usually the same event
-    re-delivered, which the idempotent digest append tolerates)."""
+    re-delivered, which the idempotent digest append tolerates).
+
+    The probe's flood guard is ARMED by default (r12, VERDICT r11 #4):
+    ``max_candidate_pairs="auto"`` fail-fasts a micro-batch that hits a
+    near-dup flood in the index (DedupFloodError fails the batch with
+    the mitigation knobs named — the checkpoint replays it once the
+    operator re-runs with a bound) instead of filling the shuffle disks
+    mid-stream. Pass None to disarm."""
     from ..operators.dedup import append_to_dedup_index, incremental_dedup
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -343,7 +351,9 @@ def stream_dedup_ingest(docs: DataFrame, id_col: str, text_col: str,
         batch_df = batch_df.persist()
         ann = incremental_dedup(batch_df.sparkSession, batch_df,
                                 id_col, text_col, index_root,
-                                threshold=threshold).persist()
+                                threshold=threshold,
+                                max_candidate_pairs=max_candidate_pairs
+                                ).persist()
         # per-batch directory + overwrite: a replayed micro-batch
         # (foreachBatch is at-least-once) rewrites the SAME annotations
         # instead of appending duplicates; readers see _batch as a

@@ -54,8 +54,13 @@ def test_driver_top50_covers_survey_ops():
         "repeat_bfs", "order_limit_topk",
         "group_aggregate_stats",   # merged Group + AggregateBy (rows 36+38)
         "id_value_map",
-        "project_bindings_rows", "vector_search_topk", "vector_search_ivf",
-        "vector_search_ivf_disk",  # served on-disk index layout (r7)
+        "project_bindings_rows", "vector_search_topk",
+        # vector_search_ivf demoted r12: the IVF probe family is graded
+        # through the strictly stronger disk row (same centroid-rank +
+        # exact re-rank, plus the served layout + partition pruning);
+        # the slot grades the audit family instead (VERDICT r11 #6)
+        "vector_search_ivf_disk",
+        "dedup_quality_report_sampled",
         "tenant_vector_search", "bm25_text_search",
         "edge_search_modes",       # merged edge-target search slot (row 7)
         # set_property_update + drop_cascade_counts merged r9 into one

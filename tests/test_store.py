@@ -380,3 +380,61 @@ def test_configured_catalog_keeps_disk_probe(spark, tmp_path):
         assert len([v for v in vals.split(",") if v]) >= 5
     finally:
         spark.conf.unset("spark.sql.maxMetadataStringLength")
+
+
+def test_index_meta_commits_atomically(spark, tmp_path, monkeypatch):
+    """r12 (VERDICT r11 #5): the index layouts are single-writer by
+    contract (README "Known limits"), but their meta.json is the
+    visibility gate every probe opens first — it must commit via
+    tmp + atomic replace so (a) a crashed rebuild leaves the PREVIOUS
+    metadata parseable and (b) no reader ever sees a truncated json.
+    Exercised on the IVF and dedup layouts; store_index/write_shards
+    share the same helper."""
+    import json
+    import os
+
+    from helix_db_spark.functions import io as io_mod
+    from helix_db_spark.operators.dedup import store_dedup_index
+    from helix_db_spark.operators.similarity import store_ivf_index
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3)]) for i in range(60)],
+        "vec_id long, embedding array<double>")
+    root = str(tmp_path / "ivf")
+    store_ivf_index(vecs, "vec_id", "embedding", root, max_cells=4)
+    before = json.load(open(os.path.join(root, "meta.json")))
+
+    # a rebuild that dies at the commit point: tmp written, replace
+    # fails -> old meta intact byte-for-byte, tmp vacuumed
+    real_replace = os.replace
+
+    def dying_replace(src, dst):
+        raise OSError("simulated crash at the commit point")
+
+    monkeypatch.setattr(io_mod.os, "replace", dying_replace)
+    with pytest.raises(OSError, match="simulated crash"):
+        store_ivf_index(vecs, "vec_id", "embedding", root, max_cells=8)
+    monkeypatch.setattr(io_mod.os, "replace", real_replace)
+
+    after = json.load(open(os.path.join(root, "meta.json")))
+    assert after == before, "crashed rebuild must not touch live meta"
+    assert not [n for n in os.listdir(root) if ".tmp-" in n], \
+        "crashed writer's tmp must be vacuumed"
+
+    # a successful rebuild swaps it atomically (orig max_cells=4 -> 8)
+    store_ivf_index(vecs, "vec_id", "embedding", root, max_cells=8)
+    assert json.load(open(os.path.join(root, "meta.json")))[
+        "max_cells"] == 8
+
+    # dedup layout rides the same helper
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} about topic {i % 7}")
+         for i in range(40)], "doc_id long, text string")
+    droot = str(tmp_path / "dedup")
+    store_dedup_index(docs, "doc_id", "text", droot)
+    dbefore = json.load(open(os.path.join(droot, "meta.json")))
+    monkeypatch.setattr(io_mod.os, "replace", dying_replace)
+    with pytest.raises(OSError, match="simulated crash"):
+        store_dedup_index(docs, "doc_id", "text", droot)
+    monkeypatch.setattr(io_mod.os, "replace", real_replace)
+    assert json.load(open(os.path.join(droot, "meta.json"))) == dbefore
