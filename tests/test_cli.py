@@ -421,16 +421,22 @@ def test_cli_knn_build(spark, capsys, tmp_path):
     spark.createDataFrame(rows, "vec_id long, embedding array<double>") \
         .write.parquet(src)
 
-    for method in ("celled", "nndescent"):
+    # nndescent searches the whole corpus -> exactly k per src; celled
+    # searches within IVF cells, so a sparse cell legitimately yields
+    # fewer than k neighbors for its members (the IVF recall contract)
+    for method, exact_k in (("celled", False), ("nndescent", True)):
         out_dir = str(tmp_path / f"graph_{method}")
         rc, out, _ = _run(capsys, "knn", "--input", src, "--output",
                           out_dir, "--k", "3", "--method", method)
         assert rc == 0
         st = json.loads(out)
-        assert st["op"] == "knn" and st["edges"] == 120 * 3
+        assert st["op"] == "knn"
+        assert st["edges"] == 120 * 3 if exact_k \
+            else 0 < st["edges"] <= 120 * 3
         g = spark.read.parquet(out_dir)
         assert set(g.columns) == {"src", "dst", "rank", "cosine"}
         assert g.filter("src = dst").count() == 0
+        assert g.filter("rank > 3").count() == 0
 
     # missing column -> JSON error, exit 2
     rc, _, err = _run(capsys, "knn", "--input", src, "--output",
