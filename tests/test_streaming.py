@@ -513,3 +513,53 @@ def test_stream_interval_join_left_outer(spark, events_dir):
     with pytest.raises(ValueError):
         ingest.stream_interval_join(clicks, buys, "ts", "pts",
                                     -60.0, 60.0, how="full_outer")
+
+
+def test_stream_dedup_ingest_flood_fails_batch(spark, tmp_path):
+    """r12 (VERDICT r11 #4): the stream probe's flood guard is ARMED by
+    default — a micro-batch hitting a near-dup flood in the index fails
+    its StreamingQuery with DedupFloodError's mitigation text instead
+    of grinding the verify; max_candidate_pairs=None disarms and the
+    same batch classifies through."""
+    import pyspark.errors as perr
+
+    from helix_db_spark.operators.dedup import store_dedup_index
+    from helix_db_spark.streaming.ingest import stream_dedup_ingest
+
+    flood_text = ("the exact same flooded document body repeated "
+                  "verbatim across the whole crawl partition")
+    corpus = spark.createDataFrame(
+        [(i, flood_text) for i in range(300)], "doc_id long, text string")
+    root = str(tmp_path / "idx")
+    store_dedup_index(corpus, "doc_id", "text", root)
+
+    src = str(tmp_path / "feed")
+    spark.createDataFrame([(9001, flood_text + " again")],
+                          "doc_id long, text string").coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+
+    def feed():
+        return (spark.readStream.format("parquet")
+                .schema("doc_id long, text string").load(src))
+
+    q = stream_dedup_ingest(feed(), "doc_id", "text", root,
+                            str(tmp_path / "ann"),
+                            checkpoint=str(tmp_path / "ckpt"))
+    with pytest.raises(perr.StreamingQueryException,
+                       match="max_candidates"):
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    # disarmed: the same batch classifies through on a fresh checkpoint
+    q2 = stream_dedup_ingest(feed(), "doc_id", "text", root,
+                             str(tmp_path / "ann2"),
+                             checkpoint=str(tmp_path / "ckpt2"),
+                             max_candidate_pairs=None)
+    try:
+        q2.awaitTermination(120)
+    finally:
+        q2.stop()
+    ann = spark.read.parquet(str(tmp_path / "ann2")).collect()
+    assert len(ann) == 1 and ann[0]["dup_kind"] == "near"
