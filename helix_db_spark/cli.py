@@ -218,7 +218,19 @@ def cmd_dedup(args) -> int:
         return 0
     from .operators.dedup import DedupFloodError
     mcp = args.max_candidate_pairs
-    mcp = None if mcp == "off" else (mcp if mcp == "auto" else int(mcp))
+    if mcp == "off":
+        mcp = None
+    elif mcp != "auto":
+        try:
+            mcp = int(mcp)
+        except ValueError:
+            # the subcommand JSON-error contract (ADVICE r12): a typo
+            # like '10k' gets the same exit-2 shape as every other
+            # cli input error, not an argparse-bypassing traceback
+            print(json.dumps({"error": f"--max-candidate-pairs must be "
+                              f"'off', 'auto', or an integer budget: "
+                              f"{mcp!r}"}), file=sys.stderr)
+            return 2
     batch = spark.read.parquet(args.batch)
     try:
         out = incremental_dedup(spark, batch, "doc_id", "text",
@@ -545,7 +557,9 @@ def cmd_knn(args) -> int:
     JSON. ``--method auto`` counts the corpus and picks celled below the
     measured ~12M-vector crossover, NN-Descent above (README
     "Configuration" decision record)."""
-    from .operators.similarity import knn_graph
+    from pyspark.sql import functions as F
+
+    from .operators.similarity import knn_graph, resolve_knn_method
     from .session import get_spark
 
     spark = get_spark("helix-spark-knn",
@@ -559,14 +573,19 @@ def cmd_knn(args) -> int:
                 print(json.dumps({"error": f"missing column {c}"}),
                       file=sys.stderr)
                 return 2
+        # resolve 'auto' HERE (one count) so the summary reports the
+        # CONCRETE build that ran, not the literal 'auto' (ADVICE r12)
+        method = args.method
+        if method == "auto":
+            n = df.filter(F.col(args.vec_col).isNotNull()).count()
+            method = resolve_knn_method(n, args.max_cells)
         graph = knn_graph(df, args.id_col, args.vec_col, k=args.k,
-                          max_cells=args.max_cells, method=args.method,
+                          max_cells=args.max_cells, method=method,
                           nndescent_iters=args.iters)
         graph.write.mode("overwrite").parquet(args.output)
         n_edges = spark.read.parquet(args.output).count()
         print(json.dumps({"op": "knn", "output": args.output,
-                          "method": args.method or
-                          ("celled" if args.max_cells else "exact"),
+                          "method": method,
                           "k": args.k, "edges": n_edges}))
         return 0
     except (ValueError, OSError, AnalysisException) as e:

@@ -24,10 +24,13 @@ def atomic_write_json(path: str, obj: dict) -> None:
     """Write ``obj`` as json to ``path`` atomically: full content to a
     uuid-suffixed tmp in the same directory (same filesystem, so the
     rename cannot degrade to copy), fsync, then ``os.replace`` — POSIX
-    rename(2), which atomically REPLACES the destination. A concurrent
-    reader sees the old bytes or the new bytes, never a prefix; a
-    crashed writer leaves the old file intact (the tmp is vacuumed on
-    the error path). This is the commit point of the single-writer
+    rename(2), which atomically REPLACES the destination — then fsync
+    the parent DIRECTORY so the rename itself reaches disk (without it
+    a power loss after replace can resurrect the old name; process
+    crashes never can — ADVICE r12). A concurrent reader sees the old
+    bytes or the new bytes, never a prefix; a crashed writer leaves
+    the old file intact (the tmp is vacuumed on the error path). This
+    is the commit point of the single-writer
     index layouts — it makes REBUILD-in-place safe against readers of
     the metadata file itself, not against readers of the data dirs
     (see the module docstring for the single-writer contract those
@@ -40,6 +43,19 @@ def atomic_write_json(path: str, obj: dict) -> None:
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, path)
+        # durability of the RENAME (not just the bytes): fsync the
+        # parent dir fd; EINVAL-class failures (e.g. a filesystem that
+        # won't fsync directories) degrade to the process-crash-only
+        # guarantee, which is the pre-r13 contract
+        try:
+            dfd = os.open(os.path.dirname(os.path.abspath(path)),
+                          os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:
+            pass
     finally:
         try:
             os.unlink(tmp)

@@ -1320,6 +1320,18 @@ def recluster_ivf_index(spark, root: str, max_skew: float = 4.0,
 KNN_NNDESCENT_CROSSOVER = 12_000_000
 
 
+def resolve_knn_method(n: int, max_cells: "Optional[int]" = None) -> str:
+    """The ``method='auto'`` rule as a pure function of the corpus size:
+    NN-Descent above :data:`KNN_NNDESCENT_CROSSOVER`, the exact
+    quadratic baseline for bounded frames (<= 10k rows with no celled
+    knob), the celled build otherwise. Exposed so callers that already
+    know ``n`` (e.g. ``cli knn``) can resolve — and REPORT — the
+    concrete build auto picks instead of echoing 'auto' (ADVICE r12)."""
+    if n > KNN_NNDESCENT_CROSSOVER:
+        return "nndescent"
+    return "exact" if max_cells is None and n <= 10_000 else "celled"
+
+
 def knn_graph(df: DataFrame, id_col: str, vec_col: str,
               k: Optional[int] = None,
               max_cells: Optional[int] = None,
@@ -1361,7 +1373,9 @@ def knn_graph(df: DataFrame, id_col: str, vec_col: str,
     - ``'auto'``: count the corpus (one build-time planning action, the
       index-build class) and pick celled below
       ``KNN_NNDESCENT_CROSSOVER`` (~12M vectors, the measured
-      equal-cost point), NN-Descent above."""
+      equal-cost point), NN-Descent above. A supplied ``max_cells`` is
+      ignored — with a logged warning — when auto lands on NN-Descent
+      (pass ``method='celled'`` to force the knob)."""
     # per-ROW norm, not per-pair: the norm fold runs n times instead of
     # 3n^2 (the join would otherwise re-fold both norms for every pair —
     # measured 3x on the quadratic baseline). sqrt(dot(v,v)) here is the
@@ -1382,9 +1396,18 @@ def knn_graph(df: DataFrame, id_col: str, vec_col: str,
                          "exact/celled/nndescent/auto)")
     if method == "auto":
         n = df.filter(F.col(vec_col).isNotNull()).count()
-        method = ("nndescent" if n > KNN_NNDESCENT_CROSSOVER
-                  else ("exact" if max_cells is None and n <= 10_000
-                        else "celled"))
+        method = resolve_knn_method(n, max_cells)
+        if method == "nndescent" and max_cells is not None:
+            # knob-conflict posture (ADVICE r12): auto OVERRIDES a
+            # caller-supplied max_cells when it switches to NN-Descent
+            # (no cells in that build) — warn instead of raising so
+            # 'auto' keeps its adapt-to-n contract; pass
+            # method='celled' to force the knob.
+            _LOG.warning(
+                "knn_graph(method='auto') resolved to 'nndescent' at "
+                "n=%d; the supplied max_cells=%s does not apply to that "
+                "build and is ignored (pass method='celled' to force "
+                "the celled shape)", n, max_cells)
     if method == "nndescent":
         if nprobe > 1:
             raise ValueError(

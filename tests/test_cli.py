@@ -106,6 +106,14 @@ def test_dedup_command_roundtrip(spark, capsys, tmp_path):
     rows = [json.loads(ln) for ln in out.strip().splitlines()]
     assert len(rows) == 1 and rows[0]["dup_kind"] == "exact"
 
+    # a non-integer budget typo follows the JSON-error exit-2 contract,
+    # not a ValueError traceback (ADVICE r12)
+    rc, _, err = _run(capsys, "dedup", "--data", "/root/testdata/sf0.001",
+                      "--index", idx, "--batch", bpath,
+                      "--max-candidate-pairs", "10k")
+    assert rc == 2
+    assert "max-candidate-pairs" in json.loads(err.strip())["error"]
+
 
 def test_warc_command_ingests_archives(spark, capsys, tmp_path):
     """cli warc: archive dir -> extracted parquet corpus with stable
@@ -437,6 +445,15 @@ def test_cli_knn_build(spark, capsys, tmp_path):
         assert set(g.columns) == {"src", "dst", "rank", "cosine"}
         assert g.filter("src = dst").count() == 0
         assert g.filter("rank > 3").count() == 0
+
+    # --method auto reports the CONCRETE build it resolved to, never
+    # the literal 'auto' (ADVICE r12): 120 rows with no celled knob
+    # resolves to the exact baseline
+    out_dir = str(tmp_path / "graph_auto")
+    rc, out, _ = _run(capsys, "knn", "--input", src, "--output",
+                      out_dir, "--k", "3", "--method", "auto")
+    assert rc == 0
+    assert json.loads(out)["method"] == "exact"
 
     # missing column -> JSON error, exit 2
     rc, _, err = _run(capsys, "knn", "--input", src, "--output",
