@@ -5659,7 +5659,20 @@ DRIVER_TOP50 = [
     # grades the evaluation/audit family (dedup_quality_report_sampled
     # — the bounded-sample dedup-quality audit, previously the class
     # with no graded representative; VERDICT r11 #6).
-    "vector_search_topk", "vector_search_ivf_disk",
+    # vector_search_topk demoted r13 (VERDICT r12 #5): §2 row 4's exact
+    # top-k math and compiler path (the same g().vector_search step,
+    # StepCompiler route, and rounded-distance projection) are graded
+    # through tenant_vector_search, which runs them under the
+    # multitenancy rules; the single-op entry stays below the cap
+    # vanilla-verified AND in the 15-query bench set (the
+    # two_hop_regions / events_window_agg precedent: the driver still
+    # executes the plan every round). The freed slot grades
+    # semantic_dedup_bounded — the r12 scale fix (recursive
+    # split_hot_cells cell-width bound, measured sf30 exponent 0.62 vs
+    # 1.77 unsplit) whose 2-round recursion oracle was previously
+    # ungated by the driver; the SemDeDup family now locks BOTH the
+    # exact contract (semantic_dedup_survivors) and the scale knob.
+    "semantic_dedup_bounded", "vector_search_ivf_disk",
     "dedup_quality_report_sampled",
     "tenant_vector_search",
     # edge_search_modes merges VectorSearchEdges + TextSearchEdges

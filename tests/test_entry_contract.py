@@ -54,7 +54,12 @@ def test_driver_top50_covers_survey_ops():
         "repeat_bfs", "order_limit_topk",
         "group_aggregate_stats",   # merged Group + AggregateBy (rows 36+38)
         "id_value_map",
-        "project_bindings_rows", "vector_search_topk",
+        # vector_search_topk demoted r13: §2 row 4's exact top-k runs
+        # through the SAME compiled vector_search step inside
+        # tenant_vector_search (multitenancy on top), and the single-op
+        # entry stays below the cap + in the bench set; the slot grades
+        # the SemDeDup scale knob (semantic_dedup_bounded) instead
+        "project_bindings_rows", "semantic_dedup_bounded",
         # vector_search_ivf demoted r12: the IVF probe family is graded
         # through the strictly stronger disk row (same centroid-rank +
         # exact re-rank, plus the served layout + partition pruning);
