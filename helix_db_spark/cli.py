@@ -555,7 +555,7 @@ def cmd_knn(args) -> int:
     .knn_graph — the engine surface for the HNSW-equivalent neighbor
     graph): writes (src, dst, rank, cosine) parquet and prints a summary
     JSON. ``--method auto`` counts the corpus and picks celled below the
-    measured ~12M-vector crossover, NN-Descent above (README
+    measured ~3M-vector crossover, NN-Descent above (README
     "Configuration" decision record)."""
     from pyspark.sql import functions as F
 
@@ -838,7 +838,7 @@ def main(argv=None) -> int:
                            choices=["auto", "exact", "celled",
                                     "nndescent"],
                            help="build strategy: auto picks celled "
-                           "below ~12M vectors, NN-Descent above")
+                           "below ~3M vectors, NN-Descent above")
             p.add_argument("--max-cells", dest="max_cells", type=int,
                            default=None,
                            help="celled build's centroid cap")

@@ -158,7 +158,7 @@ class VectorConfig:
 
     def knn_build_method(self, n: int) -> str:
         """Build strategy for an n-vector kNN-graph artifact: 'celled'
-        below the measured ~12M-vector equal-cost crossover
+        below the measured ~3M-vector equal-cost crossover
         (similarity.KNN_NNDESCENT_CROSSOVER), 'nndescent' above — the
         configured engine's auto-pick for the structure HNSW's ``m``
         describes (README "Configuration" decision record). The

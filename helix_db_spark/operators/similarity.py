@@ -1312,12 +1312,27 @@ def recluster_ivf_index(spark, root: str, max_skew: float = 4.0,
     return {"reclustered": True, "before": before, "after": after}
 
 
-# Measured r11/r12 (PLANS.md scale table): NN-Descent's per-round cost is
-# linear in n (exponent 1.003/decade) while the celled build is the
-# designed n^1.5 — equal-cost crossover extrapolates to ~12M vectors at
-# 64d, BELOW the celled shape's quadratic knee at max_cells^2. Above this,
-# method='auto' switches the build to NN-Descent.
-KNN_NNDESCENT_CROSSOVER = 12_000_000
+# Measured r13 (PLANS.md scale table): the LSH-seeded init cut NN-Descent's
+# build constant ~3x, so the equal-cost crossover vs the celled build moved
+# DOWN an order of magnitude. From fresh-session sf10/sf30 pairs of BOTH
+# builds (200k/600k x 64d): nndescent/celled ratio 2.2x at 200k, 1.6-1.9x
+# at 600k; interpolating the measured exponents (celled 1.44-1.70 past its
+# cell-width knee, nndescent 1.0-1.16) puts equal cost at ~3M vectors,
+# error band ~1.5M-9M (celled's +-40% run noise and its exponent range
+# dominate). The knob sits at the point estimate: inside the band the
+# wrong pick costs at most ~1.9x, while past the band's upper edge the
+# celled shape approaches its quadratic n^2/max_cells knee (~16.8M at the
+# 4096-cell default) — auto must hand over to the linear build before
+# that regardless. Above this, method='auto' switches to NN-Descent.
+KNN_NNDESCENT_CROSSOVER = 3_000_000
+
+# NN-Descent exploration bridges carry this cosine until genuinely
+# scored: below any real cosine (>= -1), so they rank last everywhere,
+# and the merge's max(_cos) upgrades them in place when a real score
+# for the same pair arrives. Gate at -1.5 (strictly between) when
+# filtering them out of bounds/results.
+_NND_BRIDGE_COS = -2.0
+_NND_REAL_GATE = -1.5
 
 
 def resolve_knn_method(n: int, max_cells: "Optional[int]" = None) -> str:
@@ -1372,7 +1387,7 @@ def knn_graph(df: DataFrame, id_col: str, vec_col: str,
       restriction against a full-corpus index).
     - ``'auto'``: count the corpus (one build-time planning action, the
       index-build class) and pick celled below
-      ``KNN_NNDESCENT_CROSSOVER`` (~12M vectors, the measured
+      ``KNN_NNDESCENT_CROSSOVER`` (~3M vectors, the measured
       equal-cost point), NN-Descent above. A supplied ``max_cells`` is
       ignored — with a logged warning — when auto lands on NN-Descent
       (pass ``method='celled'`` to force the knob)."""
@@ -1636,12 +1651,27 @@ def _nnd_pair_updates(left: DataFrame, right: DataFrame) -> DataFrame:
     ``left``: (_cell=list owner, _fdst member id, _v, _w) — the NEW
     (frontier) entries; ``right``: same shape, ALL entries. Output
     (_src, _dst, _cos) rows, both directions pre-masked.
+
+    r13 super-blocking: the cogroup key is ``_cell % nblocks`` (a few
+    thousand blocks), NOT the cell — one pandas group per LIST meant n
+    tiny groups whose per-group overhead (two DataFrames + numpy
+    stacking per ~25 rows) dominated the round at ~0.3 ms x n (the 78s
+    round-1 profile at sf10). Inside a block the per-cell local joins
+    run over numpy views of one cell-sorted array — per-cell cost is a
+    ~30x30 matmul, microseconds. Shuffle volume is unchanged; only the
+    Python group count drops (~n/50).
     """
     id_t = right.schema["_fdst"].dataType.simpleString()
+    nshuf = int(left.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
 
     def pairs(key, lpdf, rpdf):
         if lpdf.empty or rpdf.empty:
             return pd.DataFrame({"_src": [], "_dst": [], "_cos": []})
+        lpdf = lpdf.sort_values("_cl")
+        rpdf = rpdf.sort_values("_cr")
+        cl = lpdf["_cl"].to_numpy()
+        cr = rpdf["_cr"].to_numpy()
         la = lpdf["_fa"].to_numpy()
         rb = rpdf["_fb"].to_numpy()
         wa = lpdf["_wa"].to_numpy(dtype=np.float64)
@@ -1650,40 +1680,56 @@ def _nnd_pair_updates(left: DataFrame, right: DataFrame) -> DataFrame:
         B = np.stack(rpdf["_vb"].to_numpy()).astype(np.float64, copy=False)
         na = np.sqrt(np.add.accumulate(A * A, axis=1)[:, -1])
         nb = np.sqrt(np.add.accumulate(B * B, axis=1)[:, -1])
-        m, d = B.shape
-        step = max(1, int(8_000_000 / max(1, m * d)))
         osrc, odst, ocos = [], [], []
-        for i0 in range(0, len(A), step):
-            Ab = A[i0:i0 + step]
+        cells, starts = np.unique(cl, return_index=True)
+        bounds = np.append(starts, len(cl))
+        r_lo = np.searchsorted(cr, cells, side="left")
+        r_hi = np.searchsorted(cr, cells, side="right")
+        for ci in range(len(cells)):
+            l0, l1 = bounds[ci], bounds[ci + 1]
+            q0, q1 = r_lo[ci], r_hi[ci]
+            if q0 == q1:
+                continue
+            Ab, Bb = A[l0:l1], B[q0:q1]
             dots = np.add.accumulate(
-                Ab[:, None, :] * B[None, :, :], axis=2)[:, :, -1]
+                Ab[:, None, :] * Bb[None, :, :], axis=2)[:, :, -1]
             with np.errstate(invalid="ignore", divide="ignore"):
-                cos = dots / (na[i0:i0 + step, None] * nb[None, :])
-            base = la[i0:i0 + step, None] != rb[None, :]
-            m1 = base & (cos >= wa[i0:i0 + step, None])
+                cos = dots / (na[l0:l1, None] * nb[None, q0:q1])
+            lab = la[l0:l1]
+            rbb = rb[q0:q1]
+            base = lab[:, None] != rbb[None, :]
+            m1 = base & (cos >= wa[l0:l1, None])
             ii, jj = np.nonzero(m1)
-            osrc.append(la[i0 + ii])
-            odst.append(rb[jj])
+            osrc.append(lab[ii])
+            odst.append(rbb[jj])
             ocos.append(cos[ii, jj])
-            m2 = base & (cos >= wb[None, :])
+            m2 = base & (cos >= wb[None, q0:q1])
             ii, jj = np.nonzero(m2)
-            osrc.append(rb[jj])
-            odst.append(la[i0 + ii])
+            osrc.append(rbb[jj])
+            odst.append(lab[ii])
             ocos.append(cos[ii, jj])
+        if not osrc:
+            return pd.DataFrame({"_src": [], "_dst": [], "_cos": []})
         return pd.DataFrame({"_src": np.concatenate(osrc),
                              "_dst": np.concatenate(odst),
                              "_cos": np.concatenate(ocos)})
 
     # distinct column names per side: both sides derive from ONE frame
     # and identical attribute ids trip the ambiguous-self-join check
-    # (the _blocked_pair_cosines pattern)
-    lk = left.select(F.col("_cell").alias("_cl"),
+    # (the _blocked_pair_cosines pattern). Block count: max(4 groups
+    # per shuffle slot, 2048) — a block holds ~n/2048 lists of
+    # <= max_degree member rows, i.e. tens of MB of vectors even at
+    # 10M-class corpora, far under the Arrow group bound.
+    nblk = F.lit(int(max(nshuf * 4, 2048)))
+    lk = left.select(F.pmod(F.hash(F.col("_cell")), nblk).alias("_bl"),
+                     F.col("_cell").alias("_cl"),
                      F.col("_fdst").alias("_fa"),
                      F.col("_v").alias("_va"), F.col("_w").alias("_wa"))
-    rk = right.select(F.col("_cell").alias("_cr"),
+    rk = right.select(F.pmod(F.hash(F.col("_cell")), nblk).alias("_br"),
+                      F.col("_cell").alias("_cr"),
                       F.col("_fdst").alias("_fb"),
                       F.col("_v").alias("_vb"), F.col("_w").alias("_wb"))
-    return (lk.groupBy("_cl").cogroup(rk.groupBy("_cr"))
+    return (lk.groupBy("_bl").cogroup(rk.groupBy("_br"))
             .applyInPandas(pairs, f"_src {id_t}, _dst {id_t}, _cos double"))
 
 
@@ -1761,8 +1807,15 @@ def knn_graph_nndescent(df: DataFrame, id_col: str, vec_col: str,
     if iters < 1:
         raise ValueError(f"iters must be >= 1: {iters}")
     v = F.col(vec_col).cast("array<double>")
+    spark = df.sparkSession
+    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # cache pre-partitioned by _id (r13): the per-round member join is
+    # keyed on the neighbor id, so the 2-3 GB vector side reads the
+    # cache partition-aligned with ZERO exchange every round (the r12
+    # floor analysis put this join among the build's dominant costs)
     pts = (df.filter(F.col(vec_col).isNotNull())
-           .select(F.col(id_col).alias("_id"), v.alias("_v")).persist())
+           .select(F.col(id_col).alias("_id"), v.alias("_v"))
+           .repartition(nshuf, F.col("_id")).persist())
     n = pts.count()
     if n <= 1:
         pts.unpersist(blocking=False)
@@ -1776,37 +1829,183 @@ def knn_graph_nndescent(df: DataFrame, id_col: str, vec_col: str,
     max_degree = (int(max_degree) if max_degree is not None
                   else k_build + 10)
 
-    # init: k_build md5-random targets per node, resolved to ids through
-    # the md5-order permutation (one narrow global sort over ids only —
-    # the zipWithIndex class, build-time cost). Self/duplicate targets
-    # drop; NN-Descent needs a non-degenerate start, not exactly-k edges.
+    # ---- init (r13, VERDICT r12 #1): LSH-bucketed near-neighbors plus
+    # md5-random exploration bridges. The r12 init scored k_build
+    # md5-random targets through n single-row cogroup blocks — per-edge
+    # vector transfer and ~n tiny Python groups made init+round1 130s
+    # of the 177.8s sf10 build. Instead: h sign bits of the fixed-seed
+    # hyperplane projection (_planes — the LSH machinery this module
+    # already ships) put likely-near vectors in one bucket (~32 members
+    # at h = log2(n/32)), and ONE per-bucket Arrow kernel emits each
+    # member's top-k_build bucket-mates with the bit-pinned fold:
+    # vectors transfer once per BUCKET (n rows, vs n * k_build), kernel
+    # groups are ~32x larger, and the lists start NEAR-CONVERGED, so
+    # round 1's worst-in-list bounds are real and its pair output (the
+    # build's dominant shuffle) collapses like a late round's.
+    #   The r11 lattice lesson still binds: candidates only ever come
+    # from lists, so bucket-local init alone can never descend to a
+    # neighbor outside the bucket graph's reachability. Every node
+    # therefore also gets r_rand md5-random UNSCORED bridges carrying
+    # _NND_BRIDGE_COS: they rank last everywhere (pure exploration
+    # edges, evicted by the merge cut as real entries fill the list),
+    # the merge's max(_cos) upgrades a bridge to its true value if the
+    # pair is ever genuinely scored, and the final ranking filters the
+    # never-scored remainder (an exploration edge is not a result).
+    import hashlib as _hashlib
+    import math as _math
+    dim = len(pts.select("_v").head()[0])
+    # h = 0 (one bucket = exact all-pairs init) for corpora under ~32
+    # vectors; ~32-member buckets beyond; capped at 2^24 buckets
+    h = min(24, max(0, int(_math.ceil(_math.log2(max(1.0, n / 32.0))))))
+    # TWO independent tables (distinct fixed seeds): single-table init
+    # lists are too self-similar — a bucket's neighbors-of-neighbors
+    # are mostly the bucket again, which cost ~3 recall points at 2
+    # rounds. Table 2's boundaries cut across table 1's, so every node
+    # starts with two DIFFERENT near-neighborhoods (the standard
+    # multi-table LSH diversity move), each at half the init width.
+    tables = [np.random.RandomState(LSH_SEED + t).standard_normal(
+        (h, dim)) for t in (0, 1)] if h > 0 else [np.zeros((0, dim))]
+    id_t = pts.schema["_id"].dataType.simpleString()
+    pack = (1 << np.arange(h - 1, -1, -1, dtype=np.int64))
+
+    def _bucketize(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.stack(pdf["_v"].to_numpy()).astype(np.float64,
+                                                      copy=False)
+            frames = []
+            for t, planes in enumerate(tables):
+                bits = (M @ planes.T) > 0
+                frames.append(pd.DataFrame(
+                    {"_bkt": (bits.astype(np.int64) @ pack) * 2 + t,
+                     "_id": pdf["_id"], "_v": pdf["_v"]}))
+            yield pd.concat(frames, ignore_index=True)
+
+    # full k_build per table, NOT k_build split across tables: the two
+    # tables' bucket-mate lists overlap (a node's near neighbors land
+    # with it in BOTH tables' buckets), so half-width contributions
+    # dedup to ~0.85 * k_build real entries (measured sf10 median 17 of
+    # 20) — and a list under k_build real entries carries a -inf prune
+    # bound, which made round 1 emit the UNMASKED deg^2 pair volume
+    # (285M rows at sf10, vs 5.2M actual list changes). Full-width
+    # tables + the reverse union below fill lists past k_build at init,
+    # so round 1's worst-in-list bound is live from the start.
+    j_init = k_build
+    BCAP = 4096  # all-pairs participation cap per bucket (skew guard)
+
+    def _bucket_topj(pdf):
+        # multi-BUCKET blocks (the same super-blocking as
+        # _nnd_pair_updates: one pandas group per bucket would be ~n/16
+        # tiny groups at scale); per-bucket work runs on numpy views of
+        # the bucket-sorted block. Sorting by (_bkt, _id) makes the
+        # stable argsort break cosine ties by id.
+        if len(pdf) < 2:
+            return pd.DataFrame({"_src": [], "_dst": [], "_cos": []})
+        pdf = pdf.sort_values(["_bkt", "_id"])
+        bkt = pdf["_bkt"].to_numpy()
+        ids_all = pdf["_id"].to_numpy()
+        V = np.stack(pdf["_v"].to_numpy()).astype(np.float64, copy=False)
+        nrm_all = np.sqrt(np.add.accumulate(V * V, axis=1)[:, -1])
+        d = V.shape[1]
+        osrc, odst, ocos = [], [], []
+        _, starts = np.unique(bkt, return_index=True)
+        bounds = np.append(starts, len(bkt))
+        for bi in range(len(starts)):
+            b0, b1 = bounds[bi], bounds[bi + 1]
+            sel_idx = np.arange(b0, b1)
+            if len(sel_idx) > BCAP:
+                # deterministic cap: first BCAP in md5(id) order join
+                # the all-pairs pass; the rest keep their random
+                # bridges (and the rounds) — the celled build's posture
+                keys = np.array([_hashlib.md5(str(x).encode())
+                                 .hexdigest() for x in ids_all[b0:b1]])
+                sel_idx = sel_idx[np.lexsort((ids_all[b0:b1],
+                                              keys))[:BCAP]]
+            m = len(sel_idx)
+            if m < 2:
+                continue
+            ids = ids_all[sel_idx]
+            A = V[sel_idx]
+            nrm = nrm_all[sel_idx]
+            jj = min(j_init, m - 1)
+            step = max(1, int(8_000_000 / max(1, m * d)))
+            for i0 in range(0, m, step):
+                Ab = A[i0:i0 + step]
+                dots = np.add.accumulate(
+                    Ab[:, None, :] * A[None, :, :], axis=2)[:, :, -1]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = dots / (nrm[i0:i0 + step, None] * nrm[None, :])
+                # cos desc, NaN last, ties to the smaller id (stable
+                # argsort over id-ordered members); self drops from
+                # the jj+1 head
+                ord2 = np.argsort(-cos, axis=1,
+                                  kind="stable")[:, :jj + 1]
+                for q in range(len(Ab)):
+                    head = ord2[q]
+                    keep = head[ids[head] != ids[i0 + q]][:jj]
+                    osrc.append(np.full(len(keep), ids[i0 + q]))
+                    odst.append(ids[keep])
+                    ocos.append(cos[q, keep])
+        if not osrc:
+            return pd.DataFrame({"_src": [], "_dst": [], "_cos": []})
+        return pd.DataFrame({"_src": np.concatenate(osrc),
+                             "_dst": np.concatenate(odst),
+                             "_cos": np.concatenate(ocos)})
+
+    bucketed = pts.mapInPandas(
+        _bucketize, f"_bkt long, _id {id_t}, _v array<double>")
+    s0 = (bucketed.groupBy(F.pmod(F.hash(F.col("_bkt")),
+                                  F.lit(int(max(nshuf * 4, 2048))))
+                           .alias("_blk"))
+          .applyInPandas(_bucket_topj,
+                         f"_src {id_t}, _dst {id_t}, _cos double"))
+    # r_rand md5-random bridges per node through the md5-order
+    # permutation (the r12 target machinery at bridge width). Width
+    # k_build // 4 with TWO tables: single-table + k_build//4 bridges
+    # left hard nodes converging through a long tail the delta cutoff
+    # clipped (measured: early != delta=0 at sf0.001), and widening
+    # bridges to k_build//2 fixed the tail but cost ~3 recall points
+    # at 2 rounds — the second TABLE supplies the missing diversity
+    # with real scores instead of sentinel slots, so bridges go back
+    # to the narrow width (they also crowd the round-1 cap otherwise)
+    r_rand = max(3, k_build // 4)
     w0 = Window.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
     pos = pts.select("_id", (F.row_number().over(w0) - 1).alias("_p"))
     tp = [(F.conv(F.substring(
         F.md5(F.concat(F.col("_id").cast("string"), F.lit(f"_{o}"))),
-        1, 8), 16, 10).cast("long") % n) for o in range(1, k_build + 1)]
+        1, 8), 16, 10).cast("long") % n) for o in range(1, r_rand + 1)]
     tgt = pos.select(F.col("_id").alias("_src"),
                      F.explode(F.array(*tp)).alias("_tp"))
-    edges0 = (tgt.join(pos.select(F.col("_p").alias("_tp"),
-                                  F.col("_id").alias("_dst")), on="_tp")
-              .filter(F.col("_src") != F.col("_dst"))
-              .dropDuplicates(["_src", "_dst"])
-              .select("_src", "_dst"))
-    # init scoring through the blocked kernel: block = the src id, left
-    # = the owner's single row, right = its targets; both directions
-    # enter the initial state (Dong's both-endpoint update)
-    lk0 = pts.select(F.col("_id").alias("_cell"),
-                     F.col("_id").alias("_src"),
-                     F.col("_v").alias("_v"))
-    rk0 = (edges0.join(pts.select(F.col("_id").alias("_dst"),
-                                  F.col("_v").alias("_vd")), on="_dst")
-           .select(F.col("_src").alias("_cell"), F.col("_dst"),
-                   F.col("_vd").alias("_v")))
-    s0 = _blocked_pair_cosines(lk0, rk0, "_src", "_dst", "ne")
+    bridges = (tgt.join(pos.select(F.col("_p").alias("_tp"),
+                                   F.col("_id").alias("_dst")), on="_tp")
+               .filter(F.col("_src") != F.col("_dst"))
+               .select("_src", "_dst",
+                       F.lit(_NND_BRIDGE_COS).alias("_cos")))
+    # bucket scores enter BOTH directions (Dong's both-endpoint update
+    # — the receiving end fills toward k_build real entries too), as do
+    # bridges (exploration is symmetric); the groupBy-max dedup lets a
+    # bucket edge shadow its bridge twin
     nn = (s0.unionAll(s0.select(F.col("_dst").alias("_src"),
                                 F.col("_src").alias("_dst"), "_cos"))
-          .dropDuplicates(["_src", "_dst"])
-          .withColumn("_new", F.lit(1))
+          .unionAll(bridges)
+          .unionAll(bridges.select(F.col("_dst").alias("_src"),
+                                   F.col("_src").alias("_dst"), "_cos"))
+          .groupBy("_src", "_dst").agg(F.max("_cos").alias("_cos"))
+          .withColumn("_new", F.lit(1)))
+    # cut REAL init entries to the top-k_build the merge contract keeps
+    # (full-width tables + the reverse union can stack lists ~4*k_build
+    # wide, and `worst` takes min over the list — uncut, the bound
+    # sits below the k_build-th best and round 1 over-emits); bridges
+    # pass through UNCUT — they rank below every real entry, so a cut
+    # would evict exactly the exploration edges round 1 exists to score
+    w_init = Window.partitionBy("_src").orderBy(F.col("_cos").desc(),
+                                                F.col("_dst").asc())
+    nn_real = (nn.filter(F.col("_cos") > _NND_REAL_GATE)
+               .withColumn("_r", F.row_number().over(w_init))
+               .filter(F.col("_r") <= k_build)
+               .select("_src", "_dst", "_cos", "_new"))
+    nn = (nn_real.unionAll(nn.filter(F.col("_cos") <= _NND_REAL_GATE))
           .localCheckpoint())
 
     # cap order: a node's own FORWARD edges first (evicting them for
@@ -1818,62 +2017,89 @@ def knn_graph_nndescent(df: DataFrame, id_col: str, vec_col: str,
     wk = Window.partitionBy("_src").orderBy(F.col("_cos").desc(),
                                             F.col("_dst").asc())
     for _ in range(int(iters)):
-        # per-member prune bound: the k_build-th best cosine of each
-        # node's CURRENT list (-inf while the list is short) — one
-        # bounded aggregate over the checkpointed state per round
-        worst = (nn.groupBy("_src")
+        # per-member prune bound: the k_build-th best REAL cosine of
+        # each node's CURRENT list (-inf while the real entries number
+        # under k_build) — one bounded aggregate over the checkpointed
+        # state per round. Bridges are excluded from the bound on both
+        # sides of the inequality: the merge cut keeps the top-k_build
+        # by _cos and bridges rank below every real entry, so a
+        # candidate enters a full list iff it reaches its k_build-th
+        # REAL cosine (exact, the r12 argument unchanged); counting
+        # them would only weaken the bound to _NND_BRIDGE_COS.
+        worst = (nn.filter(F.col("_cos") > _NND_REAL_GATE)
+                 .groupBy("_src")
                  .agg(F.min("_cos").alias("_wmin"),
                       F.count(F.lit(1)).alias("_wn"))
                  .select(F.col("_src").alias("_fdst"),
                          F.when(F.col("_wn") >= k_build, F.col("_wmin"))
                           .otherwise(F.lit(float("-inf"))).alias("_w")))
+        # ONE explicit exchange by _fsrc serves the whole list-shaping
+        # chain (r13 — this was 3 of the round's ~7 shuffles):
+        # HashPartitioning(_fsrc) satisfies the (_fsrc, _fdst) groupBy
+        # clustering, the cap window, AND the frontier filter, which is
+        # now a group-max window instead of a distinct + semi-join.
         friends = (nn.select(F.col("_src").alias("_fsrc"),
                              F.col("_dst").alias("_fdst"),
                              F.lit(0).alias("_rev"), "_new")
                    .unionAll(nn.select(F.col("_dst").alias("_fsrc"),
                                        F.col("_src").alias("_fdst"),
-                                       F.lit(1).alias("_rev"), "_new")))
+                                       F.lit(1).alias("_rev"), "_new"))
+                   .repartition(F.col("_fsrc")))
         # max(_new): an entry is frontier if EITHER direction of its
         # edge is new — conservative (never skips a pair Dong would
-        # score)
+        # score); quiet lists (group-max _new = 0) generate no pairs
+        # and drop before the vector join + cogroup, the round's
+        # dominant shuffle.
         capped = (friends.groupBy("_fsrc", "_fdst")
                   .agg(F.min("_rev").alias("_rev"),
                        F.max("_new").alias("_new"))
                   .withColumn("_r", F.row_number().over(wcap))
                   .filter(F.col("_r") <= max_degree)
+                  .withColumn("_gnew", F.max("_new").over(
+                      Window.partitionBy("_fsrc")))
+                  .filter(F.col("_gnew") == 1)
                   .select("_fsrc", "_fdst", "_new"))
-        # quiet lists (no frontier entry) generate no pairs — drop them
-        # BEFORE the vector join + cogroup, the round's dominant shuffle
-        # (one narrow semi-join; in converged rounds most lists are
-        # quiet and the round's data volume collapses with the frontier)
-        active = (capped.filter(F.col("_new") == 1)
-                  .select("_fsrc").distinct())
-        capped = capped.join(active, on="_fsrc", how="left_semi")
         # incremental local join (Dong §2.3): LEFT side = frontier
         # (new) entries only, RIGHT side = the whole list — new x new
         # and new x old pairs score, old x old skips (they co-occurred
-        # in the previous round's list and were scored then). A node
-        # missing from `worst` cannot occur (every id in a list has a
-        # list: init scores both directions), but coalesce keeps the
-        # -inf default shape anyway.
-        mem = (capped.join(pts.select(F.col("_id").alias("_fdst"), "_v"),
-                           on="_fdst")
-               .join(worst, on="_fdst", how="left")
+        # in the previous round's list and were scored then). Join
+        # order worst-then-vectors keys BOTH on _fdst: capped shuffles
+        # once, worst arrives partitioned from the state's groupBy, and
+        # the pre-partitioned pts cache joins with zero exchange. A
+        # node missing from `worst` cannot occur (every id in a list
+        # has a list), but coalesce keeps the -inf default shape.
+        mem = (capped.join(worst, on="_fdst", how="left")
+               .join(pts.select(F.col("_id").alias("_fdst"), "_v"),
+                     on="_fdst")
                .withColumn("_w", F.coalesce(F.col("_w"),
                                             F.lit(float("-inf"))))
                .select(F.col("_fsrc").alias("_cell"), "_fdst", "_v",
                        "_w", "_new"))
         scored = _nnd_pair_updates(mem.filter(F.col("_new") == 1), mem)
-        # one partial-agg merge instead of dropDuplicates + anti-join:
-        # min(_new) marks a pair 0 iff it was already in the state (its
-        # _cos copies are bit-identical, so min(_cos) IS the value)
+        # one partial-agg merge instead of dropDuplicates + anti-join.
+        # max(_cos): real copies of a pair are bit-identical (max ==
+        # min there), and a bridge meeting its genuinely-scored twin
+        # upgrades to the real value. The _new flag must mean "this
+        # pair's value CHANGED this round" — that drives both the next
+        # round's frontier and the delta termination, and a sentinel
+        # UPGRADE is a change (it can enter the top-k later, so a
+        # terminated build must have none pending — the early==full
+        # contract). Labels: state real -1, state sentinel 0, scored 1;
+        # changed iff min >= 0 (no bit-identical real copy already in
+        # state) and max == 1 (a real score arrived). The explicit
+        # repartition(_src) serves the groupBy AND the rank window
+        # (one exchange, not two).
         merged = (nn.select("_src", "_dst", "_cos",
-                            F.lit(0).alias("_new"))
+                            F.when(F.col("_cos") > _NND_REAL_GATE,
+                                   F.lit(-1)).otherwise(F.lit(0))
+                            .alias("_new"))
                   .unionAll(scored.select("_src", "_dst", "_cos",
                                           F.lit(1).alias("_new")))
+                  .repartition(F.col("_src"))
                   .groupBy("_src", "_dst")
-                  .agg(F.min("_cos").alias("_cos"),
-                       F.min("_new").alias("_new")))
+                  .agg(F.max("_cos").alias("_cos"),
+                       ((F.min("_new") >= 0) & (F.max("_new") == 1))
+                       .cast("int").alias("_new")))
         nn = (merged.withColumn("_r", F.row_number().over(wk))
               .filter(F.col("_r") <= k_build)
               .select("_src", "_dst", "_cos", "_new")
@@ -1885,8 +2111,11 @@ def knn_graph_nndescent(df: DataFrame, id_col: str, vec_col: str,
             break
     pts.unpersist(blocking=False)
     # final ranking matches knn_graph's contract: round BEFORE ranking,
-    # ties to the smaller neighbor id
-    out = nn.withColumn("cosine", F.round(F.col("_cos"), 6))
+    # ties to the smaller neighbor id. Never-scored exploration bridges
+    # drop first: they are init plumbing, not neighbors (only lists
+    # with fewer than k_build real entries still carry any).
+    out = (nn.filter(F.col("_cos") > _NND_REAL_GATE)
+           .withColumn("cosine", F.round(F.col("_cos"), 6)))
     wr = Window.partitionBy("_src").orderBy(F.col("cosine").desc(),
                                             F.col("_dst").asc())
     return (out.withColumn("rank", F.row_number().over(wr))

@@ -3981,7 +3981,7 @@ def test_knn_graph_method_dispatch(spark):
     """knn_graph(method=) — the r12 engine-surface wiring (VERDICT r11
     #2): 'nndescent' delegates to knn_graph_nndescent bit-identically,
     src_filter restricts the returned src set, nprobe composes only with
-    cells, 'auto' picks celled below the measured ~12M crossover, and
+    cells, 'auto' picks celled below the measured ~3M crossover, and
     the legacy knob inference is unchanged."""
     from helix_db_spark.config import VectorConfig
     from helix_db_spark.operators.similarity import (knn_graph,
