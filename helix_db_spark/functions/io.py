@@ -42,7 +42,22 @@ def atomic_write_json(path: str, obj: dict) -> None:
             json.dump(obj, fh)
             fh.flush()
             os.fsync(fh.fileno())
-        os.replace(tmp, path)
+        try:
+            os.replace(tmp, path)
+        except OSError as e:
+            # fuse object stores (s3fs, gcsfuse) and other no-rename
+            # filesystems refuse or degrade rename(2); the old file is
+            # left INTACT (never truncated) and the tmp is vacuumed by
+            # the finally below — point the caller at the contract
+            # instead of surfacing a bare errno
+            raise OSError(
+                f"atomic metadata commit of {path} needs an atomic "
+                f"same-directory rename, which this filesystem refused "
+                f"(fuse object stores like s3fs/gcsfuse do not provide "
+                f"POSIX rename(2) semantics); keep index roots on a "
+                f"POSIX filesystem — on object stores, build to a fresh "
+                f"root and repoint readers (README 'On-disk index "
+                f"layouts' contract): {e}") from e
         # durability of the RENAME (not just the bytes): fsync the
         # parent dir fd; EINVAL-class failures (e.g. a filesystem that
         # won't fsync directories) degrade to the process-crash-only

@@ -472,3 +472,41 @@ def test_fsapi_rename_arbiter_conflict_hdfs_semantics(spark, uri_table,
     tmps = [n for n in os.listdir(os.path.join(local, "_manifests"))
             if ".tmp-" in n]
     assert tmps == []
+
+
+def test_link_claim_without_hardlinks_s3fs_semantics(spark, table,
+                                                     monkeypatch):
+    """VERDICT r12 #6: the POSIX manifest-commit primitive (link(2)
+    create-if-absent claim) under a fuse-object-store double — s3fs
+    and gcsfuse do not implement hardlinks, so os.link raises an
+    EPERM-class OSError, NOT FileExistsError. The graceful-failure
+    contract: a POINTED error routing the caller to a scheme'd URI
+    (where the Hadoop-FileSystem rename arbiter takes over), the
+    committed table fully readable at its prior version, and no tmp
+    litter in the manifest dir."""
+    from helix_db_spark.sources import merge as merge_mod
+    from helix_db_spark.sources.merge import merge_upsert
+
+    before = _content(spark, table)
+
+    def s3fs_link(src, dst):  # fuse stores: link(2) unsupported
+        raise PermissionError(1, "Operation not permitted", src)
+
+    monkeypatch.setattr(merge_mod.os, "link", s3fs_link)
+    upd = spark.createDataFrame([(3, -30, "three")],
+                                "k long, v long, s string")
+    with pytest.raises(OSError) as exc:
+        merge_upsert(spark, table, upd, "k")
+    msg = str(exc.value)
+    assert "hardlink" in msg and "scheme'd" in msg and "s3fs" in msg, \
+        f"error must name the fuse-store cause and the escape: {msg}"
+    monkeypatch.undo()
+
+    # the table is intact at its committed version; the failed commit
+    # left no manifest tmp behind
+    assert _content(spark, table) == before
+    mdir = os.path.join(table, "_manifests")
+    assert not [n for n in os.listdir(mdir) if ".tmp-" in n]
+    # and a writer on a working filesystem proceeds normally afterward
+    merge_upsert(spark, table, upd, "k")
+    assert (3, -30, "three") in _content(spark, table)

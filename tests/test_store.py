@@ -438,3 +438,50 @@ def test_index_meta_commits_atomically(spark, tmp_path, monkeypatch):
         store_dedup_index(docs, "doc_id", "text", droot)
     monkeypatch.setattr(io_mod.os, "replace", real_replace)
     assert json.load(open(os.path.join(droot, "meta.json"))) == dbefore
+
+
+def test_index_meta_replace_under_no_rename_filesystem(spark, tmp_path,
+                                                       monkeypatch):
+    """VERDICT r12 #6: the `atomic_write_json` commit primitive under
+    s3fs/gcsfuse-style NO-RENAME semantics (fuse object stores refuse
+    or degrade rename(2) — EPERM-class, not a crash). The graceful-
+    failure contract: a POINTED error naming the object-store caveat
+    and the rebuild-to-fresh-root escape (not a bare errno), the live
+    metadata intact byte-for-byte, no tmp litter, and probes of the
+    existing index unaffected."""
+    import json
+    import os
+
+    from helix_db_spark.functions import io as io_mod
+    from helix_db_spark.operators.similarity import (ivf_topk_disk,
+                                                     store_ivf_index)
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3)]) for i in range(60)],
+        "vec_id long, embedding array<double>")
+    root = str(tmp_path / "ivf")
+    store_ivf_index(vecs, "vec_id", "embedding", root, max_cells=4)
+    before = open(os.path.join(root, "meta.json"), "rb").read()
+    assert ivf_topk_disk(spark, root, [1.0, 1.0], k=3).count() == 3
+
+    def s3fs_replace(src, dst):  # fuse stores: rename(2) refused
+        raise PermissionError(1, "Operation not permitted", src)
+
+    monkeypatch.setattr(io_mod.os, "replace", s3fs_replace)
+    with pytest.raises(OSError) as exc:
+        store_ivf_index(vecs, "vec_id", "embedding", root, max_cells=8)
+    msg = str(exc.value)
+    assert "s3fs" in msg and "POSIX" in msg and "fresh" in msg, \
+        f"error must name the object-store caveat and the escape: {msg}"
+    monkeypatch.undo()
+
+    assert open(os.path.join(root, "meta.json"), "rb").read() == before
+    assert not [n for n in os.listdir(root) if ".tmp-" in n]
+    # the metadata gate still parses and probes still serve. (The DATA
+    # dirs were overwritten before the failed meta commit — that is the
+    # documented single-writer contract: rebuild-in-place is reader-
+    # safe for the metadata file only; on object stores build to a
+    # fresh root and repoint, as the error text says.)
+    assert ivf_topk_disk(spark, root, [1.0, 1.0], k=3).count() == 3
+    assert json.load(open(os.path.join(root, "meta.json")))[
+        "max_cells"] == 4
