@@ -305,8 +305,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     :class:`DedupFloodError` pointing at ``max_bucket`` when the
     projection exceeds the budget — an EAGER action (documented
     exception to the lazy-construction contract, like index builds).
-    ``"auto"`` budgets 100 candidate pairs per document (healthy
-    corpora generate ~bands; the measured sf30 flood ~500). ``None``
+    ``"auto"`` budgets 100 candidate pairs per document with a 100k
+    absolute floor — below ~100k projected pairs no disk-filling
+    hazard exists at any corpus size, and without the floor a handful
+    of LONG near-dup docs trips the per-doc rate (healthy corpora
+    generate ~bands/doc; the measured sf30 flood ~500/doc). ``None``
     disarms — the exact lazy spelling the graded oracles pass
     explicitly (their sf0.01/sf0.1 contracts are flood-free and the
     bench timings stay free of the extra histogram pass)."""
@@ -335,9 +338,18 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         # 100 candidate pairs per document. Healthy corpora generate
         # ~bands candidates/doc; the measured sf30 flood generated
         # ~500/doc. Doc count rides the SAME histogram pass (banded rows
-        # = docs * bands), so auto costs nothing extra.
+        # = docs * bands), so auto costs nothing extra. The absolute
+        # floor (r13): this guard exists to stop DISK-FILLING candidate
+        # joins, and below ~100k projected pairs (a few MB, sub-second
+        # verify) no such hazard exists at any corpus size — without
+        # the floor, a HANDFUL of long near-dup docs trips the per-doc
+        # rate (2 long docs project hundreds of prefix candidates
+        # against a budget of 200). incremental_dedup deliberately
+        # keeps the strict per-doc rate: in continuous ingest a flood
+        # SIGNATURE is a config problem to surface on the first batch,
+        # however small that batch is.
         if max_candidate_pairs == "auto":
-            budget = 100 * ((row["_rows"] or 0) // bands)
+            budget = max(100 * ((row["_rows"] or 0) // bands), 100_000)
         else:
             budget = int(max_candidate_pairs)
         if est > budget:
@@ -564,7 +576,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     learns about a Sigma df^2 flood in one narrow aggregate instead of
     by filling the cluster's shuffle disks (the sf10 exact run hit a
     2.6e9-candidate join). ``"auto"`` budgets 100 candidate pairs per
-    document, like minhash_lsh_pairs' auto rule; ``None`` disarms —
+    document with the 100k absolute floor, like minhash_lsh_pairs'
+    auto rule; ``None`` disarms —
     the exact lazy spelling the graded oracles pass explicitly."""
     # _mat(): sets feeds three consumers (exploded/freq/ranked and the
     # two verify join-backs) — materialize once. Built map-only (r9):
@@ -619,12 +632,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                .agg(F.sum(F.col("_ni") * F.col("_np"))
                     .cast("long").alias("_e")).collect()[0]["_e"]) or 0
         if max_candidate_pairs == "auto":
-            # 100 candidate pairs per document (see minhash_lsh_pairs'
-            # auto rule); every doc has exactly one rank-1 prefix row,
-            # so the count scans the just-persisted prefix blocks — no
+            # 100 candidate pairs per document with the 100k absolute
+            # floor (see minhash_lsh_pairs' auto rule for why the floor
+            # exists); every doc has exactly one rank-1 prefix row, so
+            # the count scans the just-persisted prefix blocks — no
             # distinct shuffle
-            max_candidate_pairs = 100 * prefix.filter(
-                F.col("_rk") == 1).count()
+            max_candidate_pairs = max(100 * prefix.filter(
+                F.col("_rk") == 1).count(), 100_000)
         if est > max_candidate_pairs:
             raise DedupFloodError(
                 f"ngram_jaccard_pairs projects ~{est:,} candidate "
