@@ -579,6 +579,19 @@ def cmd_knn(args) -> int:
         if method == "auto":
             n = df.filter(F.col(args.vec_col).isNotNull()).count()
             method = resolve_knn_method(n, args.max_cells)
+            if method == "nndescent" and args.max_cells is not None:
+                # pre-resolving auto here would otherwise skip
+                # knn_graph's own knob-conflict warning — mirror it
+                # (review r13): the cell knob has no meaning in the
+                # NN-Descent build and is ignored, not an error, so
+                # 'auto' keeps its adapt-to-n contract
+                print(json.dumps({
+                    "warning": f"--method auto resolved to nndescent at "
+                               f"n={n}; --max-cells {args.max_cells} "
+                               f"does not apply to that build and is "
+                               f"ignored (pass --method celled to "
+                               f"force the celled shape)"}),
+                    file=sys.stderr)
         graph = knn_graph(df, args.id_col, args.vec_col, k=args.k,
                           max_cells=args.max_cells, method=method,
                           nndescent_iters=args.iters)

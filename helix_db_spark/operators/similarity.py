@@ -1920,8 +1920,11 @@ def knn_graph_nndescent(df: DataFrame, id_col: str, vec_col: str,
                 # bridges (and the rounds) — the celled build's posture
                 keys = np.array([_hashlib.md5(str(x).encode())
                                  .hexdigest() for x in ids_all[b0:b1]])
-                sel_idx = sel_idx[np.lexsort((ids_all[b0:b1],
-                                              keys))[:BCAP]]
+                # re-sort the md5-order selection back to id order so
+                # the stable argsort's tie-break stays "smaller id"
+                # inside capped buckets too (review r13)
+                sel_idx = np.sort(
+                    sel_idx[np.lexsort((ids_all[b0:b1], keys))[:BCAP]])
             m = len(sel_idx)
             if m < 2:
                 continue
@@ -2009,11 +2012,16 @@ def knn_graph_nndescent(df: DataFrame, id_col: str, vec_col: str,
           .localCheckpoint())
 
     # cap order: a node's own FORWARD edges first (evicting them for
-    # sampled reverse edges stalls the descent), then md5-sampled
-    # reverse fill up to max_degree (Dong 2011's rho-sampling of R[v])
+    # sampled reverse edges stalls the descent), REAL before bridge
+    # within each direction (review r13: at k_build > 20 the forward
+    # side can overflow max_degree — k_build real + up to 2*r_rand
+    # bridges — and without the _brg key the md5 order would evict
+    # genuine top-cosine neighbors while keeping sentinels), then
+    # md5-sampled fill up to max_degree (Dong 2011's rho-sampling of
+    # R[v])
     wcap = Window.partitionBy("_fsrc").orderBy(
-        F.col("_rev").asc(), F.md5(F.col("_fdst").cast("string")),
-        F.col("_fdst"))
+        F.col("_rev").asc(), F.col("_brg").asc(),
+        F.md5(F.col("_fdst").cast("string")), F.col("_fdst"))
     wk = Window.partitionBy("_src").orderBy(F.col("_cos").desc(),
                                             F.col("_dst").asc())
     for _ in range(int(iters)):
@@ -2038,12 +2046,14 @@ def knn_graph_nndescent(df: DataFrame, id_col: str, vec_col: str,
         # HashPartitioning(_fsrc) satisfies the (_fsrc, _fdst) groupBy
         # clustering, the cap window, AND the frontier filter, which is
         # now a group-max window instead of a distinct + semi-join.
+        brg = (F.col("_cos") <= _NND_REAL_GATE).cast("int").alias("_brg")
         friends = (nn.select(F.col("_src").alias("_fsrc"),
                              F.col("_dst").alias("_fdst"),
-                             F.lit(0).alias("_rev"), "_new")
+                             F.lit(0).alias("_rev"), "_new", brg)
                    .unionAll(nn.select(F.col("_dst").alias("_fsrc"),
                                        F.col("_src").alias("_fdst"),
-                                       F.lit(1).alias("_rev"), "_new"))
+                                       F.lit(1).alias("_rev"), "_new",
+                                       brg))
                    .repartition(F.col("_fsrc")))
         # max(_new): an entry is frontier if EITHER direction of its
         # edge is new — conservative (never skips a pair Dong would
@@ -2052,7 +2062,8 @@ def knn_graph_nndescent(df: DataFrame, id_col: str, vec_col: str,
         # dominant shuffle.
         capped = (friends.groupBy("_fsrc", "_fdst")
                   .agg(F.min("_rev").alias("_rev"),
-                       F.max("_new").alias("_new"))
+                       F.max("_new").alias("_new"),
+                       F.min("_brg").alias("_brg"))
                   .withColumn("_r", F.row_number().over(wcap))
                   .filter(F.col("_r") <= max_degree)
                   .withColumn("_gnew", F.max("_new").over(
