@@ -1973,8 +1973,34 @@ def knn_graph_nndescent(df: DataFrame, id_col: str, vec_col: str,
     # with real scores instead of sentinel slots, so bridges go back
     # to the narrow width (they also crowd the round-1 cap otherwise)
     r_rand = max(3, k_build // 4)
-    w0 = Window.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
-    pos = pts.select("_id", (F.row_number().over(w0) - 1).alias("_p"))
+    # the id <-> 0..n-1 bijection the targets resolve through, built
+    # DISTRIBUTED (r13): the r12 spelling ranked all n rows through one
+    # partition-less Window (a single task sorting the whole corpus —
+    # ~5 GB in one straggler at 100M vectors, exactly the scale this
+    # build serves). Any deterministic bijection is as good as the md5
+    # global order (the permutation only needs to LOOK random), so:
+    # md5-hash ids into _pb buckets, rank within each bucket (a
+    # distributed window), and add the exclusive cumulative bucket
+    # offsets back via a broadcast B-row join. The B-row collect is the
+    # index-build eager-action class this builder already uses.
+    n_pb = int(max(nshuf * 8, 256))
+    pbkt = F.pmod(F.conv(F.substring(
+        F.md5(F.col("_id").cast("string")), 9, 8), 16, 10).cast("long"),
+        F.lit(n_pb))
+    base = pts.select("_id", pbkt.alias("_pb"))
+    psizes = {r["_pb"]: r["_n"] for r in
+              base.groupBy("_pb").agg(F.count(F.lit(1)).alias("_n"))
+              .collect()}
+    poffs, acc = [], 0
+    for b in range(n_pb):
+        poffs.append((b, acc))
+        acc += psizes.get(b, 0)
+    offs = spark.createDataFrame(poffs, "_pb long, _off long")
+    wb = Window.partitionBy("_pb").orderBy(
+        F.md5(F.col("_id").cast("string")), F.col("_id"))
+    pos = (base.withColumn("_r1", F.row_number().over(wb))
+           .join(F.broadcast(offs), on="_pb")
+           .select("_id", (F.col("_off") + F.col("_r1") - 1).alias("_p")))
     tp = [(F.conv(F.substring(
         F.md5(F.concat(F.col("_id").cast("string"), F.lit(f"_{o}"))),
         1, 8), 16, 10).cast("long") % n) for o in range(1, r_rand + 1)]
