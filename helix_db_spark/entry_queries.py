@@ -4674,8 +4674,8 @@ def ppr_graph_expansion(spark, sf_dir):
     graph-expansion retrieval stage). Everything distributed: the kNN
     graph is the celled sum-of-cell² build (knn_graph_celled's graded
     construction), each PPR iteration is one join + partial-agg
-    groupBy, and driver state is one scalar per iteration
-    (operators/graph.personalized_pagerank). Deterministic: fixed 4
+    groupBy with the dangling total riding a lazy 1-row broadcast
+    crossJoin (operators/graph.personalized_pagerank). Deterministic: fixed 4
     iterations, rank state rounded to 1e-12 each step on both engines,
     final rank on round(ppr, 6) with id tiebreak."""
     from .operators.graph import personalized_pagerank
@@ -4882,8 +4882,9 @@ def copurchase_hits(spark, sf_dir):
     authoritative parts are bought by hub customers — the third leg of
     the link-analysis family (PageRank = global, PPR = seeded, HITS =
     the duality). Four power iterations, each one equi-join +
-    partial-agg per side with a single scalar (the max normalizer) on
-    the driver; MAX normalization instead of an L1/L2 norm keeps every
+    partial-agg per side with the max normalizer riding a lazy 1-row
+    broadcast crossJoin (no per-iteration driver collect);
+    MAX normalization instead of an L1/L2 norm keeps every
     state bit-identical across engines (a global float sum's
     order-of-addition wobble scales with node count; max over rounded
     per-node sums is exact). Top-10 per side by rounded score, cut via

@@ -7,7 +7,8 @@ tests-gated — float fixpoints have no deterministic SQL oracle), and a
 triangle census (exact, oracle-graded, degree-ordered orientation for
 the celebrity-node bound). All stay distributed: degrees are one
 partial-aggregable groupBy; PageRank is join + partial-agg per iteration
-with only scalar state (N, dangling mass) on the driver; triangles are
+with the dangling/normalizer totals riding lazy 1-row broadcast
+crossJoins (driver state is N alone, computed once); triangles are
 two ordered equi-joins over the canonical edge list.
 """
 
@@ -48,10 +49,10 @@ def pagerank(edges: DataFrame, iters: int = 10,
     """Damped PageRank over the edge list, ``iters`` fixed power
     iterations. Per iteration: contributions = rank/out_degree shipped
     along edges (join on _src, partial-agg by _dst), dangling mass (nodes
-    with no out-edges) redistributed uniformly. Driver state is two
-    scalars per iteration (N once, the dangling sum) — the same bounded
-    probe-planning pattern as lsh_topk; the rank table itself never
-    leaves the cluster. Ranks are localCheckpointed per iteration to keep
+    with no out-edges) redistributed uniformly. Driver state is ONE
+    scalar total (N, computed once); the per-iteration dangling sum
+    rides a lazy 1-row broadcast crossJoin (no driver collect —
+    VERDICT r13 #5); the rank table itself never leaves the cluster. Ranks are localCheckpointed per iteration to keep
     lineage flat at depth (use reliable checkpointing on a real cluster —
     the ADVICE r4 executor-loss tradeoff). Returns (node, rank); ranks
     sum to 1. Float fixpoint => tests-gated, no SQL oracle.
@@ -88,13 +89,20 @@ def pagerank(edges: DataFrame, iters: int = 10,
         contrib = (e.join(rd, e[_SRC] == rd["_dn"])
                       .select(F.col(_DST).alias("node"), "_c")
                       .groupBy("node").agg(F.sum("_c").alias("_in")))
+        # dangling mass rides a lazy 1-row broadcast crossJoin (r14,
+        # VERDICT r13 #5): the scalar folds into the checkpoint's own
+        # job instead of a per-iteration collect() round-trip. Same
+        # IEEE op order as the scalar spelling: ((d*dang)/n) added to
+        # base first, then the damped inflow.
         dangling = (ranks.join(out_deg, ranks["node"] == F.col("_dn"),
                                "left_anti")
-                         .agg(F.sum("rank")).collect()[0][0] or 0.0)
-        spread = damping * dangling / n
+                         .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                              .alias("_dang")))
+        spread = F.lit(damping) * F.col("_dang") / F.lit(float(n))
         ranks = (nodes.join(contrib, on="node", how="left")
+                      .crossJoin(F.broadcast(dangling))
                       .select("node",
-                              (F.lit(base + spread) + F.lit(damping)
+                              ((F.lit(base) + spread) + F.lit(damping)
                                * F.coalesce(F.col("_in"), F.lit(0.0)))
                               .alias("rank"))
                       .localCheckpoint())
@@ -187,8 +195,9 @@ def personalized_pagerank(edges: DataFrame, seed_ids, iters: int = 4,
     where reset(v) = 1/|S| on seeds and 0 elsewhere, inflow ships
     rank/out_degree along edges (one join + partial-agg groupBy per
     iteration — the only shuffles), and dangling mass restarts at the
-    seeds (the standard PPR teleport), collected as ONE scalar per
-    iteration — the same bounded driver state as :func:`pagerank`.
+    seeds (the standard PPR teleport), riding a lazy 1-row broadcast
+    crossJoin per iteration (no driver collect — VERDICT r13 #5), the
+    same bounded-total pattern as :func:`pagerank`.
     Ranks are rounded to ``state_round`` decimals after every iteration
     on BOTH engines (the SQL oracle replays the same schedule), which
     pins the cross-engine value hash: per-node inflow sums have <=deg
@@ -237,13 +246,21 @@ def personalized_pagerank(edges: DataFrame, seed_ids, iters: int = 4,
         contrib = (e.join(rd, e[src] == rd["_dn"])
                    .select(F.col(dst).alias("node"), "_c")
                    .groupBy("node").agg(F.sum("_c").alias("_in")))
+        # dangling mass as a lazy 1-row broadcast crossJoin (r14,
+        # VERDICT r13 #5 — no per-iteration collect()): coef replays
+        # the scalar spelling's IEEE op order, (1-d) + (d*dang), both
+        # operands the same doubles, so every rank bit matches the
+        # collect() version (and round(state_round) absorbs the sum's
+        # own fold wobble as before).
         dangling = (ranks.join(out_deg, ranks["node"] == F.col("_dn"),
                                "left_anti")
-                    .agg(F.sum("rank")).collect()[0][0] or 0.0)
-        coef = (1.0 - d) + d * dangling
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                         .alias("_dang")))
+        coef = F.lit(1.0 - d) + F.lit(d) * F.col("_dang")
         ranks = (nodes.join(contrib, on="node", how="left")
+                 .crossJoin(F.broadcast(dangling))
                  .select("node",
-                         F.round(F.lit(coef) * reset + F.lit(d)
+                         F.round(coef * reset + F.lit(d)
                                  * F.coalesce(F.col("_in"), F.lit(0.0)),
                                  state_round).alias("rank"))
                  .localCheckpoint())
@@ -276,9 +293,10 @@ def pagerank_maxnorm(edges: DataFrame, src: str = "src",
     changes absolute scores, not the importance ordering a ranking
     consumer reads. Damping constants are independent literals (0.15 /
     0.85, never 1-d — Python's 1-0.85 is 0.15000000000000002).
-    Per iteration: one equi-join + partial-agg groupBy, one scalar
-    (the max) on the driver; linear in edges, the pagerank shape.
-    Returns (node, score), max node = 1.
+    Per iteration: one equi-join + partial-agg groupBy; the max
+    normalizer rides a lazy 1-row broadcast crossJoin (no per-iteration
+    driver collect — VERDICT r13 #5); linear in edges, the pagerank
+    shape. Returns (node, score), max node = 1.
     """
     # r13 footprint cuts (VERDICT r12 #3 — the sf30 180M-edge graph
     # OOM'd the 16g default): the edge cache is BARE (src, dst) only,
@@ -315,10 +333,16 @@ def pagerank_maxnorm(edges: DataFrame, src: str = "src",
                        F.round(F.lit(0.15) + F.lit(0.85)
                                * F.coalesce(F.col("_f"), F.lit(0.0)),
                                state_round).alias("_r")))
-        m = raw.agg(F.max("_r")).collect()[0][0]
-        r = raw.select("node",
-                       F.round(F.col("_r") / F.lit(float(m)),
-                               state_round).alias("s")).localCheckpoint()
+        # the max normalizer rides a lazy 1-row broadcast crossJoin
+        # (r14, VERDICT r13 #5 — no per-iteration collect()): the
+        # division sees the exact same double the scalar spelling saw,
+        # so every state is still bit-identical to the SQL replay
+        # (copurchase_pagerank oracle re-verified this round).
+        mx = raw.agg(F.max("_r").alias("_m"))
+        r = (raw.crossJoin(F.broadcast(mx))
+             .select("node",
+                     F.round(F.col("_r") / F.col("_m"),
+                             state_round).alias("s")).localCheckpoint())
     # final state checkpointed -> release the static frames (ADVICE r10)
     out_deg.unpersist(blocking=False)
     nodes.unpersist(blocking=False)
@@ -333,8 +357,9 @@ def hits_bipartite(edges: DataFrame, src: str = "src", dst: str = "dst",
     link-analysis family (PageRank = global importance, PPR = seeded
     diffusion, HITS = the hub/authority duality: a good hub points at
     good authorities and vice versa). Per iteration each side is one
-    equi-join + partial-agg groupBy; driver state is ONE scalar (the
-    normalizer) per phase, the pagerank pattern.
+    equi-join + partial-agg groupBy; the per-phase normalizer rides a
+    lazy 1-row broadcast crossJoin (no driver collect), the pagerank
+    pattern.
 
     Determinism contract: normalization divides by the MAX score, not
     the L1/L2 norm — a global float SUM over n nodes accumulates
@@ -354,18 +379,23 @@ def hits_bipartite(edges: DataFrame, src: str = "src", dst: str = "dst",
               .groupBy(e[dst])
               .agg(F.round(F.sum("s"), state_round).alias("_r"))
               .select(F.col(dst).alias("node"), "_r"))
-        amax = ar.agg(F.max("_r")).collect()[0][0]
-        a = ar.select("node",
-                      F.round(F.col("_r") / F.lit(float(amax)),
-                              state_round).alias("s")).localCheckpoint()
+        # max normalizers as lazy 1-row broadcast crossJoins (r14,
+        # VERDICT r13 #5): one checkpoint job per phase instead of a
+        # collect() + checkpoint pair; same doubles, same division.
+        amx = ar.agg(F.max("_r").alias("_m"))
+        a = (ar.crossJoin(F.broadcast(amx))
+             .select("node",
+                     F.round(F.col("_r") / F.col("_m"),
+                             state_round).alias("s")).localCheckpoint())
         hr = (e.join(a, e[dst] == a["node"])
               .groupBy(e[src])
               .agg(F.round(F.sum("s"), state_round).alias("_r"))
               .select(F.col(src).alias("node"), "_r"))
-        hmax = hr.agg(F.max("_r")).collect()[0][0]
-        h = hr.select("node",
-                      F.round(F.col("_r") / F.lit(float(hmax)),
-                              state_round).alias("s")).localCheckpoint()
+        hmx = hr.agg(F.max("_r").alias("_m"))
+        h = (hr.crossJoin(F.broadcast(hmx))
+             .select("node",
+                     F.round(F.col("_r") / F.col("_m"),
+                             state_round).alias("s")).localCheckpoint())
     # final h/a states are checkpointed -> release the edge cache
     # (ADVICE r10; iters=0 never persisted anything it must keep)
     e.unpersist(blocking=False)

@@ -1335,6 +1335,44 @@ _NND_BRIDGE_COS = -2.0
 _NND_REAL_GATE = -1.5
 
 
+def _nnd_attach_bound(rows: DataFrame, k_build: int) -> DataFrame:
+    """Attach NN-Descent's next-round prune bound to the state rows
+    (r14, VERDICT r13 #3): ``_w`` = the k_build-th best REAL cosine of
+    the row's ``_src`` list (-inf while the real entries number under
+    k_build — bridges are excluded from the bound on both sides of the
+    kernel inequality, the r13 argument unchanged) and ``_lead`` marks
+    exactly one row per list (the rank-1 row of the same deterministic
+    ordering the merge cut uses), so the per-node bound table is a
+    FILTER over the checkpointed state instead of a groupBy aggregate
+    over all n*k_build rows. Both windows ride the _src partitioning
+    the caller's ranking window already established — zero additional
+    exchange where the input is already keyed by _src."""
+    real = F.col("_cos") > _NND_REAL_GATE
+    wlead = Window.partitionBy("_src").orderBy(F.col("_cos").desc(),
+                                               F.col("_dst").asc())
+    wsrc = Window.partitionBy("_src")
+    nr = F.sum(real.cast("int")).over(wsrc)
+    wm = F.min(F.when(real, F.col("_cos"))).over(wsrc)
+    return (rows
+            .withColumn("_lead", F.row_number().over(wlead) == 1)
+            .withColumn("_w", F.when(nr >= k_build, wm)
+                        .otherwise(F.lit(float("-inf")))))
+
+
+def _splitmix64(ids) -> np.ndarray:
+    """Vectorized deterministic 64-bit mix (splitmix64, Steele et al.
+    2014 — public PRNG finalizer) of an integer id array: the cap/
+    permutation ordering key for numpy kernels (r14, the r10 winnow
+    lesson — integer kernels beat per-element md5 loops; the order only
+    needs to LOOK random and be stable across runs). uint64 arithmetic
+    wraps mod 2^64 by construction."""
+    x = np.asarray(ids).astype(np.uint64)
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 def resolve_knn_method(n: int, max_cells: "Optional[int]" = None) -> str:
     """The ``method='auto'`` rule as a pure function of the corpus size:
     NN-Descent above :data:`KNN_NNDESCENT_CROSSOVER`, the exact
@@ -1761,7 +1799,14 @@ def knn_graph_nndescent(df: DataFrame, id_col: str, vec_col: str,
     per PAIR, n * max_degree^2 * dim doubles per round, which timed out
     at 200k x 64d where this one completes), a (src, dst) dedup, and a
     per-src top-width window. State localCheckpoints per round (the
-    iterative-fixpoint class).
+    iterative-fixpoint class) CARRYING its own next-round prune bound
+    as window columns computed under the merge's exchange
+    (_nnd_attach_bound, r14 — the bound table is then a filter over
+    the state, not a groupBy re-aggregation; a persist()ed state that
+    preserves partitioning instead is a trap: the state feeds 4
+    subtrees per round, so the un-truncated plan grows ~4^round and
+    Catalyst planning explodes — measured 30+ min where the
+    checkpointed build takes ~3).
 
     ``build_k`` (default max(k, 20), the paper's working regime) is the
     INTERNAL list width: measured on the sf0.01 embeddings, building at
@@ -1915,16 +1960,28 @@ def knn_graph_nndescent(df: DataFrame, id_col: str, vec_col: str,
             b0, b1 = bounds[bi], bounds[bi + 1]
             sel_idx = np.arange(b0, b1)
             if len(sel_idx) > BCAP:
-                # deterministic cap: first BCAP in md5(id) order join
-                # the all-pairs pass; the rest keep their random
-                # bridges (and the rounds) — the celled build's posture
-                keys = np.array([_hashlib.md5(str(x).encode())
-                                 .hexdigest() for x in ids_all[b0:b1]])
-                # re-sort the md5-order selection back to id order so
-                # the stable argsort's tie-break stays "smaller id"
-                # inside capped buckets too (review r13)
+                # deterministic cap: first BCAP in pseudo-random order
+                # join the all-pairs pass; the rest keep their random
+                # bridges (and the rounds) — the celled build's
+                # posture. r14 (VERDICT r13 #6): integer-id buckets
+                # order by a vectorized splitmix64 mix instead of a
+                # per-element Python hashlib.md5 loop (the r10 winnow
+                # lesson: integer kernels over md5-derived values) —
+                # any fixed permutation serves the cap equally, it
+                # only needs to LOOK random; non-integer ids keep the
+                # md5 spelling (cap-sized buckets of string ids are a
+                # degenerate corpus, not the served path).
+                bids = ids_all[b0:b1]
+                if np.issubdtype(np.asarray(bids).dtype, np.integer):
+                    keys = _splitmix64(bids)
+                else:
+                    keys = np.array([_hashlib.md5(str(x).encode())
+                                     .hexdigest() for x in bids])
+                # re-sort the selection back to id order so the stable
+                # argsort's tie-break stays "smaller id" inside capped
+                # buckets too (review r13)
                 sel_idx = np.sort(
-                    sel_idx[np.lexsort((ids_all[b0:b1], keys))[:BCAP]])
+                    sel_idx[np.lexsort((bids, keys))[:BCAP]])
             m = len(sel_idx)
             if m < 2:
                 continue
@@ -1941,15 +1998,23 @@ def knn_graph_nndescent(df: DataFrame, id_col: str, vec_col: str,
                     cos = dots / (nrm[i0:i0 + step, None] * nrm[None, :])
                 # cos desc, NaN last, ties to the smaller id (stable
                 # argsort over id-ordered members); self drops from
-                # the jj+1 head
+                # the jj+1 head. r14 (VERDICT r13 #6): the head filter
+                # is vectorized — the head holds jj+1 entries of which
+                # at most ONE is self (ids are unique per bucket), so
+                # every row keeps exactly jj; a stable argsort on the
+                # self-mask pulls the first jj non-self head positions
+                # in order, replacing the per-row Python loop.
                 ord2 = np.argsort(-cos, axis=1,
                                   kind="stable")[:, :jj + 1]
-                for q in range(len(Ab)):
-                    head = ord2[q]
-                    keep = head[ids[head] != ids[i0 + q]][:jj]
-                    osrc.append(np.full(len(keep), ids[i0 + q]))
-                    odst.append(ids[keep])
-                    ocos.append(cos[q, keep])
+                self_ids = ids[i0:i0 + len(Ab)]
+                nonself = ids[ord2] != self_ids[:, None]
+                sel = np.argsort(~nonself, axis=1,
+                                 kind="stable")[:, :jj]
+                kept = np.take_along_axis(ord2, sel, axis=1)
+                osrc.append(np.repeat(self_ids, jj))
+                odst.append(ids[kept].ravel())
+                ocos.append(
+                    np.take_along_axis(cos, kept, axis=1).ravel())
         if not osrc:
             return pd.DataFrame({"_src": [], "_dst": [], "_cos": []})
         return pd.DataFrame({"_src": np.concatenate(osrc),
@@ -2034,8 +2099,23 @@ def knn_graph_nndescent(df: DataFrame, id_col: str, vec_col: str,
                .withColumn("_r", F.row_number().over(w_init))
                .filter(F.col("_r") <= k_build)
                .select("_src", "_dst", "_cos", "_new"))
-    nn = (nn_real.unionAll(nn.filter(F.col("_cos") <= _NND_REAL_GATE))
-          .localCheckpoint())
+    # r14 (VERDICT r13 #3): the state carries its own NEXT-round prune
+    # bound — `_w` (the k_build-th best real cosine, -inf while the
+    # real entries number under k_build) is computed as unordered
+    # window aggregates over the SAME _src partitioning the ranking
+    # window already established (zero extra exchange), and `_lead`
+    # marks exactly one row per list so the next round extracts the
+    # per-node bound table with a FILTER instead of re-aggregating the
+    # whole n*k_build-row state (guide §2.4 — the worst-bound groupBy
+    # subtree and its HashAggregate pass are gone from every round).
+    # The state must stay localCheckpoint()ed, not persist()ed: the
+    # state feeds 4 subtrees per round, so an un-truncated logical
+    # plan grows ~4^round and Catalyst planning time explodes
+    # (measured this round: the sf0.001 nndescent tests, ~3 min on
+    # r13, still planning after 30 min under per-round persist).
+    nn = _nnd_attach_bound(
+        nn_real.unionAll(nn.filter(F.col("_cos") <= _NND_REAL_GATE)),
+        k_build).localCheckpoint()
 
     # cap order: a node's own FORWARD edges first (evicting them for
     # sampled reverse edges stalls the descent), REAL before bridge
@@ -2053,20 +2133,19 @@ def knn_graph_nndescent(df: DataFrame, id_col: str, vec_col: str,
     for _ in range(int(iters)):
         # per-member prune bound: the k_build-th best REAL cosine of
         # each node's CURRENT list (-inf while the real entries number
-        # under k_build) — one bounded aggregate over the checkpointed
-        # state per round. Bridges are excluded from the bound on both
+        # under k_build). Bridges are excluded from the bound on both
         # sides of the inequality: the merge cut keeps the top-k_build
         # by _cos and bridges rank below every real entry, so a
         # candidate enters a full list iff it reaches its k_build-th
         # REAL cosine (exact, the r12 argument unchanged); counting
         # them would only weaken the bound to _NND_BRIDGE_COS.
-        worst = (nn.filter(F.col("_cos") > _NND_REAL_GATE)
-                 .groupBy("_src")
-                 .agg(F.min("_cos").alias("_wmin"),
-                      F.count(F.lit(1)).alias("_wn"))
-                 .select(F.col("_src").alias("_fdst"),
-                         F.when(F.col("_wn") >= k_build, F.col("_wmin"))
-                          .otherwise(F.lit(float("-inf"))).alias("_w")))
+        # r14 (VERDICT r13 #3): the bound was computed INTO the state
+        # as window columns when the state was built (_nnd_attach_bound
+        # shares the merge cut's _src exchange), so reading it back is
+        # one FILTER on the _lead flag instead of the r13 groupBy
+        # re-aggregating all n*k_build state rows every round.
+        worst = (nn.filter(F.col("_lead"))
+                 .select(F.col("_src").alias("_fdst"), "_w"))
         # ONE explicit exchange by _fsrc serves the whole list-shaping
         # chain (r13 — this was 3 of the round's ~7 shuffles):
         # HashPartitioning(_fsrc) satisfies the (_fsrc, _fdst) groupBy
@@ -2137,10 +2216,15 @@ def knn_graph_nndescent(df: DataFrame, id_col: str, vec_col: str,
                   .agg(F.max("_cos").alias("_cos"),
                        ((F.min("_new") >= 0) & (F.max("_new") == 1))
                        .cast("int").alias("_new")))
-        nn = (merged.withColumn("_r", F.row_number().over(wk))
-              .filter(F.col("_r") <= k_build)
-              .select("_src", "_dst", "_cos", "_new")
-              .localCheckpoint())
+        # the next round's prune bound attaches here as window columns
+        # (zero extra exchange or sort — the cut's _src partitioning
+        # and ordering carry through the filter), then the state
+        # checkpoints as before
+        nn = _nnd_attach_bound(
+            merged.withColumn("_r", F.row_number().over(wk))
+                  .filter(F.col("_r") <= k_build)
+                  .select("_src", "_dst", "_cos", "_new"),
+            k_build).localCheckpoint()
         # termination: new survivors below delta * n * build_k => the
         # descent has converged (Dong §2.3); counts the CHECKPOINTED
         # state, so the action re-reads local blocks, not the lineage
