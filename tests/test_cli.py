@@ -89,6 +89,7 @@ def test_curate_command(spark, capsys, tmp_path):
     assert "split" in back.columns and "text" in back.columns
 
 
+@pytest.mark.slow
 def test_dedup_command_roundtrip(spark, capsys, tmp_path):
     idx = str(tmp_path / "idx")
     rc, out, _ = _run(capsys, "dedup", "--data", "/root/testdata/sf0.001",
@@ -144,6 +145,7 @@ def test_explain_command(spark, capsys):
     assert "FileScan parquet" in out and "region.parquet" in out
 
 
+@pytest.mark.slow
 def test_dedup_append_novel_grows_index(spark, capsys, tmp_path):
     idx = str(tmp_path / "idx")
     rc, _, _ = _run(capsys, "dedup", "--data", "/root/testdata/sf0.001",
@@ -357,6 +359,7 @@ def test_merge_cli_conflict_is_json_not_traceback(spark, capsys, tmp_path,
     assert "another writer" in json.loads(err.strip())["error"]
 
 
+@pytest.mark.slow
 def test_cli_ivf_lifecycle(spark, capsys, tmp_path, caplog):
     """ivf subcommand round-trip (VERDICT r9 #8): build -> skew-report ->
     drifted append (logs the recluster warning) -> recluster (acts above

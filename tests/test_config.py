@@ -136,6 +136,7 @@ def test_ef_search_applies_to_disk_ivf(spark, tmp_path):
     assert low != exact  # single-cell probe misses the other cluster
 
 
+@pytest.mark.slow
 def test_m_knob_documented_behavior(spark, tmp_path):
     """The ``m`` contract (VERDICT r6 next-round #5), both halves:
     (a) SEARCH is invariant in ``m`` by design — IVF keeps no

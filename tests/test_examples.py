@@ -5,6 +5,8 @@ import json
 import os
 import sys
 
+import pytest
+
 
 def test_warc_example_runs(spark, tmp_path, capsys):
     path = os.path.join(os.path.dirname(os.path.dirname(
@@ -26,6 +28,7 @@ def test_warc_example_runs(spark, tmp_path, capsys):
     assert lines[4]["survivors"] > 0
 
 
+@pytest.mark.slow
 def test_curation_example_runs(spark, tmp_path, capsys):
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "examples", "curation_end_to_end.py")
@@ -97,6 +100,7 @@ def test_feature_store_example_runs(spark, tmp_path, capsys):
     assert by["bucketed"]["customers"] > 0
 
 
+@pytest.mark.slow
 def test_streaming_example_runs(spark, tmp_path, capsys):
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "examples", "streaming_pipeline.py")
@@ -152,6 +156,7 @@ def test_embedding_example_runs(spark, tmp_path, capsys):
     assert by["layout"]["scan_rows_zorder"] >= by["layout"]["box_matches"]
 
 
+@pytest.mark.slow
 def test_table_lifecycle_example_runs(spark, tmp_path, capsys):
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "examples", "table_lifecycle.py")

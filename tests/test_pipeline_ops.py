@@ -1041,6 +1041,7 @@ def test_bpe_token_estimate(spark):
     assert out[3]["n"] is None or out[3]["n"] == -1  # null text -> null
 
 
+@pytest.mark.slow
 def test_max_bucket_caps_flood(spark):
     """Skew hardening: a near-dup flood sharing every band/chunk key is a
     quadratic hot bucket; max_bucket drops those buckets while normal
@@ -1078,6 +1079,7 @@ def test_max_bucket_caps_flood(spark):
     assert not any(a < 40 and b < 40 for a, b in sgot)
 
 
+@pytest.mark.slow
 def test_flood_guard_fails_fast_with_knob_guidance(spark):
     """VERDICT r10 #3: with max_candidate_pairs set, both pair miners
     project their candidate volume from a one-pass blocking-key
@@ -1374,6 +1376,7 @@ def test_pagerank_matches_reference(spark):
     assert dist == {3: 1, 1: 3}  # node 3 has 3 in-edges; 1, 2, 5 have 1
 
 
+@pytest.mark.slow
 def test_int8_quantization_recall(spark):
     """SQ8 embedding compression: codes round-trip within scale/2 per
     component, top-5 recall on dequantized cosine >= 0.9 on real
@@ -1484,6 +1487,7 @@ def test_ivf_disk_index_null_vectors(spark, tmp_path):
     assert ivf_cell_skew_report(spark, root)["n_rows"] == after
 
 
+@pytest.mark.slow
 def test_ivf_sq8_quantized_cells(spark, tmp_path):
     """IVF-SQ8: cells store int8 codes (no raw floats on disk), probes
     rank on dequantized codes with recall@5 >= 0.9 vs brute force, and
@@ -3804,6 +3808,7 @@ def test_drift_psi_detects_shift(spark):
     assert lo["psi"] == pytest.approx(round(psi, 6), abs=1e-6)
 
 
+@pytest.mark.slow
 def test_ivf_skew_report_and_recluster(spark, tmp_path):
     """IVF maintenance under sustained appends (VERDICT r8 #4):
     append_to_ivf_index never retrains, so a drifted ingest piles into
@@ -3933,6 +3938,7 @@ def test_knn_graph_nndescent_recall_and_contract(spark):
     assert all(r["src"] != 4 and r["dst"] != 4 for r in got)
 
 
+@pytest.mark.slow
 def test_incremental_dedup_candidate_cap(spark, tmp_path):
     """The near-dup probe's flood knob (r11): a batch doc with hundreds
     of near-copies in the corpus floods the band-candidate join (77M
@@ -3977,6 +3983,7 @@ def test_incremental_dedup_candidate_cap(spark, tmp_path):
     assert got == exact
 
 
+@pytest.mark.slow
 def test_knn_graph_method_dispatch(spark):
     """knn_graph(method=) — the r12 engine-surface wiring (VERDICT r11
     #2): 'nndescent' delegates to knn_graph_nndescent bit-identically,
@@ -4016,6 +4023,7 @@ def test_knn_graph_method_dispatch(spark):
     assert vc.knn_build_method(20_000_000) == "nndescent"
 
 
+@pytest.mark.slow
 def test_knn_graph_nndescent_early_termination(spark):
     """Dong's delta criterion (r12, VERDICT r11 #3): a high round
     ceiling converges early — the result is identical to the fully-run
@@ -4036,6 +4044,7 @@ def test_knn_graph_nndescent_early_termination(spark):
     assert early == full
 
 
+@pytest.mark.slow
 def test_semantic_dedup_bounded_split(spark):
     """The r12 cell-width bound (VERDICT r11 #1): split_hot_cells caps
     every cell at the budget, preserves rows, survives re-runs
@@ -4094,6 +4103,7 @@ def test_semantic_dedup_bounded_split(spark):
     assert recall >= 0.85, f"near-dup drop recall {recall}"
 
 
+@pytest.mark.slow
 def test_flood_guard_auto_budget_and_armed_probe(spark, tmp_path):
     """r12 (VERDICT r11 #4): the guards are ARMED where real users run
     dedup. max_candidate_pairs='auto' budgets 100 candidates/doc in

@@ -163,6 +163,7 @@ _words = st.lists(st.sampled_from(["a", "b", "c", "ab", "x1", "q"]),
 @settings(max_examples=20, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(docs=st.lists(_words, min_size=1, max_size=8))
+@pytest.mark.slow
 def test_repetition_stats_matches_python(spark, docs):
     """The sorted-array fold equals a direct Counter-based reference on
     arbitrary token streams (fractions, counts, and NULL short-docs)."""
@@ -252,6 +253,7 @@ def test_duplicate_spans_matches_python(spark, docs, n):
 @settings(max_examples=15, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(docs=st.lists(_words, min_size=1, max_size=10))
+@pytest.mark.slow
 def test_lm_cross_entropy_matches_python(spark, docs):
     """avg(-ln P_mle(token)) equals the Counter-based reference."""
     from collections import Counter
@@ -347,6 +349,7 @@ _epoch_us = st.integers(min_value=-2_000_000_000_000_000,  # ~1906
        rts=st.lists(_epoch_us, min_size=1, max_size=12),
        lo=st.integers(min_value=-10_000_000, max_value=10_000_000),
        width=st.integers(min_value=0, max_value=20_000_000))
+@pytest.mark.slow
 def test_interval_join_matches_bruteforce_property(spark, lts, rts,
                                                    lo, width):
     """Bucketed band join == brute force for ANY timestamps (both epoch
@@ -384,6 +387,7 @@ _nb_label = st.sampled_from(["x", "y", None])
            lambda t: any(lbl is not None for _, lbl in t)),
        test=st.lists(st.lists(_nb_word, min_size=0, max_size=6),
                      min_size=1, max_size=6))
+@pytest.mark.slow
 def test_nb_classify_matches_python_reference(spark, train, test):
     """The distributed closed form == a dictionary-arithmetic NB:
     same Laplace smoothing, same prior fallback, same NULL-label

@@ -198,6 +198,7 @@ def test_kmv_bad_args(spark):
         kmv_distinct(df, [], "v", strategy="filtered")
 
 
+@pytest.mark.slow
 def test_kmv_strategies_fuzz(spark):
     """Hypothesis: on random frames (random group counts, value ranges,
     duplicates, NULLs in both columns), all three strategies return

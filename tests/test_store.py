@@ -285,6 +285,7 @@ def test_incremental_dedup_against_stored_index(spark, tmp_path):
     assert {int(x) for x in vals.split(",")} == {bk}
 
 
+@pytest.mark.slow
 def test_incremental_dedup_degenerate_batches(spark, tmp_path):
     """Empty and NULL-text batches must classify cleanly (empty result /
     novel), never crash the probe planning."""
@@ -306,6 +307,7 @@ def test_incremental_dedup_degenerate_batches(spark, tmp_path):
     assert row["dup_kind"] is None and row["match_id"] is None
 
 
+@pytest.mark.slow
 def test_incremental_dedup_replay_ignores_self_matches(spark, tmp_path):
     """At-least-once replay: a batch that already appended to the index
     (crash between append and annotation commit) must classify the same
@@ -338,6 +340,7 @@ def test_incremental_dedup_replay_ignores_self_matches(spark, tmp_path):
     assert replay[900001]["match_id"] == 0, "self-id shadowed the corpus"
 
 
+@pytest.mark.slow
 def test_configured_catalog_keeps_disk_probe(spark, tmp_path):
     """catalog.configure() must NOT drop the ivf_disk layout
     registration: a configured stored catalog still routes method='ivf'
@@ -382,6 +385,7 @@ def test_configured_catalog_keeps_disk_probe(spark, tmp_path):
         spark.conf.unset("spark.sql.maxMetadataStringLength")
 
 
+@pytest.mark.slow
 def test_index_meta_commits_atomically(spark, tmp_path, monkeypatch):
     """r12 (VERDICT r11 #5): the index layouts are single-writer by
     contract (README "Known limits"), but their meta.json is the

@@ -294,6 +294,7 @@ def test_stream_curate_matches_batch_gates(spark, tmp_path):
     assert {r["doc_id"] for r in rows} <= want
 
 
+@pytest.mark.slow
 def test_stream_dedup_ingest_grows_index(spark, tmp_path):
     """Continuous-ingest dedup: micro-batch N+1 must dedup against the
     NOVEL docs micro-batch N appended to the on-disk index."""
