@@ -7,6 +7,13 @@ real iteration-body plan (joins, exchanges, aggregation) the driver's
 plan files must evidence.
 
 Usage: python tools/capture_pagerank_iter.py OUT.txt
+
+STANDALONE-ONLY (ADVICE r13 #4): this script monkey-patches
+DataFrame.localCheckpoint/unpersist CLASS-WIDE for the one capture
+call (restored in ``finally``). Never import it or run it inside a
+shared/bench session — it would silently disable checkpointing for
+everything else in-process. The ``__main__`` guard below refuses to
+expose the patch as an importable function for exactly that reason.
 """
 
 from __future__ import annotations
